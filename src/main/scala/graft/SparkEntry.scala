@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Oracles, Queries => Q}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory each
+  * key maps to. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Q.q5MultiJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 core tube calculus
+    "q_each" -> (Q.qEach _),
+    "q_every" -> (Q.qEvery _),
+    "q_map" -> (Q.qMap _),
+    "q_mapm" -> (Q.qMapM _),
+    "q_filter" -> (Q.qFilter _),
+    "q_take" -> (Q.qTake _),
+    "q_drop" -> (Q.qDrop _),
+    "q_takewhile" -> (Q.qTakeWhile _),
+    "q_flatmap" -> (Q.qFlatMap _),
+    "q_compose" -> (Q.qCompose _),
+    "q_cross" -> (Q.qCross _),
+    "q_arith" -> (Q.qArith _),
+    "q_reduce" -> (Q.qReduce _),
+    "q_lfold" -> (Q.qLfold _),
+    "q_merge" -> (Q.qMerge _),
+    "q_concat" -> (Q.qConcat _),
+    // §2.2 sink algebra
+    "q_sink_roundtrip" -> (Q.qSinkRoundtrip _),
+    "q_route" -> (Q.qRoute _),
+    "q_tee" -> (Q.qTee _),
+    // §2.3 channel / arrow calculus
+    "q_dimap" -> (Q.qDimap _),
+    "q_arrow_first" -> (Q.qArrowFirst _),
+    "q_fanout" -> (Q.qFanout _),
+    "q_choice" -> (Q.qChoice _),
+    "q_scan" -> (Q.qScan _),
+    "q_running_avg" -> (Q.qRunningAvg _),
+    // §2.4 relational analytics
+    "q1_agg" -> (Q.q1Agg _),
+    "q6_filter_agg" -> (Q.q6FilterAgg _),
+    "q3_join" -> (Q.q3Join _),
+    "q5_multijoin" -> (Q.q5MultiJoin _),
+    "q_outer_having" -> (Q.qOuterHaving _),
+    "q_semijoin" -> (Q.qSemiJoin _),
+    "q_antijoin" -> (Q.qAntiJoin _),
+    "q_distinct" -> (Q.qDistinct _),
+    "q_topk" -> (Q.qTopK _),
+    "q_window_rank" -> (Q.qWindowRank _),
+    "q_window_lag" -> (Q.qWindowLag _),
+    "q_rollup" -> (Q.qRollup _),
+    "q_subquery" -> (Q.qSubquery _),
+    "q_case_agg" -> (Q.qCaseAgg _),
+    "q_string" -> (Q.qString _),
+    "q_datetime" -> (Q.qDatetime _),
+    "q_sessionize" -> (Q.qSessionize _),
+    "q_funnel" -> (Q.qFunnel _),
+    "q_json" -> (Q.qJson _),
+    // §2.5 LLM-data-pipeline
+    "q_tokens" -> (Q.qTokens _),
+    "q_quality" -> (Q.qQuality _),
+    "q_langid" -> (Q.qLangId _),
+    "q_fingerprint" -> (Q.qFingerprint _),
+    "q_dedup_exact" -> (Q.qDedupExact _),
+    "q_multimodal" -> (Q.qMultimodal _),
+    // §2.6 streaming twins (batch-equivalent checks)
+    "q_stream_window" -> (Q.qStreamWindow _),
+    "q_stream_enrich" -> (Q.qStreamEnrich _),
+  )
+
+  /** For each key in queries, equivalent SQL runnable by DuckDB on the
+    * same parquet tables. */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -1,0 +1,98 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native analogue of the reference's `Channel m a b`
+  * (Tubes/Channel.hs:81): a stream transformer, i.e. a function from one
+  * declarative plan to another. Composition (`Category .` /
+  * `><`, Core.hs:152) is plain function composition — Catalyst then
+  * optimizes ACROSS channel boundaries (pushdown, pruning, fusion into one
+  * WholeStageCodegen span), which is the payoff of being declarative
+  * where the reference steps a coroutine.
+  */
+final case class Channel[A, B](run: Dataset[A] => Dataset[B]) {
+
+  /** `><` / Category `.` (Channel.hs:132). */
+  def andThen[C](next: Channel[B, C]): Channel[A, C] =
+    Channel(ds => next.run(run(ds)))
+
+  /** Profunctor `lmap` (Channel.hs:126). */
+  def lmap[Z](f: Dataset[Z] => Dataset[A]): Channel[Z, B] =
+    Channel(ds => run(f(ds)))
+
+  /** Profunctor `rmap` (Channel.hs:126). */
+  def rmap[C](f: Dataset[B] => Dataset[C]): Channel[A, C] =
+    Channel(ds => f(run(ds)))
+
+  def dimap[Z, C](pre: Dataset[Z] => Dataset[A])
+                 (post: Dataset[B] => Dataset[C]): Channel[Z, C] =
+    Channel(ds => post(run(pre(ds))))
+}
+
+object Channel {
+  /** `cat` (Util.hs:66) / Category `id` (Channel.hs:132): plan no-op. */
+  def id[A]: Channel[A, A] = Channel(identity)
+
+  /** Arrow `arr` (Channel.hs:152): pure columnar transform. */
+  def select(cols: Column*): Channel[Row, Row] =
+    Channel(ds => ds.toDF().select(cols: _*))
+
+  def where(pred: Column): Channel[Row, Row] =
+    Channel(ds => ds.toDF().filter(pred))
+
+  def withColumn(name: String, c: Column): Channel[Row, Row] =
+    Channel(ds => ds.toDF().withColumn(name, c))
+
+  /** Arrow `first` (Channel.hs:154): transform a subset of columns,
+    * pass the rest through untouched. `firstCols` names the "fst" of the
+    * pair; `f` maps those columns; remaining columns ride along. */
+  def first(f: Map[String, Column]): Channel[Row, Row] =
+    Channel { ds =>
+      val df = ds.toDF()
+      df.select(df.columns.map { n =>
+        f.get(n).map(_.as(n)).getOrElse(col(n))
+      }: _*)
+    }
+
+  /** ArrowChoice `+++` (Channel.hs:169): rows where `pred` holds flow
+    * through `l`, the rest through `r`; results are tagged and unioned.
+    * Both branches stay declarative (two filters of one scan — Catalyst
+    * reuses the exchange), no per-row dispatch. */
+  def choice(pred: Column, l: Channel[Row, Row], r: Channel[Row, Row],
+             tag: String = "side"): Channel[Row, Row] =
+    Channel { ds =>
+      val df = ds.toDF()
+      val lt = l.run(df.filter(pred)).withColumn(tag, lit("L"))
+      val rt = r.run(df.filter(!pred)).withColumn(tag, lit("R"))
+      lt.unionByName(rt)
+    }
+
+  /** Arrow `&&&` fan-out (the reference's `avg` demo, Channel.hs:68):
+    * run two columnar transforms over the same element and pair the
+    * results — a single projection, zero duplication of the upstream. */
+  def fanout(outs: (String, Column)*): Channel[Row, Row] =
+    Channel(ds => ds.toDF().select(outs.map { case (n, c) => c.as(n) }: _*))
+
+  /** The reference's stateful `total` channel (Channel.hs:60): a running
+    * fold emitted per element. `partition` keys the state for scale-out
+    * (per-key running aggregates shuffle once on the key). */
+  def scan(out: String, agg: Column, order: Seq[Column],
+           partition: Seq[Column] = Nil): Channel[Row, Row] =
+    Channel { ds =>
+      val w0 = if (partition.isEmpty) Window.orderBy(order: _*)
+               else Window.partitionBy(partition: _*).orderBy(order: _*)
+      ds.toDF().withColumn(
+        out, agg.over(w0.rowsBetween(Window.unboundedPreceding, 0)))
+    }
+
+  /** `tee` (Channel.hs:218): pass elements downstream unchanged while a
+    * sink observes them. The sink consumes the same cached pass. */
+  def tee(sink: Sink[Row]): Channel[Row, Row] =
+    Channel { ds =>
+      val df = ds.toDF().persist()
+      sink.run(df)
+      df
+    }
+}

@@ -1,0 +1,126 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spark-native analogue of the reference's `Source m a`
+  * (Tubes/Source.hs:94): an exhaustible producer of values.
+  *
+  * Where the reference steps a coroutine one `yield` at a time, graft
+  * declares the whole stream as a `Dataset` logical plan and lets
+  * Catalyst/Tungsten pick the physical execution. Ordered-stream
+  * combinators (`take`, `drop`, `takeWhile`, `merge`, `every`) — which in
+  * a coroutine are implicit in arrival order — take an explicit sort key
+  * here, because a distributed stream has no global order unless you ask
+  * for one. Keyed (`partitionBy`) variants keep those windows
+  * shuffle-partitioned and therefore scalable; the global variants
+  * degenerate to a single-partition window and are intended for
+  * driver-sized streams, exactly like the reference's single-threaded
+  * stepper.
+  */
+final case class Source[A](ds: Dataset[A]) {
+  def toDF: DataFrame = ds.toDF()
+
+  /** Functor `fmap` / `Tubes.Util.map` (Util.hs:85) — columnar form. */
+  def select(cols: Column*): Source[Row] = Source(ds.select(cols: _*))
+
+  /** Typed `map` — object form; prefer `select` (codegen) in hot paths. */
+  def map[B: Encoder](f: A => B): Source[B] = Source(ds.map(f))
+
+  /** `Tubes.Util.mapM` (Util.hs:136): effectful per-element transform;
+    * effects run once per element inside executors. */
+  def mapM[B: Encoder](f: A => B): Source[B] =
+    Source(ds.mapPartitions(_.map(f)))
+
+  /** `Tubes.Util.filter` (Util.hs:100). */
+  def where(pred: Column): Source[A] = Source(ds.filter(pred))
+
+  /** Monad bind of `Source` (Source.hs:116) / `for` (Util.hs:47). */
+  def flatMap[B: Encoder](f: A => IterableOnce[B]): Source[B] =
+    Source(ds.flatMap(f))
+
+  /** `<|>` / `<>` (Source.hs:120): list-like concatenation. */
+  def concat(other: Source[A]): Source[A] = Source(ds.unionAll(other.ds))
+
+  /** Applicative `<*>` (Source.hs:108): every pair, small side broadcast. */
+  def cross(other: Source[_]): Source[Row] =
+    Source(ds.toDF().crossJoin(broadcast(other.ds.toDF())))
+
+  /** `Tubes.Util.take` (Util.hs:117): first n in `order`. Physical plan is
+    * TakeOrderedAndProject — no global sort materialized. */
+  def take(n: Int, order: Column*): Source[Row] =
+    Source(ds.toDF().orderBy(order: _*).limit(n))
+
+  /** `Tubes.Util.drop` (Util.hs:94): all but the first n in `order`. */
+  def drop(n: Int, order: Column*): Source[Row] =
+    Source(ds.toDF().orderBy(order: _*).offset(n))
+
+  /** `Tubes.Util.takeWhile` (Util.hs:104): longest prefix (in `order`)
+    * satisfying `pred`; stops at the first violation. Implemented as a
+    * running conjunction window — `partition` keys it for scale-out. */
+  def takeWhile(pred: Column, order: Seq[Column],
+                partition: Seq[Column] = Nil): Source[Row] = {
+    val w0 = if (partition.isEmpty) Window.orderBy(order: _*)
+             else Window.partitionBy(partition: _*).orderBy(order: _*)
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val df = ds.toDF()
+    Source(df
+      .withColumn("__ok", min(when(pred, 1).otherwise(0)).over(w))
+      .filter(col("__ok") === 1)
+      .drop("__ok"))
+  }
+
+  /** `merge` (Source.hs:170): synchronous interleave of two sources —
+    * element i of each source alternates; a shorter source simply runs
+    * out, like the reference. Ranks are computed per-source, the union is
+    * re-ranked by (rank, side), and the interleave position is kept as
+    * `pos` so downstream (and the oracle) can see the arrival order. */
+  def merge(other: Source[A], order: Seq[Column],
+            pos: String = "pos"): Source[Row] = {
+    def ranked(df: DataFrame, side: Int): DataFrame = df
+      .withColumn("__rn", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("__side", lit(side))
+    Source(ranked(ds.toDF(), 0).unionAll(ranked(other.ds.toDF(), 1))
+      .withColumn(pos, row_number()
+        .over(Window.orderBy(col("__rn"), col("__side"))).cast("long"))
+      .drop("__rn", "__side"))
+  }
+
+  /** `every` (Util.hs:79): the stream's values then a terminal `Nothing`,
+    * encoded as one trailing all-null row (columns become nullable). */
+  def every(order: Seq[Column]): Source[Row] = {
+    val df = ds.toDF()
+    val nulls = df.sparkSession.range(1).select(
+      df.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+    val tagged = df.select(col("*")).withColumn("__t", lit(0))
+      .unionAll(nulls.withColumn("__t", lit(1)))
+    Source(tagged.orderBy(col("__t") +: order: _*).drop("__t"))
+  }
+
+  /** `reduce` (Source.hs:158): strict fold → Catalyst aggregate with
+    * map-side partial aggregation. */
+  def reduce(first: Column, rest: Column*): DataFrame =
+    ds.toDF().agg(first, rest: _*)
+
+  /** `><` into a Channel (Core.hs:152). */
+  def through[B](ch: Channel[A, B]): Source[B] = Source(ch.run(ds))
+
+  /** `runTube` with a sink (Core.hs:256): terminal action. */
+  def into(sink: Sink[A]): Unit = sink.run(ds)
+}
+
+object Source {
+  /** `each` (Util.hs:76): source from a local collection. */
+  def each[A: Encoder](spark: SparkSession, xs: Seq[A]): Source[A] =
+    Source(spark.createDataset(xs))
+
+  /** Table-backed source (the 100 TB path): column-pruned,
+    * filter-pushed parquet scan. */
+  def parquet(spark: SparkSession, path: String): Source[Row] =
+    Source(spark.read.parquet(path))
+
+  /** `prompt` (Tubes.hs:172): line source; files stand in for stdin. */
+  def text(spark: SparkSession, path: String): Source[Row] =
+    Source(spark.read.text(path))
+}

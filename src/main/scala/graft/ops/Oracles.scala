@@ -1,0 +1,388 @@
+package graft.ops
+
+/** DuckDB oracle SQL for every entry in [[Queries]] (SparkEntry.oracleSql).
+  *
+  * Contract (SURVEY §6): same column names and dtypes as the Spark result
+  * (computed ints cast to bigint, money through DECIMAL then double),
+  * total ORDER BY, DuckDB dialect (list lambdas, `string_split_regex`,
+  * `regexp_replace(..., 'g')`, RE2 `\x{...}` unicode escapes).
+  */
+object Oracles {
+  private val EN = "('the','a','of','and','to','in','is','for')"
+  private val DE = "('der','die','das','und','ist','nicht','ein')"
+  private val FR = "('le','la','les','et','est','une','des')"
+  private val ES = "('el','los','las','y','es','una','por')"
+  private val TOKS =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+  /** Exact revenue: factors cast to decimal BEFORE multiplying, so the
+    * product is exact and no rounding-mode question arises (matches
+    * Queries.revenue). */
+  private val REV =
+    "cast(l_extendedprice AS DECIMAL(12,2)) * cast(1 - l_discount AS DECIMAL(6,2))"
+  private def d2(e: String) = s"cast(sum(cast($e AS DECIMAL(18,2))) AS double)"
+  private def d4(e: String) = s"cast(sum(cast($e AS DECIMAL(18,4))) AS double)"
+  private def xsum(e: String) = s"cast(sum($e) AS double)"
+  private val CNT = "cast(count(*) as bigint)"
+
+  val sql: Map[String, String] = Map(
+    "q_each" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_every" ->
+      """SELECT k FROM (
+        |  SELECT o_orderkey AS k, 0 AS t FROM orders
+        |  UNION ALL SELECT NULL AS k, 1 AS t
+        |) u ORDER BY t, k""".stripMargin,
+
+    "q_map" ->
+      """SELECT l_orderkey * 10 + l_linenumber AS line_uid,
+        |  l_quantity * 2.0 AS qty2, upper(l_returnflag) AS flag
+        |FROM lineitem ORDER BY line_uid""".stripMargin,
+
+    "q_mapm" ->
+      """SELECT o_orderkey, cast(length(o_orderpriority) as bigint) AS prio_len
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_take" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+
+    "q_drop" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 40 OFFSET 10""".stripMargin,
+
+    "q_takewhile" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice,
+        |    min(CASE WHEN o_totalprice < 300000 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok
+        |  FROM orders) x
+        |WHERE ok = 1 ORDER BY o_orderkey""".stripMargin,
+
+    "q_flatmap" ->
+      """SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |    AS token
+        |FROM documents ORDER BY doc_id, token""".stripMargin,
+
+    "q_compose" ->
+      s"""SELECT l_returnflag, ${xsum(REV)} AS revenue, $CNT AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_arith" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity + l_tax AS a,
+        |  l_quantity * 2.0 AS b, -l_discount AS neg,
+        |  greatest(l_quantity, 30.0) AS g
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_reduce" ->
+      s"""SELECT ${d2("l_quantity")} AS total_qty,
+         |  ${d2("l_extendedprice")} AS total_price, $CNT AS n
+         |FROM lineitem""".stripMargin,
+
+    "q_lfold" ->
+      s"""SELECT ${d2("l_quantity")} AS total_qty FROM lineitem""",
+
+    "q_merge" ->
+      """SELECT o_orderkey, cast(row_number() OVER (ORDER BY rn, side) as bigint) AS pos
+        |FROM (
+        |  SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn, 0 AS side
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey,
+        |    row_number() OVER (ORDER BY o_orderkey) AS rn, 1 AS side
+        |  FROM orders WHERE o_orderkey % 2 <> 0) u
+        |ORDER BY pos""".stripMargin,
+
+    "q_concat" ->
+      """SELECT o_orderkey, band FROM (
+        |  SELECT o_orderkey, 'lo' AS band FROM orders WHERE o_totalprice < 100000
+        |  UNION ALL
+        |  SELECT o_orderkey, 'hi' AS band FROM orders WHERE o_totalprice >= 400000
+        |) u ORDER BY band, o_orderkey""".stripMargin,
+
+    "q_sink_roundtrip" ->
+      s"""SELECT $CNT AS n, ${d2("o_totalprice")} AS total
+         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q_route" ->
+      s"""SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
+         |  ELSE 'conversion' END AS branch, $CNT AS n, ${d4("value")} AS sv
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tee" ->
+      """SELECT event_id, event_type FROM events ORDER BY event_id""",
+
+    "q_dimap" ->
+      """SELECT event_id, cast(floor(value * 2 / 10) as bigint) AS bucket,
+        |  'b' || cast(cast(floor(value * 2 / 10) as bigint) as varchar) AS label
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_arrow_first" ->
+      """SELECT event_id, upper(event_type) AS etype, value FROM events
+        |ORDER BY event_id""".stripMargin,
+
+    "q_fanout" ->
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value AS DECIMAL(18,4))) OVER w AS double) AS rt,
+        |  cast(count(*) OVER w as bigint) AS rn
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_choice" ->
+      """SELECT event_id, out, side FROM (
+        |  SELECT event_id, value * 2 AS out, 'L' AS side FROM events
+        |  WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, -value AS out, 'R' AS side FROM events
+        |  WHERE event_id % 2 <> 0) u
+        |ORDER BY event_id""".stripMargin,
+
+    "q_scan" ->
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value AS DECIMAL(18,4)))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS rt
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_running_avg" ->
+      """SELECT event_id, user_id,
+        |  cast(sum(cast(value AS DECIMAL(18,4))) OVER w AS double)
+        |    / cast(count(*) OVER w as bigint) AS ravg
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${d2("l_quantity")} AS sum_qty,
+         |  ${d2("l_extendedprice")} AS sum_base_price,
+         |  ${xsum(REV)} AS sum_disc_price,
+         |  ${xsum(s"$REV * cast(1 + l_tax AS DECIMAL(6,2))")} AS sum_charge,
+         |  ${d2("l_quantity")} / $CNT AS avg_qty,
+         |  $CNT AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_filter_agg" ->
+      s"""SELECT ${xsum("cast(l_extendedprice AS DECIMAL(12,2)) * cast(l_discount AS DECIMAL(6,2))")} AS revenue, $CNT AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q3_join" ->
+      s"""SELECT o_orderkey, ${xsum(REV)} AS revenue, o_orderdate
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY o_orderkey, o_orderdate
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      s"""SELECT n_name, ${xsum(REV)} AS revenue
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_outer_having" ->
+      s"""SELECT c_count, $CNT AS custdist FROM (
+         |  SELECT c_custkey, cast(count(o_orderkey) as bigint) AS c_count
+         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY c_custkey) x
+         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  cast(rk as bigint) AS rk
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders) x
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  value - lag(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS dv
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, $CNT AS n,
+         |  ${d2("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    "q_subquery" ->
+      s"""SELECT p_partkey, p_name, p_retailprice FROM part
+         |WHERE p_retailprice > (
+         |  SELECT ${d2("p_retailprice")} / $CNT FROM part)
+         |ORDER BY p_partkey""".stripMargin,
+
+    "q_case_agg" ->
+      s"""SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
+         |    THEN $REV END) AS double)
+         |    / ${xsum(REV)} AS promo_share,
+         |  $CNT AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+         |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q_string" ->
+      """SELECT o_orderkey, substring(o_orderpriority, 1, 1) AS pclass,
+        |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag
+        |FROM orders WHERE o_orderpriority LIKE '%URGENT%'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_datetime" ->
+      s"""SELECT date_trunc('day', ts) AS day, $CNT AS n,
+         |  ${d4("value")} AS sv
+         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |      THEN 1 ELSE 0 END AS nf
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, cast(sid as bigint) AS sid,
+        |  cast(count(*) as bigint) AS n_events,
+        |  cast(date_diff('second', min(ts), max(ts)) as bigint) AS dur_s
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
+
+    "q_funnel" ->
+      """SELECT cast(count(*) as bigint) AS n_signup,
+        |  cast(count(CASE WHEN pmin > smin THEN 1 END) as bigint)
+        |    AS n_converted
+        |FROM (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END) AS smin,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS pmin
+        |  FROM events GROUP BY user_id) x
+        |WHERE smin IS NOT NULL""".stripMargin,
+
+    "q_json" ->
+      s"""SELECT cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint) AS k,
+         |  $CNT AS n
+         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q_tokens" ->
+      s"""SELECT doc_id, cast(len($TOKS) as bigint) AS n_ws,
+         |  cast(len(regexp_extract_all(lower(text),
+         |    '[a-z]+|[0-9]|[^a-z0-9\\s]')) as bigint) AS n_bpe
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, len, stop_ratio, punct_ratio, mean_tok,
+         |  least(cast(len as double) / 500.0, 1.0) * 0.3
+         |    + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2
+         |    + least(mean_tok / 8.0, 1.0) * 0.1 AS score
+         |FROM (
+         |  SELECT doc_id, cast(length(text) as bigint) AS len,
+         |    cast(len(list_filter(toks, x -> x IN $EN)) as double)
+         |      / cast(len(toks) as double) AS stop_ratio,
+         |    cast(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) as double)
+         |      / cast(length(text) as double) AS punct_ratio,
+         |    cast(length(regexp_replace(text, '\\s', '', 'g')) as double)
+         |      / cast(len(toks) as double) AS mean_tok
+         |  FROM (SELECT doc_id, text, $TOKS AS toks FROM documents) t) x
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_langid" ->
+      s"""SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
+         |  CASE WHEN c_zh > 0 THEN 'zh'
+         |    WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+         |    WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+         |    WHEN c_fr >= c_es THEN 'fr'
+         |    ELSE 'es' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    cast(len(list_filter(toks, x -> x IN $EN)) as bigint) AS c_en,
+         |    cast(len(list_filter(toks, x -> x IN $DE)) as bigint) AS c_de,
+         |    cast(len(list_filter(toks, x -> x IN $FR)) as bigint) AS c_fr,
+         |    cast(len(list_filter(toks, x -> x IN $ES)) as bigint) AS c_es,
+         |    cast(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))
+         |      as bigint) AS c_zh
+         |  FROM (SELECT doc_id, lang, text, $TOKS AS toks FROM documents) t) x
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT fp, cast(min(doc_id) as bigint) AS keep_id,
+        |  cast(count(*) as bigint) AS n
+        |FROM (SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents) x
+        |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+    "q_stream_window" ->
+      s"""SELECT date_trunc('hour', ts) AS hour, event_type, $CNT AS n,
+         |  ${d4("value")} AS sv
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_stream_enrich" ->
+      s"""SELECT c_mktsegment, $CNT AS n
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,531 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampType}
+
+import graft.core.{Channel, Fold, Sink, Source}
+import graft.tables.Tables
+import graft.text.TextFunctions._
+
+/** The §2.1–§2.4 + §2.5-text query surface. Every builder is a
+  * `(SparkSession, sfDir) => DataFrame` with a matching DuckDB oracle in
+  * [[Oracles]].
+  *
+  * Oracle discipline (SURVEY §6): money/double aggregation routes through
+  * DECIMAL so Spark and DuckDB agree bit-for-bit regardless of summation
+  * order; every computed integer is cast to bigint on both sides; every
+  * result ends in a total ORDER BY.
+  */
+object Queries {
+  private val D2 = DecimalType(18, 2)
+  private val D4 = DecimalType(18, 4)
+  private val P2 = DecimalType(12, 2) // raw money column (2dp doubles)
+  private val F2 = DecimalType(6, 2)  // small (1 ± x) factor
+  /** Order-insensitive exact sum of a double column (via decimal). */
+  private def dsum(c: Column, t: DecimalType = D2): Column =
+    sum(c.cast(t)).cast("double")
+  /** Exact revenue term: decimal factors multiplied in decimal, so no
+    * double→decimal rounding ever happens (rounding-mode-proof vs the
+    * oracle). dec(12,2) × dec(6,2) → dec(19,4), exact. */
+  private def revenue: Column =
+    col("l_extendedprice").cast(P2) * (lit(1) - col("l_discount")).cast(F2)
+  private def ts(s: String): Column = lit(s).cast(TimestampType)
+  private def T(s: SparkSession, dir: String) = Tables(s, dir)
+
+  case class Ord(o_orderkey: Long, o_orderpriority: String)
+  case class OrdLen(o_orderkey: Long, prio_len: Long)
+
+  // ───────────────────────── §2.1 core tube calculus ─────────────────────
+
+  /** #1 `each`: a table-backed Source, projected and ordered. */
+  def qEach(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .toDF.orderBy("l_orderkey", "l_linenumber")
+
+  /** #2 `every`: values then one terminal all-null row (Maybe stream). */
+  def qEvery(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).orders.select(col("o_orderkey").as("k")))
+      .every(Seq(col("k"))).toDF
+
+  /** #3 `map`: pure columnar transform. */
+  def qMap(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem)
+      .select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_uid"),
+        (col("l_quantity") * lit(2.0)).as("qty2"),
+        upper(col("l_returnflag")).as("flag"))
+      .toDF.orderBy("line_uid")
+
+  /** #4 `mapM`: effectful per-element transform via mapPartitions. */
+  def qMapM(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Source(T(s, dir).orders
+        .select("o_orderkey", "o_orderpriority").as[Ord])
+      .mapM(o => OrdLen(o.o_orderkey, o.o_orderpriority.length.toLong))
+      .toDF.orderBy("o_orderkey")
+  }
+
+  /** #5 `filter`: predicate pushed into the parquet scan. */
+  def qFilter(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem)
+      .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .toDF.orderBy("l_orderkey", "l_linenumber")
+
+  /** #6 `take`: first 50 by (price desc, key) — TakeOrderedAndProject. */
+  def qTake(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).orders.select("o_orderkey", "o_totalprice"))
+      .take(50, col("o_totalprice").desc, col("o_orderkey")).toDF
+
+  /** #7 `drop`: skip the first 10 of the same ordered stream, keep 40. */
+  def qDrop(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).orders.select("o_orderkey", "o_totalprice"))
+      .drop(10, col("o_totalprice").desc, col("o_orderkey"))
+      .ds.limit(40)
+
+  /** #8 `takeWhile`: longest prefix with o_totalprice < 300000. */
+  def qTakeWhile(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).orders.select("o_orderkey", "o_totalprice"))
+      .takeWhile(col("o_totalprice") < 300000, Seq(col("o_orderkey")))
+      .toDF.orderBy("o_orderkey")
+
+  /** #9 Monad bind / `for`: one document → its tokens. */
+  def qFlatMap(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .orderBy("doc_id", "token")
+
+  /** #10/#11 `cat`/`><`: three channels fused by Catalyst into one stage. */
+  def qCompose(s: SparkSession, dir: String): DataFrame = {
+    val project = Channel.withColumn("revenue", revenue)
+    val keep = Channel.where(
+      col("l_shipdate") >= ts("1996-01-01") &&
+      col("l_shipdate") < ts("1998-01-01"))
+    val summarize = Channel[org.apache.spark.sql.Row, org.apache.spark.sql.Row](
+      ds => ds.groupBy("l_returnflag")
+        .agg(sum(col("revenue")).cast("double").as("revenue"),
+             count(lit(1)).as("n")))
+    Source(T(s, dir).lineitem)
+      .through(Channel.id.andThen(project).andThen(keep).andThen(summarize))
+      .toDF.orderBy("l_returnflag")
+  }
+
+  /** #21 Applicative `<*>`: every (region, nation) pair, broadcast. */
+  def qCross(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).region.select("r_name"))
+      .cross(Source(T(s, dir).nation.select("n_name")))
+      .toDF.orderBy("r_name", "n_name")
+
+  /** #22 lifted Num/Fractional arithmetic. */
+  def qArith(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_quantity") + col("l_tax")).as("a"),
+        (col("l_quantity") * lit(2.0)).as("b"),
+        (-col("l_discount")).as("neg"),
+        greatest(col("l_quantity"), lit(30.0)).as("g"))
+      .toDF.orderBy("l_orderkey", "l_linenumber")
+
+  /** #18 `reduce`: strict fold → partial-agg Catalyst aggregate. */
+  def qReduce(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem).reduce(
+      dsum(col("l_quantity")).as("total_qty"),
+      dsum(col("l_extendedprice")).as("total_price"),
+      count(lit(1)).as("n"))
+
+  /** #17 `lfold`: resumable fold — fold half the stream, resume on the
+    * rest (the reference's `summer` demo, Util.hs:171), exact decimals. */
+  def qLfold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = T(s, dir).lineitem.filter(col("l_orderkey") % 2 === 0)
+      .select(col("l_quantity").cast(DecimalType(38, 18))).as[java.math.BigDecimal]
+    val hi = T(s, dir).lineitem.filter(col("l_orderkey") % 2 =!= 0)
+      .select(col("l_quantity").cast(DecimalType(38, 18))).as[java.math.BigDecimal]
+    val fold = Fold.decimalSum[java.math.BigDecimal](identity)
+    val (partial, resumed) = fold.runResumable(lo)
+    val total = resumed.run(hi) // resumes from `partial`'s state
+    require(partial.compareTo(total) <= 0)
+    Seq(total.doubleValue).toDF("total_qty")
+  }
+
+  /** #19 `merge`: synchronous interleave of even- and odd-key orders. */
+  def qMerge(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders.select("o_orderkey")
+    Source(o.filter(col("o_orderkey") % 2 === 0))
+      .merge(Source(o.filter(col("o_orderkey") % 2 =!= 0)),
+             Seq(col("o_orderkey")))
+      .toDF.orderBy("pos")
+  }
+
+  /** #20 `<|>` concat: two filtered streams, list-appended. */
+  def qConcat(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders
+    val lo = Source(o.filter(col("o_totalprice") < 100000)
+      .select(col("o_orderkey"), lit("lo").as("band")))
+    val hi = Source(o.filter(col("o_totalprice") >= 400000)
+      .select(col("o_orderkey"), lit("hi").as("band")))
+    lo.concat(hi).toDF.orderBy("band", "o_orderkey")
+  }
+
+  // ───────────────────────── §2.2 sink algebra ───────────────────────────
+
+  /** #24 sink + source round trip: write a filtered stream, read it back. */
+  def qSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sink").resolve("orders_f").toString
+    Source(T(s, dir).orders.filter(col("o_orderstatus") === "F"))
+      .into(Sink.parquet(out))
+    Source.parquet(s, out).reduce(
+      count(lit(1)).as("n"),
+      dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** #27 Decidable routing: rows split by predicate into two sinks, then
+    * both routes summarized. */
+  def qRoute(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_route")
+    val (l, r) = (base.resolve("l").toString, base.resolve("r").toString)
+    val pred = col("event_type").isin("click", "view")
+    Sink.choose(pred, Sink.parquet(l), Sink.parquet(r))
+      .run(T(s, dir).events)
+    val lDF = s.read.parquet(l).withColumn("branch", lit("engagement"))
+    val rDF = s.read.parquet(r).withColumn("branch", lit("conversion"))
+    lDF.unionByName(rDF).groupBy("branch")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+      .orderBy("branch")
+  }
+
+  /** #29 `tee`: pass-through while a sink observes the stream. */
+  def qTee(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).events.select("event_id", "event_type"))
+      .through(Channel.tee(Sink.ignore))
+      .toDF.orderBy("event_id")
+
+  // ───────────────────────── §2.3 channel / arrow ────────────────────────
+
+  /** #30 Profunctor dimap: pre-map, bucket, post-label. */
+  def qDimap(s: SparkSession, dir: String): DataFrame = {
+    val bucket = Channel.withColumn("bucket",
+      floor(col("v2") / 10).cast("long"))
+    val ch = bucket.dimap[org.apache.spark.sql.Row, org.apache.spark.sql.Row](
+      pre = ds => ds.toDF().withColumn("v2", col("value") * 2)) (
+      post = ds => ds.toDF().withColumn("label",
+        concat(lit("b"), col("bucket").cast("string"))))
+    Source(T(s, dir).events).through(ch)
+      .select(col("event_id"), col("bucket"), col("label"))
+      .toDF.orderBy("event_id")
+  }
+
+  /** #32 Arrow `first`: transform one component, pass the other through. */
+  def qArrowFirst(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).events.select("event_id", "event_type", "value"))
+      .through(Channel.first(Map("event_type" -> upper(col("event_type")))))
+      .toDF.withColumnRenamed("event_type", "etype").orderBy("event_id")
+
+  /** #33 `&&&` fan-out: two running aggregates of one stream, paired. */
+  def qFanout(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Source(T(s, dir).events).through(Channel.fanout(
+      "event_id" -> col("event_id"),
+      "user_id" -> col("user_id"),
+      "rt" -> sum(col("value").cast(D4)).over(w).cast("double"),
+      "rn" -> count(lit(1)).over(w)))
+      .toDF.orderBy("event_id")
+  }
+
+  /** #34 ArrowChoice: evens double, odds negate; tagged union. */
+  def qChoice(s: SparkSession, dir: String): DataFrame = {
+    val l = Channel.select(col("event_id"), (col("value") * 2).as("out"))
+    val r = Channel.select(col("event_id"), (-col("value")).as("out"))
+    Source(T(s, dir).events)
+      .through(Channel.choice(col("event_id") % 2 === 0, l, r))
+      .toDF.orderBy("event_id")
+  }
+
+  /** #35 stateful `total` channel: per-user running total (exact). */
+  def qScan(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).events)
+      .through(Channel.scan("rt", sum(col("value").cast(D4)),
+        order = Seq(col("ts"), col("event_id")),
+        partition = Seq(col("user_id"))))
+      .select(col("event_id"), col("user_id"), col("rt").cast("double").as("rt"))
+      .toDF.orderBy("event_id")
+
+  /** #36 the reference's Arrow `avg` demo: running average per user. */
+  def qRunningAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, dir).events.select(col("event_id"), col("user_id"),
+        (sum(col("value").cast(D4)).over(w).cast("double") /
+          count(lit(1)).over(w)).as("ravg"))
+      .orderBy("event_id")
+  }
+
+  // ───────────────────────── §2.4 relational ─────────────────────────────
+
+  /** #38 TPC-H Q1 shape: multi-aggregate pricing summary. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(revenue).cast("double").as("sum_disc_price"),
+        sum(revenue * (lit(1) + col("l_tax")).cast(F2)).cast("double")
+          .as("sum_charge"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** #39 TPC-H Q6 shape: pushdown filter + global aggregate. */
+  def q6FilterAgg(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+              col("l_shipdate") < ts("1997-01-01") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(P2) * col("l_discount").cast(F2))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n"))
+
+  /** #40 TPC-H Q3 shape: 3-way join, broadcast dimension, top 10. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+    t.lineitem.filter(col("l_shipdate") > ts("1998-03-15"))
+      .join(t.orders.filter(col("o_orderdate") < ts("1998-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .select("o_orderkey", "revenue", "o_orderdate")
+      .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
+  }
+
+  /** #41 TPC-H Q5 shape: six-table join, revenue per nation. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val dims = broadcast(t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey")))
+    t.lineitem
+      .join(t.orders.filter(col("o_orderdate") >= ts("1996-01-01") &&
+                            col("o_orderdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** #42 TPC-H Q13 shape: left outer join + distribution. */
+  def qOuterHaving(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** #43 EXISTS → left semi join. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.customer.join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** #44 NOT EXISTS → left anti join. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** #45 distinct. */
+  def qDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders.select("o_orderstatus", "o_orderpriority")
+      .distinct().orderBy("o_orderstatus", "o_orderpriority")
+
+  /** #46 global top-k (TakeOrderedAndProject — never a full sort). */
+  def qTopK(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem.select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+      .limit(20)
+
+  /** #47 top-n per group via row_number. */
+  def qWindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir).orders
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rk")
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  /** #48 lag: per-user deltas. */
+  def qWindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("dv"))
+      .orderBy("event_id")
+  }
+
+  /** #49 rollup. */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders.rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** #50 scalar subquery: parts above the (exact) global mean price. */
+  def qSubquery(s: SparkSession, dir: String): DataFrame = {
+    val p = T(s, dir).part
+    val thresh = p.agg(
+      (dsum(col("p_retailprice")) / count(lit(1))).as("avg_price"))
+    p.crossJoin(broadcast(thresh))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  /** #51 TPC-H Q14 shape: conditional aggregation (promo revenue share). */
+  def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-09-01") &&
+              col("l_shipdate") < ts("1996-10-01"))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", revenue)).cast("double") /
+          sum(revenue).cast("double")).as("promo_share"),
+        count(lit(1)).as("n"))
+  }
+
+  /** #52 string operators. */
+  def qString(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders.filter(col("o_orderpriority").like("%URGENT%"))
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("pclass"),
+        concat_ws("#", col("o_orderstatus"), col("o_orderpriority")).as("tag"))
+      .orderBy("o_orderkey")
+
+  /** #53 date/time: per-day event rollup. */
+  def qDatetime(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+      .orderBy("day")
+
+  /** #54 sessionization: 30-minute-gap islands per user. */
+  def qSessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapS = unix_timestamp(col("ts")) -
+      unix_timestamp(lag(col("ts"), 1).over(byUser))
+    T(s, dir).events
+      .withColumn("nf", when(gapS.isNull || gapS > 1800, 1).otherwise(0))
+      .withColumn("sid", sum(col("nf")).over(run).cast("long"))
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("dur_s"))
+      .orderBy("user_id", "sid")
+  }
+
+  /** #55 funnel: signup → later purchase conversion. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("smin"),
+           min(when(col("event_type") === "purchase", col("ts"))).as("pmin"))
+      .filter(col("smin").isNotNull)
+      .agg(count(lit(1)).as("n_signup"),
+        count(when(col("pmin") > col("smin"), lit(1))).as("n_converted"))
+
+  /** JSON extraction from the events `props` payload (regex-portable). */
+  def qJson(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        .cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  // ───────────────────────── §2.5 text analysis ──────────────────────────
+
+  /** #65 token counting (whitespace + BPE-ish regex). */
+  def qTokens(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_ws"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** #64 quality scoring. */
+  def qQuality(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        stopRatio(col("text")).as("stop_ratio"),
+        punctRatio(col("text")).as("punct_ratio"),
+        meanTokenLen(col("text")).as("mean_tok"),
+        qualityScore(col("text")).as("score"))
+      .orderBy("doc_id")
+
+  /** #63 language ID heuristic. */
+  def qLangId(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"), col("lang"),
+        tokenHits(col("text"), enStop).cast("long").as("c_en"),
+        tokenHits(col("text"), deStop).cast("long").as("c_de"),
+        tokenHits(col("text"), frStop).cast("long").as("c_fr"),
+        tokenHits(col("text"), esStop).cast("long").as("c_es"),
+        langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** #66 document fingerprinting. */
+  def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** #56 exact dedup: group on content fingerprint, keep first. */
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+      .orderBy("keep_id")
+
+  // ───────────────────────── §2.6 streaming twins (batch-equiv) ──────────
+
+  /** #69 tumbling-window counts — same transform serves readStream. */
+  def qStreamWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.hourlyRollup(T(s, dir).events)
+      .orderBy("hour", "event_type")
+
+  /** #71 stream-static enrichment join. */
+  def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams
+      .enrich(T(s, dir).events, T(s, dir).customer)
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** #67 multimodal plumbing: opaque binary payload + typed metadata. */
+  def qMultimodal(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.describe(
+      graft.mm.Multimodal.packBinary(T(s, dir).documents))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-data-pipeline layer (SURVEY §2.5
+  * #63–66). Everything here is pure `Column` expressions — whole-stage
+  * codegen'd, no UDFs — so they run at scan speed and survive a 1000×
+  * scale-up untouched: per-row work, no shuffle.
+  */
+object TextFunctions {
+
+  /** Canonical form for dedup/fingerprinting: lowercase, collapse runs of
+    * whitespace, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Content fingerprint (md5 of normalized text) — portable across
+    * engines, used as the exact-dedup key. */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Non-empty whitespace tokens of the lowercased text. */
+  def wsTokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(wsTokens(c))
+
+  /** BPE-ish subword count: alpha runs, single digits, single
+    * punctuation marks — a deterministic stand-in for a real tokenizer
+    * with the right asymptotics (supra-linear in punctuation/digits,
+    * like BPE vocabularies behave). */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+
+  /** Count of tokens that appear in `words`. */
+  def tokenHits(c: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(c), t => t.isin(words.map(lit): _*)))
+
+  val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+  val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
+  val frStop = Seq("le", "la", "les", "et", "est", "une", "des")
+  val esStop = Seq("el", "los", "las", "y", "es", "una", "por")
+
+  /** CJK character count (the zh signal). */
+  def cjkCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))
+
+  /** n-gram language-ID heuristic (§2.5 #63): stopword-hit scores per
+    * candidate language with a fixed priority tie-break. Returns the
+    * predicted language code. */
+  def langId(c: Column): Column = {
+    val en = tokenHits(c, enStop); val de = tokenHits(c, deStop)
+    val fr = tokenHits(c, frStop); val es = tokenHits(c, esStop)
+    when(cjkCount(c) > 0, "zh")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Punctuation-character ratio of the lowercased text. */
+  def punctRatio(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit("[^a-z0-9\\s]"), lit(0)))
+      .cast("double") / length(c).cast("double")
+
+  /** English-stopword ratio over whitespace tokens. */
+  def stopRatio(c: Column): Column =
+    tokenHits(c, enStop).cast("double") / tokenCount(c).cast("double")
+
+  /** Mean token length (non-whitespace chars / tokens). */
+  def meanTokenLen(c: Column): Column =
+    length(regexp_replace(c, "\\s", "")).cast("double") /
+      tokenCount(c).cast("double")
+
+  /** Composite quality score (§2.5 #64): linear blend of
+    * length/punctuation/stopword features — every term a deterministic
+    * double, identical across engines. */
+  def qualityScore(c: Column): Column =
+    least(length(c).cast("double") / lit(500.0), lit(1.0)) * lit(0.3) +
+      stopRatio(c) * lit(0.4) +
+      (lit(1.0) - punctRatio(c)) * lit(0.2) +
+      least(meanTokenLen(c) / lit(8.0), lit(1.0)) * lit(0.1)
+}
