@@ -65,6 +65,12 @@ object SparkEntry {
     "q_langid" -> (Q.qLangId _),
     "q_fingerprint" -> (Q.qFingerprint _),
     "q_dedup_exact" -> (Q.qDedupExact _),
+    "q_dedup_minhash" -> (Q.qDedupMinhash _),
+    "q_dedup_simhash" -> (Q.qDedupSimhash _),
+    "q_ngram_jaccard" -> (Q.qNgramJaccard _),
+    "q_dedup_embed" -> (Q.qDedupEmbed _),
+    "q_knn_brute" -> (Q.qKnnBrute _),
+    "q_knn_lsh" -> (Q.qKnnLsh _),
     "q_multimodal" -> (Q.qMultimodal _),
     // §2.6 streaming twins (batch-equivalent checks)
     "q_stream_window" -> (Q.qStreamWindow _),

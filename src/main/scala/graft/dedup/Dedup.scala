@@ -1,0 +1,176 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection family (SURVEY §2.5 #56–59).
+  *
+  * Scale design: signatures (minhash / simhash) are computed per-row with
+  * pure column expressions — array folds over the token/shingle arrays,
+  * no explode, no shuffle. The only shuffles are the LSH bucket
+  * self-joins, which are keyed on (band, bucket) so candidate generation
+  * never goes all-pairs: at 100 TB the bucket join is the whole cost, and
+  * it's linear-ish in collisions, not quadratic in documents.
+  *
+  * Hashing is a 60-bit truncation of md5 (portable: any engine — and the
+  * DuckDB oracle — reproduces it exactly; and md5 is codegen'd in Spark).
+  */
+object Dedup {
+
+  /** 60-bit seeded portable hash of a string column. */
+  def md5Hash60(c: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit("#"), c)), 1, 15),
+      16, 10).cast("long")
+
+  /** Non-empty lowercase whitespace tokens (keeps duplicates — simhash
+    * weights by term frequency). */
+  val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+
+  /** Distinct word 3-gram shingles. */
+  val shinglesExpr: String =
+    s"""array_distinct(transform(sequence(1, size(toks) - 2),
+       |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
+       |              ' ', element_at(toks, i + 2))))""".stripMargin
+
+  /** docs(doc_id, text) → (doc_id, sh: array<string>) for docs with ≥3
+    * tokens. Repartitioned first: document tables often arrive in few
+    * splits, and everything downstream is CPU-heavy per-row work that
+    * must spread across all cores (at cluster scale: all executors). */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .selectExpr("doc_id", s"$toksExpr AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id", s"$shinglesExpr AS sh")
+
+  /** Candidate pairs via banded LSH over the minhash signature, verified
+    * with exact shingle Jaccard ≥ `tau`. bands×rows = k.
+    *
+    * Signature hashing is engine-local xxhash64 (codegen'd, one hash per
+    * (seed, shingle)): the LSH layer only has to produce a candidate
+    * SUPERSET — correctness comes from the exact-Jaccard verify, so no
+    * cross-engine hash portability is needed here (unlike simhash). */
+  def minhashPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                   tau: Double = 0.8): DataFrame = {
+    val rows = k / bands
+    // Elementwise-min fold: each shingle is hashed k times but the
+    // shingle array itself is referenced ONCE (a transform-per-seed shape
+    // would let CollapseProject inline — and re-evaluate — the upstream
+    // shingle expression k times).
+    val sig = shingled(docs)
+      .withColumn("sig", expr(
+        s"""aggregate(sh,
+           |  array_repeat(cast(9223372036854775807 as bigint), $k),
+           |  (acc, s) -> zip_with(acc,
+           |    transform(sequence(0, ${k - 1}), i -> xxhash64(i, s)),
+           |    (x, y) -> least(x, y)))""".stripMargin))
+    // one bucket id per band: internal key, engine-local murmur is fine.
+    // Persisted: the self-join below consumes it twice — without the
+    // cache both sides recompute the whole signature pipeline.
+    val bucketed = sig.select(col("doc_id"), col("sh"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             |  named_struct('band', b,
+             |    'bucket', hash(b, slice(sig, b * $rows + 1, $rows))))"""
+            .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .persist()
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .dropDuplicates("doc_a", "doc_b")
+    cands.withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("j") >= tau)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  /** Exact Jaccard of two string-array columns (double). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter.cast("double") /
+      (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** All qualifying pairs by n-gram Jaccard within equal-`block` groups
+    * (#59): the verification primitive as a standalone operator. Blocking
+    * keys the shuffle — never all-pairs across blocks. */
+  def ngramJaccardPairs(docs: DataFrame, block: String,
+                        minJ: Double): DataFrame = {
+    val s = docs.repartition(col("doc_id"))
+      .selectExpr("doc_id", block, s"$toksExpr AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id", block, s"$shinglesExpr AS sh")
+      .persist() // consumed by both sides of the pair join
+    val a = s.select(col(block), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = s.select(col(block), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, block).where(col("doc_a") < col("doc_b"))
+      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("j") >= minJ)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  /** 60-bit SimHash as one column expression over `toks` (frequency-
+    * weighted): per-bit ±1 votes folded across tokens, no shuffle.
+    *
+    * Expression shape matters: every expensive array (`toks`, the hashed
+    * tokens, `bitsums`) appears as a fold ARGUMENT — never inside a
+    * lambda body, where optimizer inlining would re-evaluate it once per
+    * lambda invocation (60× here). Hashing is md5-derived because the
+    * simhash VALUE itself must be reproducible by the cross-engine
+    * oracle (unlike the minhash LSH internals). */
+  val simhashExpr: String =
+    """aggregate(
+      |  zip_with(bitsums,
+      |    transform(sequence(0, 59), k -> shiftleft(cast(1 as bigint), k)),
+      |    (sb, p) -> IF(sb > 0, p, cast(0 as bigint))),
+      |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin
+
+  val bitsumsExpr: String =
+    """aggregate(
+      |  transform(toks, t ->
+      |    cast(conv(substr(md5(concat('0#', t)), 1, 15), 16, 10) as bigint)),
+      |  array_repeat(0, 60), (acc, h) ->
+      |  zip_with(acc,
+      |    transform(sequence(0, 59), k ->
+      |      IF((shiftright(h, k) & 1) = 1, 1, -1)),
+      |    (x, y) -> x + y))""".stripMargin
+
+  /** docs → (doc_id, simhash). */
+  def simhashed(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .selectExpr("doc_id", s"$toksExpr AS toks")
+      .selectExpr("doc_id", s"$bitsumsExpr AS bitsums")
+      .selectExpr("doc_id", s"$simhashExpr AS simhash")
+
+  /** Near-dup pairs with Hamming distance ≤ 3, found via 4-chunk
+    * banding: any pair within distance 3 shares at least one exact
+    * 15-bit chunk (pigeonhole), so the banded join is lossless for the
+    * threshold while staying bucket-local. */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhashed(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+        explode(expr(
+          """transform(sequence(0, 3), c -> named_struct('chunk', c,
+            |  'val', shiftright(simhash, c * 15) & 32767))""".stripMargin))
+          .as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.chunk").as("chunk"), col("ck.val").as("val"))
+      .persist() // consumed by both sides of the bucket self-join
+    val a = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "val")).where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("dist",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("doc_a", "doc_b", "dist")
+  }
+}

@@ -371,6 +371,81 @@ object Oracles {
         |  FROM documents) x
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
+    "q_dedup_minhash" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(len(list_intersect(a.sh, b.sh)) as double)
+         |      / cast(len(a.sh) + len(b.sh)
+         |             - len(list_intersect(a.sh, b.sh)) as double) AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |hv AS (SELECT doc_id,
+         |    ('0x' || substr(md5('0#' || tk), 1, 15))::UBIGINT::BIGINT AS h
+         |  FROM tok),
+         |bits AS (SELECT doc_id, k,
+         |    sum(CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+         |  FROM hv CROSS JOIN (SELECT unnest(range(0, 60)) AS k) ks
+         |  GROUP BY doc_id, k),
+         |sh AS (SELECT doc_id, cast(sum(CASE WHEN sb > 0
+         |    THEN (1::BIGINT << k) ELSE 0 END) as bigint) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(bit_count(xor(a.simhash, b.simhash)) as bigint) AS dist
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(len(list_intersect(a.sh, b.sh)) as double)
+         |      / cast(len(a.sh) + len(b.sh)
+         |             - len(list_intersect(a.sh, b.sh)) as double) AS j
+         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // cosine mirrors Similarity.normalized + dot exactly: per-vector unit
+    // normalization first, then one zip-product fold per pair
+    "q_dedup_embed" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding,
+        |    x -> cast(x as double) / sqrt(list_sum(list_transform(embedding,
+        |      y -> cast(y as double) * cast(y as double))))) AS ne
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(list_zip(a.ne, b.ne),
+        |      z -> cast(z[1] as double) * cast(z[2] as double))) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_knn_brute" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding,
+        |    x -> cast(x as double) / sqrt(list_sum(list_transform(embedding,
+        |      y -> cast(y as double) * cast(y as double))))) AS ne
+        |  FROM embeddings),
+        |p AS (SELECT q.vec_id AS qid, c.vec_id AS vid,
+        |    list_sum(list_transform(list_zip(q.ne, c.ne),
+        |      z -> cast(z[1] as double) * cast(z[2] as double))) AS cos
+        |  FROM n q JOIN n c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |r AS (SELECT qid, vid, cos, row_number() OVER
+        |    (PARTITION BY qid ORDER BY cos DESC, vid) AS rank FROM p)
+        |SELECT qid, cast(rank as bigint) AS rank, vid, cos FROM r
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+
     "q_stream_window" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, $CNT AS n,
          |  ${d4("value")} AS sv

@@ -501,6 +501,39 @@ object Queries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** #57 MinHash+LSH near-dup: banded signature buckets → exact-Jaccard
+    * verify (τ=0.8). Recall at τ with 16×4 banding is 1-1e-13. */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.minhashPairs(T(s, dir).documents)
+      .orderBy("doc_a", "doc_b")
+
+  /** #58 SimHash near-dup: 60-bit frequency-weighted simhash, 4-chunk
+    * pigeonhole banding, Hamming ≤ 3 — banding is lossless for ≤3. */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.simhashPairs(T(s, dir).documents)
+      .orderBy("doc_a", "doc_b")
+
+  /** #59 blocked n-gram Jaccard pair listing (block = lang, J ≥ 0.2). */
+  def qNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.ngramJaccardPairs(T(s, dir).documents, "lang", 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  /** #60 embedding near-dup pairs (cosine ≥ 0.45, exact baseline). */
+  def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.embedPairs(T(s, dir).embeddings, 0.45)
+      .orderBy("vec_a", "vec_b")
+
+  /** #61 brute-force cosine top-3 for query vectors vec_id < 5. */
+  def qKnnBrute(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.knnBrute(T(s, dir).embeddings, col("vec_id") < 5, 3)
+      .orderBy("qid", "rank")
+
+  /** #62 LSH ANN top-3 (approximate — no SQL oracle; recall asserted in
+    * the spec against the brute-force baseline). */
+  def qKnnLsh(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.knnLsh(T(s, dir).embeddings, col("vec_id") < 5, 3)
+      .orderBy("qid", "rank")
+
   /** #56 exact dedup: group on content fingerprint, keep first. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming twins (SURVEY §2.6). Each transform is written
@@ -30,4 +31,27 @@ object Streams {
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),
       col("user_id") === col("c_custkey"))
+
+  case class KV(k: Long, v: Double)
+  case class KTotal(k: Long, total: Double)
+
+  /** The streaming twin of `lfold` (SURVEY §2.6 #70): a per-key running
+    * fold whose state survives across micro-batches — the reference's
+    * resumable-fold semantics, distributed per key and bounded by key
+    * cardinality. */
+  def runningTotal(ds: Dataset[KV])(implicit
+      ke: Encoder[Long], se: Encoder[Double],
+      oe: Encoder[KTotal]): Dataset[KTotal] =
+    ds.groupByKey(_.k).mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      (k: Long, it: Iterator[KV], state: org.apache.spark.sql.streaming.GroupState[Double]) =>
+        val s = state.getOption.getOrElse(0.0) + it.map(_.v).sum
+        state.update(s)
+        KTotal(k, s)
+    }
+
+  /** Streaming dedup within a watermark (#72). */
+  def dedupedStream(df: DataFrame, keys: Seq[String],
+                    watermarkCol: String, delay: String): DataFrame =
+    df.withWatermark(watermarkCol, delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Channel, Fold, Pump, Sink, Source}
+
+/** Semantics of the tubes surface (SURVEY §2.1–§2.3) on driver-sized
+  * streams — mirrors the reference's own doc examples. */
+class CoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("lfold demo: fold [1..10] = 55, resume [11..20] = 210 (Util.hs:160)") {
+    import spark.implicits._
+    val f = Fold.decimalSum[java.math.BigDecimal](identity)
+    val d1 = spark.createDataset((1 to 10).map(i => new java.math.BigDecimal(i)))
+    val d2 = spark.createDataset((11 to 20).map(i => new java.math.BigDecimal(i)))
+    val (r1, resumed) = f.runResumable(d1)
+    assert(r1.intValue == 55)
+    assert(resumed.run(d2).intValue == 210)
+  }
+
+  test("Fold.count ignores partitioning") {
+    import spark.implicits._
+    val ds = spark.createDataset(1 to 1000).repartition(7)
+    assert(Fold.count[Int].run(ds) == 1000L)
+  }
+
+  test("Pump recv pulls incrementally (Core.hs:196 / unyield)") {
+    import spark.implicits._
+    val p = Pump(spark.createDataset(Seq(1, 2, 3)).orderBy("value"))
+    val Some((a, p2)) = p.recv()
+    assert(a == 1)
+    assert(p2.fold(0)(_ + _) == 5) // consumes the rest: 2 + 3
+  }
+
+  test("take/drop/takeWhile are ordered-prefix ops (Util.hs:94-121)") {
+    import spark.implicits._
+    val src = Source(spark.createDataset(Seq(5, 1, 4, 2, 3)).toDF("x"))
+    assert(src.take(2, col("x")).toDF.as[Int].collect().toSeq == Seq(1, 2))
+    assert(src.drop(3, col("x")).toDF.as[Int].collect().toSeq == Seq(4, 5))
+    val tw = Source(spark.createDataset(Seq(1, 2, 9, 3)).toDF("x"))
+      .takeWhile(col("x") < 5, Seq(monotonically_increasing_id()))
+    // input arrival order: 1, 2 pass; 9 stops the stream (3 never seen)
+    assert(tw.toDF.as[Int].collect().toSeq == Seq(1, 2))
+  }
+
+  test("merge interleaves like the reference README example") {
+    import spark.implicits._
+    val a = Source(spark.createDataset(Seq("A1", "A2", "A3")).toDF("s"))
+    val b = Source(spark.createDataset(Seq("B1", "B2", "B3", "B4")).toDF("s"))
+    val out = a.merge(b, Seq(col("s"))).toDF.orderBy("pos")
+      .select("s").as[String].collect().toSeq
+    assert(out == Seq("A1", "B1", "A2", "B2", "A3", "B3", "B4"))
+  }
+
+  test("Sink semigroup: both sinks consume every element (Sink.hs:127)") {
+    import spark.implicits._
+    val buf1 = scala.collection.mutable.ArrayBuffer[Int]()
+    val buf2 = scala.collection.mutable.ArrayBuffer[Int]()
+    Source(spark.createDataset(Seq(1, 2, 3)))
+      .into(Sink.collect(buf1).both(Sink.collect(buf2)))
+    assert(buf1.sorted == Seq(1, 2, 3) && buf2.sorted == Seq(1, 2, 3))
+  }
+
+  test("Channel category laws: id compose = self (Channel.hs:132)") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(1, 2, 3)).toDF("x")
+    val ch = Channel.withColumn("y", col("x") * 2)
+    val composed = Channel.id[org.apache.spark.sql.Row].andThen(ch)
+    assert(composed.run(df).select("y").as[Int].collect().sorted.toSeq
+      == Seq(2, 4, 6))
+  }
+
+  test("Channel.choice routes by predicate with tags (Channel.hs:169)") {
+    import spark.implicits._
+    val df = spark.createDataset(Seq(1, 2, 3, 4)).toDF("x")
+    val l = Channel.select(col("x"), (col("x") * 10).as("out"))
+    val r = Channel.select(col("x"), (-col("x")).as("out"))
+    val got = Channel.choice(col("x") % 2 === 0, l, r).run(df)
+      .orderBy("x").select("out", "side").as[(Int, String)].collect().toSeq
+    assert(got == Seq((-1, "R"), (20, "L"), (-3, "R"), (40, "L")))
+  }
+
+  test("tee passes through while observing (Channel.hs:218)") {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    val df = spark.createDataset(Seq(1, 2, 3)).toDF("x")
+    val out = Channel.tee(Sink(ds => buf ++= ds.collect()))
+      .run(df).as[Int].collect().sorted.toSeq
+    assert(out == Seq(1, 2, 3) && buf.size == 3)
+  }
+}

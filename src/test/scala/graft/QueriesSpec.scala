@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level invariants over the full driver contract at sf0.001 (the
+  * value-level correctness gate is Verify + the DuckDB oracle; this spec
+  * guards the contract's shape). */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("every oracle key has a query and vice versa (minus approximate ops)") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
+    assert((q -- o) == Set("q_knn_lsh"), s"unexpected rows-only: ${q -- o}")
+  }
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("all queries run and are non-degenerate at sf0.001") {
+    val allowEmpty = Set("q_antijoin", "q_dedup_embed") // legitimately 0 at tiny SF
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0)
+      if (!allowEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+
+/** ANN family (SURVEY §2.5 #60–62): exact cosine semantics and LSH
+  * recall against the brute-force baseline. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 20 vectors in 2 tight clusters + 1 orthogonal outlier. */
+  private def emb = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def noisy(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)
+    val c1 = Array.fill(16)(0f).updated(0, 1f).updated(1, 0.5f)
+    val c2 = Array.fill(16)(0f).updated(7, 1f).updated(8, -0.5f)
+    val rows =
+      (0L until 10L).map(i => (i, noisy(c1))) ++
+      (10L until 20L).map(i => (i, noisy(c2))) :+
+      (20L, Array.fill(16)(0f).updated(15, 1f))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosine: exact on unit vectors") {
+    import spark.implicits._
+    val df = Seq((0L, Array(1f, 0f), 1L, Array(0f, 1f)),
+                 (2L, Array(1f, 0f), 3L, Array(1f, 0f)))
+      .toDF("a", "ea", "b", "eb")
+    val got = df.select(Similarity.cosine(col("ea"), col("eb")).as("c"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.0, 1.0))
+  }
+
+  test("knnBrute: neighbors come from the query's own cluster") {
+    val knn = Similarity.knnBrute(emb, col("vec_id") < 3, 3).collect()
+    assert(knn.length == 9)
+    assert(knn.forall(r => r.getLong(2) < 10L)) // cluster 1 ids only
+    assert(knn.forall(r => r.getDouble(3) > 0.9))
+  }
+
+  test("knnLsh: high recall vs brute on clustered data") {
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.knnLsh(emb, col("vec_id") < 3, 3,
+        tables = 8, bits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low; lsh=$lsh brute=$brute")
+  }
+
+  test("embedPairs: outlier joins no pair, clusters pair up") {
+    val pairs = Similarity.embedPairs(emb, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) =>
+      (a < 10 && b < 10) || (a >= 10 && a < 20 && b >= 10 && b < 20) })
+  }
+}
