@@ -100,10 +100,15 @@ object Dedup {
     * keys the shuffle — never all-pairs across blocks. */
   def ngramJaccardPairs(docs: DataFrame, block: String,
                         minJ: Double): DataFrame = {
+    // Shingles are compared as 64-bit hashes: set sizes and intersections
+    // are preserved (xxhash64 collisions within a ~200-element set are
+    // ~1e-12), while the n² intersect stage compares longs instead of
+    // strings and the pair join shuffles ~⅓ the bytes.
     val s = docs.repartition(col("doc_id"))
       .selectExpr("doc_id", block, s"$toksExpr AS toks")
       .where(size(col("toks")) >= 3)
-      .selectExpr("doc_id", block, s"$shinglesExpr AS sh")
+      .selectExpr("doc_id", block,
+        s"array_sort(transform($shinglesExpr, s -> xxhash64(s))) AS sh")
       .persist() // consumed by both sides of the pair join
     val a = s.select(col(block), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))

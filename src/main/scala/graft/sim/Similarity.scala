@@ -39,11 +39,12 @@ object Similarity {
     * baseline (quadratic — at scale use [[lshBuckets]] candidates then
     * verify with the same dot product). */
   def embedPairs(emb: DataFrame, tau: Double): DataFrame = {
+    graft.functions.VectorDot.register(emb.sparkSession)
     val n = normalized(emb).persist() // both join sides read the cache
     val a = n.select(col("vec_id").as("vec_a"), col("ne").as("ea"))
     val b = n.select(col("vec_id").as("vec_b"), col("ne").as("eb"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
-      .withColumn("cos", dot(col("ea"), col("eb")))
+      .withColumn("cos", expr("vec_dot(ea, eb)"))
       .where(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
   }
@@ -51,12 +52,13 @@ object Similarity {
   /** Brute-force cosine top-k for a set of query vectors (broadcast the
     * queries, scan the corpus once — the classic 100 TB shape). */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    graft.functions.VectorDot.register(emb.sparkSession)
     val n = normalized(emb).persist() // queries and corpus share the cache
     val q = n.where(queryPred)
       .select(col("vec_id").as("qid"), col("ne").as("qe"))
     val c = n.select(col("vec_id").as("vid"), col("ne").as("ce"))
     val scored = broadcast(q).crossJoin(c).where(col("qid") =!= col("vid"))
-      .withColumn("cos", dot(col("qe"), col("ce")))
+      .withColumn("cos", expr("vec_dot(qe, ce)"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -64,24 +66,30 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · hᵢ) with hyperplane
-    * components derived from xxhash64 — deterministic across runs,
-    * codegen-friendly (internals only: ANN has no cross-engine oracle).
-    * One bucket per table; per-row column math only. */
+  /** Random-hyperplane signature: bit i = sign(v · hᵢ). Hyperplanes are
+    * seeded-deterministic literal arrays baked into the plan, so each
+    * bucket is `tables × bits` native [[graft.functions.VectorDot]]
+    * loops — per-row column math, no row multiplication, no shuffle
+    * (internals only: ANN has no cross-engine oracle). */
   def lshBuckets(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
-    // hyperplane component (t, i, j) ∈ [-1, 1)
-    val sigExpr =
-      s"""transform(sequence(0, ${tables - 1}, 1), t ->
-         |  aggregate(sequence(0, ${bits - 1}, 1), cast(0 as bigint),
-         |    (acc, i) -> acc + IF(
-         |      aggregate(sequence(1, size(embedding), 1), cast(0.0 as double),
-         |        (s, j) -> s + cast(element_at(embedding, j) as double) *
-         |          ((xxhash64(t, i, j) % 2000) - 1000) / 1000.0
-         |      ) > 0.0, shiftleft(cast(1 as bigint), i), cast(0 as bigint))))"""
-        .stripMargin
-    emb.withColumn("sigs", expr(sigExpr))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("sigs")).as(Seq("table", "bucket")))
+    graft.functions.VectorDot.register(emb.sparkSession)
+    val dim = emb.selectExpr("size(embedding)").first().getInt(0)
+    def plane(t: Int, i: Int): String = {
+      val rnd = new scala.util.Random(t * 7919 + i)
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toString + "D")
+        .mkString("array(", ", ", ")")
+    }
+    val bucketExprs = (0 until tables).map { t =>
+      (0 until bits).map { i =>
+        s"IF(vec_dot(ev, ${plane(t, i)}) > 0.0, ${1L << i}L, 0L)"
+      }.mkString("(", " + ", s") AS bucket_$t")
+    }
+    val withBuckets = emb
+      .withColumn("ev", expr("transform(embedding, x -> cast(x as double))"))
+      .selectExpr(Seq("vec_id", "embedding") ++ bucketExprs: _*)
+    withBuckets.select(col("vec_id"), col("embedding"),
+        posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
+          .as(Seq("table", "bucket")))
   }
 
   /** ANN top-k: candidates share an LSH bucket in ≥1 table, reranked by
@@ -94,6 +102,7 @@ object Similarity {
       col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = bucketed.select(col("table"), col("bucket"),
       col("vec_id").as("vid"), col("embedding").as("ce"))
+    graft.functions.VectorDot.register(emb.sparkSession)
     val cands = q.join(c, Seq("table", "bucket"))
       .where(col("qid") =!= col("vid"))
       .dropDuplicates("qid", "vid")
