@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.GroupStateTimeout
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 
 /** Structured Streaming twins (SURVEY §2.6). Each transform is written
   * against a plain DataFrame so the SAME code serves `spark.read`
@@ -31,6 +31,26 @@ object Streams {
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),
       col("user_id") === col("c_custkey"))
+
+  /** The events table as a REAL file-source stream (replay): same
+    * nanos→µs conversion as the batch loader, so the identical
+    * transforms run on both. Streaming file sources need an explicit
+    * schema. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // The file stream source wants a directory; expose the single events
+    // file through a temp dir of symlinks (testdata is read-only).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_evstream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   case class KV(k: Long, v: Double)
   case class KTotal(k: Long, total: Double)

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Channel, Sink, Source}
+import graft.mm.Multimodal
+import graft.streaming.Streams
+
+/** Remaining §2 line items checked only at the API surface: text
+  * source/console sink (#23), stop (#13), contramap (#25), divide/choose
+  * (#26/#27), multimodal plumbing (#67), file-source streaming (#68). */
+class MiscSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("text source reads lines; ignore sink executes the plan (#23/#13)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt")
+    java.nio.file.Files.writeString(dir.resolve("a.txt"), "l1\nl2\nl3\n")
+    val src = Source.text(spark, dir.toString)
+    assert(src.ds.count() == 3)
+    src.into(Sink.ignore) // stop: consume fully, discard
+  }
+
+  test("contramap pre-transforms before the sink consumes (#25)") {
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer[Row]()
+    val snk = Sink.collect(buf).contramap[Row](
+      ds => ds.toDF().select((col("x") * 2).as("x")))
+    Source(Seq(1, 2, 3).toDF("x")).into(snk)
+    assert(buf.map(_.getInt(0)).sorted == Seq(2, 4, 6))
+  }
+
+  test("choose routes rows to exactly one sink each (#26/#27)") {
+    import spark.implicits._
+    val l = scala.collection.mutable.ArrayBuffer[Row]()
+    val r = scala.collection.mutable.ArrayBuffer[Row]()
+    Sink.choose(col("x") % 2 === 0, Sink.collect(l), Sink.collect(r))
+      .run(Seq(1, 2, 3, 4, 5).toDF("x"))
+    assert(l.map(_.getInt(0)).sorted == Seq(2, 4))
+    assert(r.map(_.getInt(0)).sorted == Seq(1, 3, 5))
+  }
+
+  test("multimodal: pack → describe/features/resize/frames (#67)") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world", "en", "srcA"),
+                   (2L, "abcdefghij", "en", "srcB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val packed = Multimodal.packBinary(docs)
+    assert(packed.schema("payload").dataType.typeName == "binary")
+    val desc = Multimodal.describe(packed).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(desc == Map(1L -> 11L, 2L -> 10L))
+    val feats = Multimodal.extractFeatures(packed, dim = 8).collect()
+    assert(feats.forall(_.getSeq[Float](1).size == 8))
+    assert(feats.forall(r => math.abs(r.getSeq[Float](1).sum - 1f) < 1e-5))
+    val small = Multimodal.resize(packed, 4).collect()
+    assert(small.forall(_.getAs[Array[Byte]](1).length <= 4))
+    val frames = Multimodal.sampleFrames(packed, frameBytes = 4, stride = 2)
+      .collect()
+    // doc 1: 11 bytes → frames 0,1,2 → stride 2 keeps 0,2
+    assert(frames.count(_.getLong(0) == 1L) == 2)
+  }
+
+  test("file-source streaming replay equals batch on real events (#68)") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = Streams.hourlyRollup(Streams.eventsStream(spark, dir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("replay_out").start()
+    q.processAllAvailable()
+    val streamed = spark.table("replay_out")
+      .orderBy("hour", "event_type").collect().map(_.toSeq).toSeq
+    q.stop()
+    val batch = Streams.hourlyRollup(
+        graft.tables.Tables(spark, dir).events)
+      .orderBy("hour", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+}
