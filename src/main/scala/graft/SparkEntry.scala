@@ -27,6 +27,7 @@ object SparkEntry {
     "q_reduce" -> (Q.qReduce _),
     "q_lfold" -> (Q.qLfold _),
     "q_merge" -> (Q.qMerge _),
+    "q_merge_within" -> (Q.qMergeWithin _),
     "q_concat" -> (Q.qConcat _),
     // §2.2 sink algebra
     "q_sink_roundtrip" -> (Q.qSinkRoundtrip _),

@@ -87,6 +87,39 @@ final case class Source[A](ds: Dataset[A]) {
       .drop("__rn", "__side"))
   }
 
+  /** Keyed `take` — first n of each `partition` group in `order`: the
+    * scale-out form (window stays hash-partitioned, no global sort). */
+  def takeWithin(n: Int, partition: Seq[Column],
+                 order: Seq[Column]): Source[Row] = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    Source(ds.toDF()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn"))
+  }
+
+  /** Keyed `drop` — all but the first n of each `partition` group. */
+  def dropWithin(n: Int, partition: Seq[Column],
+                 order: Seq[Column]): Source[Row] = {
+    val w = Window.partitionBy(partition: _*).orderBy(order: _*)
+    Source(ds.toDF()
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > n).drop("__rn"))
+  }
+
+  /** Keyed `merge` — interleave the two sources independently within
+    * every `partition` group; all windows stay hash-partitioned. */
+  def mergeWithin(other: Source[A], partition: Seq[Column],
+                  order: Seq[Column], pos: String = "pos"): Source[Row] = {
+    def ranked(df: DataFrame, side: Int): DataFrame = df
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(partition: _*).orderBy(order: _*)))
+      .withColumn("__side", lit(side))
+    Source(ranked(ds.toDF(), 0).unionAll(ranked(other.ds.toDF(), 1))
+      .withColumn(pos, row_number().over(Window.partitionBy(partition: _*)
+        .orderBy(col("__rn"), col("__side"))).cast("long"))
+      .drop("__rn", "__side"))
+  }
+
   /** `every` (Util.hs:79): the stream's values then a terminal `Nothing`,
     * encoded as one trailing all-null row (columns become nullable). */
   def every(order: Seq[Column]): Source[Row] = {

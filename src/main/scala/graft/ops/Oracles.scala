@@ -109,6 +109,20 @@ object Oracles {
         |  FROM orders WHERE o_orderkey % 2 <> 0) u
         |ORDER BY pos""".stripMargin,
 
+    "q_merge_within" ->
+      """SELECT user_id, event_id,
+        |  cast(row_number() OVER (PARTITION BY user_id ORDER BY rn, side)
+        |    as bigint) AS pos
+        |FROM (
+        |  SELECT user_id, event_id, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS rn, 0 AS side
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT user_id, event_id, row_number() OVER
+        |      (PARTITION BY user_id ORDER BY event_id) AS rn, 1 AS side
+        |  FROM events WHERE event_id % 2 <> 0) u
+        |ORDER BY user_id, pos""".stripMargin,
+
     "q_concat" ->
       """SELECT o_orderkey, band FROM (
         |  SELECT o_orderkey, 'lo' AS band FROM orders WHERE o_totalprice < 100000

@@ -162,6 +162,16 @@ object Queries {
       .toDF.orderBy("pos")
   }
 
+  /** #19b keyed `merge`: the scale-out interleave — per-user windows stay
+    * hash-partitioned on user_id (SURVEY §5), no global sort anywhere. */
+  def qMergeWithin(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).events.select("user_id", "event_id")
+    Source(e.filter(col("event_id") % 2 === 0))
+      .mergeWithin(Source(e.filter(col("event_id") % 2 =!= 0)),
+        Seq(col("user_id")), Seq(col("event_id")))
+      .toDF.orderBy("user_id", "pos")
+  }
+
   /** #20 `<|>` concat: two filtered streams, list-appended. */
   def qConcat(s: SparkSession, dir: String): DataFrame = {
     val o = T(s, dir).orders

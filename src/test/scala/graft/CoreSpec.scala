@@ -60,6 +60,23 @@ class CoreSpec extends AnyFunSuite {
     assert(out == Seq("A1", "B1", "A2", "B2", "A3", "B3", "B4"))
   }
 
+  test("keyed take/drop/merge stay within partitions (SURVEY §5)") {
+    import spark.implicits._
+    val df = Seq((1, 10), (1, 20), (1, 30), (2, 40), (2, 50))
+      .toDF("k", "x")
+    val top = Source(df).takeWithin(2, Seq(col("k")), Seq(col("x")))
+      .toDF.orderBy("k", "x").select("x").as[Int].collect().toSeq
+    assert(top == Seq(10, 20, 40, 50))
+    val rest = Source(df).dropWithin(2, Seq(col("k")), Seq(col("x")))
+      .toDF.select("x").as[Int].collect().toSeq
+    assert(rest == Seq(30))
+    val a = Source(Seq((1, 1), (1, 3), (2, 5)).toDF("k", "x"))
+    val b = Source(Seq((1, 2), (2, 6), (2, 8)).toDF("k", "x"))
+    val m = a.mergeWithin(b, Seq(col("k")), Seq(col("x")))
+      .toDF.orderBy("k", "pos").select("x").as[Int].collect().toSeq
+    assert(m == Seq(1, 2, 3, 5, 6, 8))
+  }
+
   test("Sink semigroup: both sinks consume every element (Sink.hs:127)") {
     import spark.implicits._
     val buf1 = scala.collection.mutable.ArrayBuffer[Int]()

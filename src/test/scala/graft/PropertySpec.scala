@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{Fold, Source}
+import graft.dedup.Dedup
+
+/** Property-based laws for the combinator surface — the reference's
+  * algebraic structure (list-transformer Source, fold algebra) should
+  * hold for arbitrary inputs, not just the fixtures. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def check(name: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("take(n) ++ drop(n) partitions the ordered stream") {
+    import spark.implicits._
+    check("take++drop", Prop.forAll { (xs0: List[Int], n0: Byte) =>
+      val xs = xs0.distinct
+      xs.isEmpty || {
+        val n = math.abs(n0 % 5)
+        val src = Source(xs.toDF("x"))
+        val taken = src.take(n, col("x")).toDF.as[Int].collect().toList
+        val dropped = src.drop(n, col("x")).toDF.as[Int].collect().toList
+        taken ++ dropped == xs.sorted
+      }
+    })
+  }
+
+  test("concat preserves multiset union; merge preserves both streams") {
+    import spark.implicits._
+    check("concat/merge", Prop.forAll { (a0: List[Int], b0: List[Int]) =>
+      val (a, b) = (a0.distinct, b0.distinct)
+      a.isEmpty || b.isEmpty || {
+        val sa = Source(a.toDF("x")); val sb = Source(b.toDF("x"))
+        val cat = sa.concat(sb).ds.collect().map(_.getInt(0)).toList
+        val merged = sa.merge(sb, Seq(col("x"))).toDF
+          .select("x").as[Int].collect().toList
+        cat.sorted == (a ++ b).sorted && merged.sorted == (a ++ b).sorted
+      }
+    })
+  }
+
+  test("Fold.decimalSum is partitioning-invariant and resumable-additive") {
+    import spark.implicits._
+    check("fold", Prop.forAll { (xs: List[Int], split0: Byte) =>
+      xs.isEmpty || {
+        val split = math.abs(split0 % (xs.size + 1))
+        val dec = xs.map(i => new java.math.BigDecimal(i))
+        val (l, r) = dec.splitAt(split)
+        val f = Fold.decimalSum[java.math.BigDecimal](identity)
+        val whole = f.run(spark.createDataset(dec).repartition(3))
+        val (_, resumed) = f.runResumable(spark.createDataset(l))
+        val twoStep = resumed.run(spark.createDataset(r))
+        whole.compareTo(twoStep) == 0 && whole.intValue == xs.sum
+      }
+    })
+  }
+
+  test("jaccard is symmetric, bounded, and 1 on equal sets") {
+    import spark.implicits._
+    check("jaccard", Prop.forAll { (a0: List[String], b0: List[String]) =>
+      val a = a0.filter(_.nonEmpty).distinct.take(20)
+      val b = b0.filter(_.nonEmpty).distinct.take(20)
+      a.isEmpty || b.isEmpty || {
+        val df = Seq((a, b)).toDF("a", "b")
+        val row = df.select(
+          Dedup.jaccard(col("a"), col("b")),
+          Dedup.jaccard(col("b"), col("a"))).collect()(0)
+        val (jab, jba) = (row.getDouble(0), row.getDouble(1))
+        jab == jba && jab >= 0.0 && jab <= 1.0 &&
+          (a.toSet != b.toSet || jab == 1.0)
+      }
+    })
+  }
+}
