@@ -60,6 +60,10 @@ object SparkEntry {
     "q_sessionize" -> (Q.qSessionize _),
     "q_funnel" -> (Q.qFunnel _),
     "q_json" -> (Q.qJson _),
+    "q_asof" -> (Q.qAsof _),
+    "q_percentile" -> (Q.qPercentile _),
+    "q_histogram" -> (Q.qHistogram _),
+    "q_approx_distinct" -> (Q.qApproxDistinct _),
     // §2.5 LLM-data-pipeline
     "q_tokens" -> (Q.qTokens _),
     "q_quality" -> (Q.qQuality _),

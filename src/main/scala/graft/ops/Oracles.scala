@@ -327,6 +327,31 @@ object Oracles {
         |  FROM events GROUP BY user_id) x
         |WHERE smin IS NOT NULL""".stripMargin,
 
+    "q_asof" ->
+      """WITH f AS (SELECT * FROM events
+        |  WHERE event_type IN ('signup','purchase')),
+        |x AS (SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'signup' THEN ts END) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS last_signup
+        |  FROM f)
+        |SELECT event_id, user_id,
+        |  cast(date_diff('second', last_signup, ts) as bigint)
+        |    AS since_signup_s
+        |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  cast(count(*) as bigint) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT cast(floor(o_totalprice / 50000) as bigint) AS bucket,
+        |  cast(count(*) as bigint) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q_json" ->
       s"""SELECT cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint) AS k,
          |  $CNT AS n

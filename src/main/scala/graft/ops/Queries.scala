@@ -468,6 +468,47 @@ object Queries {
       .agg(count(lit(1)).as("n_signup"),
         count(when(col("pmin") > col("smin"), lit(1))).as("n_converted"))
 
+  /** As-of join: each purchase event paired with the same user's most
+    * recent prior signup (classic event-enrichment). Composed from a
+    * union + running last_value window — no custom plan needed, stays
+    * hash-partitioned on user_id. */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).events
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("last_signup", last(
+        when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
+        .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (unix_timestamp(col("ts")) - unix_timestamp(col("last_signup")))
+          .as("since_signup_s"))
+      .orderBy("event_id")
+  }
+
+  /** Exact interpolated percentiles per group (analytics staple). */
+  def qPercentile(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders.groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+           expr("percentile(o_totalprice, 0.9)").as("p90"),
+           count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  /** Fixed-width histogram of order totals (portable manual binning). */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .select(floor(col("o_totalprice") / 50000).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** HLL approximate distinct (no cross-engine oracle — sketch values
+    * are engine-specific; accuracy asserted in QueriesSpec). */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
   /** JSON extraction from the events `props` payload (regex-portable). */
   def qJson(s: SparkSession, dir: String): DataFrame =
     T(s, dir).events

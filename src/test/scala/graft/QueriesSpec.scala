@@ -20,7 +20,19 @@ class QueriesSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("q_knn_lsh"), s"unexpected rows-only: ${q -- o}")
+    assert((q -- o) == Set("q_knn_lsh", "q_approx_distinct"),
+      s"unexpected rows-only: ${q -- o}")
+  }
+
+  test("approx_count_distinct lands within 5% of exact") {
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sf)
+      .collect()(0)
+    val exact = graft.tables.Tables(spark, sf).lineitem
+      .selectExpr("count(distinct l_partkey)", "count(distinct l_orderkey)")
+      .collect()(0)
+    def close(a: Long, e: Long) = math.abs(a - e).toDouble / e < 0.05
+    assert(close(approx.getLong(0), exact.getLong(0)))
+    assert(close(approx.getLong(1), exact.getLong(1)))
   }
 
   test("entry() returns rows") {
