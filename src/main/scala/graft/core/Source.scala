@@ -156,4 +156,12 @@ object Source {
   /** `prompt` (Tubes.hs:172): line source; files stand in for stdin. */
   def text(spark: SparkSession, path: String): Source[Row] =
     Source(spark.read.text(path))
+
+  def csv(spark: SparkSession, path: String,
+          header: Boolean = true): Source[Row] =
+    Source(spark.read.option("header", header.toString)
+      .option("inferSchema", "true").csv(path))
+
+  def json(spark: SparkSession, path: String): Source[Row] =
+    Source(spark.read.json(path))
 }

@@ -100,10 +100,13 @@ object Dedup {
     * keys the shuffle — never all-pairs across blocks. */
   def ngramJaccardPairs(docs: DataFrame, block: String,
                         minJ: Double): DataFrame = {
-    // Shingles are compared as 64-bit hashes: set sizes and intersections
-    // are preserved (xxhash64 collisions within a ~200-element set are
-    // ~1e-12), while the n² intersect stage compares longs instead of
-    // strings and the pair join shuffles ~⅓ the bytes.
+    // Shingles are compared as sorted 64-bit hashes: set sizes and
+    // intersections are preserved (xxhash64 collisions within a
+    // ~200-element set are ~1e-12), the n² intersect stage compares
+    // longs instead of strings, and the pair join shuffles ~⅓ the bytes.
+    // (An inverted-index co-occurrence join was measured and REJECTED:
+    // shared-vocabulary corpora make common shingles high-fanout, and
+    // the posting self-join explodes past the blocked all-pairs cost.)
     val s = docs.repartition(col("doc_id"))
       .selectExpr("doc_id", block, s"$toksExpr AS toks")
       .where(size(col("toks")) >= 3)

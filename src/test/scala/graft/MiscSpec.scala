@@ -46,6 +46,20 @@ class MiscSpec extends AnyFunSuite {
     assert(r.map(_.getInt(0)).sorted == Seq(1, 3, 5))
   }
 
+  test("csv and json sinks roundtrip through their sources (#24)") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt")
+    Source(df).into(Sink.csv(base.resolve("c").toString))
+    Source(df).into(Sink.json(base.resolve("j").toString))
+    val c = Source.csv(spark, base.resolve("c").toString)
+      .toDF.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    val j = Source.json(spark, base.resolve("j").toString)
+      .toDF.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(c.toSeq == Seq((1, "a"), (2, "b"), (3, "c")))
+    assert(j.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("multimodal: pack → describe/features/resize/frames (#67)") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "en", "srcA"),
