@@ -66,7 +66,7 @@ object Dedup {
     // one bucket id per band: internal key, engine-local murmur is fine.
     // Persisted: the self-join below consumes it twice — without the
     // cache both sides recompute the whole signature pipeline.
-    val bucketed = sig.select(col("doc_id"), col("sh"),
+    val bucketed0 = sig.select(col("doc_id"), col("sh"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
              |  named_struct('band', b,
@@ -74,10 +74,10 @@ object Dedup {
             .stripMargin)).as("bk"))
       .select(col("doc_id"), col("sh"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .persist()
-    val a = bucketed.select(col("band"), col("bucket"),
+    val cached = graft.core.Eager(bucketed0)
+    val a = cached.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("band"), col("bucket"),
+    val b = cached.select(col("band"), col("bucket"),
       col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     val cands = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
@@ -112,10 +112,10 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .selectExpr("doc_id", block,
         s"array_sort(transform($shinglesExpr, s -> xxhash64(s))) AS sh")
-      .persist() // consumed by both sides of the pair join
-    val a = s.select(col(block), col("doc_id").as("doc_a"),
+    val sc = graft.core.Eager(s) // both sides of the pair join
+    val a = sc.select(col(block), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
-    val b = s.select(col(block), col("doc_id").as("doc_b"),
+    val b = sc.select(col(block), col("doc_id").as("doc_b"),
       col("sh").as("sh_b"))
     a.join(b, block).where(col("doc_a") < col("doc_b"))
       .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
@@ -162,17 +162,17 @@ object Dedup {
     * threshold while staying bucket-local. */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val sh = simhashed(docs)
-    val chunked = sh.select(col("doc_id"), col("simhash"),
+    val chunked0 = sh.select(col("doc_id"), col("simhash"),
         explode(expr(
           """transform(sequence(0, 3), c -> named_struct('chunk', c,
             |  'val', shiftright(simhash, c * 15) & 32767))""".stripMargin))
           .as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.chunk").as("chunk"), col("ck.val").as("val"))
-      .persist() // consumed by both sides of the bucket self-join
-    val a = chunked.select(col("chunk"), col("val"),
+    val cached = graft.core.Eager(chunked0)
+    val a = cached.select(col("chunk"), col("val"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("val"),
+    val b = cached.select(col("chunk"), col("val"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("chunk", "val")).where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")

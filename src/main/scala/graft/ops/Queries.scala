@@ -526,25 +526,46 @@ object Queries {
         bpeTokenCount(col("text")).cast("long").as("n_bpe"))
       .orderBy("doc_id")
 
-  /** #64 quality scoring. */
+  /** #64 quality scoring — tokenize once, derive every feature and the
+    * score from the shared columns (multiple references to a non-cheap
+    * column block projection collapse, so `toks` is evaluated once). */
   def qQuality(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).documents.select(col("doc_id"),
+    T(s, dir).documents
+      .withColumn("toks", wsTokens(col("text")))
+      .select(col("doc_id"),
         length(col("text")).cast("long").as("len"),
-        stopRatio(col("text")).as("stop_ratio"),
+        (size(filter(col("toks"), t => t.isin(enStop.map(lit): _*)))
+          .cast("double") / size(col("toks")).cast("double"))
+          .as("stop_ratio"),
         punctRatio(col("text")).as("punct_ratio"),
-        meanTokenLen(col("text")).as("mean_tok"),
-        qualityScore(col("text")).as("score"))
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(col("toks")).cast("double")).as("mean_tok"))
+      .withColumn("score",
+        least(col("len").cast("double") / lit(500.0), lit(1.0)) * lit(0.3) +
+          col("stop_ratio") * lit(0.4) +
+          (lit(1.0) - col("punct_ratio")) * lit(0.2) +
+          least(col("mean_tok") / lit(8.0), lit(1.0)) * lit(0.1))
       .orderBy("doc_id")
 
-  /** #63 language ID heuristic. */
-  def qLangId(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).documents.select(col("doc_id"), col("lang"),
-        tokenHits(col("text"), enStop).cast("long").as("c_en"),
-        tokenHits(col("text"), deStop).cast("long").as("c_de"),
-        tokenHits(col("text"), frStop).cast("long").as("c_fr"),
-        tokenHits(col("text"), esStop).cast("long").as("c_es"),
-        langId(col("text")).as("lang_pred"))
+  /** #63 language ID heuristic — one tokenization, four hit-counts. */
+  def qLangId(s: SparkSession, dir: String): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      size(filter(col("toks"), t => t.isin(words.map(lit): _*))).cast("long")
+    T(s, dir).documents
+      .withColumn("toks", wsTokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("text"),
+        hits(enStop).as("c_en"), hits(deStop).as("c_de"),
+        hits(frStop).as("c_fr"), hits(esStop).as("c_es"))
+      .withColumn("lang_pred",
+        when(cjkCount(col("text")) > 0, "zh")
+          .when(col("c_en") >= col("c_de") && col("c_en") >= col("c_fr") &&
+                col("c_en") >= col("c_es"), "en")
+          .when(col("c_de") >= col("c_fr") && col("c_de") >= col("c_es"), "de")
+          .when(col("c_fr") >= col("c_es"), "fr")
+          .otherwise("es"))
+      .drop("text")
       .orderBy("doc_id")
+  }
 
   /** #66 document fingerprinting. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =

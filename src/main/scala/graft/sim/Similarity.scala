@@ -40,7 +40,7 @@ object Similarity {
     * verify with the same dot product). */
   def embedPairs(emb: DataFrame, tau: Double): DataFrame = {
     graft.functions.VectorDot.register(emb.sparkSession)
-    val n = normalized(emb).persist() // both join sides read the cache
+    val n = graft.core.Eager(normalized(emb)) // both join sides read the cache
     val a = n.select(col("vec_id").as("vec_a"), col("ne").as("ea"))
     val b = n.select(col("vec_id").as("vec_b"), col("ne").as("eb"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
@@ -53,7 +53,7 @@ object Similarity {
     * queries, scan the corpus once — the classic 100 TB shape). */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     graft.functions.VectorDot.register(emb.sparkSession)
-    val n = normalized(emb).persist() // queries and corpus share the cache
+    val n = graft.core.Eager(normalized(emb)) // queries and corpus share the cache
     val q = n.where(queryPred)
       .select(col("vec_id").as("qid"), col("ne").as("qe"))
     val c = n.select(col("vec_id").as("vid"), col("ne").as("ce"))
@@ -97,7 +97,7 @@ object Similarity {
     * asserted in the spec against [[knnBrute]]). */
   def knnLsh(emb: DataFrame, queryPred: Column, k: Int,
              tables: Int = 8, bits: Int = 8): DataFrame = {
-    val bucketed = lshBuckets(emb, tables, bits).persist()
+    val bucketed = graft.core.Eager(lshBuckets(emb, tables, bits))
     val q = bucketed.where(queryPred).select(col("table"), col("bucket"),
       col("vec_id").as("qid"), col("embedding").as("qe"))
     val c = bucketed.select(col("table"), col("bucket"),
