@@ -69,6 +69,43 @@ object Streams {
         KTotal(k, s)
     }
 
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+  case class Session(start: Long, last: Long, n: Long, sid: Long)
+  case class SessionOut(user_id: Long, sid: Long, n_events: Long, dur_s: Long)
+
+  /** Streaming sessionization — the stateful twin of q_sessionize
+    * (30-min-gap islands) as `flatMapGroupsWithState`. A session closes
+    * when a later event arrives past the gap; the closed session is
+    * emitted and per-user state carries the open one. State is one
+    * record per active user — bounded by key cardinality, the same
+    * contract as the reference's per-stream fold state. */
+  def sessionizeStream(ds: Dataset[Ev], gapS: Long)(implicit
+      ke: Encoder[Long], se: Encoder[Session],
+      oe: Encoder[SessionOut]): Dataset[SessionOut] =
+    ds.groupByKey(_.user_id).flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[Ev],
+       state: org.apache.spark.sql.streaming.GroupState[Session]) =>
+        val events = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var cur = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+        events.foreach { e =>
+          val t = e.ts.getTime / 1000
+          cur match {
+            case Some(s) if t - s.last <= gapS =>
+              cur = Some(s.copy(last = t, n = s.n + 1))
+            case Some(s) =>
+              out += SessionOut(user, s.sid, s.n, s.last - s.start)
+              cur = Some(Session(t, t, 1, s.sid + 1))
+            case None =>
+              cur = Some(Session(t, t, 1, 1))
+          }
+        }
+        cur.foreach(state.update)
+        out.iterator
+    }
+
   /** Streaming dedup within a watermark (#72). */
   def dedupedStream(df: DataFrame, keys: Seq[String],
                     watermarkCol: String, delay: String): DataFrame =

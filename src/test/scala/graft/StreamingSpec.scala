@@ -70,6 +70,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map(1L -> 15.0, 2L -> 1.0)) // 10 then 10+5: resumed state
   }
 
+  test("streaming sessionization closes islands across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.Ev]
+    val q = Streams.sessionizeStream(ms.toDS(), gapS = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    ms.addData(Streams.Ev(1L, ts("2024-01-01 10:00:00"), 1),
+               Streams.Ev(1L, ts("2024-01-01 10:05:00"), 2))
+    q.processAllAvailable()
+    // 90 min later: previous session closes, new one opens
+    ms.addData(Streams.Ev(1L, ts("2024-01-01 11:35:00"), 3))
+    q.processAllAvailable()
+    val sessions = spark.table("sessions_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    assert(sessions.toSeq == Seq((1L, 1L, 2L, 300L)))
+  }
+
   test("streaming dedup drops repeats within the watermark (#72)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
