@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scale
+
+/** The §5 scale mechanics, proven at the plan level where possible. */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("SQL surface: spark.sql over registered views matches DataFrame") {
+    Scale.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      .collect().map(_.toSeq)
+    val viaDf = graft.tables.Tables(spark, sf).lineitem
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .collect().map(_.toSeq)
+    assert(viaSql.toSeq == viaDf.toSeq)
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val t = graft.tables.Tables(spark, sf)
+    val plain = t.orders.join(t.customer,
+        col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val salted = Scale.saltedJoin(
+        t.orders.withColumnRenamed("o_custkey", "k"),
+        t.customer.withColumnRenamed("c_custkey", "k"), "k", 8)
+      .select("o_orderkey", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(salted == plain && salted.nonEmpty)
+  }
+
+  test("bucketed-on-key join plans without a shuffle exchange") {
+    val t = graft.tables.Tables(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_bkt")
+    Scale.writeBucketed(t.orders, "orders_b", "o_orderkey", 4,
+      base.resolve("o").toString)
+    Scale.writeBucketed(
+      t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4, base.resolve("l").toString)
+    // force the non-broadcast path: the point is that two tables
+    // bucketed on the join key sort-merge WITHOUT a shuffle exchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), "o_orderkey")
+      val physical = joined.queryExecution.executedPlan.toString
+      assert(!physical.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$physical")
+      assert(physical.contains("SortMergeJoin"))
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
