@@ -95,4 +95,34 @@ object Channel {
       sink.run(df)
       df
     }
+
+  /** Lightweight `tee`: attach observation metrics that are collected as
+    * a side effect of whatever action runs downstream — zero extra
+    * passes, zero caching (Spark-native `Dataset.observe`). Read the
+    * metrics from the returned Observation after an action. */
+  def observe(obs: org.apache.spark.sql.Observation,
+              metrics: (String, Column)*): Channel[Row, Row] =
+    Channel { ds =>
+      val named = metrics.map { case (n, c) => c.as(n) }
+      ds.toDF().observe(obs, named.head, named.tail: _*)
+    }
+
+  /** The reference's Channel Monad (Channel.hs:141): an arbitrary
+    * per-element state machine — state lives per `key` group and
+    * advances in `order` (executor-local sequential loop, hash-
+    * partitioned across keys: the honest distributed form of a
+    * coroutine's private state; same contract as the streaming
+    * `mapGroupsWithState` twin). */
+  def statefulMap[K, S, B](key: Row => K, order: Row => Long, zero: S)(
+      step: (S, Row) => (S, B))(
+      implicit ke: org.apache.spark.sql.Encoder[K],
+      be: org.apache.spark.sql.Encoder[B]): Channel[Row, B] =
+    Channel { ds =>
+      ds.toDF().groupByKey(key).flatMapGroups { (_, rows) =>
+        rows.toSeq.sortBy(order)
+          .scanLeft((zero, null.asInstanceOf[B])) {
+            case ((s, _), r) => step(s, r)
+          }.drop(1).map(_._2).iterator
+      }
+    }
 }

@@ -105,6 +105,33 @@ class CoreSpec extends AnyFunSuite {
     assert(got == Seq((-1, "R"), (20, "L"), (-3, "R"), (40, "L")))
   }
 
+  test("statefulMap: per-key state machine in order (Channel.hs:141)") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, 10.0), (1L, 2L, 5.0), (2L, 1L, 7.0), (1L, 3L, 1.0))
+      .toDF("k", "seq", "v")
+    // running max per key — an arbitrary imperative state machine
+    val ch = Channel.statefulMap[Long, Double, (Long, Long, Double)](
+      key = _.getLong(0), order = _.getLong(1), zero = Double.MinValue) {
+      (s, r) =>
+        val m = math.max(s, r.getDouble(2))
+        (m, (r.getLong(0), r.getLong(1), m))
+    }
+    val got = ch.run(df).collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(got == Seq((1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0),
+      (2L, 1L, 7.0)))
+  }
+
+  test("observe collects metrics without an extra pass") {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("m")
+    val out = Source(Seq(1, 2, 3, 4).toDF("x"))
+      .through(Channel.observe(obs,
+        "n" -> count(lit(1)), "sum_x" -> sum(col("x"))))
+      .ds.collect()
+    assert(out.length == 4)
+    assert(obs.get("n") == 4L && obs.get("sum_x") == 10L)
+  }
+
   test("tee passes through while observing (Channel.hs:218)") {
     import spark.implicits._
     val buf = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
