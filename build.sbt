@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// suites share (or intentionally replace) one SparkSession per JVM —
+// run them sequentially so a suite that rebuilds the session (e.g.
+// ExtensionsSpec) can't yank it from under a concurrent suite
+Test / parallelExecution := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
