@@ -70,6 +70,7 @@ object SparkEntry {
     "q_langid" -> (Q.qLangId _),
     "q_fingerprint" -> (Q.qFingerprint _),
     "q_dedup_exact" -> (Q.qDedupExact _),
+    "q_winnow" -> (Q.qWinnow _),
     "q_dedup_minhash" -> (Q.qDedupMinhash _),
     "q_dedup_simhash" -> (Q.qDedupSimhash _),
     "q_ngram_jaccard" -> (Q.qNgramJaccard _),

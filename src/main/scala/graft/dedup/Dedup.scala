@@ -55,7 +55,9 @@ object Dedup {
     // Elementwise-min fold: each shingle is hashed k times but the
     // shingle array itself is referenced ONCE (a transform-per-seed shape
     // would let CollapseProject inline — and re-evaluate — the upstream
-    // shingle expression k times).
+    // shingle expression k times). An explode + k min-aggregates rewrite
+    // was measured and REJECTED: its extra shuffle + join-back costs more
+    // than the JIT-warmed lambda fold (4-5 s vs 2-3 s at sf0.1).
     val sig = shingled(docs)
       .withColumn("sig", expr(
         s"""aggregate(sh,

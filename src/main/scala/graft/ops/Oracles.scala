@@ -410,6 +410,18 @@ object Oracles {
         |  FROM documents) x
         |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
+    "q_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |h AS (SELECT doc_id, list_transform(toks,
+         |    t -> ('0x' || substr(md5('0#' || t), 1, 15))::UBIGINT::BIGINT)
+         |    AS hs
+         |  FROM t WHERE len(toks) >= 4),
+         |wi AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(hs) - 2),
+         |    i -> list_min(hs[i:i+3]))) AS fps FROM h)
+         |SELECT doc_id, unnest(fps) AS fp FROM wi
+         |ORDER BY doc_id, fp""".stripMargin,
+
     "q_dedup_minhash" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(

@@ -606,6 +606,28 @@ object Queries {
     graft.sim.Similarity.knnLsh(T(s, dir).embeddings, col("vec_id") < 5, 3)
       .orderBy("qid", "rank")
 
+  /** #66b winnowing: rolling window of portable token hashes, keep each
+    * window's min — the classic local-fingerprint selection (Schleimer
+    * et al.); per-row column math, no shuffle before the final distinct.
+    * `hs` is referenced twice (size + windows) so projection collapse
+    * cannot inline-and-reevaluate the hash array per window. */
+  def qWinnow(s: SparkSession, dir: String): DataFrame = {
+    val w = 4
+    T(s, dir).documents
+      .selectExpr("doc_id",
+        "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      .where(size(col("toks")) >= w)
+      .selectExpr("doc_id",
+        """transform(toks, t ->
+          |  cast(conv(substr(md5(concat('0#', t)), 1, 15), 16, 10)
+          |    as bigint)) AS hs""".stripMargin)
+      .selectExpr("doc_id",
+        s"""array_distinct(transform(sequence(1, size(hs) - ${w - 1}),
+           |  i -> array_min(slice(hs, i, $w)))) AS fps""".stripMargin)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
   /** #56 exact dedup: group on content fingerprint, keep first. */
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents
