@@ -51,6 +51,16 @@ class CoreSpec extends AnyFunSuite {
     assert(tw.toDF.as[Int].collect().toSeq == Seq(1, 2))
   }
 
+  test("sequence evaluates deferred effects in stream order (#12)") {
+    import spark.implicits._
+    // the reference's `sequence = mapM id`: effectful values evaluated
+    // as they pass — graft models the effect as executor-side compute
+    val got = Source(spark.createDataset(Seq(1, 2, 3)))
+      .mapM(identity) // sequence = mapM id (Util.hs:142)
+      .ds.collect().sorted.toSeq
+    assert(got == Seq(1, 2, 3))
+  }
+
   test("merge interleaves like the reference README example") {
     import spark.implicits._
     val a = Source(spark.createDataset(Seq("A1", "A2", "A3")).toDF("s"))
