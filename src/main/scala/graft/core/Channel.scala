@@ -51,7 +51,7 @@ object Channel {
   def first(f: Map[String, Column]): Channel[Row, Row] =
     Channel { ds =>
       val df = ds.toDF()
-      df.select(df.columns.map { n =>
+      df.select(df.columns.toIndexedSeq.map { n =>
         f.get(n).map(_.as(n)).getOrElse(col(n))
       }: _*)
     }

@@ -125,7 +125,8 @@ final case class Source[A](ds: Dataset[A]) {
   def every(order: Seq[Column]): Source[Row] = {
     val df = ds.toDF()
     val nulls = df.sparkSession.range(1).select(
-      df.schema.fields.map(f => lit(null).cast(f.dataType).as(f.name)): _*)
+      df.schema.fields.toIndexedSeq
+        .map(f => lit(null).cast(f.dataType).as(f.name)): _*)
     val tagged = df.select(col("*")).withColumn("__t", lit(0))
       .unionAll(nulls.withColumn("__t", lit(1)))
     Source(tagged.orderBy(col("__t") +: order: _*).drop("__t"))
