@@ -114,13 +114,18 @@ object Dedup {
       .where(size(col("toks")) >= 3)
       .selectExpr("doc_id", block,
         s"array_sort(transform($shinglesExpr, s -> xxhash64(s))) AS sh")
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
     val sc = graft.core.Eager(s) // both sides of the pair join
     val a = sc.select(col(block), col("doc_id").as("doc_a"),
       col("sh").as("sh_a"))
     val b = sc.select(col(block), col("doc_id").as("doc_b"),
       col("sh").as("sh_b"))
     a.join(b, block).where(col("doc_a") < col("doc_b"))
-      .withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+      // sorted-merge count: no hash set / output array per pair (the
+      // arrays are sorted+distinct by construction above)
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .where(col("j") >= minJ)
       .select("doc_a", "doc_b", "j")
   }
