@@ -51,20 +51,14 @@ object Dedup {
     * cross-engine hash portability is needed here (unlike simhash). */
   def minhashPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
                    tau: Double = 0.8): DataFrame = {
+    require(k == graft.functions.MinHashSig.K, s"native signature is k=64")
     val rows = k / bands
-    // Elementwise-min fold: each shingle is hashed k times but the
-    // shingle array itself is referenced ONCE (a transform-per-seed shape
-    // would let CollapseProject inline — and re-evaluate — the upstream
-    // shingle expression k times). An explode + k min-aggregates rewrite
-    // was measured and REJECTED: its extra shuffle + join-back costs more
-    // than the JIT-warmed lambda fold (4-5 s vs 2-3 s at sf0.1).
-    val sig = shingled(docs)
-      .withColumn("sig", expr(
-        s"""aggregate(sh,
-           |  array_repeat(cast(9223372036854775807 as bigint), $k),
-           |  (acc, s) -> zip_with(acc,
-           |    transform(sequence(0, ${k - 1}), i -> xxhash64(i, s)),
-           |    (x, y) -> least(x, y)))""".stripMargin))
+    // Native one-hash MinHash: each shingle string-hashed once, 64
+    // family members by long mixing (graft.functions.MinHashSig). The
+    // SQL-fold equivalent (k interpreted lambda hashes per shingle) and
+    // an explode + k min-aggregates rewrite were both measured and lost.
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    val sig = shingled(docs).withColumn("sig", expr("minhash_sig(sh)"))
     // one bucket id per band: internal key, engine-local murmur is fine.
     // Persisted: the self-join below consumes it twice — without the
     // cache both sides recompute the whole signature pipeline.
@@ -156,12 +150,15 @@ object Dedup {
       |      IF((shiftright(h, k) & 1) = 1, 1, -1)),
       |    (x, y) -> x + y))""".stripMargin
 
-  /** docs → (doc_id, simhash). */
-  def simhashed(docs: DataFrame): DataFrame =
+  /** docs → (doc_id, simhash). Native single-pass hashing
+    * ([[graft.functions.SimHash60]]) — bit-identical to the SQL fold
+    * above, which remains the oracle-documented definition. */
+  def simhashed(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash60.register(docs.sparkSession)
     docs.repartition(col("doc_id"))
       .selectExpr("doc_id", s"$toksExpr AS toks")
-      .selectExpr("doc_id", s"$bitsumsExpr AS bitsums")
-      .selectExpr("doc_id", s"$simhashExpr AS simhash")
+      .selectExpr("doc_id", "simhash60(toks) AS simhash")
+  }
 
   /** Near-dup pairs with Hamming distance ≤ 3, found via 4-chunk
     * banding: any pair within distance 3 shares at least one exact
