@@ -30,3 +30,31 @@ object Pump {
 
   def fromSeq[A](xs: Seq[A]): Pump[A] = new Pump(xs.iterator)
 }
+
+/** The reference's `pumpT` (Core.hs:205): a comonadic machine that can
+  * always be `send` a value or asked to `recv` one, built from a state
+  * and two transitions. `lfold` (Util.hs:160) is the special case with
+  * `onRecv = s => (out(s), s)` — see [[StatePump.lfold]]; resumability
+  * falls out of the state being a first-class value, exactly like the
+  * reference's `duplicate summer` demo. */
+final case class StatePump[A, S, B](state: S, onSend: (S, A) => S,
+                                    onRecv: S => (B, S)) {
+  /** `send` (Core.hs:196): feed a value, get the future pump. */
+  def send(a: A): StatePump[A, S, B] = copy(state = onSend(state, a))
+
+  /** `recv` (Core.hs:200): extract a value plus the future pump. */
+  def recv(): (B, StatePump[A, S, B]) = {
+    val (b, s) = onRecv(state)
+    (b, copy(state = s))
+  }
+
+  /** Drive with a whole stream (the `stream const p (each xs)` shape). */
+  def sendAll(xs: IterableOnce[A]): StatePump[A, S, B] =
+    xs.iterator.foldLeft(this)(_.send(_))
+}
+
+object StatePump {
+  /** `lfold step done init` (Util.hs:160). */
+  def lfold[A, S, B](init: S)(step: (S, A) => S)(done: S => B): StatePump[A, S, B] =
+    StatePump(init, step, s => (done(s), s))
+}

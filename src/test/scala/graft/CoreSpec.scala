@@ -40,6 +40,19 @@ class CoreSpec extends AnyFunSuite {
     assert(p2.fold(0)(_ + _) == 5) // consumes the rest: 2 + 3
   }
 
+  test("StatePump replays the reference's resumable summer demo") {
+    import graft.core.StatePump
+    // summer = lfold (+) (\x -> ((),x)) 0; stream over [1..10] → 55,
+    // duplicate and keep folding [11..20] → 210 (Util.hs:171)
+    val summer =
+      StatePump.lfold[Int, Int, Int](0)((s, a) => s + a)(s => s)
+    val after10 = summer.sendAll(1 to 10)
+    val (r1, resumed) = after10.recv()
+    assert(r1 == 55)
+    val (r2, _) = resumed.sendAll(11 to 20).recv()
+    assert(r2 == 210)
+  }
+
   test("take/drop/takeWhile are ordered-prefix ops (Util.hs:94-121)") {
     import spark.implicits._
     val src = Source(spark.createDataset(Seq(5, 1, 4, 2, 3)).toDF("x"))
