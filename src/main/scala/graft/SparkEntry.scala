@@ -18,7 +18,9 @@ object SparkEntry {
     "q_mapm" -> (Q.qMapM _),
     "q_filter" -> (Q.qFilter _),
     "q_take" -> (Q.qTake _),
+    "q_take_within" -> (Q.qTakeWithin _),
     "q_drop" -> (Q.qDrop _),
+    "q_drop_within" -> (Q.qDropWithin _),
     "q_takewhile" -> (Q.qTakeWhile _),
     "q_flatmap" -> (Q.qFlatMap _),
     "q_compose" -> (Q.qCompose _),

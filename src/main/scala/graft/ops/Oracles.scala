@@ -27,7 +27,7 @@ object Oracles {
   val sql: Map[String, String] = Map(
     "q_each" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_every" ->
       """SELECT k FROM (
@@ -38,7 +38,7 @@ object Oracles {
     "q_map" ->
       """SELECT l_orderkey * 10 + l_linenumber AS line_uid,
         |  l_quantity * 2.0 AS qty2, upper(l_returnflag) AS flag
-        |FROM lineitem ORDER BY line_uid""".stripMargin,
+        |FROM lineitem ORDER BY line_uid, qty2, flag""".stripMargin,
 
     "q_mapm" ->
       """SELECT o_orderkey, cast(length(o_orderpriority) as bigint) AS prio_len
@@ -47,7 +47,7 @@ object Oracles {
     "q_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_quantity > 45 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_take" ->
       """SELECT o_orderkey, o_totalprice FROM orders
@@ -56,6 +56,22 @@ object Oracles {
     "q_drop" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 40 OFFSET 10""".stripMargin,
+
+    "q_take_within" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_quantity) AS rn
+        |  FROM lineitem) x
+        |WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+
+    "q_drop_within" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_quantity) AS rn
+        |  FROM lineitem) x
+        |WHERE rn > 2 ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "q_takewhile" ->
       """SELECT o_orderkey, o_totalprice FROM (
@@ -87,7 +103,7 @@ object Oracles {
       """SELECT l_orderkey, l_linenumber, l_quantity + l_tax AS a,
         |  l_quantity * 2.0 AS b, -l_discount AS neg,
         |  greatest(l_quantity, 30.0) AS g
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, a, neg, g""".stripMargin,
 
     "q_reduce" ->
       s"""SELECT ${d2("l_quantity")} AS total_qty,

@@ -43,7 +43,7 @@ object Queries {
   def qEach(s: SparkSession, dir: String): DataFrame =
     Source(T(s, dir).lineitem)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .toDF.orderBy("l_orderkey", "l_linenumber")
+      .toDF.orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** #2 `every`: values then one terminal all-null row (Maybe stream). */
   def qEvery(s: SparkSession, dir: String): DataFrame =
@@ -57,7 +57,7 @@ object Queries {
         (col("l_orderkey") * 10 + col("l_linenumber")).as("line_uid"),
         (col("l_quantity") * lit(2.0)).as("qty2"),
         upper(col("l_returnflag")).as("flag"))
-      .toDF.orderBy("line_uid")
+      .toDF.orderBy("line_uid", "qty2", "flag")
 
   /** #4 `mapM`: effectful per-element transform via mapPartitions. */
   def qMapM(s: SparkSession, dir: String): DataFrame = {
@@ -73,7 +73,7 @@ object Queries {
     Source(T(s, dir).lineitem)
       .where(col("l_quantity") > 45 && col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .toDF.orderBy("l_orderkey", "l_linenumber")
+      .toDF.orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** #6 `take`: first 50 by (price desc, key) — TakeOrderedAndProject. */
   def qTake(s: SparkSession, dir: String): DataFrame =
@@ -129,7 +129,7 @@ object Queries {
         (col("l_quantity") * lit(2.0)).as("b"),
         (-col("l_discount")).as("neg"),
         greatest(col("l_quantity"), lit(30.0)).as("g"))
-      .toDF.orderBy("l_orderkey", "l_linenumber")
+      .toDF.orderBy("l_orderkey", "l_linenumber", "a", "neg", "g")
 
   /** #18 `reduce`: strict fold → partial-agg Catalyst aggregate. */
   def qReduce(s: SparkSession, dir: String): DataFrame =
@@ -171,6 +171,23 @@ object Queries {
         Seq(col("user_id")), Seq(col("event_id")))
       .toDF.orderBy("user_id", "pos")
   }
+
+  /** #6b keyed `take`: first 2 lineitems of each order — hash-partitioned
+    * window, the scale form of prefix-taking. */
+  def qTakeWithin(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity"))
+      .takeWithin(2, Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_quantity")))
+      .toDF.orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  /** #7b keyed `drop`: everything after the first 2 per order. */
+  def qDropWithin(s: SparkSession, dir: String): DataFrame =
+    Source(T(s, dir).lineitem
+        .select("l_orderkey", "l_linenumber", "l_quantity"))
+      .dropWithin(2, Seq(col("l_orderkey")),
+        Seq(col("l_linenumber"), col("l_quantity")))
+      .toDF.orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** #20 `<|>` concat: two filtered streams, list-appended. */
   def qConcat(s: SparkSession, dir: String): DataFrame = {
