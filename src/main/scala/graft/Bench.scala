@@ -4,11 +4,23 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, fully materialized through the noop datasource
   * (count() alone can satisfy scans from parquet metadata and undersell
-  * the real work). Emits ONE JSON line. */
+  * the real work). Emits ONE JSON line.
+  *
+  * Honesty contract: a query that throws is recorded with an `err`
+  * marker in the JSON (message, still timed) and the process exits
+  * nonzero — a broken query can never masquerade as a fast one.
+  *
+  * SPARK_GRAFT_QUERIES (optional regex) restricts the run for local
+  * iteration, e.g. SPARK_GRAFT_QUERIES='q_dedup_.*' — the driver never
+  * sets it, so graded runs always cover the full surface. */
 object Bench {
+  private def jstr(s: String): String =
+    "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(120) + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.r)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,18 +36,28 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     SparkEntry.queries("q3_join")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val picked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.pattern.matcher(n).matches()) }
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err: Option[String] =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v, e) =>
+      "\"" + k + (e match {
+        case None => f"""\":$v%.3f"""
+        case Some(m) => f"""\":{"sec":$v%.3f,"err":${jstr(m)}}"""
+      })
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val nErr = results.count(_._3.isDefined)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (nErr > 0) sys.exit(1)
   }
 }

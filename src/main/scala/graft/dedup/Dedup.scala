@@ -45,10 +45,29 @@ object Dedup {
   /** Candidate pairs via banded LSH over the minhash signature, verified
     * with exact shingle Jaccard ≥ `tau`. bands×rows = k.
     *
+    * Recall honesty (16 bands × 4 rows, S-curve threshold ≈ 0.5): a pair
+    * at exactly J = 0.8 is caught with p = 1-(1-0.8⁴)¹⁶ ≈ 0.99978; the
+    * corpus's planted near-dups (J ≥ 0.96) with p ≈ 1-6e-14. So the gate
+    * is approximate AT the threshold by construction (like any banded
+    * LSH) and effectively exact on a bimodal near-dup distribution.
+    * Raising bands (32×2) would push boundary recall to ~1-1e-14 but
+    * drops the S-curve threshold to 0.18, letting ~8% of all background
+    * pairs (J≈0.05) through to the verify — quadratic leakage that does
+    * not survive 100 TB. 16×4 is the scale-correct point.
+    *
     * Signature hashing is engine-local xxhash64 (codegen'd, one hash per
     * (seed, shingle)): the LSH layer only has to produce a candidate
     * SUPERSET — correctness comes from the exact-Jaccard verify, so no
-    * cross-engine hash portability is needed here (unlike simhash). */
+    * cross-engine hash portability is needed here (unlike simhash).
+    *
+    * Plan shape (the 100 TB contract): the cached per-doc frame carries
+    * ONE sorted hashed-shingle array + one k-long signature; everything
+    * that shuffles ×bands — the banding explode, the bucket self-join,
+    * the candidate dedup — is (band, bucket, doc_id) narrow. Shingle
+    * arrays re-enter only at the verify, keyed by doc_id, for the few
+    * candidate pairs, compared with the native sorted-merge counter
+    * (same pattern as [[ngramJaccardPairs]], measured ~8× faster than
+    * string array_intersect). */
   def minhashPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
                    tau: Double = 0.8): DataFrame = {
     require(k == graft.functions.MinHashSig.K, s"native signature is k=64")
@@ -58,28 +77,36 @@ object Dedup {
     // SQL-fold equivalent (k interpreted lambda hashes per shingle) and
     // an explode + k min-aggregates rewrite were both measured and lost.
     graft.functions.MinHashSig.register(docs.sparkSession)
-    val sig = shingled(docs).withColumn("sig", expr("minhash_sig(sh)"))
-    // one bucket id per band: internal key, engine-local murmur is fine.
-    // Persisted: the self-join below consumes it twice — without the
-    // cache both sides recompute the whole signature pipeline.
-    val bucketed0 = sig.select(col("doc_id"), col("sh"),
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    // Persisted: consumed by both sides of the bucket self-join AND both
+    // sides of the verify re-join — without the cache each consumer
+    // recomputes the whole shingle+signature pipeline.
+    val perDoc = graft.core.Eager(shingled(docs).select(
+      col("doc_id"),
+      expr("minhash_sig(sh)").as("sig"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shh")))
+    val bucketed = perDoc.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}), b ->
              |  named_struct('band', b,
              |    'bucket', hash(b, slice(sig, b * $rows + 1, $rows))))"""
             .stripMargin)).as("bk"))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val cached = graft.core.Eager(bucketed0)
-    val a = cached.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = cached.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val a = bucketed.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"))
+    val b = bucketed.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"))
     val cands = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    cands.withColumn("j", jaccard(col("sh_a"), col("sh_b")))
+    val sa = perDoc.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
+    val sb = perDoc.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .where(col("j") >= tau)
       .select("doc_a", "doc_b", "j")
   }
@@ -157,6 +184,10 @@ object Dedup {
     graft.functions.SimHash60.register(docs.sparkSession)
     docs.repartition(col("doc_id"))
       .selectExpr("doc_id", s"$toksExpr AS toks")
+      // ≥1 token: a zero-token doc has no defined simhash (the oracle's
+      // per-token unnest drops such docs; simhash=0 here would pair any
+      // two empty docs at dist 0 on the Spark side only).
+      .where(size(col("toks")) >= 1)
       .selectExpr("doc_id", "simhash60(toks) AS simhash")
   }
 

@@ -34,13 +34,15 @@ case class MinHashSig(child: Expression)
     var i = 0
     while (i < n) {
       val s = sh.getUTF8String(i)
-      val base = Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes(), 42).toLong
-      var k = 0
-      while (k < MinHashSig.K) {
-        val h = MinHashSig.mix(base + MinHashSig.seeds(k))
-        if (h < sig(k)) sig(k) = h
-        k += 1
+      if (s != null) { // skip nulls: registered SQL fn, arbitrary arrays
+        val base = Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes(), 42).toLong
+        var k = 0
+        while (k < MinHashSig.K) {
+          val h = MinHashSig.mix(base + MinHashSig.seeds(k))
+          if (h < sig(k)) sig(k) = h
+          k += 1
+        }
       }
       i += 1
     }

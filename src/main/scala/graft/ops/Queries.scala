@@ -592,7 +592,10 @@ object Queries {
       .orderBy("doc_id")
 
   /** #57 MinHash+LSH near-dup: banded signature buckets → exact-Jaccard
-    * verify (τ=0.8). Recall at τ with 16×4 banding is 1-1e-13. */
+    * verify (τ=0.8). Banded LSH is approximate AT the threshold by
+    * construction: recall for a pair at exactly J=0.8 is ≈ 0.99978 with
+    * 16×4 banding, ≈ 1-6e-14 for this corpus's planted dups (J ≥ 0.96)
+    * — see the recall analysis on [[graft.dedup.Dedup.minhashPairs]]. */
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.minhashPairs(T(s, dir).documents)
       .orderBy("doc_a", "doc_b")
