@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** All `tables` random-hyperplane LSH bucket ids of a double vector in
+  * one native pass: bucket_t bit i = sign(v · h_{t,i}), `bits` bits per
+  * table.
+  *
+  * Hyperplane coordinates are derived on the fly from a SplitMix64
+  * stream keyed by (table, bit, dim) — deterministic across executors
+  * and sessions, no driver-side literal arrays in the plan (the literal
+  * form put tables×bits 64-element array literals into the expression
+  * tree; analysis + codegen of that plan cost more than the scan).
+  * Buckets are sign patterns, so any uniform symmetric coordinate
+  * distribution works; correctness always comes from the exact
+  * verify/rerank downstream (internals only — no cross-engine oracle).
+  *
+  * Scale shape: per-row column math, O(tables·bits·dim) flops, no
+  * shuffle; the caller joins on (table, bucket) so candidates stay
+  * bucket-local. */
+case class HyperplaneLsh(child: Expression, tables: Int, bits: Int,
+                         seed: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_lsh expects array<double>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val dim = x.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var i = 0
+      while (i < bits) {
+        var dot = 0.0
+        var d = 0
+        while (d < dim) {
+          dot += x.getDouble(d) * HyperplaneLsh.coord(seed, t, i, d)
+          d += 1
+        }
+        if (dot > 0.0) bucket |= (1L << i)
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneLsh =
+    copy(child = c)
+}
+
+object HyperplaneLsh {
+  /** Deterministic hyperplane coordinate in [-1, 1). */
+  private[functions] def coord(seed: Long, t: Int, i: Int, d: Int): Double = {
+    val z = MinHashSig.mix(
+      seed ^ (t.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+        + d.toLong + 1L))
+    ((z >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_lsh",
+      exprs => HyperplaneLsh(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int],
+        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Long] else 42L),
+      "built-in")
+}

