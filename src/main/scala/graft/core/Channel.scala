@@ -88,11 +88,17 @@ object Channel {
     }
 
   /** `tee` (Channel.hs:218): pass elements downstream unchanged while a
-    * sink observes them. The sink consumes the same cached pass. */
+    * sink observes them. The upstream is cached only for the duration of
+    * the sink's action and unpersisted before returning — repeated `tee`
+    * use must not accrete cached partitions for the session lifetime.
+    * The downstream consumer therefore recomputes the upstream; when the
+    * observation is a metric, prefer [[observe]] (zero extra passes, no
+    * cache at all), and callers who want the downstream to share the
+    * sink's pass should manage their own persist/unpersist scope. */
   def tee(sink: Sink[Row]): Channel[Row, Row] =
     Channel { ds =>
       val df = ds.toDF().persist()
-      sink.run(df)
+      try sink.run(df) finally df.unpersist(blocking = false)
       df
     }
 
@@ -108,21 +114,36 @@ object Channel {
     }
 
   /** The reference's Channel Monad (Channel.hs:141): an arbitrary
-    * per-element state machine — state lives per `key` group and
-    * advances in `order` (executor-local sequential loop, hash-
+    * per-element state machine — state lives per key group and advances
+    * in `orderCols` order (executor-local sequential loop, hash-
     * partitioned across keys: the honest distributed form of a
     * coroutine's private state; same contract as the streaming
-    * `mapGroupsWithState` twin). */
-  def statefulMap[K, S, B](key: Row => K, order: Row => Long, zero: S)(
+    * `mapGroupsWithState` twin).
+    *
+    * Implemented as a secondary sort: repartition on the key columns,
+    * sort (key, order) WITHIN each partition, then stream rows through
+    * `step`, resetting state at key boundaries. No group is ever
+    * materialized in memory — a skewed key (one user with 10⁸ events)
+    * spills in the sort and then streams, where a
+    * `groupByKey.flatMapGroups` + in-memory sort would OOM. */
+  def statefulMap[K, S, B](keyCols: Seq[Column], orderCols: Seq[Column],
+      key: Row => K, zero: S)(
       step: (S, Row) => (S, B))(
-      implicit ke: org.apache.spark.sql.Encoder[K],
-      be: org.apache.spark.sql.Encoder[B]): Channel[Row, B] =
+      implicit be: org.apache.spark.sql.Encoder[B]): Channel[Row, B] =
     Channel { ds =>
-      ds.toDF().groupByKey(key).flatMapGroups { (_, rows) =>
-        rows.toSeq.sortBy(order)
-          .scanLeft((zero, null.asInstanceOf[B])) {
-            case ((s, _), r) => step(s, r)
-          }.drop(1).map(_._2).iterator
-      }
+      ds.toDF()
+        .repartition(keyCols: _*)
+        .sortWithinPartitions(keyCols ++ orderCols: _*)
+        .mapPartitions { rows =>
+          var cur: Option[K] = None
+          var state = zero
+          rows.map { r =>
+            val k = key(r)
+            if (!cur.contains(k)) { cur = Some(k); state = zero }
+            val (s2, b) = step(state, r)
+            state = s2
+            b
+          }
+        }
     }
 }

@@ -51,6 +51,17 @@ final case class StatePump[A, S, B](state: S, onSend: (S, A) => S,
   /** Drive with a whole stream (the `stream const p (each xs)` shape). */
   def sendAll(xs: IterableOnce[A]): StatePump[A, S, B] =
     xs.iterator.foldLeft(this)(_.send(_))
+
+  /** Comonad `extract`: the current output without advancing state. */
+  def extract: B = onRecv(state)._1
+
+  /** Comonad `duplicate` (Core.hs:170–230): a pump of pumps — its
+    * extract at any point is the WHOLE pump frozen at that state, i.e. a
+    * checkpoint that can be branched: the reference's `duplicate summer`
+    * demo folds half a stream, duplicates, and resumes the two copies
+    * independently without re-reading the prefix. */
+  def duplicate: StatePump[A, S, StatePump[A, S, B]] =
+    StatePump(state, onSend, s => (copy(state = s), s))
 }
 
 object StatePump {

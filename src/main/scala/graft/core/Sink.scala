@@ -21,7 +21,8 @@ final case class Sink[A](run: Dataset[A] => Unit) {
     Sink(ds => run(f(ds)))
 
   /** Semigroup `<>` (Sink.hs:127): both sinks consume every element; the
-    * upstream is computed once. */
+    * upstream is computed once. The Divisible special case
+    * `divide (\x -> (x, x))` (Sink.hs:119). */
   def both(other: Sink[A]): Sink[A] = Sink { ds =>
     val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
     try { run(cached); other.run(cached) }
@@ -50,6 +51,19 @@ object Sink {
   /** Driver-side collector (tests / tiny results only). */
   def collect[A](out: scala.collection.mutable.Buffer[A]): Sink[A] =
     Sink(ds => out ++= ds.collect())
+
+  /** `Divisible.divide` (Sink.hs:102–107), general form: split each
+    * element into two PARTS — `fb`/`fc` project the two components —
+    * consumed by two different sinks, one upstream pass. (`both` is the
+    * `divide (\x -> (x, x))` special case; `choose` partitions ROWS,
+    * `divide` partitions COLUMNS/parts.) */
+  def divide[A, B, C](fb: Dataset[A] => Dataset[B],
+                      fc: Dataset[A] => Dataset[C])(
+      sb: Sink[B], sc: Sink[C]): Sink[A] = Sink { ds =>
+    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
+    try { sb.run(fb(cached)); sc.run(fc(cached)) }
+    finally cached.unpersist(blocking = false)
+  }
 
   /** `Decidable.choose` (Sink.hs:117): rows where `pred` go left, the rest
     * right. One upstream pass. */

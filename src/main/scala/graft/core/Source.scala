@@ -47,6 +47,26 @@ final case class Source[A](ds: Dataset[A]) {
   def cross(other: Source[_]): Source[Row] =
     Source(ds.toDF().crossJoin(broadcast(other.ds.toDF())))
 
+  /** Num/Fractional lift (Source.hs:128–140): the reference's `s1 + s2`
+    * is `liftA2 (+)` — arithmetic over the APPLICATIVE cross of the two
+    * streams, not a positional zip. Defined for single-column sources;
+    * the result column keeps the left source's name. */
+  def zipA(other: Source[_])(f: (Column, Column) => Column): Source[Row] = {
+    val l = ds.toDF()
+    val r = other.ds.toDF()
+    require(l.columns.length == 1 && r.columns.length == 1,
+      "Num lift is defined for single-column sources")
+    val out = l.columns(0)
+    Source(l.withColumnRenamed(out, "__l")
+      .crossJoin(broadcast(r.withColumnRenamed(r.columns(0), "__r")))
+      .select(f(col("__l"), col("__r")).as(out)))
+  }
+
+  def +(other: Source[_]): Source[Row] = zipA(other)(_ + _)
+  def *(other: Source[_]): Source[Row] = zipA(other)(_ * _)
+  def -(other: Source[_]): Source[Row] = zipA(other)(_ - _)
+  def /(other: Source[_]): Source[Row] = zipA(other)(_ / _)
+
   /** `Tubes.Util.take` (Util.hs:117): first n in `order`. Physical plan is
     * TakeOrderedAndProject — no global sort materialized. */
   def take(n: Int, order: Column*): Source[Row] =

@@ -87,6 +87,9 @@ object Streams {
       GroupStateTimeout.NoTimeout()) {
       (user: Long, it: Iterator[Ev],
        state: org.apache.spark.sql.streaming.GroupState[Session]) =>
+        // In-memory sort is safe HERE (unlike batch statefulMap, which
+        // secondary-sorts): `it` holds one user's events from ONE
+        // micro-batch, bounded by trigger interval — not a whole history.
         val events = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
         var cur = state.getOption
         val out = scala.collection.mutable.ArrayBuffer[SessionOut]()

@@ -1,5 +1,7 @@
 package graft.tables
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
@@ -7,10 +9,26 @@ import org.apache.spark.sql.functions.{expr, timestamp_micros}
   * parquet scans — Catalyst prunes columns and pushes filters into them,
   * which is the whole 100 TB story for the read side: every graft query
   * should show `PushedFilters`/narrow `ReadSchema` in `.explain`.
+  *
+  * Loaders are memoized per (session, dir, table): `spark.read.parquet`
+  * lists the directory and reads footers to infer the schema on every
+  * call, which at one call per table per query added up to a visible
+  * slice of the benchmark's fixed per-query overhead. The cached value
+  * is only the immutable logical plan — no data is pinned.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // get/putIfAbsent, not computeIfAbsent: the events loader memoizes a
+  // frame derived from another memoized entry, and CHM forbids nested
+  // updates inside a mapping function ("Recursive update").
+  private def memo(name: String)(mk: => DataFrame): DataFrame = {
+    val k = (spark, dir, name)
+    val hit = Tables.memo.get(k)
+    if (hit != null) hit
+    else { val v = mk; Tables.memo.putIfAbsent(k, v); v }
+  }
+
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(name)(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -24,8 +42,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     * a (micros) timestamp — the data itself is µs-precision. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    memo("events:conv")(
+      t("events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  private val memo =
+    new ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 }

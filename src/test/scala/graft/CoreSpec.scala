@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.{Channel, Fold, Pump, Sink, Source}
+import graft.core.{Channel, Fold, Pump, Sink, Source, StatePump}
 
 /** Semantics of the tubes surface (SURVEY §2.1–§2.3) on driver-sized
   * streams — mirrors the reference's own doc examples. */
@@ -134,7 +134,8 @@ class CoreSpec extends AnyFunSuite {
       .toDF("k", "seq", "v")
     // running max per key — an arbitrary imperative state machine
     val ch = Channel.statefulMap[Long, Double, (Long, Long, Double)](
-      key = _.getLong(0), order = _.getLong(1), zero = Double.MinValue) {
+      keyCols = Seq(col("k")), orderCols = Seq(col("seq")),
+      key = _.getLong(0), zero = Double.MinValue) {
       (s, r) =>
         val m = math.max(s, r.getDouble(2))
         (m, (r.getLong(0), r.getLong(1), m))
@@ -142,6 +143,25 @@ class CoreSpec extends AnyFunSuite {
     val got = ch.run(df).collect().sortBy(t => (t._1, t._2)).toSeq
     assert(got == Seq((1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0),
       (2L, 1L, 7.0)))
+  }
+
+  test("statefulMap streams one giant key without materializing it") {
+    import spark.implicits._
+    // One key owning ~all rows: the groupByKey+sort form would buffer
+    // the whole group on one executor; the secondary-sort form streams.
+    val n = 300000L
+    val df = spark.range(n)
+      .select(lit(1L).as("k"), col("id").as("seq"), lit(1.0).as("v"))
+      .unionAll(Seq((2L, 0L, 5.0)).toDF("k", "seq", "v"))
+    val ch = Channel.statefulMap[Long, Long, (Long, Long)](
+      keyCols = Seq(col("k")), orderCols = Seq(col("seq")),
+      key = _.getLong(0), zero = 0L) {
+      (s, r) => (s + 1, (r.getLong(0), s + 1))
+    }
+    val out = ch.run(df).groupByKey(_._1)
+      .mapValues(_._2).reduceGroups((a, b) => math.max(a, b))
+      .collect().toMap
+    assert(out == Map(1L -> n, 2L -> 1L))
   }
 
   test("observe collects metrics without an extra pass") {
@@ -162,5 +182,42 @@ class CoreSpec extends AnyFunSuite {
     val out = Channel.tee(Sink(ds => buf ++= ds.collect()))
       .run(df).as[Int].collect().sorted.toSeq
     assert(out == Seq(1, 2, 3) && buf.size == 3)
+  }
+
+  test("Source Num lift: s1 + s2 is liftA2 (+) — cross semantics (Source.hs:128)") {
+    import spark.implicits._
+    val a = Source(Seq(1, 2).toDF("x"))
+    val b = Source(Seq(10, 20).toDF("y"))
+    val got = (a + b).toDF.as[Int].collect().sorted.toSeq
+    assert(got == Seq(11, 12, 21, 22))
+    val prod = (a * b).toDF.as[Int].collect().sorted.toSeq
+    assert(prod == Seq(10, 20, 20, 40))
+    // result column keeps the left name (the lifted stream is still "x")
+    assert((a + b).toDF.columns.toSeq == Seq("x"))
+  }
+
+  test("Sink.divide: one pass split into parts for two sinks (Sink.hs:102)") {
+    import spark.implicits._
+    val df = Seq((1, "a"), (2, "b")).toDF("n", "s")
+    val nums = scala.collection.mutable.ArrayBuffer[Int]()
+    val strs = scala.collection.mutable.ArrayBuffer[String]()
+    Sink.divide[org.apache.spark.sql.Row, Int, String](
+      ds => ds.select("n").as[Int], ds => ds.select("s").as[String])(
+      Sink(d => nums ++= d.collect()), Sink(d => strs ++= d.collect()))
+      .run(df)
+    assert(nums.sorted.toSeq == Seq(1, 2) && strs.sorted.toSeq == Seq("a", "b"))
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+  }
+
+  test("StatePump.duplicate: checkpoint a fold mid-stream and branch (Core.hs:170)") {
+    val summer = StatePump.lfold[Int, Int, Int](0)(_ + _)(s => s)
+    val half = summer.sendAll(1 to 10) // the reference's summer demo
+    assert(half.extract == 55)
+    val checkpoint = half.duplicate.extract // a frozen copy of the pump
+    val branchA = checkpoint.sendAll(11 to 20)
+    val branchB = half.sendAll(Seq(100)) // original keeps running too
+    assert(branchA.extract == 210)
+    assert(branchB.extract == 155)
+    assert(checkpoint.extract == 55) // the checkpoint itself is unmoved
   }
 }

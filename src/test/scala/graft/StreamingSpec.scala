@@ -89,6 +89,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions.toSeq == Seq((1L, 1L, 2L, 300L)))
   }
 
+  // ─── Replay oracle gates (#70/#70b): the streaming twins run over the
+  // REAL events table as a file-source stream and must agree with the
+  // batch queries the DuckDB oracle hash-checks. These fail if streaming
+  // and batch semantics ever diverge.
+
+  private val replayDir = "/root/testdata/sf0.001"
+
+  test("sessionizeStream replay == q_sessionize batch oracle (#70b)") {
+    import spark.implicits._
+    val es = Streams.eventsStream(spark, replayDir)
+      .select(col("user_id"), col("ts"), col("event_id")).as[Streams.Ev]
+    val q = Streams.sessionizeStream(es, gapS = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_replay")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.ops.Queries.qSessionize(spark, replayDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // Append mode emits a session only once it CLOSES; each user's final
+    // session is still open when the replay ends, so the gate is: the
+    // streamed set must be exactly the batch set minus each user's
+    // last session — any other difference is a divergence.
+    val lastPerUser = batch.groupBy(_._1).values
+      .map(ss => ss.maxBy(_._2)).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch -- lastPerUser)
+  }
+
+  test("runningTotal replay == q_scan batch oracle totals (#70)") {
+    import spark.implicits._
+    val kv = Streams.eventsStream(spark, replayDir)
+      .select(col("user_id").as("k"), col("value").as("v")).as[Streams.KV]
+    val q = Streams.runningTotal(kv)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("totals_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    // one batch ⇒ the last update per key is the full total; compare in
+    // cents (values are exact 2-decimal doubles, both engines' folds are
+    // within «1 cent of the decimal-exact sum, so cents are exact).
+    val streamed = spark.table("totals_replay").groupBy("k")
+      .agg(max("total").as("total"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100))
+      .toMap
+    // the q_scan oracle's rt at each user's final event = decimal-exact
+    // per-user total cast to double
+    val batch = graft.tables.Tables(spark, replayDir).events
+      .groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double").as("t"))
+      .collect().map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("streaming dedup drops repeats within the watermark (#72)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
