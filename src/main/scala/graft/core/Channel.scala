@@ -83,7 +83,9 @@ object Channel {
     Channel { ds =>
       val w0 = if (partition.isEmpty) Window.orderBy(order: _*)
                else Window.partitionBy(partition: _*).orderBy(order: _*)
-      ds.toDF().withColumn(
+      val df = if (partition.isEmpty) Source.globalOrderGuard(ds.toDF(), w0)
+               else ds.toDF()
+      df.withColumn(
         out, agg.over(w0.rowsBetween(Window.unboundedPreceding, 0)))
     }
 

@@ -84,7 +84,8 @@ final case class Source[A](ds: Dataset[A]) {
     val w0 = if (partition.isEmpty) Window.orderBy(order: _*)
              else Window.partitionBy(partition: _*).orderBy(order: _*)
     val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val df = ds.toDF()
+    val df = if (partition.isEmpty) Source.globalOrderGuard(ds.toDF(), w0)
+             else ds.toDF()
     Source(df
       .withColumn("__ok", min(when(pred, 1).otherwise(0)).over(w))
       .filter(col("__ok") === 1)
@@ -101,10 +102,11 @@ final case class Source[A](ds: Dataset[A]) {
     def ranked(df: DataFrame, side: Int): DataFrame = df
       .withColumn("__rn", row_number().over(Window.orderBy(order: _*)))
       .withColumn("__side", lit(side))
-    Source(ranked(ds.toDF(), 0).unionAll(ranked(other.ds.toDF(), 1))
+    val interleaved = ranked(ds.toDF(), 0).unionAll(ranked(other.ds.toDF(), 1))
       .withColumn(pos, row_number()
         .over(Window.orderBy(col("__rn"), col("__side"))).cast("long"))
-      .drop("__rn", "__side"))
+      .drop("__rn", "__side")
+    Source(Source.enforceGuard(interleaved, col(pos)))
   }
 
   /** Keyed `take` — first n of each `partition` group in `order`: the
@@ -165,6 +167,42 @@ final case class Source[A](ds: Dataset[A]) {
 }
 
 object Source {
+  /** Conf key enforcing the documented "driver-sized streams" contract
+    * of the GLOBAL ordered-stream ops (`takeWhile`/`merge`/global
+    * `scan`), whose unpartitioned windows push every row through one
+    * partition. Unset (the default) they run unguarded; set it and any
+    * global ordered op raises as soon as more rows than the limit flow
+    * through the single-partition window — the error points at the
+    * keyed `*Within`/partitioned form, which is the 100 TB path. */
+  val MaxGlobalOrderedRows = "spark.graft.maxGlobalOrderedRows"
+
+  private[core] def guardLimit(df: DataFrame): Option[Long] =
+    df.sparkSession.conf.getOption(MaxGlobalOrderedRows).map(_.toLong)
+
+  /** Filter-shaped guard on an existing global row number: passes every
+    * row, but raises once `rn` exceeds the limit. (`coalesce(assert_true
+    * (...), true)` — assert_true yields null when it holds, so the
+    * filter is all-true yet cannot be pruned away as a no-op.) */
+  private[core] def enforceGuard(df: DataFrame, rn: Column): DataFrame =
+    guardLimit(df) match {
+      case Some(n) => df.where(coalesce(assert_true(rn <= n,
+        lit(s"global ordered-stream op exceeded $MaxGlobalOrderedRows=$n; " +
+          "use the keyed/partitioned variant (takeWithin/dropWithin/" +
+          "mergeWithin, scan(partition=...)) at scale")), lit(true)))
+      case None => df
+    }
+
+  /** Guard for ops that don't already carry a global row number: adds
+    * one over the same (cheap: same single-partition sort) window. */
+  private[core] def globalOrderGuard(df: DataFrame,
+                                     w0: org.apache.spark.sql.expressions.WindowSpec): DataFrame =
+    guardLimit(df) match {
+      case Some(_) =>
+        enforceGuard(df.withColumn("__gg", row_number().over(w0)),
+          col("__gg")).drop("__gg")
+      case None => df
+    }
+
   /** `each` (Util.hs:76): source from a local collection. */
   def each[A: Encoder](spark: SparkSession, xs: Seq[A]): Source[A] =
     Source(spark.createDataset(xs))

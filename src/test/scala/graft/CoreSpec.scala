@@ -209,6 +209,37 @@ class CoreSpec extends AnyFunSuite {
     assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("global-order guard enforces the driver-sized-stream contract") {
+    import spark.implicits._
+    val df = spark.range(10).toDF("x")
+    spark.conf.set(Source.MaxGlobalOrderedRows, "5")
+    try {
+      // over the limit: the global window op must raise
+      val ex = intercept[Exception] {
+        Source(df).takeWhile(col("x") < 100, Seq(col("x"))).toDF.count()
+      }
+      def rootMsg(t: Throwable): String = {
+        var m = ""
+        var cur: Throwable = t
+        while (cur != null) { m += Option(cur.getMessage).getOrElse(""); cur = cur.getCause }
+        m
+      }
+      assert(rootMsg(ex).contains("maxGlobalOrderedRows"))
+      intercept[Exception] {
+        Source(df.limit(4)).merge(Source(df.limit(4)), Seq(col("x")))
+          .toDF.count() // 8 interleaved rows > 5
+      }
+      // at-or-under the limit: unchanged results
+      val ok = Source(df.limit(5)).takeWhile(col("x") < 3, Seq(col("x")))
+        .toDF.as[Long].collect().toSeq
+      assert(ok == Seq(0L, 1L, 2L))
+      // keyed variants are the scale path: never guarded
+      val keyed = Source(df.withColumn("k", col("x") % 2))
+        .takeWithin(3, Seq(col("k")), Seq(col("x"))).toDF.count()
+      assert(keyed == 6)
+    } finally spark.conf.unset(Source.MaxGlobalOrderedRows)
+  }
+
   test("StatePump.duplicate: checkpoint a fold mid-stream and branch (Core.hs:170)") {
     val summer = StatePump.lfold[Int, Int, Int](0)(_ + _)(s => s)
     val half = summer.sendAll(1 to 10) // the reference's summer demo

@@ -49,6 +49,21 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain && salted.nonEmpty)
   }
 
+  test("graded dedup/ANN plans are cartesian-free") {
+    // the 100 TB claim, machine-checked: no CartesianProduct /
+    // BroadcastNestedLoopJoin anywhere in the graded plans (knnBrute is
+    // excluded — its broadcast-queries × corpus-scan shape is the
+    // intended exact baseline and the cross there is the semantics)
+    for (q <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_ngram_jaccard",
+                  "q_dedup_embed", "q_knn_lsh")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a cartesian:\n$plan")
+    }
+  }
+
   test("bucketed-on-key join plans without a shuffle exchange") {
     val t = graft.tables.Tables(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("graft_bkt")

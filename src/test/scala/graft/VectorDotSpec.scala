@@ -34,6 +34,37 @@ class VectorDotSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("vec_normalize: unit length, and scale-invariant direction") {
+    import spark.implicits._
+    graft.functions.VecNormalize.register(spark)
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 100).map(i =>
+        (i.toLong, Array.fill(32)(rnd.nextFloat() * 4 - 2)))
+      .toDF("id", "v")
+    VectorDot.register(spark)
+    val bad = df.select(expr("vec_dot(vec_normalize(v), vec_normalize(v))")
+        .as("n2")).where(abs(col("n2") - 1.0) > 1e-12)
+    assert(bad.count() == 0)
+  }
+
+  test("hyperplane_lsh: deterministic, bucket-ranged, sign-scale-invariant") {
+    import spark.implicits._
+    graft.functions.HyperplaneLsh.register(spark)
+    graft.functions.VecNormalize.register(spark)
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 100).map(i =>
+        (i.toLong, Array.fill(16)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "v")
+    val out = df.select(col("id"),
+      expr("hyperplane_lsh(v, 8, 6)").as("a"),
+      expr("hyperplane_lsh(v, 8, 6)").as("b"),
+      // positive scaling never changes any sign ⇒ identical buckets
+      expr("hyperplane_lsh(transform(v, x -> x * 3.0), 8, 6)").as("c"))
+    assert(out.where(expr("a <> b or a <> c")).count() == 0)
+    assert(out.where(expr(
+      "size(a) <> 8 or exists(a, x -> x < 0 or x >= 64)")).count() == 0)
+  }
+
   test("vec_dot survives whole-stage codegen in a join pipeline") {
     import spark.implicits._
     VectorDot.register(spark)
