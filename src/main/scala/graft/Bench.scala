@@ -46,7 +46,13 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Some(Option(e.getMessage).getOrElse(e.getClass.getName))
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolation, outside the timing: queries that Eager-cache an
+      // intermediate (dedup/ANN) must not leave it resident to distort
+      // their neighbors' memory/GC profile (a query still pays its OWN
+      // cache materialization inside its timing).
+      spark.catalog.clearCache()
+      (name, dt, err)
     }
     val qs = results.map { case (k, v, e) =>
       "\"" + k + (e match {

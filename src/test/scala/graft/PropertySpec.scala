@@ -69,6 +69,37 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Source Num lift is liftA2: pairwise sums, commutative as multiset") {
+    import spark.implicits._
+    check("numLift", Prop.forAll { (a0: List[Int], b0: List[Int]) =>
+      // bounded: ANSI mode (correctly) raises on integer overflow, and
+      // the law is about pairing, not 32-bit wraparound
+      val a = a0.take(6).map(_ % 100000)
+      val b = b0.take(6).map(_ % 100000)
+      a.isEmpty || b.isEmpty || {
+        val sa = Source(a.toDF("x")); val sb = Source(b.toDF("y"))
+        val ab = (sa + sb).toDF.as[Int].collect().toList.sorted
+        val ba = (sb + sa).toDF.as[Int].collect().toList.sorted
+        val expect = (for (x <- a; y <- b) yield x + y).sorted
+        ab == expect && ba == expect
+      }
+    })
+  }
+
+  test("StatePump comonad: duplicate checkpoints, sendAll is monoidal") {
+    import graft.core.StatePump
+    check("pump", Prop.forAll { (xs: List[Int], ys: List[Int]) =>
+      val p = StatePump.lfold[Int, Int, Int](0)(_ + _)(s => s)
+      // extract . duplicate == id (the checkpoint is the pump itself)
+      val mid = p.sendAll(xs)
+      val branch = mid.duplicate.extract
+      // a branch and the original diverge independently from the checkpoint
+      branch.sendAll(ys).extract == xs.sum + ys.sum &&
+        mid.extract == xs.sum &&
+        p.sendAll(xs ++ ys).extract == p.sendAll(xs).sendAll(ys).extract
+    })
+  }
+
   test("jaccard is symmetric, bounded, and 1 on equal sets") {
     import spark.implicits._
     check("jaccard", Prop.forAll { (a0: List[String], b0: List[String]) =>
