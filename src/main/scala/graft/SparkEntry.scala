@@ -68,6 +68,8 @@ object SparkEntry {
     "q_approx_distinct" -> (Q.qApproxDistinct _),
     // §2.5 LLM-data-pipeline
     "q_tokens" -> (Q.qTokens _),
+    "q_scrub" -> (Q.qScrub _),
+    "q_ngram_top" -> (Q.qNgramTop _),
     "q_quality" -> (Q.qQuality _),
     "q_langid" -> (Q.qLangId _),
     "q_fingerprint" -> (Q.qFingerprint _),

@@ -418,6 +418,31 @@ object Oracles {
         |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // identical RE2-safe patterns to TextFunctions.urlRe/emailRe
+    "q_scrub" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |    'https?://[^\s]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean FROM documents)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(text, 'https?://[^\s]+')) as bigint)
+        |    AS n_urls,
+        |  cast(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint)
+        |    AS n_emails,
+        |  cast(length(clean) as bigint) AS clean_len,
+        |  md5(clean) AS clean_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_top" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+         |b AS (SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1])) AS bigram
+         |  FROM t WHERE len(toks) >= 2)
+         |SELECT bigram, $CNT AS n FROM b GROUP BY 1
+         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT fp, cast(min(doc_id) as bigint) AS keep_id,
         |  cast(count(*) as bigint) AS n

@@ -585,6 +585,33 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** #66c scrub: URL/e-mail masking + whitespace normalization — the
+    * standard pre-tokenization cleaning stage of a training-data
+    * pipeline. Counts make the masking itself oracle-visible. */
+  def qScrub(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(urlRe), lit(0)))
+          .cast("long").as("n_urls"),
+        size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        length(scrubText(col("text"))).cast("long").as("clean_len"),
+        md5(scrubText(col("text"))).as("clean_fp"))
+      .orderBy("doc_id")
+
+  /** #65b vocabulary heavy-hitters: top-20 bigrams by frequency — the
+    * n-gram statistics pass (tokenizer/vocab work). Partial-agg count
+    * then TakeOrderedAndProject: the never-full-sort top-k shape. */
+  def qNgramTop(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents
+      .selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")
+      .where(size(col("toks")) >= 2)
+      .selectExpr(
+        """explode(transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
+          |  AS bigram""".stripMargin)
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(20)
+
   /** #66 document fingerprinting. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents

@@ -42,6 +42,19 @@ object TextFunctions {
   val frStop = Seq("le", "la", "les", "et", "est", "une", "des")
   val esStop = Seq("el", "los", "las", "y", "es", "una", "por")
 
+  /** Training-data scrub patterns — RE2-safe (no lookaround), so the
+    * DuckDB oracle applies the IDENTICAL regexes. */
+  val urlRe = "https?://[^\\s]+"
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Scrub (§2.5 #66c): mask URLs then e-mails (URLs first — they can
+    * contain `@`), collapse the whitespace runs the masking leaves,
+    * trim. Pure per-row column math: scan-speed at any scale. */
+  def scrubText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(regexp_replace(c, urlRe, "<URL>"), emailRe, "<EMAIL>"),
+      "\\s+", " "))
+
   /** CJK character count (the zh signal). */
   def cjkCount(c: Column): Column =
     size(regexp_extract_all(c, lit("[\\u4e00-\\u9fff]"), lit(0)))

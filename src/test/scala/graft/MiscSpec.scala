@@ -60,6 +60,21 @@ class MiscSpec extends AnyFunSuite {
     assert(j.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("scrubText masks urls and emails, collapses whitespace (#66c)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      "see https://ex.com/a?b=1 and  mail bob@ex.co.uk  now",
+      "no links here",
+      "edge http://x.y@z.io trailing").toDF("text")
+    val got = df.select(graft.text.TextFunctions.scrubText(col("text")))
+      .as[String].collect().toSeq
+    assert(got == Seq(
+      "see <URL> and mail <EMAIL> now",
+      "no links here",
+      "edge <URL> trailing")) // @ inside a URL is masked as URL, not email
+  }
+
   test("multimodal: pack → describe/features/resize/frames (#67)") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "en", "srcA"),
