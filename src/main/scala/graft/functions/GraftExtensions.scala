@@ -18,6 +18,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Rule[LogicalPlan]: rewrite the declarative SQL-fold dot product
+    // into the native VectorDot loop wherever it appears in a plan.
+    ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

@@ -13,14 +13,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * array per row and interprets three lambdas per element; in the O(n²)
   * pair stage of similarity search that interpreter cost dominates. This
   * expression generates a tight Java loop instead (and its interpreted
-  * path is a plain while loop). The summation order is the same
-  * ascending sequential fold, so results stay bit-identical to the
-  * fold-based formulation the DuckDB oracle mirrors.
+  * path is a plain while loop).
+  *
+  * Exact drop-in semantics for the fold it replaces (this is what lets
+  * [[DotProductRewrite]] substitute it inside arbitrary user plans):
+  * the summation is the same ascending sequential fold (bit-identical
+  * results, the property the DuckDB oracle mirrors); a null element or
+  * a length mismatch yields NULL — exactly how `zip_with` null-padding
+  * propagates through the `+` fold.
   */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true // ragged/null-element ⇒ null
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(t: DataType) = t match {
@@ -36,10 +43,15 @@ case class VectorDot(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -49,10 +61,14 @@ case class VectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |if ($b.numElements() != $n) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -25,6 +25,32 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect()(0).getDouble(0)
       assert(got == 11.0)
+
+      // Rule[LogicalPlan]: the declarative fold is rewritten to the
+      // native expression (range() keeps the relation non-local so
+      // ConvertToLocalRelation can't pre-evaluate the projection)
+      val fold =
+        """aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
+          |  (acc, v) -> acc + v)""".stripMargin
+      val df = spark.sql(
+        s"""SELECT $fold AS d FROM (
+           |  SELECT array(cast(id as double), 2.0D) AS a,
+           |         array(3.0D, 4.0D) AS b FROM range(2))""".stripMargin)
+      assert(df.queryExecution.optimizedPlan.expressions.exists(
+          _.exists(_.isInstanceOf[graft.functions.VectorDot])),
+        s"fold not rewritten:\n${df.queryExecution.optimizedPlan}")
+      assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(8.0, 11.0))
+      // ...and with the fold's exact semantics on the edge rows: NULL on
+      // ragged or null-element arrays, +0.0 on empty — compared
+      // null-sensitively (<=>) against the un-rewritten fold
+      val parity = spark.sql(
+        s"""SELECT vec_dot(a, b) <=> $fold AS same FROM VALUES
+           |  (array(1.0D, 2.0D), array(3.0D, 4.0D)),
+           |  (array(1.0D), array(5.0D, 6.0D)),
+           |  (array(1.0D, NULL), array(2.0D, 3.0D)),
+           |  (cast(array() as array<double>), cast(array() as array<double>))
+           |AS t(a, b)""".stripMargin)
+      assert(parity.collect().forall(_.getBoolean(0)))
     } finally spark.stop()
   }
 }

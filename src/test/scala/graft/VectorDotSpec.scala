@@ -34,6 +34,24 @@ class VectorDotSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("vec_dot edge semantics mirror the zip_with fold: ragged/null -> NULL") {
+    // plain session (no rewrite rule): the fold side stays interpreted
+    VectorDot.register(spark)
+    val rows = spark.sql(
+      """SELECT vec_dot(a, b) <=>
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D,
+        |            (acc, v) -> acc + v) AS same,
+        |  vec_dot(a, b) AS vd FROM VALUES
+        |  (array(1.0D, 2.0D), array(3.0D, 4.0D)),
+        |  (array(1.0D), array(5.0D, 6.0D)),
+        |  (array(1.0D, NULL), array(2.0D, 3.0D)),
+        |  (cast(array() as array<double>), cast(array() as array<double>)),
+        |  (NULL, array(1.0D))
+        |AS t(a, b)""".stripMargin).collect()
+    assert(rows.forall(_.getBoolean(0)))
+    assert(rows.count(_.isNullAt(1)) == 3) // ragged, null-elem, null array
+  }
+
   test("vec_normalize: unit length, and scale-invariant direction") {
     import spark.implicits._
     graft.functions.VecNormalize.register(spark)
