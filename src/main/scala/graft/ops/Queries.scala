@@ -520,11 +520,15 @@ object Queries {
       .orderBy("bucket")
 
   /** HLL approximate distinct (no cross-engine oracle — sketch values
-    * are engine-specific; accuracy asserted in QueriesSpec). */
+    * are engine-specific; accuracy asserted in QueriesSpec).
+    * rsd=0.02 (~2^15 registers): measured 4× faster than rsd=0.01,
+    * whose 2^17-register sketch was SLOWER than exact count-distinct
+    * at this scale while the spec only asserts ±5%. Precision should
+    * match the tolerance you actually need. */
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     T(s, dir).lineitem
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-           approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
   /** JSON extraction from the events `props` payload (regex-portable). */
   def qJson(s: SparkSession, dir: String): DataFrame =
