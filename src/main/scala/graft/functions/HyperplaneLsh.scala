@@ -35,9 +35,15 @@ case class HyperplaneLsh(child: Expression, tables: Int, bits: Int,
       s"hyperplane_lsh expects array<double>, got ${t.simpleString}")
   }
 
+  override def nullable: Boolean = true // null element ⇒ null result
+
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val dim = x.numElements()
+    // registered SQL fn, arbitrary arrays: a null element has no
+    // defined sign pattern — yield NULL rather than reading garbage
+    var j = 0
+    while (j < dim) { if (x.isNullAt(j)) return null; j += 1 }
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

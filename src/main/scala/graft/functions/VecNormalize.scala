@@ -34,6 +34,8 @@ case class VecNormalize(child: Expression)
       s"vec_normalize expects array<float|double>, got ${t.simpleString}")
   }
 
+  override def nullable: Boolean = true // null element ⇒ null result
+
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
@@ -42,6 +44,10 @@ case class VecNormalize(child: Expression)
     val n = x.numElements()
     val d = new Array[Double](n)
     var i = 0
+    // registered SQL fn, arbitrary arrays: a null element has no
+    // defined direction — yield NULL rather than reading garbage
+    while (i < n) { if (x.isNullAt(i)) return null; i += 1 }
+    i = 0
     if (isFloat) while (i < n) { d(i) = x.getFloat(i).toDouble; i += 1 }
     else while (i < n) { d(i) = x.getDouble(i); i += 1 }
     var acc = 0.0
@@ -65,10 +71,15 @@ case class VecNormalize(child: Expression)
          |int $n = $a.numElements();
          |double[] $arr = new double[$n];
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $arr[$i] = $get($i); }
-         |for (int $i = 0; $i < $n; $i++) { $acc += $arr[$i] * $arr[$i]; }
-         |double $nrm = java.lang.Math.sqrt($acc);
-         |for (int $i = 0; $i < $n; $i++) { $arr[$i] /= $nrm; }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $arr[$i] = $get($i);
+         |}
+         |if (!${ev.isNull}) {
+         |  for (int $i = 0; $i < $n; $i++) { $acc += $arr[$i] * $arr[$i]; }
+         |  double $nrm = java.lang.Math.sqrt($acc);
+         |  for (int $i = 0; $i < $n; $i++) { $arr[$i] /= $nrm; }
+         |}
          |${ev.value} =
          |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
        """.stripMargin

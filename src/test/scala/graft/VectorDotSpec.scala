@@ -63,6 +63,12 @@ class VectorDotSpec extends AnyFunSuite {
     val bad = df.select(expr("vec_dot(vec_normalize(v), vec_normalize(v))")
         .as("n2")).where(abs(col("n2") - 1.0) > 1e-12)
     assert(bad.count() == 0)
+    // null elements: no defined direction/sign pattern -> NULL result
+    graft.functions.HyperplaneLsh.register(spark)
+    val nulls = spark.sql(
+      """SELECT vec_normalize(a) AS vn, hyperplane_lsh(a, 4, 4) AS hl
+        |FROM VALUES (array(1.0D, NULL)) AS t(a)""".stripMargin).collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("hyperplane_lsh: deterministic, bucket-ranged, sign-scale-invariant") {
