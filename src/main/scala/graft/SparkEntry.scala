@@ -71,6 +71,7 @@ object SparkEntry {
     "q_scrub" -> (Q.qScrub _),
     "q_ngram_top" -> (Q.qNgramTop _),
     "q_quality" -> (Q.qQuality _),
+    "q_repetition" -> (Q.qRepetition _),
     "q_langid" -> (Q.qLangId _),
     "q_fingerprint" -> (Q.qFingerprint _),
     "q_dedup_exact" -> (Q.qDedupExact _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "q_dedup_embed" -> (Q.qDedupEmbed _),
     "q_knn_brute" -> (Q.qKnnBrute _),
     "q_knn_lsh" -> (Q.qKnnLsh _),
+    "q_knn_ivf" -> (Q.qKnnIvf _),
     "q_multimodal" -> (Q.qMultimodal _),
     // §2.6 streaming twins (batch-equivalent checks)
     "q_stream_window" -> (Q.qStreamWindow _),

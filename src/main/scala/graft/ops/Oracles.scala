@@ -435,6 +435,31 @@ object Oracles {
         |  md5(clean) AS clean_fp
         |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, toks, list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1]) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |tt AS (SELECT doc_id, max(c) AS top_tok FROM (
+         |    SELECT doc_id, tk, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(toks) AS tk FROM g)
+         |    GROUP BY doc_id, tk) GROUP BY doc_id),
+         |tb AS (SELECT doc_id, max(c) AS top_bg FROM (
+         |    SELECT doc_id, b, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(bg) AS b FROM g)
+         |    GROUP BY doc_id, b) GROUP BY doc_id)
+         |SELECT g.doc_id,
+         |  cast(len(toks) as bigint) AS n_toks,
+         |  1.0 - cast(len(list_distinct(toks)) as double)
+         |    / cast(len(toks) as double) AS dup_ratio,
+         |  cast(top_tok as double) / cast(len(toks) as double)
+         |    AS top_tok_frac,
+         |  cast(top_bg as double) / cast(len(bg) as double)
+         |    AS top_bigram_frac
+         |FROM g JOIN tt ON g.doc_id = tt.doc_id
+         |       JOIN tb ON g.doc_id = tb.doc_id
+         |ORDER BY g.doc_id""".stripMargin,
+
     "q_ngram_top" ->
       s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
          |b AS (SELECT unnest(list_transform(range(1, len(toks)),

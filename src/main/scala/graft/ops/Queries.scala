@@ -616,6 +616,50 @@ object Queries {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(20)
 
+  /** #64b repetition signals (Gopher-style quality filters): duplicate
+    * -token ratio, top-unigram fraction, top-bigram fraction. All exact
+    * rational arithmetic (counts + one division) — bit-identical across
+    * engines, unlike entropy-style signals whose transcendental log is
+    * not ulp-stable between libm implementations.
+    *
+    * The heavy-hitter counts are RELATIONAL — explode → map-side
+    * partial-agg count → per-doc max — not per-row array lambdas: the
+    * lambda form (`transform(distinct, t -> size(filter(toks, x=t)))`)
+    * is O(distinct·n) interpreted per row and measured 3–4.6 s at
+    * sf0.1; the exploded aggregation is codegen'd end to end (1.3 s)
+    * and is exactly the shape that survives 100 TB (partial aggregates
+    * absorb the ×n_tokens row inflation map-side). */
+  def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.core.Eager(T(s, dir).documents
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", s"${graft.dedup.Dedup.toksExpr} AS toks")
+      .where(size(col("toks")) >= 2)
+      .selectExpr("doc_id", "toks",
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
+          |  AS bg""".stripMargin))
+    val counts = base.select(col("doc_id"),
+      size(col("toks")).as("n_toks"),
+      size(array_distinct(col("toks"))).as("n_dist"),
+      size(col("bg")).as("n_bg"))
+    def top(arr: String, out: String) = base
+      .select(col("doc_id"), explode(col(arr)).as("x"))
+      .groupBy("doc_id", "x").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as(out))
+    counts
+      .join(top("toks", "top_tok"), "doc_id")
+      .join(top("bg", "top_bg"), "doc_id")
+      .select(col("doc_id"),
+        col("n_toks").cast("long").as("n_toks"),
+        (lit(1.0) - col("n_dist").cast("double") /
+          col("n_toks").cast("double")).as("dup_ratio"),
+        (col("top_tok").cast("double") / col("n_toks").cast("double"))
+          .as("top_tok_frac"),
+        (col("top_bg").cast("double") / col("n_bg").cast("double"))
+          .as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** #66 document fingerprinting. */
   def qFingerprint(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents
@@ -661,6 +705,12 @@ object Queries {
     * the spec against the brute-force baseline). */
   def qKnnLsh(s: SparkSession, dir: String): DataFrame =
     graft.sim.Similarity.knnLsh(T(s, dir).embeddings, col("vec_id") < 5, 3)
+      .orderBy("qid", "rank")
+
+  /** #62b IVF ANN top-3 — the cell-probing ANN family (approximate; no
+    * SQL oracle; recall asserted in the spec vs brute force). */
+  def qKnnIvf(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.knnIvf(T(s, dir).embeddings, col("vec_id") < 5, 3)
       .orderBy("qid", "rank")
 
   /** #66b winnowing: rolling window (w=4) of portable token hashes, keep

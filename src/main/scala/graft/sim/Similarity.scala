@@ -144,6 +144,60 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** IVF (inverted-file) assignment: each vector keyed to its nearest
+    * of `k` centroids — the other classic ANN family (cell-probing vs
+    * LSH's hashing). Centroids here are a deterministic sample (first
+    * `k` by vec_id, unit-normalized); production would train them
+    * (k-means on a sample, offline) and broadcast — the assignment
+    * shape is identical either way: broadcast k centroids, one linear
+    * scan, argmax by window over the per-vector candidate scores, no
+    * shuffle of the corpus beyond its vec_id partitioning. Returns
+    * (assigned(vec_id, ne, cid), centroids(cid, ce)), both cached. */
+  def ivfAssign(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    graft.functions.VectorDot.register(emb.sparkSession)
+    val pv = graft.core.Eager(normalized(emb).select(col("vec_id"), col("ne")))
+    val cents = graft.core.Eager(pv.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("ne").as("ce")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = graft.core.Eager(pv.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("vec_dot(ne, ce)"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("ne"), col("cid")))
+    (assigned, cents)
+  }
+
+  /** IVF ANN top-k: each query probes its `probes` nearest centroid
+    * cells; candidates are the vectors assigned there, reranked by
+    * exact native dot. Cell sizes are ~n/centroids, so probe joins stay
+    * cell-local — the candidate count is (probes/centroids)·n per
+    * query regardless of total scale. Approximate by design (recall
+    * vs [[knnBrute]] asserted in the spec). */
+  def knnIvf(emb: DataFrame, queryPred: Column, k: Int,
+             centroids: Int = 16, probes: Int = 4): DataFrame = {
+    val (assigned, cents) = ivfAssign(emb, centroids)
+    val q = assigned.where(queryPred)
+      .select(col("vec_id").as("qid"), col("ne").as("qe"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("vec_dot(qe, ce)"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))))
+      .where(col("prn") <= probes)
+      .select("qid", "qe", "cid")
+    val c = assigned.select(col("cid"), col("vec_id").as("vid"),
+      col("ne").as("ce2"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vid"))
+    probed.join(c, "cid")
+      .where(col("qid") =!= col("vid"))
+      .dropDuplicates("qid", "vid")
+      .withColumn("cos", expr("vec_dot(qe, ce2)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
   /** ANN top-k: candidates share an LSH bucket in ≥1 table, reranked by
     * exact cosine (normalize-once + native dot, like every other path).
     * Approximate by design (no SQL oracle; recall is asserted in the

@@ -58,6 +58,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low; lsh=$lsh brute=$brute")
   }
 
+  test("knnIvf: high recall vs brute on clustered data") {
+    val brute = Similarity.knnBrute(emb, col("vec_id") < 3, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnIvf(emb, col("vec_id") < 3, 3,
+        centroids = 6, probes = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low; ivf=$ivf brute=$brute")
+  }
+
+  test("knnIvf: high recall vs brute on the real sf0.01 embeddings") {
+    val e = graft.tables.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = Similarity.knnBrute(e, col("vec_id") < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.knnIvf(e, col("vec_id") < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
   test("embedPairs: outlier joins no pair, clusters pair up") {
     val pairs = Similarity.embedPairs(emb, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
