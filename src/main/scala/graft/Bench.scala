@@ -14,8 +14,7 @@ import org.apache.spark.sql.SparkSession
   * iteration, e.g. SPARK_GRAFT_QUERIES='q_dedup_.*' — the driver never
   * sets it, so graded runs always cover the full surface. */
 object Bench {
-  private def jstr(s: String): String =
-    "\"" + s.replaceAll("[\\\\\"\\n\\r\\t]", " ").take(120) + "\""
+  private def jstr(s: String): String = Jsons.quote(s.take(120))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

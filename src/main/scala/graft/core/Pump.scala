@@ -59,9 +59,12 @@ final case class StatePump[A, S, B](state: S, onSend: (S, A) => S,
     * extract at any point is the WHOLE pump frozen at that state, i.e. a
     * checkpoint that can be branched: the reference's `duplicate summer`
     * demo folds half a stream, duplicates, and resumes the two copies
-    * independently without re-reading the prefix. */
+    * independently without re-reading the prefix. The duplicate's recv
+    * advances state exactly as the original's does (extract∘duplicate =
+    * id AND the dynamics mirror — not only for identity-transition
+    * folds). */
   def duplicate: StatePump[A, S, StatePump[A, S, B]] =
-    StatePump(state, onSend, s => (copy(state = s), s))
+    StatePump(state, onSend, s => (copy(state = s), onRecv(s)._2))
 }
 
 object StatePump {

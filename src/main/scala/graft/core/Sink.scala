@@ -21,13 +21,10 @@ final case class Sink[A](run: Dataset[A] => Unit) {
     Sink(ds => run(f(ds)))
 
   /** Semigroup `<>` (Sink.hs:127): both sinks consume every element; the
-    * upstream is computed once. The Divisible special case
+    * upstream is computed once. Literally the Divisible special case
     * `divide (\x -> (x, x))` (Sink.hs:119). */
-  def both(other: Sink[A]): Sink[A] = Sink { ds =>
-    val cached = ds.persist(StorageLevel.MEMORY_AND_DISK)
-    try { run(cached); other.run(cached) }
-    finally cached.unpersist(blocking = false)
-  }
+  def both(other: Sink[A]): Sink[A] =
+    Sink.divide[A, A, A](identity, identity)(this, other)
 }
 
 object Sink {

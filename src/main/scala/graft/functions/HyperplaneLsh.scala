@@ -78,12 +78,19 @@ object HyperplaneLsh {
     ((z >>> 11) * (1.0 / (1L << 53))) * 2.0 - 1.0
   }
 
+  /** Numeric-literal args arrive as whatever box the SQL parser chose
+    * (Integer for `7`, Long for `7L`) — unbox tolerantly, don't cast. */
+  private def num(e: Expression): Long = e.eval() match {
+    case n: java.lang.Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"hyperplane_lsh expects literal numeric args, got $other")
+  }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_lsh",
       exprs => HyperplaneLsh(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int],
-        if (exprs.length > 3) exprs(3).eval().asInstanceOf[Long] else 42L),
+        num(exprs(1)).toInt, num(exprs(2)).toInt,
+        if (exprs.length > 3) num(exprs(3)) else 42L),
       "built-in")
 }

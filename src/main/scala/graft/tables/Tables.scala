@@ -20,7 +20,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   // get/putIfAbsent, not computeIfAbsent: the events loader memoizes a
   // frame derived from another memoized entry, and CHM forbids nested
   // updates inside a mapping function ("Recursive update").
+  // Assumes table dirs are immutable for the session (true for the
+  // driver's generated testdata): the memoized plan snapshots the file
+  // listing. Bounded: plans are small but sessions come and go in test
+  // suites — reset rather than retain stopped sessions forever.
   private def memo(name: String)(mk: => DataFrame): DataFrame = {
+    if (Tables.memo.size > 512) Tables.memo.clear()
     val k = (spark, dir, name)
     val hit = Tables.memo.get(k)
     if (hit != null) hit

@@ -250,5 +250,11 @@ class CoreSpec extends AnyFunSuite {
     assert(branchA.extract == 210)
     assert(branchB.extract == 155)
     assert(checkpoint.extract == 55) // the checkpoint itself is unmoved
+    // recv-ADVANCING pump (not an identity-transition fold): the
+    // duplicate must mirror the original's recv state dynamics
+    val drain = StatePump[Int, Int, Int](5, _ + _, s => (s, 0))
+    assert(drain.recv()._2.state == 0)
+    val (frozen, dupAfter) = drain.duplicate.recv()
+    assert(frozen.state == 5 && dupAfter.state == 0)
   }
 }

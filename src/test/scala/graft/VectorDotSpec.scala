@@ -87,6 +87,12 @@ class VectorDotSpec extends AnyFunSuite {
     assert(out.where(expr("a <> b or a <> c")).count() == 0)
     assert(out.where(expr(
       "size(a) <> 8 or exists(a, x -> x < 0 or x >= 64)")).count() == 0)
+    // optional seed arg accepts a plain int literal (boxed Integer) and
+    // actually changes the planes
+    val seeded = df.select(
+      expr("hyperplane_lsh(v, 8, 6, 7)").as("s7"),
+      expr("hyperplane_lsh(v, 8, 6)").as("s42"))
+    assert(seeded.where(expr("s7 <> s42")).count() > 0)
   }
 
   test("vec_dot survives whole-stage codegen in a join pipeline") {
