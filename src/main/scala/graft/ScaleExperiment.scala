@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev main: the 10× scaling experiment behind SURVEY §5's measured
+  * claims. Builds a ~sf1 dataset in /tmp by replicating sf0.1 with a
+  * deterministic per-replica perturbation, then times the shuffle- and
+  * CPU-heavy queries at both scales and prints the scaling factor
+  * (ideal for a fixed 32-core box is ≈10× for linear operators).
+  *
+  * Perturbation design: every 5th token (offset by replica) gets a
+  * replica-tagged suffix, so cross-replica Jaccard drops to ≈0.35 —
+  * far below the 0.8 dedup threshold — while each replica's PLANTED
+  * near-dup pairs stay aligned (their token streams are modified at
+  * the same positions) and still detected. Replica structure must not
+  * manufacture new near-dups, or the 10× run would measure an output
+  * 100× larger instead of the same workload at 10× input.
+  *
+  * Usage: runMain graft.ScaleExperiment [queriesRegex]
+  */
+object ScaleExperiment {
+  private val srcSf = "/root/testdata/sf0.1"
+  private val bigSf = "/tmp/graft_sf1"
+  private val replicas = 10
+
+  private def gen(spark: SparkSession): Unit = {
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+        s"$bigSf/documents.parquet"))) return
+    println(s"[scale] generating $bigSf (${replicas}x $srcSf)")
+    val t = graft.tables.Tables(spark, srcSf)
+    val r = spark.range(replicas).select(col("id").cast("int").as("rep"))
+
+    def replicate(df: DataFrame): DataFrame = df.crossJoin(broadcast(r))
+
+    replicate(t.documents)
+      .withColumn("doc_id",
+        col("doc_id") + col("rep").cast("long") * 1000000L)
+      .withColumn("text", expr(
+        """array_join(transform(split(text, ' '),
+          |  (tk, j) -> IF((j + rep) % 5 = 0,
+          |    concat(tk, '_x', cast(rep as string)), tk)), ' ')"""
+          .stripMargin))
+      .drop("rep")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$bigSf/documents.parquet")
+
+    replicate(t.embeddings)
+      .withColumn("vec_id",
+        col("vec_id") + col("rep").cast("long") * 1000000L)
+      // rotate the vector by `rep` positions: norm-preserving, cosine
+      // between replicas of one vector drops to the data's background
+      // level, so no cross-replica near-dups are manufactured
+      .withColumn("embedding", expr(
+        """transform(sequence(0, size(embedding) - 1),
+          |  i -> element_at(embedding,
+          |    ((i + rep) % size(embedding)) + 1))""".stripMargin))
+      .drop("rep")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$bigSf/embeddings.parquet")
+
+    replicate(t.lineitem)
+      .withColumn("l_orderkey",
+        col("l_orderkey") + col("rep").cast("long") * 100000000L)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$bigSf/lineitem.parquet")
+
+    replicate(t.orders)
+      .withColumn("o_orderkey",
+        col("o_orderkey") + col("rep").cast("long") * 100000000L)
+      .withColumn("o_custkey",
+        col("o_custkey") + col("rep").cast("long") * 10000000L)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$bigSf/orders.parquet")
+
+    // events keeps its nanos-as-long ts column: write it back out as-is
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    replicate(spark.read.parquet(s"$srcSf/events.parquet"))
+      .withColumn("event_id",
+        col("event_id") + col("rep").cast("long") * 100000000L)
+      .withColumn("user_id",
+        col("user_id") + col("rep").cast("long") * 10000000L)
+      .drop("rep")
+      .repartition(32).write.mode("overwrite")
+      .parquet(s"$bigSf/events.parquet")
+
+    // small dims referenced by some queries: copy unmodified
+    for (name <- Seq("region", "nation", "customer", "supplier", "part"))
+      spark.read.parquet(s"$srcSf/$name.parquet")
+        .write.mode("overwrite").parquet(s"$bigSf/$name.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    // q_dedup_embed (tau=0.45) is deliberately absent: at that
+    // near-random threshold ANY method does ~all-pairs work (sign-LSH
+    // passes ~98% of pairs; measured at 10x the 64-table candidate
+    // dedup spilled past the disk). The embed row below runs the same
+    // operator in its selective regime (tau=0.8, lshTablesFor-sized),
+    // which is the regime a real dedup pipeline runs in.
+    val only = args.headOption.getOrElse(
+      "q_dedup_minhash|q_dedup_simhash|q_ngram_jaccard|" +
+      "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within").r
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    gen(spark)
+    val embedTables = graft.sim.Similarity.lshTablesFor(0.8, 12, 0.01)
+    val embed08: (SparkSession, String) => DataFrame = (s, dir) =>
+      graft.sim.Similarity.embedPairsLsh(
+        graft.tables.Tables(s, dir).embeddings, 0.8,
+        tables = embedTables, bits = 12)
+    val picked = (SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.pattern.matcher(n).matches() }) :+
+      (s"embed_tau0.8(${embedTables}x12)" -> embed08)
+    def run(name: String,
+            fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+      val t0 = System.nanoTime()
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm codegen on the small scale first
+    picked.foreach { case (n, fn) => run(n, fn, srcSf) }
+    println(f"${"query"}%-18s ${"sf0.1"}%8s ${"sf1(10x)"}%9s  factor")
+    picked.foreach { case (n, fn) =>
+      val small = run(n, fn, srcSf)
+      val big = run(n, fn, bigSf)
+      println(f"$n%-18s $small%7.2fs $big%8.2fs  ${big / small}%5.1fx")
+    }
+    spark.stop()
+  }
+}
