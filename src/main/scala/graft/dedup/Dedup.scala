@@ -120,7 +120,12 @@ object Dedup {
 
   /** All qualifying pairs by n-gram Jaccard within equal-`block` groups
     * (#59): the verification primitive as a standalone operator. Blocking
-    * keys the shuffle — never all-pairs across blocks. */
+    * keys the shuffle — never all-pairs across blocks — but WITHIN a
+    * block this is exact pairwise listing, quadratic by definition
+    * (measured 258× wall-clock for 10× docs, ScaleExperiment). Use it
+    * on candidate sets / bounded blocks; discovery at corpus scale is
+    * [[minhashPairs]] (measured 2.9× for 10×), which feeds the same
+    * sorted-hash verify. */
   def ngramJaccardPairs(docs: DataFrame, block: String,
                         minJ: Double): DataFrame = {
     // Shingles are compared as sorted 64-bit hashes: set sizes and
