@@ -57,6 +57,8 @@ object SparkEntry {
     "q_rollup" -> (Q.qRollup _),
     "q_subquery" -> (Q.qSubquery _),
     "q_case_agg" -> (Q.qCaseAgg _),
+    "q_pivot" -> (Q.qPivot _),
+    "q_setops" -> (Q.qSetOps _),
     "q_string" -> (Q.qString _),
     "q_datetime" -> (Q.qDatetime _),
     "q_sessionize" -> (Q.qSessionize _),

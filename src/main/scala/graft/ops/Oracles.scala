@@ -185,6 +185,27 @@ object Oracles {
         |  WHERE event_id % 2 <> 0) u
         |ORDER BY event_id""".stripMargin,
 
+    "q_pivot" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  cast(count(CASE WHEN event_type = 'click' THEN 1 END) as bigint)
+        |    AS click,
+        |  cast(count(CASE WHEN event_type = 'view' THEN 1 END) as bigint)
+        |    AS view,
+        |  cast(count(CASE WHEN event_type = 'purchase' THEN 1 END) as bigint)
+        |    AS purchase,
+        |  cast(count(CASE WHEN event_type = 'signup' THEN 1 END) as bigint)
+        |    AS signup
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q_setops" ->
+      """WITH b AS (SELECT c_custkey AS k FROM customer
+        |           INTERSECT SELECT o_custkey FROM orders),
+        |n AS (SELECT c_custkey AS k FROM customer
+        |      EXCEPT SELECT o_custkey FROM orders)
+        |SELECT k, 'both' AS side FROM b
+        |UNION ALL SELECT k, 'never_ordered' AS side FROM n
+        |ORDER BY side, k""".stripMargin,
+
     "q_scan" ->
       """SELECT event_id, user_id,
         |  cast(sum(cast(value AS DECIMAL(18,4)))

@@ -530,6 +530,29 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** #51b pivot: per-day event counts spread into one column per event
+    * type (explicit value list ⇒ deterministic schema; Catalyst rewrites
+    * to the same conditional-agg shape as Q14 — one pass, partial agg). */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  /** #45b set operations: INTERSECT and EXCEPT (DISTINCT semantics),
+    * tagged and unioned — both are hash-partitioned semi/anti joins
+    * under the hood, no global sort. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val buyers = t.orders.select(col("o_custkey").as("k"))
+    val all = t.customer.select(col("c_custkey").as("k"))
+    val both = all.intersect(buyers).withColumn("side", lit("both"))
+    val never = all.except(buyers).withColumn("side", lit("never_ordered"))
+    both.unionByName(never).orderBy("side", "k")
+  }
+
   /** JSON extraction from the events `props` payload (regex-portable). */
   def qJson(s: SparkSession, dir: String): DataFrame =
     T(s, dir).events
