@@ -30,11 +30,16 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up: exercise scan, shuffle-agg, broadcast-join and window
     // codepaths once so JVM/codegen startup isn't billed to the first
-    // queries (alphabetically q1_agg/q3_join, which were absorbing ~2s)
-    SparkEntry.queries("q1_agg")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    SparkEntry.queries("q3_join")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
+    // queries (alphabetically q1_agg/q3_join, which were absorbing ~2s).
+    // Failures are ignored HERE so a broken environment still reaches
+    // the measured loop, which records the error per query and exits
+    // nonzero — the bench must always emit its JSON line.
+    for (q <- Seq("q1_agg", "q3_join"))
+      try SparkEntry.queries(q)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $q failed: ${e.getMessage}")
+      }
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.pattern.matcher(n).matches()) }
     val results = picked.map { case (name, fn) =>

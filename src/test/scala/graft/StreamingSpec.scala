@@ -96,6 +96,21 @@ class StreamingSpec extends AnyFunSuite {
 
   private val replayDir = "/root/testdata/sf0.001"
 
+  test("hourlyRollup replay == q_stream_window batch oracle (#69)") {
+    import spark.implicits._
+    val q = Streams.hourlyRollup(Streams.eventsStream(spark, replayDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rollup_replay")
+      .select("hour", "event_type", "n", "sv")
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Queries.qStreamWindow(spark, replayDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("sessionizeStream replay == q_sessionize batch oracle (#70b)") {
     import spark.implicits._
     val es = Streams.eventsStream(spark, replayDir)
