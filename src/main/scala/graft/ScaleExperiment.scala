@@ -25,8 +25,18 @@ object ScaleExperiment {
   private val replicas = 10
 
   private def gen(spark: SparkSession): Unit = {
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(
-        s"$bigSf/documents.parquet"))) return
+    // _SUCCESS marker written LAST: a crash mid-generation (or a code
+    // change — bump the marker version) must not leave partial/stale
+    // tables silently reused.
+    val marker = java.nio.file.Paths.get(s"$bigSf/_GRAFT_GEN_OK_v2")
+    if (java.nio.file.Files.exists(marker)) return
+    val root = java.nio.file.Paths.get(bigSf)
+    if (java.nio.file.Files.exists(root)) {
+      println(s"[scale] stale/partial $bigSf — regenerating")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     println(s"[scale] generating $bigSf (${replicas}x $srcSf)")
     val t = graft.tables.Tables(spark, srcSf)
     val r = spark.range(replicas).select(col("id").cast("int").as("rep"))
@@ -36,11 +46,15 @@ object ScaleExperiment {
     replicate(t.documents)
       .withColumn("doc_id",
         col("doc_id") + col("rep").cast("long") * 1000000L)
+      // every-5th-token tagging pushes cross-replica J to ~0.35 for
+      // normal docs; the appended replica sentinel guarantees replicas
+      // of a SHORT doc (fewer tokens than the first tagged position)
+      // still differ, so no cross-replica exact dups are manufactured
       .withColumn("text", expr(
-        """array_join(transform(split(text, ' '),
+        """concat(array_join(transform(split(text, ' '),
           |  (tk, j) -> IF((j + rep) % 5 = 0,
-          |    concat(tk, '_x', cast(rep as string)), tk)), ' ')"""
-          .stripMargin))
+          |    concat(tk, '_x', cast(rep as string)), tk)), ' '),
+          |  ' zzrep', cast(rep as string))""".stripMargin))
       .drop("rep")
       .repartition(32).write.mode("overwrite")
       .parquet(s"$bigSf/documents.parquet")
@@ -90,6 +104,7 @@ object ScaleExperiment {
     for (name <- Seq("region", "nation", "customer", "supplier", "part"))
       spark.read.parquet(s"$srcSf/$name.parquet")
         .write.mode("overwrite").parquet(s"$bigSf/$name.parquet")
+    java.nio.file.Files.createFile(marker)
   }
 
   def main(args: Array[String]): Unit = {
@@ -123,8 +138,11 @@ object ScaleExperiment {
             fn: (SparkSession, String) => DataFrame, dir: String): Double = {
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timing (like Bench): the 10x run tears down a 10x
+      // larger cache — billing that would skew the published factors
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      dt
     }
     // warm codegen on the small scale first
     picked.foreach { case (n, fn) => run(n, fn, srcSf) }

@@ -26,6 +26,13 @@ object Dedup {
     * weights by term frequency). */
   val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 
+  /** Adjacent word bigrams of `toks` (order-preserving, with
+    * multiplicity — vocabulary statistics and repetition signals). */
+  val bigramsExpr: String =
+    """transform(sequence(1, size(toks) - 1),
+      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+      .stripMargin
+
   /** Distinct word 3-gram shingles. */
   val shinglesExpr: String =
     s"""array_distinct(transform(sequence(1, size(toks) - 2),

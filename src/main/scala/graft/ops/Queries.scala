@@ -632,10 +632,7 @@ object Queries {
     T(s, dir).documents
       .selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")
       .where(size(col("toks")) >= 2)
-      .selectExpr(
-        """explode(transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))
-          |  AS bigram""".stripMargin)
+      .selectExpr(s"explode(${graft.dedup.Dedup.bigramsExpr}) AS bigram")
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(20)
 
@@ -658,9 +655,7 @@ object Queries {
       .selectExpr("doc_id", s"${graft.dedup.Dedup.toksExpr} AS toks")
       .where(size(col("toks")) >= 2)
       .selectExpr("doc_id", "toks",
-        """transform(sequence(1, size(toks) - 1),
-          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))
-          |  AS bg""".stripMargin))
+        s"${graft.dedup.Dedup.bigramsExpr} AS bg"))
     val counts = base.select(col("doc_id"),
       size(col("toks")).as("n_toks"),
       size(array_distinct(col("toks"))).as("n_dist"),

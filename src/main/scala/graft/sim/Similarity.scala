@@ -189,9 +189,11 @@ object Similarity {
       col("ne").as("ce2"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("vid"))
+    // no dedup needed (unlike knnLsh): every vector lives in exactly
+    // one cell and probed has one row per (qid, cid), so the cid join
+    // cannot produce a duplicate (qid, vid)
     probed.join(c, "cid")
       .where(col("qid") =!= col("vid"))
-      .dropDuplicates("qid", "vid")
       .withColumn("cos", expr("vec_dot(qe, ce2)"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
@@ -213,7 +215,7 @@ object Similarity {
       col("vec_id").as("vid"))
     val cands = q.join(c, Seq("table", "bucket"))
       .where(col("qid") =!= col("vid"))
-      .dropDuplicates("qid", "vid")
+      .dropDuplicates("qid", "vid") // a pair can collide in several tables
     val nq = pv.select(col("vec_id").as("qid"), col("ne").as("qe"))
     val nc = pv.select(col("vec_id").as("vid"), col("ne").as("ce"))
     val w = Window.partitionBy("qid")

@@ -23,9 +23,11 @@ final case class Tables(spark: SparkSession, dir: String) {
   // Assumes table dirs are immutable for the session (true for the
   // driver's generated testdata): the memoized plan snapshots the file
   // listing. Bounded: plans are small but sessions come and go in test
-  // suites — reset rather than retain stopped sessions forever.
+  // suites — evict stopped sessions' entries (never the live ones)
+  // when the map grows.
   private def memo(name: String)(mk: => DataFrame): DataFrame = {
-    if (Tables.memo.size > 512) Tables.memo.clear()
+    if (Tables.memo.size > 512)
+      Tables.memo.keySet.removeIf(_._1.sparkContext.isStopped)
     val k = (spark, dir, name)
     val hit = Tables.memo.get(k)
     if (hit != null) hit
