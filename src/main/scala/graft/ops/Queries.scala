@@ -504,13 +504,45 @@ object Queries {
       .orderBy("event_id")
   }
 
-  /** Exact interpolated percentiles per group (analytics staple). */
-  def qPercentile(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).orders.groupBy("o_orderstatus")
-      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
-           expr("percentile(o_totalprice, 0.9)").as("p90"),
+  /** Exact interpolated percentiles per group (analytics staple).
+    *
+    * Sort-based, not the built-in `percentile` aggregate: that
+    * TypedImperativeAggregate buffers a value-count map per group and
+    * serializes it whole between partial and final stages (~the entire
+    * column shipped through the shuffle). Here the group is sorted
+    * once (keyed window), each row knows its 0-based rank i and group
+    * size n, and for target position pos = p·(n−1) exactly the one or
+    * two straddling rows contribute `v·(⌈pos⌉−pos)` / `v·(pos−⌊pos⌋)`
+    * — summed per group, reproducing the built-in's interpolation
+    * (v_lo·(hi−pos) + v_hi·(pos−lo); IEEE addition of the two terms is
+    * commutative, so the value is bit-identical) with only scalar rows
+    * in the shuffle.
+    *
+    * Scale note: EXACT per-group percentiles concentrate each group's
+    * values on one task no matter the formulation (the built-in merges
+    * all partial maps of a group on one reducer; this form sorts the
+    * group in one window partition). With few huge groups the 100 TB
+    * path is `approx_percentile` (mergeable sketch, partial-agg) —
+    * exact is for when the contract demands it. */
+  def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    val byStatus = Window.partitionBy("o_orderstatus")
+    val w = byStatus.orderBy("o_totalprice")
+    def contrib(p: Double): Column = {
+      val pos = lit(p) * (col("n") - lit(1)).cast("double")
+      val v = col("o_totalprice")
+      when(floor(pos) === ceil(pos) && col("i") === floor(pos), v)
+        .when(col("i") === floor(pos), v * (ceil(pos) - pos))
+        .when(col("i") === ceil(pos), v * (pos - floor(pos)))
+    }
+    T(s, dir).orders
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .withColumn("i", row_number().over(w).cast("double") - 1)
+      .withColumn("n", count(lit(1)).over(byStatus))
+      .groupBy("o_orderstatus")
+      .agg(sum(contrib(0.5)).as("p50"), sum(contrib(0.9)).as("p90"),
            count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
+  }
 
   /** Fixed-width histogram of order totals (portable manual binning). */
   def qHistogram(s: SparkSession, dir: String): DataFrame =
