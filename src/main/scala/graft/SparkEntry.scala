@@ -88,6 +88,7 @@ object SparkEntry {
     "q_multimodal" -> (Q.qMultimodal _),
     // §2.6 streaming twins (batch-equivalent checks)
     "q_stream_window" -> (Q.qStreamWindow _),
+    "q_stream_sliding" -> (Q.qStreamSliding _),
     "q_stream_enrich" -> (Q.qStreamEnrich _),
   )
 

@@ -589,6 +589,19 @@ object Oracles {
          |  ${d4("value")} AS sv
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    // every event belongs to the two 1h windows starting at its
+    // half-hour truncation and 30 minutes before it (epoch-aligned,
+    // mirroring Spark's window(ts, '1 hour', '30 minutes'))
+    "q_stream_sliding" ->
+      s"""WITH t AS (SELECT
+         |    date_trunc('hour', ts) + CASE WHEN minute(ts) >= 30
+         |      THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS w1,
+         |    event_type, value FROM events),
+         |e AS (SELECT unnest([w1, w1 - INTERVAL 30 MINUTE]) AS wstart,
+         |    event_type, value FROM t)
+         |SELECT wstart, event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM e GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+
     "q_stream_enrich" ->
       s"""SELECT c_mktsegment, $CNT AS n
          |FROM events JOIN customer ON user_id = c_custkey

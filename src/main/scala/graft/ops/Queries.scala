@@ -811,6 +811,12 @@ object Queries {
     graft.streaming.Streams.hourlyRollup(T(s, dir).events)
       .orderBy("hour", "event_type")
 
+  /** #69b sliding-window counts (1 h window, 30 min slide) — same
+    * transform serves readStream with a watermark. */
+  def qStreamSliding(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.slidingRollup(T(s, dir).events)
+      .orderBy("wstart", "event_type")
+
   /** #71 stream-static enrichment join. */
   def qStreamEnrich(s: SparkSession, dir: String): DataFrame =
     graft.streaming.Streams

@@ -27,6 +27,22 @@ object Streams {
         col("n"), col("sv"))
   }
 
+  /** Sliding 1-hour/30-minute rollup per event type: each event lands
+    * in two overlapping windows (epoch-aligned, same as the oracle's
+    * half-hour truncation). Streaming: watermark bounds state exactly
+    * like [[hourlyRollup]]. */
+  def slidingRollup(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours")
+      else events
+    src.groupBy(window(col("ts"), "1 hour", "30 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(D4)).cast("double").as("sv"))
+      .select(col("window.start").as("wstart"), col("event_type"),
+        col("n"), col("sv"))
+  }
+
   /** Stream-static enrichment: events against a broadcast dimension. */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),
