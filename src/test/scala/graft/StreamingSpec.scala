@@ -52,6 +52,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.size == 3)
   }
 
+  test("slidingRollup over a stream equals the batch result (#69b)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rows = Seq(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:40:00"), "click", 2.0),
+      (ts("2024-01-01 11:05:00"), "view", 3.0))
+    val ms = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.slidingRollup(
+        ms.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    ms.addData(rows)
+    q.processAllAvailable()
+    val streamed = spark.table("sliding_out")
+      .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    q.stop()
+    val batch = Streams.slidingRollup(rows.toDF("ts", "event_type", "value"))
+      .orderBy("wstart", "event_type").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // the 10:40 click lands in both the 10:00 and 10:30 windows
+    assert(batch.count(r => r(1) == "click") == 3)
+  }
+
   test("runningTotal keeps per-key state across micro-batches (#70)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
