@@ -30,5 +30,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SortedIntersectCount].getName,
         "sorted_intersect_count"),
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_normalize"),
+      new ExpressionInfo(classOf[VecNormalize].getName, "vec_normalize"),
+      (exprs: Seq[Expression]) => VecNormalize(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_lsh"),
+      new ExpressionInfo(classOf[HyperplaneLsh].getName, "hyperplane_lsh"),
+      HyperplaneLsh.fromExprs))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (exprs: Seq[Expression]) => SimHash60(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
   }
 }

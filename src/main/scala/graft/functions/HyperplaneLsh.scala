@@ -86,11 +86,13 @@ object HyperplaneLsh {
       s"hyperplane_lsh expects literal numeric args, got $other")
   }
 
+  /** Shared builder for the session registry and the extensions plugin. */
+  val fromExprs: Seq[Expression] => HyperplaneLsh = exprs =>
+    HyperplaneLsh(exprs.head,
+      num(exprs(1)).toInt, num(exprs(2)).toInt,
+      if (exprs.length > 3) num(exprs(3)) else 42L)
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_lsh",
-      exprs => HyperplaneLsh(exprs.head,
-        num(exprs(1)).toInt, num(exprs(2)).toInt,
-        if (exprs.length > 3) num(exprs(3)) else 42L),
-      "built-in")
+      "hyperplane_lsh", fromExprs, "built-in")
 }

@@ -659,7 +659,12 @@ object Queries {
 
   /** #65b vocabulary heavy-hitters: top-20 bigrams by frequency — the
     * n-gram statistics pass (tokenizer/vocab work). Partial-agg count
-    * then TakeOrderedAndProject: the never-full-sort top-k shape. */
+    * then TakeOrderedAndProject: the never-full-sort top-k shape.
+    * Scale note: exact counting still shuffles every DISTINCT bigram
+    * once (post-partial-agg); at open-vocabulary 100 TB scale the
+    * frequency ESTIMATES come from a mergeable sketch (count-min /
+    * lossy counting) — exact is right whenever the vocab fits a
+    * shuffle, which n-gram vocabularies at trained-tokenizer sizes do. */
   def qNgramTop(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents
       .selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")

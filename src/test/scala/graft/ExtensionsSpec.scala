@@ -25,6 +25,16 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
         .collect()(0).getDouble(0)
       assert(got == 11.0)
+      // the whole native-function surface is injected cluster-wide
+      val row = spark.sql(
+        """SELECT size(vec_normalize(array(3.0D, 4.0D))) AS a,
+          |  size(hyperplane_lsh(array(1.0D, 2.0D), 4, 4)) AS b,
+          |  simhash60(array('x', 'y')) >= 0 AS c,
+          |  size(minhash_sig(array('x', 'y'))) AS d,
+          |  sorted_intersect_count(array(1L, 2L), array(2L, 3L)) AS e
+          |""".stripMargin).collect()(0)
+      assert(row.getInt(0) == 2 && row.getInt(1) == 4 &&
+        row.getBoolean(2) && row.getInt(3) == 64 && row.getLong(4) == 1L)
 
       // Rule[LogicalPlan]: the declarative fold is rewritten to the
       // native expression (range() keeps the relation non-local so
