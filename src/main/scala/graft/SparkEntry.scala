@@ -86,6 +86,7 @@ object SparkEntry {
     "q_knn_lsh" -> (Q.qKnnLsh _),
     "q_knn_ivf" -> (Q.qKnnIvf _),
     "q_multimodal" -> (Q.qMultimodal _),
+    "q_mm_pipeline" -> (Q.qMmPipeline _),
     // §2.6 streaming twins (batch-equivalent checks)
     "q_stream_window" -> (Q.qStreamWindow _),
     "q_stream_sliding" -> (Q.qStreamSliding _),

@@ -834,4 +834,17 @@ object Queries {
     graft.mm.Multimodal.describe(
       graft.mm.Multimodal.packBinary(T(s, dir).documents))
       .orderBy("doc_id")
+
+  /** #67b the composed multimodal pipeline: pack binary payloads →
+    * batched feature extraction (stub model, real Spark shape) → ANN
+    * over the derived embedding column — ingest-to-similarity as one
+    * declarative plan. Rows-only (the stub features have no SQL
+    * oracle); determinism and shape asserted in MiscSpec. */
+  def qMmPipeline(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.mm.Multimodal.packBinary(T(s, dir).documents)
+    val feats = graft.mm.Multimodal.extractFeatures(packed, dim = 16)
+      .withColumnRenamed("doc_id", "vec_id")
+    graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)
+      .orderBy("qid", "rank")
+  }
 }

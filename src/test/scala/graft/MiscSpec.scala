@@ -75,6 +75,15 @@ class MiscSpec extends AnyFunSuite {
       "edge <URL> trailing")) // @ inside a URL is masked as URL, not email
   }
 
+  test("mm pipeline: pack → features → knn is deterministic (#67b)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.ops.Queries.qMmPipeline(spark, dir).collect()
+    val b = graft.ops.Queries.qMmPipeline(spark, dir).collect()
+    assert(a.length == 15) // 5 queries × top-3
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.forall(r => r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0 + 1e-9))
+  }
+
   test("multimodal: pack → describe/features/resize/frames (#67)") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "en", "srcA"),

@@ -20,7 +20,8 @@ class QueriesSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct"),
+    assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct",
+        "q_mm_pipeline"),
       s"unexpected rows-only: ${q -- o}")
   }
 
