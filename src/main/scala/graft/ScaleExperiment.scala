@@ -34,8 +34,10 @@ object ScaleExperiment {
     if (java.nio.file.Files.exists(root)) {
       println(s"[scale] stale/partial $bigSf — regenerating")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { st =>
+        st.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
     }
     println(s"[scale] generating $bigSf (${replicas}x $srcSf)")
     val t = graft.tables.Tables(spark, srcSf)

@@ -27,10 +27,13 @@ object Dedup {
   val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
 
   /** Adjacent word bigrams of `toks` (order-preserving, with
-    * multiplicity — vocabulary statistics and repetition signals). */
+    * multiplicity — vocabulary statistics and repetition signals).
+    * Total: 0/1-token inputs yield an empty array (a bare
+    * `sequence(1, size-1)` would count DOWN and index 0). */
   val bigramsExpr: String =
-    """transform(sequence(1, size(toks) - 1),
-      |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""
+    """IF(size(toks) < 2, array(),
+      |  transform(sequence(1, size(toks) - 1),
+      |    i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""
       .stripMargin
 
   /** Distinct word 3-gram shingles. */

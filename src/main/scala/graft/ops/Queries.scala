@@ -525,22 +525,28 @@ object Queries {
     * path is `approx_percentile` (mergeable sketch, partial-agg) —
     * exact is for when the contract demands it. */
   def qPercentile(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir).orders.select(col("o_orderstatus"), col("o_totalprice"))
+    // like the built-in aggregate: null VALUES are skipped for the
+    // percentile (they must not consume ranks or widen n), while the
+    // group row count includes every row; an all-null group keeps its
+    // count and yields null percentiles (left join)
     val byStatus = Window.partitionBy("o_orderstatus")
     val w = byStatus.orderBy("o_totalprice")
     def contrib(p: Double): Column = {
-      val pos = lit(p) * (col("n") - lit(1)).cast("double")
+      val pos = lit(p) * (col("nv") - lit(1)).cast("double")
       val v = col("o_totalprice")
       when(floor(pos) === ceil(pos) && col("i") === floor(pos), v)
         .when(col("i") === floor(pos), v * (ceil(pos) - pos))
         .when(col("i") === ceil(pos), v * (pos - floor(pos)))
     }
-    T(s, dir).orders
-      .select(col("o_orderstatus"), col("o_totalprice"))
+    val pct = base.where(col("o_totalprice").isNotNull)
       .withColumn("i", row_number().over(w).cast("double") - 1)
-      .withColumn("n", count(lit(1)).over(byStatus))
+      .withColumn("nv", count(lit(1)).over(byStatus))
       .groupBy("o_orderstatus")
-      .agg(sum(contrib(0.5)).as("p50"), sum(contrib(0.9)).as("p90"),
-           count(lit(1)).as("n"))
+      .agg(sum(contrib(0.5)).as("p50"), sum(contrib(0.9)).as("p90"))
+    base.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .join(pct, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("p50"), col("p90"), col("n"))
       .orderBy("o_orderstatus")
   }
 
@@ -841,7 +847,11 @@ object Queries {
     * declarative plan. Rows-only (the stub features have no SQL
     * oracle); determinism and shape asserted in MiscSpec. */
   def qMmPipeline(s: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the per-row extraction stage: document tables
+    // often arrive in one split, and the whole point of the batched
+    // extractor is to run wide (the repo's single-partition pitfall)
     val packed = graft.mm.Multimodal.packBinary(T(s, dir).documents)
+      .repartition(col("doc_id"))
     val feats = graft.mm.Multimodal.extractFeatures(packed, dim = 16)
       .withColumnRenamed("doc_id", "vec_id")
     graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)

@@ -26,8 +26,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   // suites — evict stopped sessions' entries (never the live ones)
   // when the map grows.
   private def memo(name: String)(mk: => DataFrame): DataFrame = {
-    if (Tables.memo.size > 512)
+    if (Tables.memo.size > 512) {
       Tables.memo.keySet.removeIf(_._1.sparkContext.isStopped)
+      if (Tables.memo.size > 512) Tables.memo.clear() // hard cap regardless
+    }
     val k = (spark, dir, name)
     val hit = Tables.memo.get(k)
     if (hit != null) hit
