@@ -104,6 +104,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(missRate <= 0.05 * 1.5, s"missRate=$missRate for $tables tables")
   }
 
+  test("embedPairsLsh sized by lshTablesFor equals exact at tau=0.8 on random data") {
+    import spark.implicits._
+    // not the fixed corpus: random base vectors + planted near-dups,
+    // banding sized by the closed form for eps=1e-4 — deterministic
+    // seed, so this either always passes or always fails
+    val rnd = new scala.util.Random(99)
+    def vec() = Array.fill(24)(rnd.nextFloat() * 2 - 1)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val dups = (0 until 15).map { j =>
+      (100L + j, base(j)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val tables = Similarity.lshTablesFor(0.8, 8, 1e-4)
+    val exact = Similarity.embedPairs(emb, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.embedPairsLsh(emb, 0.8, tables, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 15) // every planted pair qualifies
+    assert(lsh == exact)
+  }
+
   test("vec_normalize: bit-identical to the SQL transform/aggregate form") {
     graft.functions.VecNormalize.register(spark)
     val sql =
