@@ -24,7 +24,8 @@ object Dedup {
 
   /** Non-empty lowercase whitespace tokens (keeps duplicates — simhash
     * weights by term frequency). */
-  val toksExpr = "filter(split(lower(text), '\\\\s+'), x -> x != '')"
+  val toksExpr =
+    s"filter(split(lower(text), '${graft.text.TextFunctions.wsClassSql}+'), x -> x != '')"
 
   /** Adjacent word bigrams of `toks` (order-preserving, with
     * multiplicity — vocabulary statistics and repetition signals).

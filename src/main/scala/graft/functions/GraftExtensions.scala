@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinHashSig(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("array_count_in"),
+      new ExpressionInfo(classOf[ArrayCountIn].getName, "array_count_in"),
+      (exprs: Seq[Expression]) => ArrayCountIn(exprs(0), exprs(1))))
   }
 }

@@ -86,11 +86,22 @@ object HyperplaneLsh {
       s"hyperplane_lsh expects literal numeric args, got $other")
   }
 
-  /** Shared builder for the session registry and the extensions plugin. */
-  val fromExprs: Seq[Expression] => HyperplaneLsh = exprs =>
-    HyperplaneLsh(exprs.head,
-      num(exprs(1)).toInt, num(exprs(2)).toInt,
+  /** Shared builder for the session registry and the extensions plugin.
+    * Validates here (it's a session-registered SQL function fed arbitrary
+    * user input): bits > 63 would silently alias bucket bits through
+    * `1L << i` wraparound (shift count mod 64), and non-positive
+    * tables/bits yield degenerate all-zero or empty bucket arrays. */
+  val fromExprs: Seq[Expression] => HyperplaneLsh = { exprs =>
+    val tables = num(exprs(1)).toInt
+    val bits = num(exprs(2)).toInt
+    if (tables <= 0) throw new IllegalArgumentException(
+      s"hyperplane_lsh: tables must be positive, got $tables")
+    if (bits <= 0 || bits > 63) throw new IllegalArgumentException(
+      s"hyperplane_lsh: bits must be in [1, 63] (bucket ids are one long " +
+        s"per table; more would alias via shift wraparound), got $bits")
+    HyperplaneLsh(exprs.head, tables, bits,
       if (exprs.length > 3) num(exprs(3)) else 42L)
+  }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -12,8 +12,14 @@ object Oracles {
   private val DE = "('der','die','das','und','ist','nicht','ein')"
   private val FR = "('le','la','les','et','est','une','des')"
   private val ES = "('el','los','las','y','es','una','por')"
+  // Shared VERBATIM with TextFunctions: explicit whitespace class (Java's
+  // \s and RE2's \s disagree on \x0B — the class makes both engines agree
+  // on any input). DuckDB '...' literals pass backslashes through to RE2
+  // untouched, so the raw pattern interpolates directly.
+  private val WS = graft.text.TextFunctions.wsClass
+  private val PUNCT = graft.text.TextFunctions.punctClass
   private val TOKS =
-    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    s"list_filter(string_split_regex(lower(text), '$WS+'), x -> x <> '')"
   /** Exact revenue: factors cast to decimal BEFORE multiplying, so the
     * product is exact and no rounding-mode question arises (matches
     * Queries.revenue). */
@@ -83,10 +89,10 @@ object Oracles {
         |WHERE ok = 1 ORDER BY o_orderkey""".stripMargin,
 
     "q_flatmap" ->
-      """SELECT doc_id,
-        |  unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
-        |    AS token
-        |FROM documents ORDER BY doc_id, token""".stripMargin,
+      s"""SELECT doc_id,
+         |  unnest(list_filter(string_split_regex(text, '$WS+'), x -> x <> ''))
+         |    AS token
+         |FROM documents ORDER BY doc_id, token""".stripMargin,
 
     "q_compose" ->
       s"""SELECT l_returnflag, ${xsum(REV)} AS revenue, $CNT AS n
@@ -397,7 +403,7 @@ object Oracles {
     "q_tokens" ->
       s"""SELECT doc_id, cast(len($TOKS) as bigint) AS n_ws,
          |  cast(len(regexp_extract_all(lower(text),
-         |    '[a-z]+|[0-9]|[^a-z0-9\\s]')) as bigint) AS n_bpe
+         |    '${graft.text.TextFunctions.bpeRe}')) as bigint) AS n_bpe
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality" ->
@@ -409,9 +415,9 @@ object Oracles {
          |  SELECT doc_id, cast(length(text) as bigint) AS len,
          |    cast(len(list_filter(toks, x -> x IN $EN)) as double)
          |      / cast(len(toks) as double) AS stop_ratio,
-         |    cast(len(regexp_extract_all(lower(text), '[^a-z0-9\\s]')) as double)
+         |    cast(len(regexp_extract_all(lower(text), '$PUNCT')) as double)
          |      / cast(length(text) as double) AS punct_ratio,
-         |    cast(length(regexp_replace(text, '\\s', '', 'g')) as double)
+         |    cast(length(regexp_replace(text, '$WS', '', 'g')) as double)
          |      / cast(len(toks) as double) AS mean_tok
          |  FROM (SELECT doc_id, text, $TOKS AS toks FROM documents) t) x
          |ORDER BY doc_id""".stripMargin,
@@ -435,26 +441,27 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '$WS+', ' ', 'g'))) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical RE2-safe patterns to TextFunctions.urlRe/emailRe
     "q_scrub" ->
-      """WITH s AS (SELECT doc_id, text,
-        |  trim(regexp_replace(regexp_replace(regexp_replace(text,
-        |    'https?://[^\s]+', '<URL>', 'g'),
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\s+', ' ', 'g')) AS clean FROM documents)
-        |SELECT doc_id,
-        |  cast(len(regexp_extract_all(text, 'https?://[^\s]+')) as bigint)
-        |    AS n_urls,
-        |  cast(len(regexp_extract_all(text,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint)
-        |    AS n_emails,
-        |  cast(length(clean) as bigint) AS clean_len,
-        |  md5(clean) AS clean_fp
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH s AS (SELECT doc_id, text,
+         |  trim(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${graft.text.TextFunctions.urlRe}', '<URL>', 'g'),
+         |    '${graft.text.TextFunctions.emailRe}', '<EMAIL>', 'g'),
+         |    '$WS+', ' ', 'g')) AS clean FROM documents)
+         |SELECT doc_id,
+         |  cast(len(regexp_extract_all(text,
+         |    '${graft.text.TextFunctions.urlRe}')) as bigint)
+         |    AS n_urls,
+         |  cast(len(regexp_extract_all(text,
+         |    '${graft.text.TextFunctions.emailRe}')) as bigint)
+         |    AS n_emails,
+         |  cast(length(clean) as bigint) AS clean_len,
+         |  md5(clean) AS clean_fp
+         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
@@ -490,12 +497,12 @@ object Oracles {
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
     "q_dedup_exact" ->
-      """SELECT fp, cast(min(doc_id) as bigint) AS keep_id,
-        |  cast(count(*) as bigint) AS n
-        |FROM (SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |  FROM documents) x
-        |GROUP BY fp ORDER BY keep_id""".stripMargin,
+      s"""SELECT fp, cast(min(doc_id) as bigint) AS keep_id,
+         |  cast(count(*) as bigint) AS n
+         |FROM (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '$WS+', ' ', 'g'))) AS fp
+         |  FROM documents) x
+         |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),

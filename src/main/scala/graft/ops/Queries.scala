@@ -96,7 +96,7 @@ object Queries {
   def qFlatMap(s: SparkSession, dir: String): DataFrame =
     T(s, dir).documents
       .select(col("doc_id"),
-        explode(filter(split(col("text"), "\\s+"), t => t =!= ""))
+        explode(filter(split(col("text"), s"$wsClass+"), t => t =!= ""))
           .as("token"))
       .orderBy("doc_id", "token")
 
@@ -789,8 +789,7 @@ object Queries {
     val w = 4
     val hs = graft.core.Eager(T(s, dir).documents
       .repartition(col("doc_id"))
-      .selectExpr("doc_id",
-        "filter(split(lower(text), '\\\\s+'), x -> x != '') AS toks")
+      .selectExpr("doc_id", s"${graft.dedup.Dedup.toksExpr} AS toks")
       .where(size(col("toks")) >= w)
       .selectExpr("doc_id",
         """transform(toks, t ->

@@ -10,10 +10,29 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Explicit whitespace class body, shared VERBATIM with the DuckDB
+    * oracle SQL. Java's `\s` is exactly `[ \t\n\x0B\f\r]`, but RE2's
+    * `\s` omits `\x0B` (vertical tab) — a raw `\s` in patterns applied
+    * by both engines diverges on any document containing `\x0B`. The
+    * explicit class is identical to Java's `\s` (Spark-side behavior
+    * unchanged) and makes RE2 agree on every input. */
+  val wsBody = " \\t\\n\\x0B\\f\\r"
+  /** `[ \t\n\x0B\f\r]` — the whitespace class itself. */
+  val wsClass = s"[$wsBody]"
+  /** [[wsClass]] with backslashes doubled for embedding in a Spark SQL
+    * string literal (the SQL parser consumes one level of escapes; DuckDB
+    * literals do NOT, so the oracle side interpolates [[wsClass]] raw). */
+  val wsClassSql = wsClass.replace("\\", "\\\\")
+  /** `[^a-z0-9 \t\n\x0B\f\r]` — punctuation (non-alnum, non-ws). */
+  val punctClass = s"[^a-z0-9$wsBody]"
+  /** BPE-ish subword pattern: alpha runs, single digits, single
+    * punctuation marks. */
+  val bpeRe = s"[a-z]+|[0-9]|$punctClass"
+
   /** Canonical form for dedup/fingerprinting: lowercase, collapse runs of
     * whitespace, trim. */
   def normText(c: Column): Column =
-    trim(regexp_replace(lower(c), "\\s+", " "))
+    trim(regexp_replace(lower(c), s"$wsClass+", " "))
 
   /** Content fingerprint (md5 of normalized text) — portable across
     * engines, used as the exact-dedup key. */
@@ -21,7 +40,7 @@ object TextFunctions {
 
   /** Non-empty whitespace tokens of the lowercased text. */
   def wsTokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= "")
+    filter(split(lower(c), s"$wsClass+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(wsTokens(c))
@@ -31,7 +50,7 @@ object TextFunctions {
     * with the right asymptotics (supra-linear in punctuation/digits,
     * like BPE vocabularies behave). */
   def bpeTokenCount(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(c), lit(bpeRe), lit(0)))
 
   /** Count of tokens that appear in `words`. */
   def tokenHits(c: Column, words: Seq[String]): Column =
@@ -42,9 +61,10 @@ object TextFunctions {
   val frStop = Seq("le", "la", "les", "et", "est", "une", "des")
   val esStop = Seq("el", "los", "las", "y", "es", "una", "por")
 
-  /** Training-data scrub patterns — RE2-safe (no lookaround), so the
-    * DuckDB oracle applies the IDENTICAL regexes. */
-  val urlRe = "https?://[^\\s]+"
+  /** Training-data scrub patterns — RE2-safe (no lookaround, explicit
+    * whitespace class), so the DuckDB oracle applies the IDENTICAL
+    * regexes with identical semantics. */
+  val urlRe = s"https?://[^$wsBody]+"
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** Scrub (§2.5 #66c): mask URLs then e-mails (URLs first — they can
@@ -53,7 +73,7 @@ object TextFunctions {
   def scrubText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(regexp_replace(c, urlRe, "<URL>"), emailRe, "<EMAIL>"),
-      "\\s+", " "))
+      s"$wsClass+", " "))
 
   /** CJK character count (the zh signal). */
   def cjkCount(c: Column): Column =
@@ -74,7 +94,7 @@ object TextFunctions {
 
   /** Punctuation-character ratio of the lowercased text. */
   def punctRatio(c: Column): Column =
-    size(regexp_extract_all(lower(c), lit("[^a-z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(lower(c), lit(punctClass), lit(0)))
       .cast("double") / length(c).cast("double")
 
   /** English-stopword ratio over whitespace tokens. */
@@ -83,7 +103,7 @@ object TextFunctions {
 
   /** Mean token length (non-whitespace chars / tokens). */
   def meanTokenLen(c: Column): Column =
-    length(regexp_replace(c, "\\s", "")).cast("double") /
+    length(regexp_replace(c, wsClass, "")).cast("double") /
       tokenCount(c).cast("double")
 
   /** Composite quality score (§2.5 #64): linear blend of
