@@ -612,12 +612,13 @@ object Queries {
     * NOTE the optimizer inlines a multiply-referenced projection per
     * reference, so `toks` is still split ~3×; cheap enough here. For
     * expensive upstreams, materialize (see qWinnow). */
-  def qQuality(s: SparkSession, dir: String): DataFrame =
+  def qQuality(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayCountIn.register(s)
     T(s, dir).documents
       .withColumn("toks", wsTokens(col("text")))
       .select(col("doc_id"),
         length(col("text")).cast("long").as("len"),
-        (size(filter(col("toks"), t => t.isin(enStop.map(lit): _*)))
+        (arrayHits(col("toks"), enStop)
           .cast("double") / size(col("toks")).cast("double"))
           .as("stop_ratio"),
         punctRatio(col("text")).as("punct_ratio"),
@@ -629,11 +630,14 @@ object Queries {
           (lit(1.0) - col("punct_ratio")) * lit(0.2) +
           least(col("mean_tok") / lit(8.0), lit(1.0)) * lit(0.1))
       .orderBy("doc_id")
+  }
 
-  /** #63 language ID heuristic — one tokenization, four hit-counts. */
+  /** #63 language ID heuristic — one tokenization, four hit-counts
+    * (native `array_count_in`: a codegen'd hash-set probe per list,
+    * replacing four interpreted filter+isin lambdas per row). */
   def qLangId(s: SparkSession, dir: String): DataFrame = {
-    def hits(words: Seq[String]): Column =
-      size(filter(col("toks"), t => t.isin(words.map(lit): _*))).cast("long")
+    graft.functions.ArrayCountIn.register(s)
+    def hits(words: Seq[String]): Column = arrayHits(col("toks"), words)
     T(s, dir).documents
       .withColumn("toks", wsTokens(col("text")))
       .select(col("doc_id"), col("lang"), col("text"),

@@ -52,9 +52,23 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit(bpeRe), lit(0)))
 
-  /** Count of tokens that appear in `words`. */
+  /** Multiplicity-preserving count of `arr` elements that appear in the
+    * fixed `words` list — the native codegen'd
+    * [[graft.functions.ArrayCountIn]] (hash-set probe, zero per-row
+    * allocation) rather than the interpreted `size(filter(arr, isin))`
+    * lambda, which boxes every token through the higher-order-function
+    * interpreter. Requires `array_count_in` on the session's function
+    * registry ([[graft.functions.ArrayCountIn.register]] — idempotent —
+    * or the [[graft.functions.GraftExtensions]] plugin); query call
+    * sites register before use. Returns bigint; null array → null, null
+    * elements never count (same semantics as the lambda form, asserted
+    * in ArrayCountInSpec). */
+  def arrayHits(arr: Column, words: Seq[String]): Column =
+    call_function("array_count_in", arr, array(words.map(lit): _*))
+
+  /** Count of tokens of `c` that appear in `words` (see [[arrayHits]]). */
   def tokenHits(c: Column, words: Seq[String]): Column =
-    size(filter(wsTokens(c), t => t.isin(words.map(lit): _*)))
+    arrayHits(wsTokens(c), words)
 
   val enStop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
   val deStop = Seq("der", "die", "das", "und", "ist", "nicht", "ein")
