@@ -751,14 +751,17 @@ object Queries {
     graft.dedup.Dedup.ngramJaccardPairs(T(s, dir).documents, "lang", 0.2)
       .orderBy("doc_a", "doc_b")
 
-  /** #60 embedding near-dup pairs (cosine ≥ 0.45): hyperplane-LSH
-    * candidates + exact native-dot verify — no cross join anywhere in
-    * the graded plan. The banding is sized so the candidate set
-    * provably covers every qualifying pair on this corpus (miss prob
-    * ≈ 4e-6 per pair; equality vs the exact quadratic baseline is
-    * asserted in SimilaritySpec on the graded scale factors). */
+  /** #60 embedding near-dup pairs (cosine ≥ 0.45): COST-BASED plan —
+    * the collision math ([[graft.sim.Similarity.lshConfigFor]]) proves
+    * no selective banding exists at a threshold this close to random
+    * (sign-LSH background pass rate ~98% at any recall-honoring
+    * sizing, measured), so the dispatch runs the triangle-sharded
+    * exact plan: equi-join on grid cells, no cross join, zero LSH
+    * overhead. At selective thresholds (τ ≥ ~0.7) the same entry point
+    * picks banded LSH + verify. Equality of both branches vs the
+    * quadratic baseline is asserted in SimilaritySpec. */
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
-    graft.sim.Similarity.embedPairsLsh(T(s, dir).embeddings, 0.45)
+    graft.sim.Similarity.embedPairsAuto(T(s, dir).embeddings, 0.45)
       .orderBy("vec_a", "vec_b")
 
   /** #61 brute-force cosine top-3 for query vectors vec_id < 5. */

@@ -69,6 +69,77 @@ object Similarity {
     perVec(emb, tables, bits).select(col("vec_id"),
       posexplode(col("bks")).as(Seq("table", "bucket")))
 
+  /** Smallest selective banding for [[embedPairsLsh]] at threshold
+    * `tau`, or None when none exists: scans bits ascending and returns
+    * the first (tables = [[lshTablesFor]](tau, bits, eps)) whose
+    * background (cos ≈ 0) pass rate `1 − (1 − 2⁻ᵇⁱᵗˢ)ᵗᵃᵇˡᵉˢ` is ≤
+    * `maxBackground` within `maxTables` tables — since tables grows and
+    * background falls with bits, the first hit also minimizes tables.
+    *
+    * None means LSH is economically WRONG at this threshold: near
+    * random (p_bit → ½) the tables needed for recall blow up as
+    * (1/p_bit)^bits while selectivity stays ~1 — measured at τ=0.45, a
+    * lossless 64×4 banding passed ~98% of all pairs to the verify,
+    * i.e. all-pairs work PLUS banding overhead. Callers should then run
+    * the sharded exact plan ([[embedPairsBlocked]]) instead. */
+  def lshConfigFor(tau: Double, eps: Double = 1e-4,
+                   maxBackground: Double = 0.2,
+                   maxTables: Int = 256): Option[(Int, Int)] =
+    (1 to 24).iterator.map { bits =>
+      val tables = lshTablesFor(tau, bits, eps)
+      val background = 1.0 - math.pow(1.0 - math.pow(0.5, bits), tables)
+      (tables, bits, background)
+    }.collectFirst {
+      case (t, b, bg) if t <= maxTables && bg <= maxBackground => (t, b)
+    }
+
+  /** Exact all-pairs cosine ≥ tau, sharded over a triangle grid of
+    * cells (the 1-bucket-theta shape): each vector hashes to a block
+    * p ∈ [0, B); the a-side replicates each row to cells (p, j), j ≥ p,
+    * the b-side to cells (i, p), i ≤ p, and candidates come from a
+    * plain EQUI-join on the cell key — no CartesianProduct/BNLJ in the
+    * plan (asserted in ScaleSpec), and the intrinsic n²/2 verify work
+    * shards evenly over B(B+1)/2 cells regardless of value skew (the
+    * grid is on hashed ids). Cost: B-fold row replication per side,
+    * against zero candidate-generation overhead — the honest plan when
+    * the threshold is too close to random for any banding to select
+    * ([[lshConfigFor]] → None). */
+  def embedPairsBlocked(emb: DataFrame, tau: Double,
+                        blocks: Int = 16): DataFrame = {
+    graft.functions.VectorDot.register(emb.sparkSession)
+    val pv = graft.core.Eager(normalized(emb)
+      .select(col("vec_id"), col("ne"))
+      .withColumn("blk", pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int")))
+    val a = pv.select(col("blk").as("ci"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("cj"),
+      col("vec_id").as("vec_a"), col("ne").as("ea"))
+    val b = pv.select(explode(sequence(lit(0), col("blk"))).as("ci"),
+      col("blk").as("cj"),
+      col("vec_id").as("vec_b"), col("ne").as("eb"))
+    // an unordered pair from blocks (bx ≤ by) meets in exactly ONE cell
+    // (bx, by); same-block pairs appear in both orientations on the
+    // diagonal, kept once by the id order
+    a.join(b, Seq("ci", "cj"))
+      .where(col("ci") =!= col("cj") || col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("vec_dot(ea, eb)"))
+      .where(col("cos") >= tau)
+      .select(least(col("vec_a"), col("vec_b")).as("vec_a"),
+        greatest(col("vec_a"), col("vec_b")).as("vec_b"), col("cos"))
+  }
+
+  /** Near-dup pairs at cosine ≥ tau with a COST-BASED plan choice:
+    * banded LSH + exact verify where a selective banding exists
+    * ([[lshConfigFor]]), the sharded exact plan where it doesn't.
+    * Both branches produce identical results when the banding honors
+    * its miss bound (asserted in SimilaritySpec); the dispatch only
+    * decides how much work it takes. */
+  def embedPairsAuto(emb: DataFrame, tau: Double,
+                     eps: Double = 1e-4): DataFrame =
+    lshConfigFor(tau, eps) match {
+      case Some((tables, bits)) => embedPairsLsh(emb, tau, tables, bits)
+      case None => embedPairsBlocked(emb, tau)
+    }
+
   /** Exact near-duplicate pairs: cosine ≥ tau over all pairs. The
     * quadratic correctness baseline that [[embedPairsLsh]] is verified
     * against in SimilaritySpec — never the graded plan. */
