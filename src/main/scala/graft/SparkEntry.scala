@@ -66,12 +66,14 @@ object SparkEntry {
     "q_json" -> (Q.qJson _),
     "q_asof" -> (Q.qAsof _),
     "q_percentile" -> (Q.qPercentile _),
+    "q_percentile_approx" -> (Q.qPercentileApprox _),
     "q_histogram" -> (Q.qHistogram _),
     "q_approx_distinct" -> (Q.qApproxDistinct _),
     // §2.5 LLM-data-pipeline
     "q_tokens" -> (Q.qTokens _),
     "q_scrub" -> (Q.qScrub _),
     "q_ngram_top" -> (Q.qNgramTop _),
+    "q_ngram_top_sketch" -> (Q.qNgramTopSketch _),
     "q_quality" -> (Q.qQuality _),
     "q_repetition" -> (Q.qRepetition _),
     "q_langid" -> (Q.qLangId _),

@@ -550,6 +550,23 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** #55c-approx the sketch twin of [[qPercentile]] — the 100 TB path
+    * for skewed groups: `approx_percentile` keeps a bounded
+    * KLL/GK-style summary per group with map-side partial aggregation,
+    * where the exact form must concentrate each group's values on one
+    * task. accuracy=10000 bounds rank error at n/10000 per group.
+    * Rows-only gate (sketch outputs are algorithm-specific across
+    * engines); agreement with the exact interpolated rewrite is
+    * asserted in QueriesSpec within the rank-error tolerance. */
+  def qPercentileApprox(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .groupBy("o_orderstatus")
+      .agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(10000)).as("p50"),
+        approx_percentile(col("o_totalprice"), lit(0.9), lit(10000)).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   /** Fixed-width histogram of order totals (portable manual binning). */
   def qHistogram(s: SparkSession, dir: String): DataFrame =
     T(s, dir).orders
@@ -682,6 +699,26 @@ object Queries {
       .selectExpr(s"explode(${graft.dedup.Dedup.bigramsExpr}) AS bigram")
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(20)
+
+  /** #65c the sketched twin of [[qNgramTop]] — THE 100 TB path for
+    * open vocabularies: a Misra–Gries summary
+    * ([[graft.functions.TopKSketch]]) caps per-partition aggregation
+    * state at 4096 counters no matter how many distinct bigrams exist,
+    * where exact counting shuffles every distinct key. Estimates
+    * undercount by ≤ total/(4096+1); every key above that frequency is
+    * guaranteed present. Rows-only gate (estimates are
+    * summary-algorithm-specific); top-k agreement with the exact query
+    * is asserted in TopKSketchSpec. */
+  def qNgramTopSketch(s: SparkSession, dir: String): DataFrame = {
+    val mg = graft.functions.TopKSketch.udafFor(4096)
+    T(s, dir).documents
+      .selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")
+      .where(size(col("toks")) >= 2)
+      .selectExpr(s"explode(${graft.dedup.Dedup.bigramsExpr}) AS bigram")
+      .agg(mg(col("bigram")).as("sk"))
+      .select(explode(col("sk")).as(Seq("bigram", "n")))
+      .orderBy(col("n").desc, col("bigram")).limit(20)
+  }
 
   /** #64b repetition signals (Gopher-style quality filters): duplicate
     * -token ratio, top-unigram fraction, top-bigram fraction. All exact

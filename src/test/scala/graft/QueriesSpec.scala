@@ -21,7 +21,7 @@ class QueriesSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct",
-        "q_mm_pipeline"),
+        "q_mm_pipeline", "q_ngram_top_sketch", "q_percentile_approx"),
       s"unexpected rows-only: ${q -- o}")
   }
 
@@ -34,6 +34,23 @@ class QueriesSpec extends AnyFunSuite {
     def close(a: Long, e: Long) = math.abs(a - e).toDouble / e < 0.05
     assert(close(approx.getLong(0), exact.getLong(0)))
     assert(close(approx.getLong(1), exact.getLong(1)))
+  }
+
+  test("approx percentiles land within 2% of the exact interpolated rewrite") {
+    // approx_percentile returns an actual data value (no interpolation)
+    // with rank error <= n/accuracy; at these group sizes the value gap
+    // to the interpolated exact form is well inside 2% relative
+    val exact = graft.ops.Queries.qPercentile(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = graft.ops.Queries.qPercentileApprox(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    def close(a: Double, e: Double) = math.abs(a - e) / math.abs(e) < 0.02
+    approx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(close(a50, e50) && close(a90, e90),
+        s"$k: approx=($a50,$a90) exact=($e50,$e90)")
+    }
   }
 
   test("entry() returns rows") {
