@@ -110,15 +110,17 @@ object ScaleExperiment {
   }
 
   def main(args: Array[String]): Unit = {
-    // q_dedup_embed (tau=0.45) is deliberately absent: at that
-    // near-random threshold ANY method does ~all-pairs work (sign-LSH
-    // passes ~98% of pairs; measured at 10x the 64-table candidate
-    // dedup spilled past the disk). The embed row below runs the same
-    // operator in its selective regime (tau=0.8, lshTablesFor-sized),
-    // which is the regime a real dedup pipeline runs in.
+    // q_dedup_embed now cost-dispatches to the sharded exact plan at
+    // tau=0.45 (intrinsically quadratic at a near-random threshold, so
+    // its 10x factor would measure the ~100x pair growth, like
+    // q_ngram_jaccard's 258x — excluded for runtime, not shape). The
+    // embed row below runs the operator in its selective LSH regime
+    // (tau=0.8, lshTablesFor-sized), which is the regime a real dedup
+    // pipeline runs in.
     val only = args.headOption.getOrElse(
       "q_dedup_minhash|q_dedup_simhash|q_ngram_jaccard|" +
-      "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within").r
+      "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within|" +
+      "q_knn_lsh|q_knn_ivf").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -133,13 +135,32 @@ object ScaleExperiment {
       graft.sim.Similarity.embedPairsLsh(
         graft.tables.Tables(s, dir).embeddings, 0.8,
         tables = embedTables, bits = 12)
+    // streaming replay at scale: the full events table through the
+    // file-source stream + watermarked tumbling rollup (AvailableNow:
+    // process everything, then stop) — measures the streaming engine's
+    // state/shuffle path at 10x, not just its batch twin
+    val streamReplay: (SparkSession, String) => Unit = (s, dir) => {
+      val q = graft.streaming.Streams
+        .hourlyRollup(graft.streaming.Streams.eventsStream(s, dir))
+        .writeStream.format("noop").outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("graft_ckpt").toString)
+        .start()
+      q.awaitTermination()
+    }
+    def noopSave(fn: (SparkSession, String) => DataFrame)
+        : (SparkSession, String) => Unit =
+      (s, dir) => fn(s, dir).write.format("noop").mode("overwrite").save()
     val picked = (SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.pattern.matcher(n).matches() }) :+
-      (s"embed_tau0.8(${embedTables}x12)" -> embed08)
+      .filter { case (n, _) => only.pattern.matcher(n).matches() }
+      .map { case (n, fn) => n -> noopSave(fn) }) :+
+      (s"embed_tau0.8(${embedTables}x12)" -> noopSave(embed08)) :+
+      ("stream_replay_1h" -> streamReplay)
     def run(name: String,
-            fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+            fn: (SparkSession, String) => Unit, dir: String): Double = {
       val t0 = System.nanoTime()
-      fn(spark, dir).write.format("noop").mode("overwrite").save()
+      fn(spark, dir)
       val dt = (System.nanoTime() - t0) / 1e9
       // OUTSIDE the timing (like Bench): the 10x run tears down a 10x
       // larger cache — billing that would skew the published factors

@@ -56,6 +56,16 @@ object Channel {
       }: _*)
     }
 
+  /** Arrow `second` (the Channel.hs:154 dual): transform the "snd"
+    * component, pass the rest through. Rows encode pairs as named
+    * columns, so the product is commutative and the swap isomorphism
+    * is the identity — `second f = swap >>> first f >>> swap`
+    * therefore coincides with `first f` (the lawful definition, not a
+    * shortcut; asserted in CoreSpec). Kept as its own combinator so
+    * the Arrow surface is complete and call sites can say which
+    * component they mean. */
+  def second(f: Map[String, Column]): Channel[Row, Row] = first(f)
+
   /** ArrowChoice `+++` (Channel.hs:169): rows where `pred` holds flow
     * through `l`, the rest through `r`; results are tagged and unioned.
     * Both branches stay declarative (two filters of one scan — Catalyst

@@ -203,6 +203,14 @@ object Source {
       case None => df
     }
 
+  /** Monoid/Alternative `empty` (reference Source.hs:100,
+    * `empty = Source $ return ()`): the exhausted producer — identity
+    * of `concat`/`<|>` (laws in PropertySpec). An empty LocalRelation:
+    * Catalyst folds unions with it away, so it costs nothing in a
+    * plan. */
+  def empty[A: Encoder](spark: SparkSession): Source[A] =
+    Source(spark.emptyDataset[A])
+
   /** `each` (Util.hs:76): source from a local collection. */
   def each[A: Encoder](spark: SparkSession, xs: Seq[A]): Source[A] =
     Source(spark.createDataset(xs))

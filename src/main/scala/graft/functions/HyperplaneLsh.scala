@@ -88,17 +88,20 @@ object HyperplaneLsh {
 
   /** Shared builder for the session registry and the extensions plugin.
     * Validates here (it's a session-registered SQL function fed arbitrary
-    * user input): bits > 63 would silently alias bucket bits through
-    * `1L << i` wraparound (shift count mod 64), and non-positive
-    * tables/bits yield degenerate all-zero or empty bucket arrays. */
+    * user input): bits > 64 would silently alias bucket bits through
+    * `1L << i` wraparound (shift count mod 64 — bit 64 collides with
+    * bit 0; shifts 0..63 are all distinct, the sign bit included), and
+    * non-positive tables/bits yield degenerate all-zero or empty bucket
+    * arrays. */
   val fromExprs: Seq[Expression] => HyperplaneLsh = { exprs =>
     val tables = num(exprs(1)).toInt
     val bits = num(exprs(2)).toInt
     if (tables <= 0) throw new IllegalArgumentException(
       s"hyperplane_lsh: tables must be positive, got $tables")
-    if (bits <= 0 || bits > 63) throw new IllegalArgumentException(
-      s"hyperplane_lsh: bits must be in [1, 63] (bucket ids are one long " +
-        s"per table; more would alias via shift wraparound), got $bits")
+    if (bits <= 0 || bits > 64) throw new IllegalArgumentException(
+      s"hyperplane_lsh: bits must be in [1, 64] (bucket ids are one long " +
+        s"per table; a 65th bit would alias bit 0 via shift wraparound), " +
+        s"got $bits")
     HyperplaneLsh(exprs.head, tables, bits,
       if (exprs.length > 3) num(exprs(3)) else 42L)
   }

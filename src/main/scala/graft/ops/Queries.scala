@@ -227,7 +227,13 @@ object Queries {
       .orderBy("branch")
   }
 
-  /** #29 `tee`: pass-through while a sink observes the stream. */
+  /** #29 `tee`: pass-through while a sink observes the stream.
+    * Determinism contract (Channel.tee): the downstream consumer
+    * recomputes the upstream after the sink's pass, so the observed
+    * and delivered streams only provably agree when the upstream is
+    * deterministic — here a pure column projection of a parquet scan,
+    * which is. Nondeterministic upstreams (rand(), unordered limits)
+    * must materialize first or use Channel.observe. */
   def qTee(s: SparkSession, dir: String): DataFrame =
     Source(T(s, dir).events.select("event_id", "event_type"))
       .through(Channel.tee(Sink.ignore))

@@ -215,20 +215,71 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Spherical k-means over the cached per-vector frame `pv(vec_id,
+    * ne)`: Lloyd iterations on a deterministic bounded sample (first
+    * `sampleN` by vec_id), seeded by the first `k` — so centroids are
+    * reproducible run to run. Each iteration is one broadcast-assign
+    * (argmax of native dots, same shape as the serving path) and one
+    * element-wise mean via posexplode → (cid, pos) partial-agg — the
+    * sample is bounded, so training cost is O(sampleN · k · dim · iters)
+    * regardless of corpus size, which is exactly how IVF indexes train
+    * at 100 TB (sample, train offline, broadcast). Empty clusters keep
+    * their previous centroid; means are re-normalized to the unit
+    * sphere (mean direction = spherical k-means update). */
+  private def kmeansOnPv(pv: DataFrame, k: Int, iters: Int,
+                         sampleN: Int): DataFrame = {
+    graft.functions.VecNormalize.register(pv.sparkSession)
+    val sample = graft.core.Eager(pv.orderBy("vec_id").limit(sampleN))
+    var cents = sample.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cid"), col("ne").as("ce"))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("csim").desc, col("cid"))
+      val assign = sample.crossJoin(broadcast(cents))
+        .withColumn("csim", expr("vec_dot(ne, ce)"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select("cid", "ne")
+      val means = assign
+        .select(col("cid"), posexplode(col("ne")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(" +
+          "named_struct('p', pos, 'm', s / c))), x -> x.m)").as("m"))
+        .select(col("cid"), expr("vec_normalize(m)").as("ce"))
+      cents = graft.core.Eager(means.unionByName(
+        cents.join(means.select("cid"), Seq("cid"), "left_anti")))
+    }
+    cents
+  }
+
+  /** Trained IVF centroids for `emb` (public entry; see [[kmeansOnPv]]). */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int = 2,
+                     sampleN: Int = 2048): DataFrame = {
+    graft.functions.VectorDot.register(emb.sparkSession)
+    kmeansOnPv(graft.core.Eager(normalized(emb)
+      .select(col("vec_id"), col("ne"))), k, iters, sampleN)
+  }
+
   /** IVF (inverted-file) assignment: each vector keyed to its nearest
     * of `k` centroids — the other classic ANN family (cell-probing vs
-    * LSH's hashing). Centroids here are a deterministic sample (first
-    * `k` by vec_id, unit-normalized); production would train them
-    * (k-means on a sample, offline) and broadcast — the assignment
-    * shape is identical either way: broadcast k centroids, one linear
-    * scan, argmax by window over the per-vector candidate scores, no
-    * shuffle of the corpus beyond its vec_id partitioning. Returns
+    * LSH's hashing). Centroids are trained by `trainIters` rounds of
+    * sampled spherical k-means ([[kmeansOnPv]]); `trainIters = 0`
+    * falls back to the untrained deterministic seed (first `k` by
+    * vec_id, unit-normalized). The assignment shape is identical
+    * either way: broadcast k centroids, one linear scan, argmax by
+    * window over the per-vector candidate scores, no shuffle of the
+    * corpus beyond its vec_id partitioning. Returns
     * (assigned(vec_id, ne, cid), centroids(cid, ce)), both cached. */
-  def ivfAssign(emb: DataFrame, k: Int): (DataFrame, DataFrame) = {
+  def ivfAssign(emb: DataFrame, k: Int,
+                trainIters: Int = 2): (DataFrame, DataFrame) = {
     graft.functions.VectorDot.register(emb.sparkSession)
     val pv = graft.core.Eager(normalized(emb).select(col("vec_id"), col("ne")))
-    val cents = graft.core.Eager(pv.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cid"), col("ne").as("ce")))
+    val cents = graft.core.Eager(
+      if (trainIters > 0) kmeansOnPv(pv, k, trainIters, 2048)
+      else pv.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cid"), col("ne").as("ce")))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
     val assigned = graft.core.Eager(pv.crossJoin(broadcast(cents))
@@ -246,8 +297,9 @@ object Similarity {
     * query regardless of total scale. Approximate by design (recall
     * vs [[knnBrute]] asserted in the spec). */
   def knnIvf(emb: DataFrame, queryPred: Column, k: Int,
-             centroids: Int = 16, probes: Int = 4): DataFrame = {
-    val (assigned, cents) = ivfAssign(emb, centroids)
+             centroids: Int = 16, probes: Int = 4,
+             trainIters: Int = 2): DataFrame = {
+    val (assigned, cents) = ivfAssign(emb, centroids, trainIters)
     val q = assigned.where(queryPred)
       .select(col("vec_id").as("qid"), col("ne").as("qe"))
     val probed = q.crossJoin(broadcast(cents))

@@ -58,13 +58,20 @@ object Streams {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // The file stream source wants a directory; expose the single events
-    // file through a temp dir of symlinks (testdata is read-only).
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_evstream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    // The file stream source wants a directory. A Spark-written
+    // events.parquet already IS one (a dir of part files) — use it
+    // as-is; the driver's single-file testdata gets exposed through a
+    // temp dir of symlinks (testdata is read-only).
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val path =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val streamDir = java.nio.file.Files.createTempDirectory("graft_evstream")
+        java.nio.file.Files.createSymbolicLink(
+          streamDir.resolve("events.parquet"), src)
+        streamDir.toString
+      }
+    spark.readStream.schema(schema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

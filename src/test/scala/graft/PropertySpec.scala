@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalacheck.{Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.core.{Fold, Source}
+import graft.core.{Channel, Fold, Source}
 import graft.dedup.Dedup
 
 /** Property-based laws for the combinator surface — the reference's
@@ -51,6 +51,33 @@ class PropertySpec extends AnyFunSuite {
         cat.sorted == (a ++ b).sorted && merged.sorted == (a ++ b).sorted
       }
     })
+  }
+
+  test("Source.empty is the Monoid/Alternative identity of concat") {
+    import spark.implicits._
+    check("empty-identity", Prop.forAll { (a0: List[Int]) =>
+      val a = a0.distinct
+      val sa = Source(a.toDF("x"))
+      val e = Source.empty[Int](spark).select(col("value").as("x"))
+      val left = e.concat(sa).ds.collect().map(_.getInt(0)).toList
+      val right = sa.concat(e).ds.collect().map(_.getInt(0)).toList
+      left.sorted == a.sorted && right.sorted == a.sorted &&
+        e.ds.isEmpty
+    })
+  }
+
+  test("Channel.second coincides with first under the named-column swap") {
+    import spark.implicits._
+    val df = Seq((1, 10L), (2, 20L), (3, 30L)).toDF("a", "b")
+    val f = Map("b" -> (col("b") * 2))
+    val viaFirst = Channel.first(f).run(df).collect().toSeq
+    val viaSecond = Channel.second(f).run(df).collect().toSeq
+    assert(viaFirst == viaSecond)
+    // and it really transforms only the named component
+    assert(Channel.second(f).run(df).select("a").as[Int].collect().toSeq
+      == Seq(1, 2, 3))
+    assert(Channel.second(f).run(df).select("b").as[Long].collect().toSeq
+      == Seq(20L, 40L, 60L))
   }
 
   test("Fold.decimalSum is partitioning-invariant and resumable-additive") {

@@ -78,6 +78,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("trained centroids do not lose recall vs the untrained seed (sf0.01)") {
+    val e = graft.tables.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = Similarity.knnBrute(e, col("vec_id") < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(trainIters: Int): Double = {
+      val ivf = Similarity.knnIvf(e, col("vec_id") < 5, 3,
+          trainIters = trainIters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute & ivf).size.toDouble / brute.size
+    }
+    val untrained = recall(0)
+    val trained = recall(2)
+    assert(trained >= untrained,
+      s"trained recall $trained < untrained $untrained")
+  }
+
+  test("trainCentroids: deterministic, unit-norm, k rows") {
+    val c1 = Similarity.trainCentroids(emb, 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val c2 = Similarity.trainCentroids(emb, 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(c1.length == 4)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    c1.foreach { case (_, v) =>
+      val n2 = v.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-9, s"non-unit centroid norm2=$n2")
+    }
+  }
+
   test("embedPairs: outlier joins no pair, clusters pair up") {
     val pairs = Similarity.embedPairs(emb, 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
