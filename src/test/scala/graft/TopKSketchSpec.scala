@@ -64,7 +64,12 @@ class TopKSketchSpec extends AnyFunSuite {
     assert(sk == exact)
   }
 
-  test("sketched top-20 overlaps exact heavily at sf0.01 (over-capacity vocab)") {
+  test("sketched top-20 overlaps exact heavily at sf0.01") {
+    // the generator's vocabulary is closed (~930 distinct bigrams at
+    // every graded SF), so the summary is exact on real data too; the
+    // over-capacity regime is exercised by the synthetic bound test
+    // above. Keep the assertion at >=0.8 overlap so it stays valid if
+    // the driver's corpus generator ever opens the vocabulary.
     val dir = "/root/testdata/sf0.01"
     val exact = graft.ops.Queries.qNgramTop(spark, dir).collect()
       .map(_.getString(0)).toSet
