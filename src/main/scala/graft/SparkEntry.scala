@@ -79,6 +79,8 @@ object SparkEntry {
     "q_langid" -> (Q.qLangId _),
     "q_fingerprint" -> (Q.qFingerprint _),
     "q_dedup_exact" -> (Q.qDedupExact _),
+    "q_decontam" -> (Q.qDecontam _),
+    "q_split" -> (Q.qSplit _),
     "q_winnow" -> (Q.qWinnow _),
     "q_dedup_minhash" -> (Q.qDedupMinhash _),
     "q_dedup_simhash" -> (Q.qDedupSimhash _),

@@ -504,6 +504,39 @@ object Oracles {
          |  FROM documents) x
          |GROUP BY fp ORDER BY keep_id""".stripMargin,
 
+    // Jaccard on STRING shingles where Spark intersects sorted xxhash64
+    // hashes — counts agree (same precedent as q_ngram_jaccard); only
+    // the exact-rational j values reach the output
+    "q_decontam" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $TOKS AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, source,
+         |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+         |      range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |    END AS sh
+         |  FROM t),
+         |e AS (SELECT list(sh) AS eshs FROM s
+         |  WHERE source = 'src0' AND sh IS NOT NULL),
+         |m AS (SELECT doc_id, lang, CASE WHEN sh IS NOT NULL THEN
+         |      list_max(list_transform(eshs, x ->
+         |        cast(len(list_intersect(sh, x)) as double) /
+         |        cast(len(sh) + len(x) - len(list_intersect(sh, x))
+         |             as double)))
+         |    END AS max_j
+         |  FROM s CROSS JOIN e WHERE source <> 'src0')
+         |SELECT doc_id, lang, max_j, coalesce(max_j < 0.5, true) AS kept
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_split" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |    ELSE 'test' END AS split, lang, $CNT AS n
+         |FROM (SELECT lang,
+         |    ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT % 100 AS b
+         |  FROM documents) x
+         |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
+
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |h AS (SELECT doc_id, list_transform(toks,

@@ -864,6 +864,57 @@ object Queries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
       .orderBy("keep_id")
 
+  /** #56b decontamination (train/eval overlap scrub): drop training
+    * docs whose 3-gram Jaccard against ANY doc of the held-out source
+    * reaches 0.5 — the stage that keeps benchmark data out of a
+    * training set. 100 TB shape: the eval set is tiny (a benchmark),
+    * so its shingle sets collapse into ONE broadcast row and the
+    * corpus takes a single SHUFFLE-FREE scan, each row scoring max-J
+    * against the broadcast list with sorted-hash intersects — no
+    * corpus shuffle, no join explosion (a pair join keyed on doc_id
+    * would shuffle |train|·|eval| rows). */
+  def qDecontam(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.SortedIntersectCount.register(s)
+    val d = graft.dedup.Dedup
+    val docs = T(s, dir).documents
+    def withSh(df: DataFrame): DataFrame = df
+      .selectExpr("doc_id", "lang", "source", s"${d.toksExpr} AS toks")
+      .withColumn("sh", when(size(col("toks")) >= 3,
+        expr(s"array_sort(transform(${d.shinglesExpr}, x -> xxhash64(x)))")))
+    val evalRow = withSh(docs.where(col("source") === "src0"))
+      .where(col("sh").isNotNull)
+      .agg(collect_list(col("sh")).as("eshs"))
+    withSh(docs.where(col("source") =!= "src0"))
+      .crossJoin(broadcast(evalRow))
+      .withColumn("max_j", when(col("sh").isNotNull, expr(
+        """array_max(transform(eshs, e ->
+          |  cast(sorted_intersect_count(sh, e) as double) /
+          |  cast(size(sh) + size(e) - sorted_intersect_count(sh, e)
+          |       as double)))""".stripMargin)))
+      .select(col("doc_id"), col("lang"), col("max_j"),
+        coalesce(col("max_j") < 0.5, lit(true)).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** #56c deterministic train/valid/test split: portable 60-bit md5
+    * bucket of doc_id → 80/10/10, counted per (split, lang). Pure
+    * per-row column math + partial agg; the assignment is reproducible
+    * across engines, runs, partitionings, and cluster sizes (no
+    * rand(), no row-order dependence) — the property a pipeline needs
+    * so re-running a 100 TB split never migrates a document. */
+  def qSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    T(s, dir).documents
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
   // ───────────────────────── §2.6 streaming twins (batch-equiv) ──────────
 
   /** #69 tumbling-window counts — same transform serves readStream. */
