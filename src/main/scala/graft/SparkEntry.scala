@@ -81,6 +81,7 @@ object SparkEntry {
     "q_dedup_exact" -> (Q.qDedupExact _),
     "q_decontam" -> (Q.qDecontam _),
     "q_split" -> (Q.qSplit _),
+    "q_pipeline_e2e" -> (Q.qPipelineE2e _),
     "q_winnow" -> (Q.qWinnow _),
     "q_dedup_minhash" -> (Q.qDedupMinhash _),
     "q_dedup_simhash" -> (Q.qDedupSimhash _),

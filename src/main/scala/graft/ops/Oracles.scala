@@ -528,6 +528,38 @@ object Oracles {
          |SELECT doc_id, lang, max_j, coalesce(max_j < 0.5, true) AS kept
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // composes the EXACT fragments of q_quality (score), q_dedup_exact
+    // (fingerprint keep-first) and q_split (md5 bucket) — bit-stable
+    // because every stage is; the per-split stat is integer arithmetic
+    "q_pipeline_e2e" ->
+      s"""WITH q AS (SELECT doc_id, n_chars, text,
+         |    least(cast(length(text) as double) / 500.0, 1.0) * 0.3
+         |    + cast(len(list_filter(toks, x -> x IN $EN)) as double)
+         |      / cast(len(toks) as double) * 0.4
+         |    + (1.0 - cast(len(regexp_extract_all(lower(text), '$PUNCT'))
+         |        as double) / cast(length(text) as double)) * 0.2
+         |    + least((cast(length(regexp_replace(text, '$WS', '', 'g'))
+         |        as double) / cast(len(toks) as double)) / 8.0, 1.0) * 0.1
+         |      AS score
+         |  FROM (SELECT doc_id, n_chars, text, $TOKS AS toks
+         |        FROM documents) t),
+         |f AS (SELECT doc_id, n_chars,
+         |    md5(trim(regexp_replace(lower(text), '$WS+', ' ', 'g'))) AS fp
+         |  FROM q WHERE score >= 0.5),
+         |u AS (SELECT doc_id, n_chars FROM (
+         |    SELECT doc_id, n_chars,
+         |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |    FROM f) r WHERE rn = 1)
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |    ELSE 'test' END AS split,
+         |  cast(count(*) as bigint) AS n,
+         |  cast(sum(n_chars) as bigint) AS sum_chars
+         |FROM (SELECT n_chars,
+         |    ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT % 100 AS b
+         |  FROM u) x
+         |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "q_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
          |    ELSE 'test' END AS split, lang, $CNT AS n

@@ -915,6 +915,48 @@ object Queries {
       .orderBy("split", "lang")
   }
 
+  /** #56d the composed training-data pipeline as ONE declarative plan:
+    * quality-score → threshold filter → exact dedup (keep lowest
+    * doc_id per content fingerprint) → deterministic split → per-split
+    * stats. Each stage reuses the exact column math of its standalone
+    * operator (q_quality / q_dedup_exact / q_split), so the whole
+    * composition stays whole-stage-codegen'd per row plus two keyed
+    * shuffles (fingerprint group, split group) — Catalyst fuses the
+    * stages; nothing materializes between them. The per-split stat is
+    * sum(n_chars), exact integer arithmetic (a double mean would not
+    * be bit-stable across summation orders). */
+  def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayCountIn.register(s)
+    val scored = T(s, dir).documents
+      .withColumn("toks", wsTokens(col("text")))
+      .withColumn("score",
+        least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+          * lit(0.3) +
+        (arrayHits(col("toks"), enStop).cast("double") /
+          size(col("toks")).cast("double")) * lit(0.4) +
+        (lit(1.0) - punctRatio(col("text"))) * lit(0.2) +
+        least((length(regexp_replace(col("text"), wsClass, ""))
+          .cast("double") / size(col("toks")).cast("double")) / lit(8.0),
+          lit(1.0)) * lit(0.1))
+      .where(col("score") >= 0.5)
+      .withColumn("fp", fingerprint(col("text")))
+    val uniq = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    uniq
+      .select(when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"),
+        col("n_chars"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("split")
+  }
+
   // ───────────────────────── §2.6 streaming twins (batch-equiv) ──────────
 
   /** #69 tumbling-window counts — same transform serves readStream. */
