@@ -867,12 +867,16 @@ object Queries {
   /** #56b decontamination (train/eval overlap scrub): drop training
     * docs whose 3-gram Jaccard against ANY doc of the held-out source
     * reaches 0.5 — the stage that keeps benchmark data out of a
-    * training set. 100 TB shape: the eval set is tiny (a benchmark),
-    * so its shingle sets collapse into ONE broadcast row and the
-    * corpus takes a single SHUFFLE-FREE scan, each row scoring max-J
-    * against the broadcast list with sorted-hash intersects — no
-    * corpus shuffle, no join explosion (a pair join keyed on doc_id
-    * would shuffle |train|·|eval| rows). */
+    * training set. Shape: the eval set is tiny (a benchmark), so it
+    * BROADCASTS and the corpus takes one scan through a codegen'd
+    * pair scorer (sorted-hash intersects, the q_ngram_jaccard
+    * primitive — measured ~8× cheaper per pair than the same math
+    * inside an interpreted `transform` lambda); only skinny
+    * (doc_id, j) rows reach the max-aggregation shuffle. The exact
+    * max-J contract is intrinsically |train|·|eval| compute — at
+    * discovery scale a pipeline drops the score column and
+    * minhash-prefilters candidates (the [[qDedupMinhash]] machinery)
+    * before this verify. */
   def qDecontam(s: SparkSession, dir: String): DataFrame = {
     graft.functions.SortedIntersectCount.register(s)
     val d = graft.dedup.Dedup
@@ -881,16 +885,26 @@ object Queries {
       .selectExpr("doc_id", "lang", "source", s"${d.toksExpr} AS toks")
       .withColumn("sh", when(size(col("toks")) >= 3,
         expr(s"array_sort(transform(${d.shinglesExpr}, x -> xxhash64(x)))")))
-    val evalRow = withSh(docs.where(col("source") === "src0"))
-      .where(col("sh").isNotNull)
-      .agg(collect_list(col("sh")).as("eshs"))
-    withSh(docs.where(col("source") =!= "src0"))
-      .crossJoin(broadcast(evalRow))
-      .withColumn("max_j", when(col("sh").isNotNull, expr(
-        """array_max(transform(eshs, e ->
-          |  cast(sorted_intersect_count(sh, e) as double) /
-          |  cast(size(sh) + size(e) - sorted_intersect_count(sh, e)
-          |       as double)))""".stripMargin)))
+    val evalSh = withSh(docs.where(col("source") === "src0"))
+      .where(col("sh").isNotNull).select(col("sh").as("esh"))
+    // repartition BEFORE the per-row scoring (the single-partition
+    // pitfall) and EAGER the shingled frame: it feeds the pair scorer
+    // and the final rejoin, and an un-cached projection would be
+    // INLINED past the broadcast join — re-evaluating the shingle
+    // expression once per (train, eval) pair (measured 15 s vs 1.3 s)
+    val train = graft.core.Eager(withSh(docs
+      .where(col("source") =!= "src0")
+      .repartition(col("doc_id"))).select("doc_id", "lang", "sh"))
+    val scored = train.where(col("sh").isNotNull).select("doc_id", "sh")
+      .crossJoin(broadcast(evalSh))
+      .withColumn("inter", expr("sorted_intersect_count(sh, esh)"))
+      .select(col("doc_id"),
+        (col("inter").cast("double") /
+          (size(col("sh")) + size(col("esh")) - col("inter")).cast("double"))
+          .as("j"))
+      .groupBy("doc_id").agg(max(col("j")).as("max_j"))
+    train.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("lang"), col("max_j"),
         coalesce(col("max_j") < 0.5, lit(true)).as("kept"))
       .orderBy("doc_id")
