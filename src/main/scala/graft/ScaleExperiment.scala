@@ -120,7 +120,7 @@ object ScaleExperiment {
     val only = args.headOption.getOrElse(
       "q_dedup_minhash|q_dedup_simhash|q_ngram_jaccard|" +
       "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within|" +
-      "q_knn_lsh|q_knn_ivf").r
+      "q_knn_lsh|q_knn_ivf|q_decontam|q_split|q_pipeline_e2e").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
