@@ -31,10 +31,12 @@ class ExtensionsSpec extends AnyFunSuite {
           |  size(hyperplane_lsh(array(1.0D, 2.0D), 4, 4)) AS b,
           |  simhash60(array('x', 'y')) >= 0 AS c,
           |  size(minhash_sig(array('x', 'y'))) AS d,
-          |  sorted_intersect_count(array(1L, 2L), array(2L, 3L)) AS e
+          |  sorted_intersect_count(array(1L, 2L), array(2L, 3L)) AS e,
+          |  array_count_in(array('a', 'b', 'a'), array('a')) AS f
           |""".stripMargin).collect()(0)
       assert(row.getInt(0) == 2 && row.getInt(1) == 4 &&
-        row.getBoolean(2) && row.getInt(3) == 64 && row.getLong(4) == 1L)
+        row.getBoolean(2) && row.getInt(3) == 64 && row.getLong(4) == 1L &&
+        row.getLong(5) == 2L)
 
       // Rule[LogicalPlan]: the declarative fold is rewritten to the
       // native expression (range() keeps the relation non-local so

@@ -85,6 +85,18 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline operators keep partial aggregation and no cartesian") {
+    // q_split / q_pipeline_e2e are pure column math + keyed aggs: the
+    // count must be map-side partial and nothing may cross-product
+    for (q <- Seq("q_split", "q_pipeline_e2e")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count"), s"$q lost partial agg:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$q plan contains a cartesian:\n$plan")
+    }
+  }
+
   test("bucketed-on-key join plans without a shuffle exchange") {
     val t = graft.tables.Tables(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("graft_bkt")
