@@ -53,6 +53,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("TextFunctions.langId/qualityScore are bit-equal to the query rewrites") {
+    // the library combinators and the graded queries must never drift:
+    // same tokenization, same native membership counts, same arithmetic
+    import org.apache.spark.sql.functions._
+    graft.functions.ArrayCountIn.register(spark)
+    val docs = graft.tables.Tables(spark, sf).documents
+    val lib = docs.select(col("doc_id"),
+      graft.text.TextFunctions.langId(col("text")).as("lib_lang"),
+      graft.text.TextFunctions.qualityScore(col("text")).as("lib_score"))
+    val qLang = graft.ops.Queries.qLangId(spark, sf)
+      .select(col("doc_id"), col("lang_pred"))
+    val qScore = graft.ops.Queries.qQuality(spark, sf)
+      .select(col("doc_id"), col("score"))
+    val diff = lib.join(qLang, "doc_id").join(qScore, "doc_id")
+      .where(col("lib_lang") =!= col("lang_pred") ||
+             !(col("lib_score") <=> col("score")))
+    assert(diff.count() == 0)
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
