@@ -45,6 +45,11 @@ object Sink {
   def json[A](path: String): Sink[A] =
     Sink(_.toDF().write.mode("overwrite").json(path))
 
+  /** ORC — the other columnar warehouse format Spark ships natively
+    * (same pushdown/pruning story as parquet). */
+  def orc[A](path: String): Sink[A] =
+    Sink(_.toDF().write.mode("overwrite").orc(path))
+
   /** Driver-side collector (tests / tiny results only). */
   def collect[A](out: scala.collection.mutable.Buffer[A]): Sink[A] =
     Sink(ds => out ++= ds.collect())

@@ -231,4 +231,8 @@ object Source {
 
   def json(spark: SparkSession, path: String): Source[Row] =
     Source(spark.read.json(path))
+
+  /** ORC scan — column-pruned and filter-pushed like [[parquet]]. */
+  def orc(spark: SparkSession, path: String): Source[Row] =
+    Source(spark.read.orc(path))
 }

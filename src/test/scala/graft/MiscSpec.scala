@@ -60,6 +60,23 @@ class MiscSpec extends AnyFunSuite {
     assert(j.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("orc sink roundtrips and its scan pushes filters like parquet (#24)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    val base = java.nio.file.Files.createTempDirectory("graft_orc")
+    Source(df).into(Sink.orc(base.resolve("o").toString))
+    val back = Source.orc(spark, base.resolve("o").toString)
+    assert(back.toDF.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // the columnar-scan story carries over: predicate reaches the scan
+    val plan = back.where(col("id") > 1).toDF
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1)]"),
+      s"orc scan did not push the filter:\n$plan")
+  }
+
   test("scrubText masks urls and emails, collapses whitespace (#66c)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
