@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rule[LogicalPlan]: rewrite the declarative SQL-fold dot product
     // into the native VectorDot loop wherever it appears in a plan.
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    // ...and the idiomatic size(filter(arr, x -> x IN (...))) membership
+    // count into the native ArrayCountIn probe.
+    ext.injectOptimizerRule(_ => ArrayCountInRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

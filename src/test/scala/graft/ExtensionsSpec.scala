@@ -63,6 +63,27 @@ class ExtensionsSpec extends AnyFunSuite {
            |  (cast(array() as array<double>), cast(array() as array<double>))
            |AS t(a, b)""".stripMargin)
       assert(parity.collect().forall(_.getBoolean(0)))
+
+      // Rule[LogicalPlan] #2: size(filter(x IN (...))) → ArrayCountIn
+      // (range() keeps the relation non-local, as above)
+      val cnt = spark.sql(
+        """SELECT size(filter(toks, t -> t IN ('a', 'c'))) AS c FROM (
+          |  SELECT array(cast(id as string), 'a', 'c', 'a') AS toks
+          |  FROM range(2))""".stripMargin)
+      assert(cnt.queryExecution.optimizedPlan.expressions.exists(
+          _.exists(_.isInstanceOf[graft.functions.ArrayCountIn])),
+        s"membership count not rewritten:\n${cnt.queryExecution.optimizedPlan}")
+      // id=0 → toks ('0','a','c','a') → 3; id=1 → ('1','a','c','a') → 3
+      assert(cnt.collect().map(_.getInt(0)).toSeq == Seq(3, 3))
+      // null parity vs the un-rewritten lambda: CASE blocks the rewrite
+      // pattern on the right side, so this really compares both paths
+      val cntParity = spark.sql(
+        """SELECT size(filter(toks, t -> t IN ('a'))) <=>
+          |  size(filter(toks, t -> CASE WHEN true THEN t IN ('a') END))
+          |  AS same
+          |FROM (SELECT IF(id = 0, array('a', NULL, 'b', 'a'),
+          |    cast(null as array<string>)) AS toks FROM range(2))""".stripMargin)
+      assert(cntParity.collect().forall(_.getBoolean(0)))
     } finally spark.stop()
   }
 }
