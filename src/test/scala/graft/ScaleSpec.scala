@@ -95,6 +95,13 @@ class ScaleSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct"),
         s"$q plan contains a cartesian:\n$plan")
     }
+    // decontam's scale claim: the eval side BROADCASTS (the intended
+    // small-side product, like knnBrute) — never a shuffled cartesian
+    val dc = graft.SparkEntry.queries("q_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dc.contains("Broadcast"), s"q_decontam eval side not broadcast:\n$dc")
+    assert(!dc.contains("CartesianProduct"),
+      s"q_decontam plan contains a shuffled cartesian:\n$dc")
   }
 
   test("bucketed-on-key join plans without a shuffle exchange") {
