@@ -201,6 +201,27 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("embedPairsBlocked == cross-join exact on random data and block counts (property)") {
+    import spark.implicits._
+    // three seeded corpora × three grid sizes: the triangle sharding
+    // must reproduce the quadratic baseline exactly regardless of how
+    // ids hash into blocks (incl. empty and singleton cells)
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 20 + rnd.nextInt(30)
+      val e = (0L until n.toLong).map { i =>
+        (i * 7 + seed, Array.fill(8)(rnd.nextFloat() * 2 - 1)) // sparse ids
+      }.toDF("vec_id", "embedding")
+      val tau = 0.3 + rnd.nextDouble() * 0.4
+      val exact = Similarity.embedPairs(e, tau).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val blocks = Seq(2, 7, 33)(rnd.nextInt(3))
+      val blocked = Similarity.embedPairsBlocked(e, tau, blocks).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(blocked == exact, s"seed=$seed blocks=$blocks tau=$tau")
+    }
+  }
+
   test("embedPairsAuto dispatches right and equals exact in both regimes") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)

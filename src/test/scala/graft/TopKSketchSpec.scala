@@ -52,6 +52,29 @@ class TopKSketchSpec extends AnyFunSuite {
       s"missing heavy keys: ${heavy -- got.keySet}")
   }
 
+  test("error bound survives any merge grouping (property)") {
+    // MG's guarantee must be independent of HOW partials merge: group
+    // the same stream into random partition counts and re-check the
+    // undercount bound each time
+    import spark.implicits._
+    val agg = new TopKSketch(32)
+    val rnd = new scala.util.Random(5)
+    val data = (0 until 4000).map { _ =>
+      if (rnd.nextInt(10) < 4) s"h${rnd.nextInt(3)}" else s"t${rnd.nextInt(400)}"
+    }
+    val exact = data.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bound = data.size.toLong / 33
+    for (parts <- Seq(1, 3, 8, 17)) {
+      val got = spark.createDataset(data).repartition(parts).toDF("x")
+        .agg(TopKSketch.udafFor(32)(col("x")).as("sk"))
+        .select(explode(col("sk"))).as[(String, Long)].collect().toMap
+      assert(got.forall { case (k, c) =>
+        c <= exact(k) && exact(k) - c <= bound }, s"parts=$parts")
+      val heavy = exact.filter(_._2 > bound).keySet
+      assert(heavy.subsetOf(got.keySet), s"parts=$parts lost ${heavy -- got.keySet}")
+    }
+  }
+
   test("sketched bigram top-20 equals the exact query at sf0.001") {
     // sf0.001 has ~900 distinct bigrams < 4096 capacity: the summary is
     // exact there, so the two queries must agree bit-for-bit
