@@ -48,6 +48,7 @@ object SparkEntry {
     "q3_join" -> (Q.q3Join _),
     "q5_multijoin" -> (Q.q5MultiJoin _),
     "q_outer_having" -> (Q.qOuterHaving _),
+    "q_full_outer" -> (Q.qFullOuter _),
     "q_semijoin" -> (Q.qSemiJoin _),
     "q_antijoin" -> (Q.qAntiJoin _),
     "q_distinct" -> (Q.qDistinct _),

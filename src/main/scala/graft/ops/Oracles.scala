@@ -275,6 +275,15 @@ object Oracles {
          |  GROUP BY c_custkey) x
          |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
+    "q_full_outer" ->
+      s"""SELECT coalesce(a.k, b.k) AS k, n_big_orders, c_name FROM
+         |  (SELECT o_custkey AS k, $CNT AS n_big_orders
+         |   FROM orders WHERE o_totalprice > 400000 GROUP BY 1) a
+         |FULL OUTER JOIN
+         |  (SELECT c_custkey AS k, c_name FROM customer
+         |   WHERE c_mktsegment = 'BUILDING') b
+         |ON a.k = b.k ORDER BY k""".stripMargin,
+
     "q_semijoin" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders

@@ -370,6 +370,25 @@ object Queries {
       .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
+  /** #42b FULL OUTER join: per-customer LARGE-order counts vs the
+    * BUILDING segment roster — nulls surface on BOTH sides (building
+    * customers with no large order; large-order customers outside the
+    * segment; the price filter makes the left-null side non-empty on
+    * corpora where every customer has ordered). Shuffle-hash/
+    * sort-merge on the key like any equi-join; no broadcast (full
+    * outer cannot broadcast either side). */
+  def qFullOuter(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val a = t.orders.where(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    val b = t.customer.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"), col("c_name"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"), col("n_big_orders"), col("c_name"))
+      .orderBy("k")
+  }
+
   /** #43 EXISTS → left semi join. */
   def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
