@@ -59,6 +59,7 @@ object SparkEntry {
     "q_subquery" -> (Q.qSubquery _),
     "q_case_agg" -> (Q.qCaseAgg _),
     "q_pivot" -> (Q.qPivot _),
+    "q_unpivot" -> (Q.qUnpivot _),
     "q_setops" -> (Q.qSetOps _),
     "q_string" -> (Q.qString _),
     "q_datetime" -> (Q.qDatetime _),

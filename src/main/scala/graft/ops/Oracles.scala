@@ -203,6 +203,19 @@ object Oracles {
         |    AS signup
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
+    // melt of the pivot: every (day, one of the 4 types) cell, 0-filled
+    "q_unpivot" ->
+      """WITH d AS (SELECT date_trunc('day', ts) AS day FROM events
+        |  GROUP BY 1),
+        |t AS (SELECT unnest(['click','purchase','signup','view'])
+        |  AS event_type),
+        |c AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |    count(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT d.day, t.event_type, cast(coalesce(c.n, 0) as bigint) AS n
+        |FROM d CROSS JOIN t
+        |LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type
+        |ORDER BY d.day, t.event_type""".stripMargin,
+
     "q_setops" ->
       """WITH b AS (SELECT c_custkey AS k FROM customer
         |           INTERSECT SELECT o_custkey FROM orders),

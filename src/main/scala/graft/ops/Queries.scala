@@ -621,6 +621,19 @@ object Queries {
       .na.fill(0L)
       .orderBy("day")
 
+  /** #51c unpivot (melt): the inverse of [[qPivot]] — the wide per-day
+    * matrix back to long (day, event_type, n) rows, zero-filled cells
+    * included. Spark-native `unpivot` (Expand under the hood: one pass,
+    * rows × n_value_columns, no shuffle beyond the upstream agg). The
+    * melt shape is how wide feature tables re-enter long-format
+    * pipelines. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    qPivot(s, dir)
+      .unpivot(Array(col("day")),
+        Array(col("click"), col("view"), col("purchase"), col("signup")),
+        "event_type", "n")
+      .orderBy("day", "event_type")
+
   /** #45b set operations: INTERSECT and EXCEPT (DISTINCT semantics),
     * tagged and unioned — both are hash-partitioned semi/anti joins
     * under the hood, no global sort. */
