@@ -56,6 +56,8 @@ object SparkEntry {
     "q_window_rank" -> (Q.qWindowRank _),
     "q_window_lag" -> (Q.qWindowLag _),
     "q_rollup" -> (Q.qRollup _),
+    "q_cube" -> (Q.qCube _),
+    "q_window_range" -> (Q.qWindowRange _),
     "q_subquery" -> (Q.qSubquery _),
     "q_case_agg" -> (Q.qCaseAgg _),
     "q_pivot" -> (Q.qPivot _),

@@ -338,6 +338,28 @@ object Oracles {
          |ORDER BY o_orderstatus ASC NULLS FIRST,
          |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, $CNT AS n,
+         |  ${d2("o_totalprice")} AS total
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // range frame: seconds-granularity epoch on both sides (the repo's
+    // portable duration idiom), decimal-routed sum
+    "q_window_range" ->
+      """SELECT event_id, user_id, cast(n_1h as bigint) AS n_1h, sv_1h
+        |FROM (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER w AS n_1h,
+        |    cast(sum(cast(value AS DECIMAL(18,4))) OVER w AS double)
+        |      AS sv_1h
+        |  FROM (SELECT event_id, user_id, epoch(ts) AS tsec, value
+        |        FROM events) e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) x
+        |ORDER BY event_id""".stripMargin,
+
     "q_subquery" ->
       s"""SELECT p_partkey, p_name, p_retailprice FROM part
          |WHERE p_retailprice > (

@@ -444,6 +444,33 @@ object Queries {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** #49b CUBE: all 2^k grouping-set combinations (rollup covers only
+    * the k+1 prefixes) — same partial-agg Expand plan family. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders.cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** #48b time-RANGE window frame: per-user count and exact sum of
+    * events in the PRECEDING HOUR of each event — the range frame is a
+    * distinct window capability from the rows frames elsewhere (frame
+    * membership by ORDER-BY value distance, not row position). Keyed
+    * by user ⇒ hash-partitioned window, the scale-out shape. */
+  def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tsec"))
+      .rangeBetween(-3600L, Window.currentRow)
+    T(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"),
+        col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sv_1h", sum(col("value").cast(D4)).over(w).cast("double"))
+      .select("event_id", "user_id", "n_1h", "sv_1h")
+      .orderBy("event_id")
+  }
+
   /** #50 scalar subquery: parts above the (exact) global mean price. */
   def qSubquery(s: SparkSession, dir: String): DataFrame = {
     val p = T(s, dir).part
