@@ -54,6 +54,8 @@ object SparkEntry {
     "q_distinct" -> (Q.qDistinct _),
     "q_topk" -> (Q.qTopK _),
     "q_window_rank" -> (Q.qWindowRank _),
+    "q_rank_family" -> (Q.qRankFamily _),
+    "q_stats" -> (Q.qStats _),
     "q_window_lag" -> (Q.qWindowLag _),
     "q_rollup" -> (Q.qRollup _),
     "q_cube" -> (Q.qCube _),

@@ -360,6 +360,35 @@ object Oracles {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) x
         |ORDER BY event_id""".stripMargin,
 
+    // exact moments: decimal sums, closed-form variance in double with
+    // the identical operation order as the Spark side
+    "q_stats" ->
+      """SELECT o_orderstatus, n, sx / cast(n as double) AS mean,
+        |  (sxx - sx * sx / cast(n as double)) / cast(n - 1 as double)
+        |    AS variance,
+        |  sqrt((sxx - sx * sx / cast(n as double)) / cast(n - 1 as double))
+        |    AS stddev
+        |FROM (
+        |  SELECT o_orderstatus, cast(count(*) as bigint) AS n,
+        |    cast(sum(cast(o_totalprice AS DECIMAL(12,2))) as double) AS sx,
+        |    cast(sum(cast(o_totalprice AS DECIMAL(12,2))
+        |           * cast(o_totalprice AS DECIMAL(12,2))) as double) AS sxx
+        |  FROM orders GROUP BY 1) x
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_rank_family" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  cast(rnk as bigint) AS rnk, cast(drnk as bigint) AS drnk,
+        |  prnk, cast(quartile as bigint) AS quartile
+        |FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |    percent_rank() OVER w AS prnk, ntile(4) OVER w AS quartile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey)) x
+        |WHERE rnk <= 100 ORDER BY o_orderstatus, rnk, o_orderkey""".stripMargin,
+
     "q_subquery" ->
       s"""SELECT p_partkey, p_name, p_retailprice FROM part
          |WHERE p_retailprice > (

@@ -471,6 +471,46 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** #38b descriptive statistics: mean/variance/stddev per group with
+    * EXACT cross-engine values — the built-in `stddev` aggregates use
+    * engine-specific online algorithms (Welford vs two-pass) whose
+    * doubles differ in the last ulps, so the moments are computed from
+    * decimal-exact Σx and Σx² (2dp × 2dp = exact 4dp products) and the
+    * closed form `(Σx² − (Σx)²/n)/(n−1)` is evaluated in double with
+    * the IDENTICAL operation order on both engines (÷ and sqrt are
+    * IEEE-exact). Still one partial-agg pass. */
+  def qStats(s: SparkSession, dir: String): DataFrame = {
+    val p = col("o_totalprice").cast(P2)
+    T(s, dir).orders
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(p).cast("double").as("sx"),
+        sum(p * p).cast("double").as("sxx"))
+      .select(col("o_orderstatus"), col("n"),
+        (col("sx") / col("n").cast("double")).as("mean"),
+        ((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+          (col("n") - 1).cast("double")).as("variance"))
+      .withColumn("stddev", sqrt(col("variance")))
+      .orderBy("o_orderstatus")
+  }
+
+  /** #47b the ranking-function family beyond row_number: rank /
+    * dense_rank / percent_rank / ntile over one keyed window — all
+    * per-group sort-based, hash-partitioned on the key. percent_rank
+    * is exact rational arithmetic ((rank−1)/(n−1)), engine-stable. */
+  def qRankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir).orders
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .where(col("rnk") <= 100)
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
   /** #50 scalar subquery: parts above the (exact) global mean price. */
   def qSubquery(s: SparkSession, dir: String): DataFrame = {
     val p = T(s, dir).part
