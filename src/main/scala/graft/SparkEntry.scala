@@ -56,6 +56,7 @@ object SparkEntry {
     "q_window_rank" -> (Q.qWindowRank _),
     "q_rank_family" -> (Q.qRankFamily _),
     "q_stats" -> (Q.qStats _),
+    "q_corr" -> (Q.qCorr _),
     "q_window_lag" -> (Q.qWindowLag _),
     "q_rollup" -> (Q.qRollup _),
     "q_cube" -> (Q.qCube _),

@@ -376,6 +376,28 @@ object Oracles {
         |  FROM orders GROUP BY 1) x
         |ORDER BY o_orderstatus""".stripMargin,
 
+    "q_corr" ->
+      """SELECT l_returnflag, n,
+        |  (sxy - sx * sy / cast(n as double)) / cast(n - 1 as double)
+        |    AS covar,
+        |  ((sxy - sx * sy / cast(n as double)) / cast(n - 1 as double))
+        |  / sqrt(
+        |    ((sxx - sx * sx / cast(n as double)) / cast(n - 1 as double))
+        |    * ((syy - sy * sy / cast(n as double)) / cast(n - 1 as double)))
+        |    AS corr
+        |FROM (
+        |  SELECT l_returnflag, cast(count(*) as bigint) AS n,
+        |    cast(sum(cast(l_quantity AS DECIMAL(12,2))) as double) AS sx,
+        |    cast(sum(cast(l_extendedprice AS DECIMAL(12,2))) as double) AS sy,
+        |    cast(sum(cast(l_quantity AS DECIMAL(12,2))
+        |           * cast(l_extendedprice AS DECIMAL(12,2))) as double) AS sxy,
+        |    cast(sum(cast(l_quantity AS DECIMAL(12,2))
+        |           * cast(l_quantity AS DECIMAL(12,2))) as double) AS sxx,
+        |    cast(sum(cast(l_extendedprice AS DECIMAL(12,2))
+        |           * cast(l_extendedprice AS DECIMAL(12,2))) as double) AS syy
+        |  FROM lineitem GROUP BY 1) x
+        |ORDER BY l_returnflag""".stripMargin,
+
     "q_rank_family" ->
       """SELECT o_orderkey, o_orderstatus,
         |  cast(rnk as bigint) AS rnk, cast(drnk as bigint) AS drnk,

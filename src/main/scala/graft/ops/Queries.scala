@@ -494,6 +494,31 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** #38c covariance/correlation per group — same discipline as
+    * [[qStats]]: built-in covar/corr use online co-moment updates that
+    * differ in the last ulps across engines, so Σx, Σy, Σxy, Σx², Σy²
+    * are decimal-exact (2dp×2dp products) and the closed forms run in
+    * identical double operation order. One partial-agg pass. */
+  def qCorr(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(P2)
+    val y = col("l_extendedprice").cast(P2)
+    val nD = col("n").cast("double")
+    val cov = (col("sxy") - col("sx") * col("sy") / nD) / (nD - 1.0)
+    def varOf(sq: Column, sm: Column) = (sq - sm * sm / nD) / (nD - 1.0)
+    T(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        cov.as("covar"),
+        (cov / sqrt(varOf(col("sxx"), col("sx")) *
+          varOf(col("syy"), col("sy")))).as("corr"))
+      .orderBy("l_returnflag")
+  }
+
   /** #47b the ranking-function family beyond row_number: rank /
     * dense_rank / percent_rank / ntile over one keyed window — all
     * per-group sort-based, hash-partitioned on the key. percent_rank
