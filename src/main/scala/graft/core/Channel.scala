@@ -61,7 +61,7 @@ object Channel {
     * columns, so the product is commutative and the swap isomorphism
     * is the identity — `second f = swap >>> first f >>> swap`
     * therefore coincides with `first f` (the lawful definition, not a
-    * shortcut; asserted in CoreSpec). Kept as its own combinator so
+    * shortcut; asserted in PropertySpec). Kept as its own combinator so
     * the Arrow surface is complete and call sites can say which
     * component they mean. */
   def second(f: Map[String, Column]): Channel[Row, Row] = first(f)

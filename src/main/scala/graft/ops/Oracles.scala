@@ -346,7 +346,11 @@ object Oracles {
          |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     // range frame: seconds-granularity epoch on both sides (the repo's
-    // portable duration idiom), decimal-routed sum
+    // portable duration idiom), decimal-routed sum. epoch(ts) is a
+    // fractional DOUBLE in DuckDB while Spark's unix_timestamp floors to
+    // whole seconds — floor here too, or frame membership and peer
+    // groups diverge whenever two same-user events share a floored
+    // second or a pair straddles the 3600 s boundary fractionally.
     "q_window_range" ->
       """SELECT event_id, user_id, cast(n_1h as bigint) AS n_1h, sv_1h
         |FROM (
@@ -354,7 +358,8 @@ object Oracles {
         |    count(*) OVER w AS n_1h,
         |    cast(sum(cast(value AS DECIMAL(18,4))) OVER w AS double)
         |      AS sv_1h
-        |  FROM (SELECT event_id, user_id, epoch(ts) AS tsec, value
+        |  FROM (SELECT event_id, user_id,
+        |          cast(floor(epoch(ts)) as bigint) AS tsec, value
         |        FROM events) e
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tsec
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)) x
