@@ -120,7 +120,8 @@ object ScaleExperiment {
     val only = args.headOption.getOrElse(
       "q_dedup_minhash|q_dedup_simhash|q_ngram_jaccard|" +
       "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within|" +
-      "q_knn_lsh|q_knn_ivf|q_decontam|q_split|q_pipeline_e2e").r
+      "q_knn_lsh|q_knn_ivf|q_decontam|q_decontam_lsh|q_split|" +
+      "q_pipeline_e2e|q_cube|q_window_range|q_rank_family|q_full_outer").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -175,6 +176,54 @@ object ScaleExperiment {
       val big = run(n, fn, bigSf)
       println(f"$n%-18s $small%7.2fs $big%8.2fs  ${big / small}%5.1fx")
     }
+    skewExperiment(spark)
     spark.stop()
+  }
+
+  /** Salting under REAL skew, measured (SURVEY §5): a 10M-row fact with
+    * 50% of rows on ONE hot key, joined to a 100k-row dim that is too
+    * big to broadcast (threshold forced off, modeling a dim beyond the
+    * broadcast budget). The plain shuffled join puts 5M rows in one
+    * task — the straggler that kills a 1000-executor stage; salting
+    * spreads the hot key across 32 salt buckets at the cost of
+    * replicating the dim ×32. Both forms must agree exactly (count and
+    * a value checksum) — salting is a physical rewrite, not a
+    * semantics change. AQE stays ON with default thresholds: its
+    * skew-join splitter only fires above 256 MB partitions, so a
+    * multi-GB-at-cluster-scale hot key measured here at local scale
+    * still shows the straggler that salting removes. */
+  private def skewExperiment(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.DataFrame
+    val hot = 0L
+    def big(n: Long): DataFrame = spark.range(n).select(
+      when(col("id") % 2 === 0, hot).otherwise(col("id") % 100000L).as("k"),
+      (col("id") % 97).as("v"))
+    val dim = spark.range(100000L).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    def agg(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(length(col("payload")) + col("v")))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def timed(df: => DataFrame): (Double, (Long, Long)) = {
+        val t0 = System.nanoTime()
+        val chk = agg(df)
+        ((System.nanoTime() - t0) / 1e9, chk)
+      }
+      // codegen warmup at 1/10 size
+      timed(big(1000000L).join(dim, "k"))
+      timed(graft.ops.Scale.saltedJoin(big(1000000L), dim, "k", 32))
+      val (tPlain, cPlain) = timed(big(10000000L).join(dim, "k"))
+      val (tSalt, cSalt) =
+        timed(graft.ops.Scale.saltedJoin(big(10000000L), dim, "k", 32))
+      require(cPlain == cSalt, s"salted join diverged: $cPlain vs $cSalt")
+      println(f"skew_salted_join   plain ${tPlain}%5.2fs  salted " +
+        f"${tSalt}%5.2fs  speedup ${tPlain / tSalt}%4.1fx  " +
+        s"(10M rows, 50%% on one key, 100k dim, checksum ok)")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_fingerprint" -> (Q.qFingerprint _),
     "q_dedup_exact" -> (Q.qDedupExact _),
     "q_decontam" -> (Q.qDecontam _),
+    "q_decontam_lsh" -> (Q.qDecontamLsh _),
     "q_split" -> (Q.qSplit _),
     "q_pipeline_e2e" -> (Q.qPipelineE2e _),
     "q_winnow" -> (Q.qWinnow _),

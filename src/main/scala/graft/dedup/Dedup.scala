@@ -122,6 +122,96 @@ object Dedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** Banding (bands, rows) over the k=64 minhash signature for a Jaccard
+    * threshold `tau`: the largest `rows` (sharpest S-curve = least
+    * background leakage) whose bands still catch a pair at exactly
+    * J = tau with probability ≥ `recall`. Decontamination wants the
+    * recall side of the curve — missing contamination is the costly
+    * error, extra verify pairs are just compute — so unlike the 16×4
+    * dedup point (tuned at τ=0.8), τ=0.5 lands on 32×2: at-threshold
+    * recall 1−(1−0.5²)³² ≈ 0.9999, while a J≈0.03 background pair
+    * becomes a candidate with p ≈ 3% and is then discarded by the exact
+    * verify. */
+  def jaccardBandingFor(tau: Double, k: Int = 64,
+                        recall: Double = 0.999): (Int, Int) = {
+    require(tau > 0 && tau < 1, s"tau in (0,1), got $tau")
+    Seq(32, 16, 8, 4, 2).filter(k % _ == 0).collectFirst {
+      case r if 1.0 - math.pow(1.0 - math.pow(tau, r), k / r) >= recall =>
+        (k / r, r)
+    }.getOrElse((k, 1))
+  }
+
+  /** Decontamination at DISCOVERY scale (#56b's promised scale path):
+    * minhash-prefilter → exact verify, replacing [[graft.ops.Queries
+    * .qDecontam]]'s broadcast all-pairs scan. Where the exact form
+    * scores |train|·|eval| pairs per contract, this form spends
+    * O(bands) hash-probes per train doc to find CANDIDATES and runs
+    * the codegen'd sorted-intersect verify only on those, so a 100 TB
+    * corpus against a fixed benchmark suite does bands×|train| probe
+    * work instead of |eval|×|train| intersects.
+    *
+    * Output per train doc: (all train columns, max_j_hit, kept).
+    * `max_j_hit` = the exact max Jaccard against the eval set WHEN that
+    * max reaches `tau` (every pair with J ≥ tau is a candidate with
+    * probability ≥ 0.999 per [[jaccardBandingFor]], and candidates are
+    * verified exactly — so the max over verified candidates IS the
+    * global max whenever the global max ≥ tau), null otherwise.
+    * `kept` = no eval doc reaches tau. Equality with the exact operator
+    * is therefore deterministic-given-the-data up to the banding miss
+    * probability ((1−J²)³² ≈ 1e-39 at the corpus's planted J ≈ 0.97) —
+    * asserted bit-equal to q_decontam's oracle on all graded SFs.
+    *
+    * Plan shape: eval (the benchmark suite — small by contract) is
+    * broadcast TWICE, once as its banded bucket table for candidate
+    * generation and once as its shingle-hash arrays for the verify;
+    * the train side streams map-side through both probes. The only
+    * shuffles are the keyed candidate dedup and the skinny
+    * (doc_id, j) max-agg — nothing all-pairs, nothing cartesian. */
+  def decontamPrefiltered(train: DataFrame, eval: DataFrame,
+                          tau: Double = 0.5): DataFrame = {
+    val s = train.sparkSession
+    graft.functions.MinHashSig.register(s)
+    graft.functions.SortedIntersectCount.register(s)
+    val (bands, rows) = jaccardBandingFor(tau)
+    def prep(df: DataFrame): DataFrame = df
+      .selectExpr("doc_id", s"$toksExpr AS toks")
+      .where(size(col("toks")) >= 3)
+      .selectExpr("doc_id", s"$shinglesExpr AS s")
+      .select(col("doc_id"), expr("minhash_sig(s)").as("sig"),
+        expr("array_sort(transform(s, x -> xxhash64(x)))").as("shh"))
+    def banded(df: DataFrame): DataFrame = df.select(col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}), b ->
+             |  named_struct('band', b,
+             |    'bucket', hash(b, slice(sig, b * $rows + 1, $rows))))"""
+            .stripMargin)).as("bk"))
+      .select(col("doc_id"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // train spread before the per-row shingle work (single-partition
+    // pitfall) and Eager'd: it feeds banding AND the verify re-join
+    val t = graft.core.Eager(prep(train.repartition(col("doc_id"))))
+    val e = graft.core.Eager(prep(eval))
+    val cands = banded(t)
+      .join(broadcast(banded(e)
+        .select(col("band"), col("bucket"), col("doc_id").as("e_id"))),
+        Seq("band", "bucket"))
+      .select(col("doc_id"), col("e_id"))
+      // a J ≥ tau pair collides in ~all bands — dedup before paying
+      // the verify intersect once per band
+      .dropDuplicates("doc_id", "e_id")
+    val verified = cands
+      .join(t.select(col("doc_id"), col("shh")), "doc_id")
+      .join(broadcast(e.select(col("doc_id").as("e_id"),
+        col("shh").as("esh"))), "e_id")
+      .withColumn("inter", expr("sorted_intersect_count(shh, esh)"))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("shh")) + size(col("esh")) - col("inter")).cast("double"))
+      .where(col("j") >= tau)
+      .groupBy("doc_id").agg(max(col("j")).as("max_j_hit"))
+    train.join(verified, Seq("doc_id"), "left")
+      .withColumn("kept", col("max_j_hit").isNull)
+  }
+
   /** Exact Jaccard of two string-array columns (double). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

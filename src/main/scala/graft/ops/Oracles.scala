@@ -628,6 +628,34 @@ object Oracles {
          |SELECT doc_id, lang, max_j, coalesce(max_j < 0.5, true) AS kept
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // the exact all-pairs computation again (the prefilter is a pure
+    // optimization): max_j surfaced only at/above the 0.5 threshold,
+    // which is exactly the set of pairs the LSH prefilter guarantees
+    // to recover (recall ≥ 0.999 at J = tau, ~1-1e-39 at the corpus's
+    // planted J ≈ 0.97)
+    "q_decontam_lsh" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $TOKS AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, lang, source,
+         |    CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform(
+         |      range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+         |    END AS sh
+         |  FROM t),
+         |e AS (SELECT list(sh) AS eshs FROM s
+         |  WHERE source = 'src0' AND sh IS NOT NULL),
+         |m AS (SELECT doc_id, lang, CASE WHEN sh IS NOT NULL THEN
+         |      list_max(list_transform(eshs, x ->
+         |        cast(len(list_intersect(sh, x)) as double) /
+         |        cast(len(sh) + len(x) - len(list_intersect(sh, x))
+         |             as double)))
+         |    END AS max_j
+         |  FROM s CROSS JOIN e WHERE source <> 'src0')
+         |SELECT doc_id, lang,
+         |  CASE WHEN max_j >= 0.5 THEN max_j END AS max_j_hit,
+         |  coalesce(max_j < 0.5, true) AS kept
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     // composes the EXACT fragments of q_quality (score), q_dedup_exact
     // (fingerprint keep-first) and q_split (md5 bucket) — bit-stable
     // because every stage is; the per-split stat is integer arithmetic
@@ -779,8 +807,23 @@ object Oracles {
          |FROM events JOIN customer ON user_id = c_custkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the Spark side PNG-encodes a synthetic image per doc and runs the
+    // real javax.imageio decoder; pixels are the closed form below and
+    // PNG is lossless, so the decoded per-channel sums must equal this
+    // direct evaluation — a genuine codec-roundtrip hash gate
     "q_multimodal" ->
-      """SELECT doc_id, cast(octet_length(encode(text)) as bigint) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 13 AS w,
+        |    16 + doc_id % 11 AS h, doc_id % 251 AS d FROM documents)
+        |SELECT doc_id, cast(w as bigint) AS width, cast(h as bigint) AS height,
+        |  cast(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (x*7 + y*11 + d*3) % 256))))
+        |    as bigint) AS sum_r,
+        |  cast(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (x*5 + y*3 + d*7) % 256))))
+        |    as bigint) AS sum_g,
+        |  cast(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (x*13 + y + d) % 256))))
+        |    as bigint) AS sum_b
+        |FROM p ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1034,6 +1034,27 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** #56b' decontamination at DISCOVERY scale: the minhash-prefilter →
+    * exact-verify composition ([[graft.dedup.Dedup.decontamPrefiltered]])
+    * that q_decontam's scale note promises. Same kept-set as the exact
+    * broadcast scan — and for every contaminated doc the same exact max
+    * Jaccard — but candidate generation is O(bands) hash probes per
+    * train doc instead of |eval| intersects, the shape that survives a
+    * 100 TB corpus against a fixed benchmark suite. Oracle: the exact
+    * all-pairs computation (same as q_decontam) with max_j surfaced
+    * only when it reaches the threshold, which is precisely what the
+    * prefiltered operator guarantees to recover. */
+  def qDecontamLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val d = graft.dedup.Dedup
+    d.decontamPrefiltered(
+        docs.where(col("source") =!= "src0").select("doc_id", "lang", "text"),
+        docs.where(col("source") === "src0").select("doc_id", "text"),
+        tau = 0.5)
+      .select(col("doc_id"), col("lang"), col("max_j_hit"), col("kept"))
+      .orderBy("doc_id")
+  }
+
   /** #56c deterministic train/valid/test split: portable 60-bit md5
     * bucket of doc_id → 80/10/10, counted per (split, lang). Pure
     * per-row column math + partial agg; the assignment is reproducible
@@ -1115,24 +1136,33 @@ object Queries {
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
-  /** #67 multimodal plumbing: opaque binary payload + typed metadata. */
+  /** #67 multimodal with a REAL codec: synthesize a genuine PNG per
+    * document, run the actual `javax.imageio` decoder on every payload,
+    * and emit the decoded metadata + exact per-channel pixel sums. The
+    * synthetic pixels are a closed-form function of doc_id and PNG is
+    * lossless, so the DuckDB oracle recomputes the identical sums from
+    * the formula — the full encode→decode→stat path is hash-gated, not
+    * merely shape-checked. Repartitioned before the per-row codec work
+    * (the single-partition pitfall). */
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
-    graft.mm.Multimodal.describe(
-      graft.mm.Multimodal.packBinary(T(s, dir).documents))
+    graft.mm.Multimodal.decodeImage(
+      graft.mm.Multimodal.packImage(
+        T(s, dir).documents.repartition(col("doc_id"))))
       .orderBy("doc_id")
 
-  /** #67b the composed multimodal pipeline: pack binary payloads →
-    * batched feature extraction (stub model, real Spark shape) → ANN
-    * over the derived embedding column — ingest-to-similarity as one
-    * declarative plan. Rows-only (the stub features have no SQL
-    * oracle); determinism and shape asserted in MiscSpec. */
+  /** #67b the composed multimodal pipeline: pack real PNG payloads →
+    * batched decode + luminance-histogram features → ANN over the
+    * derived embedding column — ingest-to-similarity as one declarative
+    * plan, every stage running the real image decoder. Rows-only (the
+    * ANN layer has no SQL oracle); determinism and shape asserted in
+    * MiscSpec. */
   def qMmPipeline(s: SparkSession, dir: String): DataFrame = {
-    // repartition BEFORE the per-row extraction stage: document tables
-    // often arrive in one split, and the whole point of the batched
-    // extractor is to run wide (the repo's single-partition pitfall)
-    val packed = graft.mm.Multimodal.packBinary(T(s, dir).documents)
-      .repartition(col("doc_id"))
-    val feats = graft.mm.Multimodal.extractFeatures(packed, dim = 16)
+    // repartition BEFORE the per-row codec stage: document tables often
+    // arrive in one split, and the whole point of the batched extractor
+    // is to run wide (the repo's single-partition pitfall)
+    val packed = graft.mm.Multimodal.packImage(
+      T(s, dir).documents.repartition(col("doc_id")))
+    val feats = graft.mm.Multimodal.imageFeatures(packed, dim = 16)
       .withColumnRenamed("doc_id", "vec_id")
     graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)
       .orderBy("qid", "rank")

@@ -66,4 +66,48 @@ class DedupSpec extends AnyFunSuite {
       .select("j").as[Double].collect()
     assert(got.length == 1 && math.abs(got(0) - 1.0 / 3.0) < 1e-15)
   }
+
+  test("jaccardBandingFor: recall >= 0.999 at tau, sharpest rows wins") {
+    def recallAt(tau: Double, bands: Int, rows: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(tau, rows), bands)
+    for (tau <- Seq(0.3, 0.5, 0.8, 0.95)) {
+      val (bands, rows) = Dedup.jaccardBandingFor(tau)
+      assert(bands * rows == 64)
+      assert(recallAt(tau, bands, rows) >= 0.999,
+        s"tau=$tau got ($bands,$rows)")
+      // no sharper (larger-rows) config would also meet the recall bar
+      for (r2 <- Seq(32, 16, 8, 4, 2) if r2 > rows)
+        assert(recallAt(tau, 64 / r2, r2) < 0.999)
+    }
+    assert(Dedup.jaccardBandingFor(0.5) == (32, 2)) // the decontam point
+  }
+
+  test("decontamPrefiltered == exact broadcast scan on planted overlap") {
+    import spark.implicits._
+    // train doc 10 is contaminated by eval doc 100 (J well above 0.5);
+    // train 11 shares a little with eval (J ~ 0.14, below threshold);
+    // train 12 is disjoint; train 13 is too short to shingle (kept)
+    val train = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "alpha beta gamma unrelated words fill this document nicely ok"),
+      (12L, "spark catalyst tungsten codegen shuffle partition broadcast join"),
+      (13L, "too short")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (101L, "other benchmark content entirely distinct from any train doc")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontamPrefiltered(train, eval, tau = 0.5)
+      .select("doc_id", "max_j_hit", "kept").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(2)))
+      .toMap
+    // exact check for doc 10: 8 shared of (8+8-6... compute directly:
+    // both have 8 shingles; 7 shared (positions 1..7 of 8 identical,
+    // last shingle differs) → J = 7 / (8 + 8 - 7) = 7/9
+    assert(got(10L)._2 == false)
+    assert(math.abs(got(10L)._1.get - 7.0 / 9.0) < 1e-15)
+    assert(got(11L) == (None, true) && got(12L) == (None, true))
+    assert(got(13L) == (None, true))
+  }
 }

@@ -101,7 +101,7 @@ class MiscSpec extends AnyFunSuite {
     assert(a.forall(r => r.getDouble(3) >= -1.0 && r.getDouble(3) <= 1.0 + 1e-9))
   }
 
-  test("multimodal: pack → describe/features/resize/frames (#67)") {
+  test("multimodal: text pack → describe/frames byte plumbing (#67)") {
     import spark.implicits._
     val docs = Seq((1L, "hello world", "en", "srcA"),
                    (2L, "abcdefghij", "en", "srcB"))
@@ -111,15 +111,45 @@ class MiscSpec extends AnyFunSuite {
     val desc = Multimodal.describe(packed).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(desc == Map(1L -> 11L, 2L -> 10L))
-    val feats = Multimodal.extractFeatures(packed, dim = 8).collect()
-    assert(feats.forall(_.getSeq[Float](1).size == 8))
-    assert(feats.forall(r => math.abs(r.getSeq[Float](1).sum - 1f) < 1e-5))
-    val small = Multimodal.resize(packed, 4).collect()
-    assert(small.forall(_.getAs[Array[Byte]](1).length <= 4))
     val frames = Multimodal.sampleFrames(packed, frameBytes = 4, stride = 2)
       .collect()
     // doc 1: 11 bytes → frames 0,1,2 → stride 2 keeps 0,2
     assert(frames.count(_.getLong(0) == 1L) == 2)
+  }
+
+  test("multimodal: real PNG codec roundtrip decodes exactly (#67)") {
+    import spark.implicits._
+    val docs = Seq(0L, 7L, 123L, 250L, 251L).toDF("doc_id")
+    val packed = Multimodal.packImage(docs)
+    // the payloads are genuine PNGs (magic bytes)
+    val magic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    assert(packed.select("payload").collect()
+      .forall(_.getAs[Array[Byte]](0).take(4).sameElements(magic)))
+    // decoded stats equal an independent evaluation of the pixel formula
+    val got = Multimodal.decodeImage(packed).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    for (id <- Seq(0L, 7L, 123L, 250L, 251L)) {
+      val (w, h, d) = (Multimodal.imgW(id), Multimodal.imgH(id),
+        Multimodal.imgSeed(id))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val rgb = Multimodal.pixel(d, x, y)
+        sr += rgb._1; sg += rgb._2; sb += rgb._3
+      }
+      val want = (w.toLong, h.toLong, sr, sg, sb)
+      assert(got(id) == want, s"doc $id")
+    }
+    // features: decoded-luminance histogram, L1-normalized
+    val feats = Multimodal.imageFeatures(packed, dim = 8).collect()
+    assert(feats.forall(_.getSeq[Float](1).size == 8))
+    assert(feats.forall(r => math.abs(r.getSeq[Float](1).sum - 1f) < 1e-5))
+    // thumbnail: re-encoded PNG whose decoded dims fit the bound
+    val thumbs = Multimodal.decodeImage(
+      Multimodal.thumbnail(packed, maxDim = 8)).collect()
+    assert(thumbs.forall(r => r.getLong(1) <= 8 && r.getLong(2) <= 8
+      && r.getLong(1) >= 1 && r.getLong(2) >= 1))
   }
 
   test("file-source streaming replay equals batch on real events (#68)") {

@@ -102,6 +102,18 @@ class ScaleSpec extends AnyFunSuite {
     assert(dc.contains("Broadcast"), s"q_decontam eval side not broadcast:\n$dc")
     assert(!dc.contains("CartesianProduct"),
       s"q_decontam plan contains a shuffled cartesian:\n$dc")
+    // the discovery-scale composition: candidate gen AND verify are
+    // broadcast probes against the eval side, nothing cross-products
+    // and nothing nested-loops — the plan contract behind its 100 TB
+    // claim (the broadcast q_decontam form is the small-eval product
+    // BY contract; this one must not even have that)
+    val dcl = graft.SparkEntry.queries("q_decontam_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dcl.contains("BroadcastHashJoin"),
+      s"q_decontam_lsh candidate/verify probes not broadcast:\n$dcl")
+    assert(!dcl.contains("CartesianProduct") &&
+           !dcl.contains("BroadcastNestedLoopJoin"),
+      s"q_decontam_lsh plan contains a cartesian:\n$dcl")
   }
 
   test("bucketed-on-key join plans without a shuffle exchange") {
