@@ -1085,8 +1085,29 @@ object Queries {
     * sum(n_chars), exact integer arithmetic (a double mean would not
     * be bit-stable across summation orders). */
   def qPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val uniq = pipelineScored(s, T(s, dir).documents)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    uniq
+      .groupBy("split")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+      .orderBy("split")
+  }
+
+  /** The composed pipeline's per-row stage — quality score → threshold
+    * filter → content fingerprint → deterministic split — shared
+    * verbatim by the batch [[qPipelineE2e]] and its streaming twin
+    * (pure column math, stream-safe; the split bucket is a per-row
+    * function of doc_id, so computing it before or after dedup is
+    * equivalent). */
+  def pipelineScored(s: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.ArrayCountIn.register(s)
-    val scored = T(s, dir).documents
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long"), lit(100))
+    docs
       .withColumn("toks", wsTokens(col("text")))
       .withColumn("score",
         least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
@@ -1099,21 +1120,10 @@ object Queries {
           lit(1.0)) * lit(0.1))
       .where(col("score") >= 0.5)
       .withColumn("fp", fingerprint(col("text")))
-    val uniq = scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("fp").orderBy("doc_id")))
-      .where(col("rn") === 1)
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long"), lit(100))
-    uniq
-      .select(when(bucket < 80, "train").when(bucket < 90, "valid")
-          .otherwise("test").as("split"),
-        col("n_chars"))
-      .groupBy("split")
-      .agg(count(lit(1)).as("n"),
-        sum(col("n_chars").cast("long")).as("sum_chars"))
-      .orderBy("split")
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test"))
+      .select("doc_id", "n_chars", "fp", "split")
   }
 
   // ───────────────────────── §2.6 streaming twins (batch-equiv) ──────────

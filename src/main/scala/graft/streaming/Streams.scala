@@ -137,4 +137,60 @@ object Streams {
                     watermarkCol: String, delay: String): DataFrame =
     df.withWatermark(watermarkCol, delay)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** The documents table as a REAL file-source stream (replay) — same
+    * symlink-a-single-file trick as [[eventsStream]]. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val src = java.nio.file.Paths.get(s"$dir/documents.parquet")
+    val path =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft_docstream")
+        java.nio.file.Files.createSymbolicLink(
+          d.resolve("documents.parquet"), src)
+        d.toString
+      }
+    spark.readStream.schema(schema).parquet(path)
+  }
+
+  case class PDoc(doc_id: Long, n_chars: Long, fp: String, split: String)
+  case class PBest(doc_id: Long, n_chars: Long, split: String)
+
+  /** Streaming twin of the composed pipeline's exact-dedup stage
+    * (#70c) with the batch semantics PRESERVED: the batch pipeline
+    * keeps the MINIMUM doc_id per content fingerprint, and on real
+    * data duplicate groups straddle split buckets (3 groups at
+    * sf0.1), so "keep an arbitrary first arrival"
+    * (`dropDuplicatesWithinWatermark`) would change the split counts.
+    * Per-fingerprint state tracks the current min-doc_id row;
+    * update-mode emission revises a group's winner if a smaller
+    * doc_id arrives in a later micro-batch, and "last update per
+    * fingerprint" is exactly the batch dedup's kept set.
+    *
+    * State bounds: one PBest per distinct fingerprint — the same
+    * cardinality the batch dedup's hash aggregation holds, spread
+    * across the state store's keyed partitions. A production deploy
+    * bounds it in TIME with a state TTL at the ingest horizon
+    * (content dedup needs the full-corpus key set by definition —
+    * that is what makes it exact; [[dedupedStream]] is the
+    * bounded-state approximate alternative that trades exactness for
+    * a watermark-sized window). */
+  def pipelineDedupStream(ds: Dataset[PDoc])(implicit
+      ke: Encoder[String], se: Encoder[PBest],
+      oe: Encoder[PDoc]): Dataset[PDoc] =
+    ds.groupByKey(_.fp).mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      (fp: String, it: Iterator[PDoc],
+       state: org.apache.spark.sql.streaming.GroupState[PBest]) =>
+        val inc = it.minBy(_.doc_id)
+        val best = state.getOption match {
+          case Some(b) if b.doc_id <= inc.doc_id => b
+          case _ => PBest(inc.doc_id, inc.n_chars, inc.split)
+        }
+        state.update(best)
+        PDoc(best.doc_id, best.n_chars, fp, best.split)
+    }
 }

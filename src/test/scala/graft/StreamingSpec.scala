@@ -187,6 +187,82 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("pipelineDedupStream revises the winner to the min doc_id (#70c)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Streams.PDoc]
+    val q = Streams.pipelineDedupStream(ms.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pds_out").start()
+    ms.addData(Streams.PDoc(7L, 100L, "fpA", "valid"),
+               Streams.PDoc(3L, 50L, "fpB", "train"))
+    q.processAllAvailable()
+    // a SMALLER doc_id for fpA arrives later: the winner must be revised
+    // (this is exactly the case where first-arrival dedup diverges from
+    // the batch keep-min semantics)
+    ms.addData(Streams.PDoc(2L, 100L, "fpA", "test"),
+               Streams.PDoc(9L, 50L, "fpB", "valid")) // larger: no revision
+    q.processAllAvailable()
+    val last = spark.table("pds_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .groupBy(_._3).map { case (fp, rows) => fp -> rows.minBy(_._1) }
+    q.stop()
+    assert(last("fpA") == (2L, 100L, "fpA", "test"))
+    assert(last("fpB") == (3L, 50L, "fpB", "train"))
+  }
+
+  test("composed pipeline replay == q_pipeline_e2e batch oracle (#70c)") {
+    import spark.implicits._
+    // sf0.1: the one graded SF with real exact-dup groups (8, of which
+    // 3 straddle split buckets — the case that breaks first-arrival
+    // dedup and so actually exercises the min-id semantics)
+    val dir = "/root/testdata/sf0.1"
+    val scored = graft.ops.Queries.pipelineScored(spark,
+      Streams.documentsStream(spark, dir)).as[Streams.PDoc]
+    val q = Streams.pipelineDedupStream(scored)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("pipe_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    // final winner per fp = the min-doc_id update (winners only ever
+    // decrease); aggregate them into the pipeline's per-split stats
+    val streamed = spark.table("pipe_replay").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .groupBy(_._3).values.map(_.minBy(_._1)).toSeq
+      .groupBy(_._4)
+      .map { case (split, rows) =>
+        split -> (rows.size.toLong, rows.map(_._2).sum) }
+    val batch = graft.ops.Queries.qPipelineE2e(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("watermark dedup variant keeps exactly one row per fp (#70c/#72)") {
+    import spark.implicits._
+    // the bounded-state alternative: dropDuplicatesWithinWatermark over
+    // a synthesized ingest time. Its winner per group is
+    // arrival-order-dependent, so the gate checks the winner-INSENSITIVE
+    // invariants: the surviving fingerprint set (== batch dedup's
+    // groups) with exactly one survivor each
+    val dir = "/root/testdata/sf0.1"
+    val scored = graft.ops.Queries.pipelineScored(spark,
+        Streams.documentsStream(spark, dir))
+      .withColumn("ts", timestamp_micros(col("doc_id")))
+    val q = Streams.dedupedStream(scored, Seq("fp"), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val survivors = spark.table("wm_dedup_out").select("fp")
+      .collect().map(_.getString(0)).toSeq
+    val batchFps = graft.ops.Queries.pipelineScored(spark,
+        graft.tables.Tables(spark, dir).documents)
+      .select("fp").distinct().collect().map(_.getString(0)).toSet
+    assert(survivors.size == batchFps.size) // one survivor per group
+    assert(survivors.toSet == batchFps)
+  }
+
   test("streaming dedup drops repeats within the watermark (#72)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
