@@ -67,6 +67,22 @@ final case class Source[A](ds: Dataset[A]) {
   def -(other: Source[_]): Source[Row] = zipA(other)(_ - _)
   def /(other: Source[_]): Source[Row] = zipA(other)(_ / _)
 
+  /** The UNARY Num members (Source.hs:141 region): `abs`/`signum`/
+    * `negate` lift pointwise over one stream — `fmap`, no applicative
+    * cross. Same single-column contract as [[zipA]]; the column keeps
+    * its name. Laws (`abs s * signum s == s`, `negate . negate == id`)
+    * in PropertySpec. */
+  def unaryA(f: Column => Column): Source[Row] = {
+    val l = ds.toDF()
+    require(l.columns.length == 1,
+      "Num lift is defined for single-column sources")
+    val c = l.columns(0)
+    Source(l.select(f(col(c)).as(c)))
+  }
+  def absA: Source[Row] = unaryA(org.apache.spark.sql.functions.abs)
+  def signumA: Source[Row] = unaryA(org.apache.spark.sql.functions.signum)
+  def negateA: Source[Row] = unaryA(c => -c)
+
   /** `Tubes.Util.take` (Util.hs:117): first n in `order`. Physical plan is
     * TakeOrderedAndProject — no global sort materialized. */
   def take(n: Int, order: Column*): Source[Row] =
@@ -210,6 +226,12 @@ object Source {
     * plan. */
   def empty[A: Encoder](spark: SparkSession): Source[A] =
     Source(spark.emptyDataset[A])
+
+  /** Num `fromInteger` (Source.hs:141 region): the literal as a
+    * one-element stream — the unit that makes `s + fromInteger(k)`
+    * shift every element by k through the applicative lift. */
+  def fromInteger(spark: SparkSession, n: Long): Source[Row] =
+    Source(spark.range(n, n + 1).toDF("lit"))
 
   /** `each` (Util.hs:76): source from a local collection. */
   def each[A: Encoder](spark: SparkSession, xs: Seq[A]): Source[A] =

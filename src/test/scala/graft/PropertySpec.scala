@@ -113,6 +113,30 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("Source Num unary members: abs/signum/negate laws, fromInteger") {
+    import spark.implicits._
+    check("numUnary", Prop.forAll { (a0: List[Int]) =>
+      val a = a0.take(8).map(_ % 100000)
+      a.isEmpty || {
+        val sa = Source(a.toDF("x"))
+        // abs s * signum s == s  (the defining Num law), pointwise here
+        // because both sides derive from the same single stream
+        val absV = sa.absA.toDF.as[Int].collect().toList
+        val sgnV = sa.signumA.toDF.as[Double].collect().toList
+        val neg2 = sa.negateA.negateA.toDF.as[Int].collect().toList
+        absV.zip(sgnV).map { case (av, sv) => (av * sv).toInt } == a &&
+          neg2 == a && absV == a.map(math.abs) &&
+          sgnV == a.map(x => math.signum(x.toDouble))
+      }
+    })
+    // fromInteger: the literal as a one-element stream; s + fromInteger(k)
+    // shifts every element through the applicative lift
+    val s = Source(Seq(1L, 2L, 3L).toDF("x"))
+    val shifted = (s + Source.fromInteger(spark, 10L))
+      .toDF.as[Long].collect().toList.sorted
+    assert(shifted == List(11L, 12L, 13L))
+  }
+
   test("StatePump comonad: duplicate checkpoints, sendAll is monoidal") {
     import graft.core.StatePump
     check("pump", Prop.forAll { (xs: List[Int], ys: List[Int]) =>

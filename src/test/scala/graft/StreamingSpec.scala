@@ -187,6 +187,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("native session_window == flatMapGroupsWithState sessions (#70b)") {
+    import spark.implicits._
+    // batch comparison on the REAL events table: the engine-managed
+    // sessionizer and the custom state function must produce the same
+    // (user, n_events, dur_s) multiset — same islands, same stats
+    val dir = "/root/testdata/sf0.001"
+    val native = Streams.sessionizeNative(
+        graft.tables.Tables(spark, dir).events)
+      .select("user_id", "n_events", "dur_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val custom = graft.ops.Queries.qSessionize(spark, dir)
+      .select("user_id", "n_events", "dur_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(native.nonEmpty && native == custom)
+  }
+
+  test("native session_window streams: closed sessions emitted (#70b)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Timestamp, Long)]
+    val q = Streams.sessionizeNative(
+        ms.toDF().toDF("ts", "user_id"), gapS = 1800)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    ms.addData((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:05:00"), 1L))
+    q.processAllAvailable()
+    // 4h later: watermark (max-2h) passes the first session's end → emit
+    ms.addData((ts("2024-01-01 14:00:00"), 1L))
+    q.processAllAvailable()
+    val got = spark.table("sw_out")
+      .select("user_id", "n_events", "dur_s").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    q.stop()
+    assert(got == Seq((1L, 2L, 300L)))
+  }
+
+  test("native session_window replay == batch minus unwatermarked (#70b)") {
+    import spark.implicits._
+    val es = Streams.eventsStream(spark, replayDir)
+    val q = Streams.sessionizeNative(es)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sw_replay")
+      .select("user_id", "n_events", "dur_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batchAll = Streams.sessionizeNative(
+      graft.tables.Tables(spark, replayDir).events)
+    // append emits a session once the watermark (max event time - 2h)
+    // passes its window end; everything else is still in state when the
+    // replay stops
+    val wm = graft.tables.Tables(spark, replayDir).events
+      .agg(max(date_trunc("second", col("ts")))).collect()(0)
+      .getTimestamp(0).getTime - 2L * 3600 * 1000
+    val expected = batchAll
+      .where(col("w_end") <= timestamp_millis(lit(wm)))
+      .select("user_id", "n_events", "dur_s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == expected)
+  }
+
   test("pipelineDedupStream revises the winner to the min doc_id (#70c)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
