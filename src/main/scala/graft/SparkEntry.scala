@@ -78,6 +78,7 @@ object SparkEntry {
     "q_approx_distinct" -> (Q.qApproxDistinct _),
     // §2.5 LLM-data-pipeline
     "q_tokens" -> (Q.qTokens _),
+    "q_tokens_bpe" -> (Q.qTokensBpe _),
     "q_scrub" -> (Q.qScrub _),
     "q_ngram_top" -> (Q.qNgramTop _),
     "q_ngram_top_sketch" -> (Q.qNgramTopSketch _),

@@ -755,6 +755,32 @@ object Queries {
         bpeTokenCount(col("text")).cast("long").as("n_bpe"))
       .orderBy("doc_id")
 
+  /** #65d BPE-merge tokenizer TRAINING ([[graft.text.Bpe]]): the learned
+    * merge table (rank, left, right, pair_freq) from the corpus, plus
+    * the corpus token count under the trained tokenizer. Rows-only by
+    * design — the iterative argmax-merge loop is not expressible in
+    * SQL; exactness is gated in BpeSpec against an independent
+    * in-memory reference trainer (bit-equal merge sequence on a closed
+    * corpus, encode==train agreement on the graded corpus) and
+    * determinism is asserted across runs. 48 merges, hapax words
+    * pruned — one corpus-sized shuffle builds the distinct-word table,
+    * then the merge loop runs where that table fits (driver when the
+    * pruned vocab is <= 2^20 words — the realistic case at any corpus
+    * scale — else the cluster loop; identical output either way,
+    * BpeSpec-gated). */
+  def qTokensBpe(s: SparkSession, dir: String): DataFrame = {
+    import graft.text.Bpe
+    val docs = T(s, dir).documents
+    val merges = Bpe.train(docs, "text", numMerges = 48, minWordFreq = 2L)
+    val nTok = docs.select(
+      sum(Bpe.tokenCount(col("text"), merges)).as("corpus_tokens"))
+      .head.getLong(0)
+    val out = s.createDataFrame(merges.map(m =>
+      (m.rank, m.left, m.right, m.pairFreq, nTok)))
+      .toDF("rank", "left", "right", "pair_freq", "corpus_tokens")
+    out.orderBy("rank")
+  }
+
   /** #64 quality scoring — features derive from a shared `toks` column.
     * NOTE the optimizer inlines a multiply-referenced projection per
     * reference, so `toks` is still split ~3×; cheap enough here. For

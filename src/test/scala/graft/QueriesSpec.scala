@@ -21,7 +21,8 @@ class QueriesSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct",
-        "q_mm_pipeline", "q_ngram_top_sketch", "q_percentile_approx"),
+        "q_mm_pipeline", "q_ngram_top_sketch", "q_percentile_approx",
+        "q_tokens_bpe"),
       s"unexpected rows-only: ${q -- o}")
   }
 
