@@ -89,6 +89,9 @@ object SparkEntry {
     "q_dedup_exact" -> (Q.qDedupExact _),
     "q_decontam" -> (Q.qDecontam _),
     "q_decontam_lsh" -> (Q.qDecontamLsh _),
+    "q_decontam_ngram" -> (Q.qDecontamNgram _),
+    "q_sample_stratified" -> (Q.qSampleStratified _),
+    "q_mixture" -> (Q.qMixture _),
     "q_split" -> (Q.qSplit _),
     "q_pipeline_e2e" -> (Q.qPipelineE2e _),
     "q_winnow" -> (Q.qWinnow _),

@@ -383,13 +383,13 @@ object Oracles {
 
     "q_corr" ->
       """SELECT l_returnflag, n,
-        |  (sxy - sx * sy / cast(n as double)) / cast(n - 1 as double)
-        |    AS covar,
-        |  ((sxy - sx * sy / cast(n as double)) / cast(n - 1 as double))
+        |  round((sxy - sx * sy / cast(n as double)) / cast(n - 1 as double),
+        |    6) AS covar,
+        |  round(((sxy - sx * sy / cast(n as double)) / cast(n - 1 as double))
         |  / sqrt(
         |    ((sxx - sx * sx / cast(n as double)) / cast(n - 1 as double))
-        |    * ((syy - sy * sy / cast(n as double)) / cast(n - 1 as double)))
-        |    AS corr
+        |    * ((syy - sy * sy / cast(n as double)) / cast(n - 1 as double))),
+        |    12) AS corr
         |FROM (
         |  SELECT l_returnflag, cast(count(*) as bigint) AS n,
         |    cast(sum(cast(l_quantity AS DECIMAL(12,2))) as double) AS sx,
@@ -687,6 +687,59 @@ object Oracles {
          |      ::UBIGINT::BIGINT % 100 AS b
          |  FROM u) x
          |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    // exact 5-gram overlap decontamination: both sides build per-doc
+    // DISTINCT 5-grams (DuckDB range(a,b) is stop-exclusive: positions
+    // 1..len-4), so n_hit counts distinct train-doc grams present
+    // anywhere in the eval suite
+    "q_decontam_ngram" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $TOKS AS toks
+         |  FROM documents),
+         |g AS (SELECT doc_id, lang, source,
+         |    CASE WHEN len(toks) >= 5 THEN list_distinct(list_transform(
+         |      range(1, len(toks) - 3),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] ||
+         |           ' ' || toks[i+3] || ' ' || toks[i+4]))
+         |    ELSE [] END AS gs
+         |  FROM t),
+         |e AS (SELECT DISTINCT unnest(gs) AS gram FROM g
+         |  WHERE source = 'src0'),
+         |tr AS (SELECT doc_id, unnest(gs) AS gram FROM g
+         |  WHERE source <> 'src0'),
+         |h AS (SELECT doc_id, count(*) AS n_hit
+         |  FROM tr JOIN e USING (gram) GROUP BY doc_id)
+         |SELECT g.doc_id, g.lang,
+         |  coalesce(h.n_hit, 0) AS n_hit,
+         |  coalesce(h.n_hit, 0) = 0 AS kept
+         |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
+         |WHERE g.source <> 'src0' ORDER BY g.doc_id""".stripMargin,
+
+    // seeded ("s#") md5 bucket, per-lang keep rates — independent of
+    // q_split's unseeded bucket by construction
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+         |    ('0x' || substr(md5('s#' || cast(doc_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT % 100 AS b
+         |  FROM documents) x
+         |WHERE b < CASE WHEN lang = 'en' THEN 50
+         |           WHEN lang = 'de' THEN 25 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin,
+
+    // token-budget mixture: per-lang md5-("m#")-ranked greedy fill to
+    // 5000 tokens; window cumsum order (rk, doc_id) is total, so the
+    // kept set is engine-independent
+    "q_mixture" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+         |    len($TOKS) AS ntok,
+         |    ('0x' || substr(md5('m#' || cast(doc_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT AS rk
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, ntok,
+         |    cast(sum(ntok) OVER (PARTITION BY lang ORDER BY rk, doc_id)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, lang, ntok, cum_tokens FROM c
+         |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin,
 
     "q_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'

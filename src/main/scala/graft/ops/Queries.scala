@@ -513,9 +513,16 @@ object Queries {
         sum(x * x).cast("double").as("sxx"),
         sum(y * y).cast("double").as("syy"))
       .select(col("l_returnflag"), col("n"),
-        cov.as("covar"),
-        (cov / sqrt(varOf(col("sxx"), col("sx")) *
-          varOf(col("syy"), col("sy")))).as("corr"))
+        // the SUMS are exact decimals, but each engine's decimal→double
+        // conversion double-rounds once the scaled integer passes 2^53
+        // (hugeint→double→/10^s vs correctly-rounded BigDecimal), so the
+        // final doubles can sit 1 ulp apart; rounding the result well
+        // inside double precision (~1e-12 of a [-1,1] corr) makes the
+        // comparison conversion-independent without giving up the
+        // exact-sum arithmetic
+        round(cov, 6).as("covar"),
+        round(cov / sqrt(varOf(col("sxx"), col("sx")) *
+          varOf(col("syy"), col("sy"))), 12).as("corr"))
       .orderBy("l_returnflag")
   }
 
@@ -1079,6 +1086,96 @@ object Queries {
         tau = 0.5)
       .select(col("doc_id"), col("lang"), col("max_j_hit"), col("kept"))
       .orderBy("doc_id")
+  }
+
+  /** #56b''' EXACT n-gram overlap decontamination — the other standard
+    * method (GPT-3 appendix C): flag any training document sharing at
+    * least one exact word n-gram with the eval suite (n=5 against this
+    * corpus's short docs; production uses ~13). Complements the
+    * max-Jaccard form: overlap-J catches paraphrase-level leakage,
+    * exact-gram catches verbatim inclusions at any document length
+    * ratio (a 13-gram quote inside a 10k-token doc moves J by ~0).
+    *
+    * Scale shape: the eval suite's distinct grams aggregate small and
+    * BROADCAST; the corpus explodes to per-doc distinct grams map-side
+    * (no corpus shuffle before the join), hits reduce through a keyed
+    * partial-agg count. Linear in corpus, constant per fixed eval
+    * suite — the same contract as q_decontam but with a set-membership
+    * probe instead of the pair scorer. */
+  def qDecontamNgram(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val gramsExpr =
+      """IF(size(toks) >= 5,
+        |  array_distinct(transform(sequence(1, size(toks) - 4),
+        |    i -> concat(element_at(toks, i), ' ', element_at(toks, i+1),
+        |                ' ', element_at(toks, i+2), ' ',
+        |                element_at(toks, i+3), ' ',
+        |                element_at(toks, i+4)))),
+        |  array())""".stripMargin
+    // Eager'd: three consumers (eval grams, train explode, final
+    // rejoin) would each re-run the tokenizer + gram builder per row
+    // when the projection inlines (the q_decontam lesson — measured
+    // there at ~10×); repartition first so gram construction spreads
+    // across all cores/executors
+    val g = graft.core.Eager(T(s, dir).documents
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", "lang", "source", s"${d.toksExpr} AS toks")
+      .selectExpr("doc_id", "lang", "source", s"$gramsExpr AS gs"))
+    val evalGrams = g.where(col("source") === "src0")
+      .select(explode(col("gs")).as("gram")).distinct()
+    val hits = g.where(col("source") =!= "src0")
+      .select(col("doc_id"), explode(col("gs")).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+    g.where(col("source") =!= "src0").select("doc_id", "lang")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) === 0).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** #56e deterministic STRATIFIED sampling: per-language keep rates
+    * (en 50%, de 25%, rest 10%) through a seeded portable md5 bucket —
+    * the q_split mechanism with an independent seed ("s#"), so sampling
+    * composes with splitting without correlation. Pure per-row column
+    * math: reproducible across engines/runs/partitionings, no rand(),
+    * and at 100 TB the sample is a scan-speed filter (no shuffle at
+    * all — the filtered rows keep their input partitioning). */
+  def qSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("s#"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(100))
+    val rate = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 25).otherwise(10)
+    T(s, dir).documents
+      .where(bucket < rate)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+  }
+
+  /** #56f token-budget MIXTURE curation: per language, documents are
+    * ranked by a seeded md5 ("m#" — independent of split/sample seeds)
+    * and greedily taken while the language's cumulative token count
+    * stays within budget — the deterministic version of "sample K
+    * tokens per domain" that data-mixture recipes (e.g. Pile/DoReMi
+    * weights) need. Keyed window (partitionBy lang) — the cumsum
+    * shuffles once on the stratum key and scales like any keyed
+    * window; output is budget-bounded by construction. */
+  def qMixture(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val rk = conv(substring(
+      md5(concat(lit("m#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    T(s, dir).documents
+      .selectExpr("doc_id", "lang", s"${d.toksExpr} AS toks")
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("ntok"), rk.as("rk"))
+      .withColumn("cum_tokens", sum("ntok").over(w))
+      .where(col("cum_tokens") <= 5000)
+      .select("doc_id", "lang", "ntok", "cum_tokens")
+      .orderBy("lang", "doc_id")
   }
 
   /** #56c deterministic train/valid/test split: portable 60-bit md5

@@ -114,6 +114,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(!dcl.contains("CartesianProduct") &&
            !dcl.contains("BroadcastNestedLoopJoin"),
       s"q_decontam_lsh plan contains a cartesian:\n$dcl")
+    // exact n-gram decontam: the eval gram set must broadcast (the
+    // corpus side stays shuffle-free until the per-doc hit count) and
+    // the hit count must aggregate partially
+    val dcn = graft.SparkEntry.queries("q_decontam_ngram")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(dcn.contains("BroadcastHashJoin"),
+      s"q_decontam_ngram eval gram set not broadcast:\n$dcn")
+    assert(dcn.contains("partial_count"),
+      s"q_decontam_ngram lost partial agg:\n$dcn")
+    assert(!dcn.contains("CartesianProduct") &&
+           !dcn.contains("BroadcastNestedLoopJoin"),
+      s"q_decontam_ngram plan contains a cartesian:\n$dcn")
+    // stratified sample: a pure scan-speed filter — no shuffle at all
+    // before the display sort, no join, no aggregation
+    val ss = graft.SparkEntry.queries("q_sample_stratified")(spark, sf)
+      .queryExecution.executedPlan
+    val ssStr = ss.toString
+    assert(!ssStr.contains("Join") && !ssStr.contains("HashAggregate"),
+      s"q_sample_stratified should be a pure filter:\n$ssStr")
+    // mixture: ONE keyed shuffle (the per-lang window) + the display
+    // sort; no join, no cartesian
+    val mx = graft.SparkEntry.queries("q_mixture")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(mx.contains("Window"), s"q_mixture lost the keyed window:\n$mx")
+    assert(mx.contains("hashpartitioning(lang"),
+      s"q_mixture window not hash-partitioned on lang:\n$mx")
+    assert(!mx.contains("Join") && !mx.contains("CartesianProduct"),
+      s"q_mixture plan grew a join:\n$mx")
   }
 
   test("bucketed-on-key join plans without a shuffle exchange") {
