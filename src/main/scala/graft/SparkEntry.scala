@@ -81,6 +81,7 @@ object SparkEntry {
     "q_tokens_bpe" -> (Q.qTokensBpe _),
     "q_scrub" -> (Q.qScrub _),
     "q_ngram_top" -> (Q.qNgramTop _),
+    "q_distinctive_terms" -> (Q.qDistinctiveTerms _),
     "q_ngram_top_sketch" -> (Q.qNgramTopSketch _),
     "q_quality" -> (Q.qQuality _),
     "q_repetition" -> (Q.qRepetition _),
@@ -90,6 +91,7 @@ object SparkEntry {
     "q_decontam" -> (Q.qDecontam _),
     "q_decontam_lsh" -> (Q.qDecontamLsh _),
     "q_decontam_ngram" -> (Q.qDecontamNgram _),
+    "q_blocklist" -> (Q.qBlocklist _),
     "q_sample_stratified" -> (Q.qSampleStratified _),
     "q_mixture" -> (Q.qMixture _),
     "q_split" -> (Q.qSplit _),
@@ -108,6 +110,7 @@ object SparkEntry {
     "q_stream_window" -> (Q.qStreamWindow _),
     "q_stream_sliding" -> (Q.qStreamSliding _),
     "q_stream_enrich" -> (Q.qStreamEnrich _),
+    "q_stream_join" -> (Q.qStreamJoin _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

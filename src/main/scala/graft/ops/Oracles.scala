@@ -368,11 +368,12 @@ object Oracles {
     // exact moments: decimal sums, closed-form variance in double with
     // the identical operation order as the Spark side
     "q_stats" ->
-      """SELECT o_orderstatus, n, sx / cast(n as double) AS mean,
-        |  (sxx - sx * sx / cast(n as double)) / cast(n - 1 as double)
-        |    AS variance,
-        |  sqrt((sxx - sx * sx / cast(n as double)) / cast(n - 1 as double))
-        |    AS stddev
+      """SELECT o_orderstatus, n, round(sx / cast(n as double), 6) AS mean,
+        |  round((sxx - sx * sx / cast(n as double)) / cast(n - 1 as double),
+        |    2) AS variance,
+        |  round(sqrt(round(
+        |    (sxx - sx * sx / cast(n as double)) / cast(n - 1 as double),
+        |    2)), 6) AS stddev
         |FROM (
         |  SELECT o_orderstatus, cast(count(*) as bigint) AS n,
         |    cast(sum(cast(o_totalprice AS DECIMAL(12,2))) as double) AS sx,
@@ -384,12 +385,12 @@ object Oracles {
     "q_corr" ->
       """SELECT l_returnflag, n,
         |  round((sxy - sx * sy / cast(n as double)) / cast(n - 1 as double),
-        |    6) AS covar,
+        |    4) AS covar,
         |  round(((sxy - sx * sy / cast(n as double)) / cast(n - 1 as double))
         |  / sqrt(
         |    ((sxx - sx * sx / cast(n as double)) / cast(n - 1 as double))
         |    * ((syy - sy * sy / cast(n as double)) / cast(n - 1 as double))),
-        |    12) AS corr
+        |    9) AS corr
         |FROM (
         |  SELECT l_returnflag, cast(count(*) as bigint) AS n,
         |    cast(sum(cast(l_quantity AS DECIMAL(12,2))) as double) AS sx,
@@ -539,6 +540,23 @@ object Oracles {
          |      as bigint) AS c_zh
          |  FROM (SELECT doc_id, lang, text, $TOKS AS toks FROM documents) t) x
          |ORDER BY doc_id""".stripMargin,
+
+    // tf/df division: both operands are small exact integers and both
+    // engines' double division is correctly rounded, so scores and
+    // ranks are bit-identical (the log-idf form would not be)
+    "q_distinctive_terms" ->
+      s"""WITH tf AS (SELECT doc_id, term, $CNT AS tf
+         |  FROM (SELECT doc_id, unnest($TOKS) AS term FROM documents) x
+         |  GROUP BY doc_id, term),
+         |df AS (SELECT term, $CNT AS df FROM tf GROUP BY term),
+         |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |    cast(tf.tf as double) / cast(df.df as double) AS score,
+         |    cast(row_number() OVER (PARTITION BY tf.doc_id
+         |      ORDER BY cast(tf.tf as double) / cast(df.df as double) DESC,
+         |               tf.term ASC) as bigint) AS rank
+         |  FROM tf JOIN df USING (term))
+         |SELECT doc_id, term, tf, df, score, rank FROM r
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id,
@@ -714,6 +732,18 @@ object Oracles {
          |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
          |WHERE g.source <> 'src0' ORDER BY g.doc_id""".stripMargin,
 
+    // the bloom sketch is a pure pre-pruning optimization (no false
+    // negatives; positives re-verified by the exact anti join), so the
+    // oracle is the plain NOT IN against the blocklist fingerprints
+    "q_blocklist" ->
+      s"""WITH f AS (SELECT doc_id, lang, source, n_chars,
+         |    md5(trim(regexp_replace(lower(text), '$WS+', ' ', 'g'))) AS fp
+         |  FROM documents)
+         |SELECT lang, $CNT AS n_docs, cast(sum(n_chars) as bigint) AS n_chars
+         |FROM f WHERE source <> 'src0'
+         |  AND fp NOT IN (SELECT fp FROM f WHERE source = 'src0')
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // seeded ("s#") md5 bucket, per-lang keep rates — independent of
     // q_split's unseeded bucket by construction
     "q_sample_stratified" ->
@@ -841,6 +871,16 @@ object Oracles {
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, $CNT AS n,
          |  ${d4("value")} AS sv
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_stream_join" ->
+      s"""SELECT date_trunc('hour', v.ts) AS hour, $CNT AS n_pairs,
+         |  cast(count(DISTINCT v.user_id) as bigint) AS n_users,
+         |  ${d4("p.value")} AS sv
+         |FROM events v JOIN events p
+         |  ON v.user_id = p.user_id AND v.event_type = 'view'
+         |  AND p.event_type = 'purchase'
+         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+         |GROUP BY 1 ORDER BY hour""".stripMargin,
 
     // every event belongs to the two 1h windows starting at its
     // half-hour truncation and 30 minutes before it (epoch-aligned,

@@ -487,10 +487,16 @@ object Queries {
         sum(p).cast("double").as("sx"),
         sum(p * p).cast("double").as("sxx"))
       .select(col("o_orderstatus"), col("n"),
-        (col("sx") / col("n").cast("double")).as("mean"),
-        ((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
-          (col("n") - 1).cast("double")).as("variance"))
-      .withColumn("stddev", sqrt(col("variance")))
+        // sxx's scaled integer passes 2^53, so decimal→double converts
+        // with engine-dependent last-ulp error (~1e-5 absolute on the
+        // sf0.1 variance, measured) — round the moments well inside
+        // that: see qCorr for the full analysis. stddev derives from
+        // the ROUNDED variance so both engines sqrt identical doubles.
+        round(col("sx") / col("n").cast("double"), 6).as("mean"),
+        round((col("sxx") - col("sx") * col("sx") /
+            col("n").cast("double")) /
+          (col("n") - 1).cast("double"), 2).as("variance"))
+      .withColumn("stddev", round(sqrt(col("variance")), 6))
       .orderBy("o_orderstatus")
   }
 
@@ -520,9 +526,9 @@ object Queries {
         // inside double precision (~1e-12 of a [-1,1] corr) makes the
         // comparison conversion-independent without giving up the
         // exact-sum arithmetic
-        round(cov, 6).as("covar"),
+        round(cov, 4).as("covar"),
         round(cov / sqrt(varOf(col("sxx"), col("sx")) *
-          varOf(col("syy"), col("sy"))), 12).as("corr"))
+          varOf(col("syy"), col("sy"))), 9).as("corr"))
       .orderBy("l_returnflag")
   }
 
@@ -786,6 +792,34 @@ object Queries {
       (m.rank, m.left, m.right, m.pairFreq, nTok)))
       .toDF("rank", "left", "right", "pair_freq", "corpus_tokens")
     out.orderBy("rank")
+  }
+
+  /** #65e distinctive terms per document — tf-idf with the raw
+    * inverse-frequency idf (score = tf/df, the log-free idf variant):
+    * libm's log is not ulp-portable across engines, while tf and df
+    * are small exact integers whose single division is IEEE-correctly
+    * rounded in both Spark and DuckDB, so the scores — and the ranking
+    * — are bit-stable. Shape: explode → (doc,term) partial-agg counts
+    * → vocab-sized df agg → per-doc top-3 window; the tf frame is
+    * Eager'd because both the df aggregation and the final join
+    * consume it. Every stage is a keyed shuffle or broadcastable
+    * vocab join — the 100 TB shape. */
+  def qDistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val tf = graft.core.Eager(T(s, dir).documents
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", s"explode(${d.toksExpr}) AS term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfr, Seq("term"))
+      .withColumn("score",
+        col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
   }
 
   /** #64 quality scoring — features derive from a shared `toks` column.
@@ -1135,6 +1169,55 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** #56g content-hash BLOCKLIST removal with bloom pre-pruning: drop
+    * every corpus doc whose normalized-content fingerprint appears in
+    * the blocklist (here: the eval suite's fingerprints — exact-doc
+    * decontamination; in production: opt-outs, known-bad hashes).
+    *
+    * The 100 TB mechanism ([[graft.functions.BloomFunctions]]): a
+    * blocklist too big to broadcast forces a full corpus shuffle for
+    * the anti join — unless a bloom sketch of the blocklist (built
+    * map-side-mergeable, ~1.2 GB per 10⁹ keys at 1% fpp, broadcast as
+    * ONE row) pre-splits the corpus at scan speed. A bloom MISS proves
+    * the row kept (no false negatives) and skips the shuffle entirely;
+    * only hits (≈|blocklist| + fpp·|corpus| rows) reach the exact anti
+    * join, so the result is EXACT — the oracle is the plain anti join.
+    * This is the one join family AQE's runtime filters can't cover
+    * (they prune probe sides of inner/semi joins, never the keep-side
+    * of an anti join). Corpus Eager'd here for the two branches; at
+    * 100 TB recompute the scan instead of caching. */
+  def qBlocklist(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFunctions.register(s)
+    val withFp = T(s, dir).documents
+      .withColumn("fp", fingerprint(col("text")))
+    val block = withFp.where(col("source") === "src0")
+      .select(col("fp").as("bfp"))
+    val corpus = graft.core.Eager(withFp.where(col("source") =!= "src0")
+      .select("doc_id", "lang", "n_chars", "fp"))
+    // the sketch AGGREGATES distributed (map-side-merged bitsets); only
+    // the finished ~KB sketch lands on the driver and is re-planted as
+    // a binary literal — might_contain requires a constant bloom, and
+    // this is precisely what Spark's own InjectRuntimeFilter does with
+    // its scalar-subquery sketch at execution time
+    val bfBytes = block
+      .agg(expr("bloom_filter_agg(xxhash64(bfp), 8192L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val bfLit =
+      if (bfBytes == null) lit(null).cast("binary") else lit(bfBytes)
+    val marked = corpus.withColumn("cand",
+      coalesce(call_function("might_contain", bfLit, xxhash64(col("fp"))),
+        lit(false)))
+    val sure = marked.where(!col("cand"))
+      .select("doc_id", "lang", "n_chars")
+    val verified = marked.where(col("cand"))
+      .join(block, col("fp") === col("bfp"), "left_anti")
+      .select("doc_id", "lang", "n_chars")
+    sure.unionByName(verified)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("lang")
+  }
+
   /** #56e deterministic STRATIFIED sampling: per-language keep rates
     * (en 50%, de 25%, rest 10%) through a seeded portable md5 bucket —
     * the q_split mechanism with an independent seed ("s#"), so sampling
@@ -1268,6 +1351,23 @@ object Queries {
       .enrich(T(s, dir).events, T(s, dir).customer)
       .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
+
+  /** #73 stream-STREAM interval join (batch twin): view events paired
+    * with same-user purchases within 30 minutes after the view, rolled
+    * up per view-hour. The identical [[graft.streaming.Streams
+    * .viewPurchase]] transform serves `readStream` on BOTH sides —
+    * watermark + interval condition bound the join state — and an
+    * AvailableNow replay is asserted row-equal to this batch form in
+    * StreamingSpec. */
+  def qStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    graft.streaming.Streams.viewPurchase(ev, ev)
+      .groupBy(date_trunc("hour", col("v_ts")).as("hour"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("v_user")).as("n_users"),
+        dsum(col("value"), D4).as("sv"))
+      .orderBy("hour")
+  }
 
   /** #67 multimodal with a REAL codec: synthesize a genuine PNG per
     * document, run the actual `javax.imageio` decoder on every payload,

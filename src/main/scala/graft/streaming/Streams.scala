@@ -161,6 +161,32 @@ object Streams {
         col("session_window.end").as("w_end"))
   }
 
+  /** Stream-STREAM interval join (#73): each `view` event paired with
+    * the same user's `purchase` events landing within 30 minutes after
+    * it. Written once for both modes: streaming sides get watermarks,
+    * and the interval condition is what BOUNDS the join state — Spark
+    * derives from (watermark, range) how long each side's rows can
+    * still match and evicts state past it, so state is
+    * O(rows-per-watermark-window), not O(stream). Inner join: a match
+    * emits as soon as both rows have arrived, so an AvailableNow
+    * replay equals the batch join row-for-row (gated in
+    * StreamingSpec). At cluster scale both sides hash-partition on
+    * user_id — the same keyed-shuffle shape as any stream-stream
+    * join. */
+  def viewPurchase(views: DataFrame, purchases: DataFrame): DataFrame = {
+    def wm(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", "1 hour") else df
+    val v = wm(views).where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = wm(purchases).where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    v.join(p, col("v_user") === col("p_user") &&
+      col("p_ts") >= col("v_ts") &&
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** Streaming dedup within a watermark (#72). */
   def dedupedStream(df: DataFrame, keys: Seq[String],
                     watermarkCol: String, delay: String): DataFrame =

@@ -160,6 +160,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch -- lastPerUser)
   }
 
+  test("stream-stream interval join matches across micro-batches (#73)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Long, Double)]) =
+      m.toDF.toDF("user_id", "ts", "event_type", "event_id", "value")
+    val q = Streams.viewPurchase(df(views), df(buys))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vp_stream").start()
+    // batch 1: a view with no purchase yet — no output, state held
+    views.addData((7L, ts("2024-01-01 10:00:00"), "view", 1L, 0.0))
+    q.processAllAvailable()
+    assert(spark.table("vp_stream").count() == 0)
+    // batch 2: an in-window purchase (+20 min) and an out-of-window
+    // one (+40 min) — only the first pairs with the held view state
+    buys.addData(
+      (7L, ts("2024-01-01 10:20:00"), "purchase", 2L, 5.0),
+      (7L, ts("2024-01-01 10:40:00"), "purchase", 3L, 9.0))
+    q.processAllAvailable()
+    val got = spark.table("vp_stream")
+      .select("view_id", "purchase_id", "value")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(got == Set((1L, 2L, 5.0)))
+  }
+
+  test("stream-stream join replay == batch viewPurchase rows (#73)") {
+    import spark.implicits._
+    // two independent file-source streams over the same events replay;
+    // INNER interval join emits each match exactly once regardless of
+    // watermark progress, so the replay must equal the batch join
+    // row-for-row — no open-window subtraction applies
+    val q = Streams.viewPurchase(
+        Streams.eventsStream(spark, replayDir),
+        Streams.eventsStream(spark, replayDir))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vp_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("vp_replay")
+      .select("view_id", "purchase_id", "value")
+      .collect().map(_.toSeq).toSet
+    val ev = graft.tables.Tables(spark, replayDir).events
+    val batch = Streams.viewPurchase(ev, ev)
+      .select("view_id", "purchase_id", "value")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("runningTotal replay == q_scan batch oracle totals (#70)") {
     import spark.implicits._
     val kv = Streams.eventsStream(spark, replayDir)
