@@ -98,6 +98,7 @@ object SparkEntry {
     "q_pipeline_e2e" -> (Q.qPipelineE2e _),
     "q_winnow" -> (Q.qWinnow _),
     "q_dedup_minhash" -> (Q.qDedupMinhash _),
+    "q_dedup_cluster" -> (Q.qDedupCluster _),
     "q_dedup_simhash" -> (Q.qDedupSimhash _),
     "q_ngram_jaccard" -> (Q.qNgramJaccard _),
     "q_dedup_embed" -> (Q.qDedupEmbed _),

@@ -322,4 +322,47 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
   }
+
+  /** Connected components over a near-dup pair list — what cluster-based
+    * dedup actually keys on: near-duplication is transitive in practice
+    * (A≈B≈C usually means one cluster), so production pipelines keep one
+    * doc per COMPONENT of the similarity graph, not one per pair.
+    *
+    * Min-label propagation through [[graft.core.Fixpoint]]: seed every
+    * node with its own id, each round take the min label across self and
+    * neighbors. Per round: one keyed join + partial-agg min — no
+    * all-pairs, no driver-side graph. Rounds needed = component
+    * diameter; near-dup clusters are shallow (dups of one source), so
+    * the default bound is generous. The label sum is the convergence
+    * measure: labels only ever decrease, so an unchanged sum IS the
+    * fixpoint. The converged label is the component's min doc_id — a
+    * canonical, engine-independent cluster id (and exactly the
+    * keep-this-one choice exact dedup already makes).
+    *
+    * Returns (doc_id, comp) for every doc incident to a pair; docs with
+    * no near-dup are singletons by definition and are left out (at
+    * 100 TB the pair graph is vastly smaller than the corpus — this
+    * frame is cluster-sized, not corpus-sized). */
+  def components(pairs: DataFrame, maxIter: Int = 24): DataFrame = {
+    // both directions from ONE pass over the pair plan (a union of two
+    // selects would evaluate the upstream pair discovery twice)
+    val edges = graft.core.Eager(pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val seed = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+    val out = graft.core.Fixpoint.iterate(seed, maxIter) { labels =>
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min("comp").as("nbr_comp"))
+      labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
+            .as("comp"))
+    } { df => df.agg(sum("comp")).head.getLong(0) }
+    edges.unpersist()
+    out
+  }
 }

@@ -806,6 +806,29 @@ object Oracles {
          |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // connected components of the same J>=0.8 pair graph: transitive
+    // closure by recursive CTE (UNION dedups, so it terminates), then
+    // component id = min reachable id (incl. self) — the same canonical
+    // label the distributed min-propagation fixpoint converges to
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |  WHERE cast(len(list_intersect(a.sh, b.sh)) as double)
+         |      / cast(len(a.sh) + len(b.sh)
+         |             - len(list_intersect(a.sh, b.sh)) as double) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT src AS id, dst AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
+         |SELECT id AS doc_id, least(id, min(reach)) AS comp
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),

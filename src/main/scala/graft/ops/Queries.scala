@@ -974,6 +974,19 @@ object Queries {
     graft.dedup.Dedup.minhashPairs(T(s, dir).documents)
       .orderBy("doc_a", "doc_b")
 
+  /** #57b CLUSTER dedup: connected components over the minhash pair
+    * graph ([[graft.dedup.Dedup.components]] — min-label propagation
+    * through the bounded [[graft.core.Fixpoint]], the total mapping of
+    * the reference's `fix`). Near-duplication is transitive in
+    * practice, so production dedup keeps one doc per component, not
+    * one per pair; the converged label is the component's min doc_id —
+    * canonical across engines, which is what lets a recursive-CTE
+    * oracle hash-gate a distributed fixpoint. */
+  def qDedupCluster(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.components(
+        graft.dedup.Dedup.minhashPairs(T(s, dir).documents))
+      .orderBy("doc_id")
+
   /** #58 SimHash near-dup: 60-bit frequency-weighted simhash, 4-chunk
     * pigeonhole banding, Hamming ≤ 3 — banding is lossless for ≤3. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

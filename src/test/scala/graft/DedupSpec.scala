@@ -110,4 +110,42 @@ class DedupSpec extends AnyFunSuite {
     assert(got(11L) == (None, true) && got(12L) == (None, true))
     assert(got(13L) == (None, true))
   }
+
+  test("components: closed graph with chain, triangle and singleton-free") {
+    import spark.implicits._
+    // two components: a 4-node chain 1-2-3-4 (diameter 3 — forces
+    // multi-round propagation) and a triangle 10-11-12; node 20 has no
+    // pair and must be absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val got = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("components: every minhash pair lands in one component (sf0.001)") {
+    val pairs = Dedup.minhashPairs(
+      graft.tables.Tables(spark, "/root/testdata/sf0.001").documents)
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    // pair members share a component, and the label is the component min
+    for ((a, b) <- ps) assert(comp(a) == comp(b))
+    for ((id, c) <- comp) assert(c <= id && comp(c) == c)
+  }
+
+  test("Fixpoint.iterate raises instead of returning unconverged") {
+    import spark.implicits._
+    // a step that never stabilizes the measure within the bound
+    val seed = Seq(0L).toDF("x")
+    val e = intercept[IllegalStateException] {
+      graft.core.Fixpoint.iterate(seed, maxIter = 3)(df =>
+        df.select((col("x") + 1).as("x")))(df =>
+        df.agg(org.apache.spark.sql.functions.sum("x")).head.getLong(0))
+    }
+    assert(e.getMessage.contains("no convergence"))
+  }
 }
