@@ -806,14 +806,18 @@ object Queries {
     * vocab join — the 100 TB shape. */
   def qDistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
-    val tf = graft.core.Eager(T(s, dir).documents
+    val tf = T(s, dir).documents
       .repartition(col("doc_id"))
       .selectExpr("doc_id", s"explode(${d.toksExpr}) AS term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // df as an unbounded count over the term partition: one keyed
+    // shuffle replaces the aggregate-then-join-back (two), and the
+    // plan stays a single linear pipeline (no cache needed — tf has
+    // one consumer)
+    val wDf = Window.partitionBy("term")
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfr, Seq("term"))
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .withColumn("score",
         col("tf").cast("double") / col("df").cast("double"))
       .withColumn("rank", row_number().over(w).cast("long"))
