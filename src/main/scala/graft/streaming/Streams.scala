@@ -173,7 +173,8 @@ object Streams {
     * StreamingSpec). At cluster scale both sides hash-partition on
     * user_id — the same keyed-shuffle shape as any stream-stream
     * join. */
-  def viewPurchase(views: DataFrame, purchases: DataFrame): DataFrame = {
+  def viewPurchase(views: DataFrame, purchases: DataFrame,
+                   joinType: String = "inner"): DataFrame = {
     def wm(df: DataFrame) =
       if (df.isStreaming) df.withWatermark("ts", "1 hour") else df
     val v = wm(views).where(col("event_type") === "view")
@@ -182,9 +183,14 @@ object Streams {
     val p = wm(purchases).where(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
         col("event_id").as("purchase_id"), col("value"))
+    // joinType "left_outer": a view with no in-window purchase emits
+    // once — with null purchase columns — only after the watermark
+    // passes the end of its match window (v_ts + 30 min + delay),
+    // i.e. when no future purchase can still pair with it. Inner
+    // matches still emit immediately. Same state bound either way.
     v.join(p, col("v_user") === col("p_user") &&
       col("p_ts") >= col("v_ts") &&
-      col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), joinType)
   }
 
   /** Streaming dedup within a watermark (#72). */

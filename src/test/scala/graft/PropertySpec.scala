@@ -151,6 +151,48 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("BPE laws on random corpora: replay==greedy encode, argmax first") {
+    import org.scalacheck.Gen
+    import graft.text.Bpe
+    val word = Gen.chooseNum(1, 7)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val corpus = Gen.chooseNum(1, 12).flatMap(Gen.listOfN(_, word))
+    // non-overlapping left-to-right replay of one merge — the paper's
+    // definition, written independently of Bpe.scala
+    def rep(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: rep(rest, a, b)
+        case x :: rest => x :: rep(rest, a, b)
+        case Nil => Nil
+      }
+    check("bpe-laws", Prop.forAll(corpus) { words =>
+      val wf = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      val merges = Bpe.trainInMemory(wf.iterator, numMerges = 10)
+      val again = Bpe.trainInMemory(wf.iterator, numMerges = 10)
+      val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+      // greedy lowest-rank-first encode == rank-order replay, per word
+      val replayAgrees = words.distinct.forall { w =>
+        var syms = w.toList.map(_.toString)
+        merges.foreach(m => syms = rep(syms, m.left, m.right))
+        Bpe.encodeWord(w, rankOf).toList == syms
+      }
+      // the first merge is THE argmax pair of the char-level table
+      // under the (-freq, left, right) order, when any merge happened
+      val argmaxOk = merges.headOption.forall { m =>
+        val counts = collection.mutable
+          .Map.empty[(String, String), Long]
+        for ((w, f) <- wf; Seq(x, y) <- w.map(_.toString).sliding(2))
+          counts((x, y)) = counts.getOrElse((x, y), 0L) + f
+        val best = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        (m.left, m.right) == best._1 && m.pairFreq == best._2
+      }
+      merges == again && replayAgrees && argmaxOk &&
+        merges.forall(_.pairFreq >= 2L)
+    })
+  }
+
   test("jaccard is symmetric, bounded, and 1 on equal sets") {
     import spark.implicits._
     check("jaccard", Prop.forAll { (a0: List[String], b0: List[String]) =>

@@ -187,6 +187,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 5.0)))
   }
 
+  test("LEFT OUTER stream-stream join emits unmatched after watermark (#73b)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Long, Double)]) =
+      m.toDF.toDF("user_id", "ts", "event_type", "event_id", "value")
+    val q = Streams.viewPurchase(df(views), df(buys), "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vpo_stream").start()
+    // user 7's view gets an in-window purchase; user 8's never does
+    views.addData(
+      (7L, ts("2024-01-01 10:00:00"), "view", 1L, 0.0),
+      (8L, ts("2024-01-01 10:05:00"), "view", 2L, 0.0))
+    buys.addData((7L, ts("2024-01-01 10:20:00"), "purchase", 3L, 5.0))
+    q.processAllAvailable()
+    def rows() = spark.table("vpo_stream")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // inner match emits immediately; the unmatched view must NOT have
+    // emitted yet (its window can still be matched by a late purchase)
+    assert(rows() == Set((1L, Some(3L))))
+    // advance BOTH watermarks far past 10:35 + 1h delay — user 8's
+    // match window is provably closed, the null-padded row must emit
+    views.addData((9L, ts("2024-01-01 14:00:00"), "view", 4L, 0.0))
+    buys.addData((9L, ts("2024-01-01 14:00:01"), "purchase", 5L, 1.0))
+    q.processAllAvailable()
+    views.addData((9L, ts("2024-01-01 15:00:00"), "view", 6L, 0.0))
+    buys.addData((9L, ts("2024-01-01 15:00:01"), "purchase", 7L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(rows().contains((2L, None)))
+  }
+
   test("stream-stream join replay == batch viewPurchase rows (#73)") {
     import spark.implicits._
     // two independent file-source streams over the same events replay;
