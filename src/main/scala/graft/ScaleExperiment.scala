@@ -122,7 +122,7 @@ object ScaleExperiment {
       "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within|" +
       "q_knn_lsh|q_knn_ivf|q_decontam|q_decontam_lsh|q_decontam_ngram|" +
       "q_split|q_sample_stratified|q_mixture|q_tokens_bpe|q_blocklist|" +
-      "q_distinctive_terms|q_stream_join|q_dedup_cluster|" +
+      "q_distinctive_terms|q_stream_join|q_dedup_cluster|q_quality_filter|" +
       "q_pipeline_e2e|q_cube|q_window_range|q_rank_family|q_full_outer").r
     val spark = SparkSession.builder()
       .master("local[32]")

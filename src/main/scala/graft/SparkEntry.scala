@@ -84,6 +84,7 @@ object SparkEntry {
     "q_distinctive_terms" -> (Q.qDistinctiveTerms _),
     "q_ngram_top_sketch" -> (Q.qNgramTopSketch _),
     "q_quality" -> (Q.qQuality _),
+    "q_quality_filter" -> (Q.qQualityFilter _),
     "q_repetition" -> (Q.qRepetition _),
     "q_langid" -> (Q.qLangId _),
     "q_fingerprint" -> (Q.qFingerprint _),

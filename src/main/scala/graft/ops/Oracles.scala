@@ -523,6 +523,36 @@ object Oracles {
          |  FROM (SELECT doc_id, text, $TOKS AS toks FROM documents) t) x
          |ORDER BY doc_id""".stripMargin,
 
+    // adaptive per-lang quartile cutoff: the same score expression as
+    // q_quality, cutoff = order statistic at rank ceil(n/4) under the
+    // total (q, doc_id) order — no interpolation, so cutoffs and the
+    // q >= cut comparisons are bit-identical across engines
+    "q_quality_filter" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |    least(cast(len as double) / 500.0, 1.0) * 0.3
+         |      + stop_ratio * 0.4 + (1.0 - punct_ratio) * 0.2
+         |      + least(mean_tok / 8.0, 1.0) * 0.1 AS q
+         |  FROM (
+         |    SELECT doc_id, lang, cast(length(text) as bigint) AS len,
+         |      cast(len(list_filter(toks, x -> x IN $EN)) as double)
+         |        / cast(len(toks) as double) AS stop_ratio,
+         |      cast(len(regexp_extract_all(lower(text), '$PUNCT')) as double)
+         |        / cast(length(text) as double) AS punct_ratio,
+         |      cast(length(regexp_replace(text, '$WS', '', 'g')) as double)
+         |        / cast(len(toks) as double) AS mean_tok
+         |    FROM (SELECT doc_id, lang, text, $TOKS AS toks
+         |          FROM documents) t) x),
+         |f AS (SELECT * FROM sc WHERE q IS NOT NULL AND NOT isnan(q)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM f),
+         |c AS (SELECT *, max(CASE WHEN rk = cast(ceil(n * 0.25) as bigint)
+         |    THEN q END) OVER (PARTITION BY lang) AS cut FROM r)
+         |SELECT lang, cast(count(*) as bigint) AS n, max(cut) AS cut,
+         |  cast(sum(CASE WHEN q >= cut THEN 1 ELSE 0 END) as bigint)
+         |    AS n_kept
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_langid" ->
       s"""SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
          |  CASE WHEN c_zh > 0 THEN 'zh'

@@ -794,6 +794,38 @@ object Queries {
     out.orderBy("rank")
   }
 
+  /** #64c ADAPTIVE quality filtering: keep documents scoring at or
+    * above their LANGUAGE's lower-quartile quality — the per-domain
+    * adaptive cutoff real pipelines use instead of one global
+    * threshold (a cutoff tuned on English silently guts low-resource
+    * strata). The cutoff is an ORDER STATISTIC (the score at rank
+    * ceil(n/4) under a total (q, doc_id) order) — an actual data
+    * value, no interpolation, so the cutoff and every q >= cut
+    * comparison are bit-identical across engines where an interpolated
+    * quantile's arithmetic shape would not be. One keyed shuffle: all
+    * three windows (rank, count, cutoff-broadcast) share the lang hash
+    * partitioning, then a partial-agg rollup. NaN/null scores (empty
+    * docs) are excluded on both sides — their ORDER differs between
+    * engines. */
+  def qQualityFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.ArrayCountIn.register(s)
+    val byLang = Window.partitionBy("lang")
+    val w = byLang.orderBy("q", "doc_id")
+    val cutRk = ceil(col("n").cast("double") * lit(0.25)).cast("long")
+    T(s, dir).documents
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("q"))
+      .where(col("q").isNotNull && !isnan(col("q")))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byLang))
+      .withColumn("cut",
+        max(when(col("rk") === cutRk, col("q"))).over(byLang))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), max(col("cut")).as("cut"),
+        sum(when(col("q") >= col("cut"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** #65e distinctive terms per document — tf-idf with the raw
     * inverse-frequency idf (score = tf/df, the log-free idf variant):
     * libm's log is not ulp-portable across engines, while tf and df
