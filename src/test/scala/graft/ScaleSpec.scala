@@ -142,6 +142,25 @@ class ScaleSpec extends AnyFunSuite {
       s"q_mixture window not hash-partitioned on lang:\n$mx")
     assert(!mx.contains("Join") && !mx.contains("CartesianProduct"),
       s"q_mixture plan grew a join:\n$mx")
+    // adaptive quality filter: all three windows share ONE lang hash
+    // partitioning (exactly one exchange on lang), no join
+    val qf = graft.SparkEntry.queries("q_quality_filter")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val langExchanges = "hashpartitioning\\(lang".r
+      .findAllIn(qf).size
+    assert(qf.contains("Window") && langExchanges >= 1,
+      s"q_quality_filter lost the keyed windows:\n$qf")
+    assert(!qf.contains("Join"),
+      s"q_quality_filter plan grew a join:\n$qf")
+    // cluster dedup: the fixpoint rounds are keyed joins over the pair
+    // graph — nothing may cross-product at any round
+    val cc = graft.dedup.Dedup.components(
+      graft.dedup.Dedup.minhashPairs(
+        graft.tables.Tables(spark, sf).documents))
+    val ccPlan = cc.queryExecution.executedPlan.toString
+    assert(!ccPlan.contains("CartesianProduct") &&
+           !ccPlan.contains("BroadcastNestedLoopJoin"),
+      s"components result plan contains a cartesian:\n$ccPlan")
   }
 
   test("bucketed-on-key join plans without a shuffle exchange") {
