@@ -81,6 +81,7 @@ object SparkEntry {
     "q_tokens_bpe" -> (Q.qTokensBpe _),
     "q_scrub" -> (Q.qScrub _),
     "q_ngram_top" -> (Q.qNgramTop _),
+    "q_collocations" -> (Q.qCollocations _),
     "q_distinctive_terms" -> (Q.qDistinctiveTerms _),
     "q_ngram_top_sketch" -> (Q.qNgramTopSketch _),
     "q_quality" -> (Q.qQuality _),
@@ -95,9 +96,12 @@ object SparkEntry {
     "q_blocklist" -> (Q.qBlocklist _),
     "q_sample_stratified" -> (Q.qSampleStratified _),
     "q_mixture" -> (Q.qMixture _),
+    "q_pack" -> (Q.qPack _),
     "q_split" -> (Q.qSplit _),
     "q_pipeline_e2e" -> (Q.qPipelineE2e _),
     "q_winnow" -> (Q.qWinnow _),
+    "q_segment_dedup" -> (Q.qSegmentDedup _),
+    "q_chunk" -> (Q.qChunk _),
     "q_dedup_minhash" -> (Q.qDedupMinhash _),
     "q_dedup_cluster" -> (Q.qDedupCluster _),
     "q_dedup_simhash" -> (Q.qDedupSimhash _),

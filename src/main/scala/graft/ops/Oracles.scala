@@ -644,6 +644,45 @@ object Oracles {
          |SELECT bigram, $CNT AS n FROM b GROUP BY 1
          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
+    // aligned 10-token segments; df = distinct docs containing the
+    // segment; drop df>=2, reassemble survivors in position order.
+    // string_agg skips the NULL (dropped) branches; the coalesce('')
+    // covers a doc whose every segment was boilerplate
+    "q_segment_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |seg AS (SELECT doc_id,
+         |    unnest(range(0, (len(toks) + 9) // 10)) AS i,
+         |    unnest(list_transform(range(0, (len(toks) + 9) // 10),
+         |      i -> array_to_string(toks[i*10+1:i*10+10], ' '))) AS seg
+         |  FROM t WHERE len(toks) >= 1),
+         |d AS (SELECT seg, count(DISTINCT doc_id) AS df FROM seg GROUP BY seg),
+         |a AS (SELECT s.doc_id,
+         |    cast(sum(CASE WHEN d.df < 2 THEN 1 ELSE 0 END) AS bigint)
+         |      AS kept_segs,
+         |    cast(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS bigint)
+         |      AS dropped_segs,
+         |    coalesce(string_agg(CASE WHEN d.df < 2 THEN s.seg END,
+         |      ' ' ORDER BY s.i), '') AS new_text
+         |  FROM seg s JOIN d USING (seg) GROUP BY s.doc_id)
+         |SELECT doc_id, kept_segs, dropped_segs,
+         |  cast(length(new_text) AS bigint) AS new_n_chars,
+         |  md5(new_text) AS new_fp
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // W=40 / S=30 token windows; (max(n-40,0)+29)//30 + 1 starts, the
+    // final window may be short; chunk content pinned via md5
+    "q_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |    (greatest(len(toks) - 40, 0) + 29) // 30 + 1 AS nst
+         |  FROM t WHERE len(toks) >= 1),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nst)) AS ci FROM n),
+         |s AS (SELECT doc_id, ci, toks[ci*30+1:ci*30+40] AS ctoks FROM c)
+         |SELECT doc_id, cast(ci AS bigint) AS chunk_id,
+         |  cast(len(ctoks) AS bigint) AS n_tok,
+         |  md5(array_to_string(ctoks, ' ')) AS chunk_fp
+         |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+
     "q_dedup_exact" ->
       s"""SELECT fp, cast(min(doc_id) as bigint) AS keep_id,
          |  cast(count(*) as bigint) AS n
@@ -800,6 +839,46 @@ object Oracles {
          |  FROM t)
          |SELECT doc_id, lang, ntok, cum_tokens FROM c
          |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin,
+
+    // concat-and-chunk packing: "p#"-seeded per-lang order, CTX=512;
+    // a doc straddles when its [start, end) span crosses a 512 multiple
+    "q_pack" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($TOKS) AS ntok,
+         |    ('0x' || substr(md5('p#' || cast(doc_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT AS rk
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang, ntok,
+         |    cast(sum(ntok) OVER (PARTITION BY lang ORDER BY rk, doc_id)
+         |      AS BIGINT) AS endtok
+         |  FROM t WHERE ntok >= 1)
+         |SELECT lang, $CNT AS n_docs,
+         |  cast(sum(ntok) AS bigint) AS total_tokens,
+         |  cast((sum(ntok) + 511) // 512 AS bigint) AS n_seqs,
+         |  cast(sum(CASE WHEN (endtok - ntok) // 512 <> (endtok - 1) // 512
+         |    THEN 1 ELSE 0 END) AS bigint) AS n_boundary_docs,
+         |  cast((sum(ntok) + 511) // 512 * 512 - sum(ntok) AS bigint)
+         |    AS tail_pad
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // log-free PMI: score = ((n·N)/ca)/cb with every operand cast to
+    // double first and the ops in this exact left-assoc order — the
+    // same IEEE sequence Spark runs, so scores are bit-identical
+    "q_collocations" ->
+      s"""WITH t AS (SELECT $TOKS AS toks FROM documents),
+         |p AS (SELECT unnest(toks[1:len(toks)-1]) AS l,
+         |             unnest(toks[2:len(toks)]) AS r
+         |  FROM t WHERE len(toks) >= 2),
+         |cab AS (SELECT l, r, $CNT AS n FROM p GROUP BY l, r),
+         |m AS (SELECT l, r, n,
+         |    cast(sum(n) OVER (PARTITION BY l) AS bigint) AS ca,
+         |    cast(sum(n) OVER (PARTITION BY r) AS bigint) AS cb,
+         |    cast(sum(n) OVER () AS bigint) AS nn
+         |  FROM cab)
+         |SELECT l, r, n, ca, cb,
+         |  cast(n AS double) * cast(nn AS double)
+         |    / cast(ca AS double) / cast(cb AS double) AS score
+         |FROM m WHERE n >= 5
+         |ORDER BY score DESC, l, r LIMIT 20""".stripMargin,
 
     "q_split" ->
       s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'

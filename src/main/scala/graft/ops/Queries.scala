@@ -933,6 +933,43 @@ object Queries {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(20)
 
+  /** #65g COLLOCATIONS — bigrams whose parts co-occur far more than
+    * independence predicts, ranked by the log-free PMI kernel
+    * score = (c_ab · N) / (c_a · c_b) (PMI = log of it; log is
+    * monotone, so the RANKING is identical, and skipping it keeps the
+    * score ulp-portable — libm log differs across engines while these
+    * two multiplies and two divides are IEEE-exact in a fixed order).
+    * c_a / c_b are left/right marginals of the bigram table, computed
+    * as keyed-window sums over the ALREADY-AGGREGATED (a,b) counts —
+    * two keyed shuffles over vocab²-bounded rows, no joins; N arrives
+    * via a broadcast single-row cross (the scalar-subquery shape).
+    * min-count 5 suppresses hapax noise exactly like real collocation
+    * extraction does. */
+  def qCollocations(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val cab = T(s, dir).documents
+      .selectExpr(s"${d.toksExpr} AS toks")
+      .where(size(col("toks")) >= 2)
+      .select(posexplode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS l,
+          |              element_at(toks, i + 1) AS r))""".stripMargin))
+        .as(Seq("p", "pair")))
+      .select(col("pair.l").as("l"), col("pair.r").as("r"))
+      .groupBy("l", "r").agg(count(lit(1)).as("n"))
+    val tot = cab.agg(sum("n").cast("long").as("nn"))
+    cab
+      .withColumn("ca", sum("n").over(Window.partitionBy("l")))
+      .withColumn("cb", sum("n").over(Window.partitionBy("r")))
+      .crossJoin(broadcast(tot))
+      .where(col("n") >= 5)
+      .select(col("l"), col("r"), col("n"),
+        col("ca").cast("long").as("ca"), col("cb").cast("long").as("cb"),
+        (col("n").cast("double") * col("nn").cast("double") /
+          col("ca").cast("double") / col("cb").cast("double")).as("score"))
+      .orderBy(col("score").desc, col("l"), col("r")).limit(20)
+  }
+
   /** #65c the sketched twin of [[qNgramTop]] — THE 100 TB path for
     * open vocabularies: a Misra–Gries summary
     * ([[graft.functions.TopKSketch]]) caps per-partition aggregation
@@ -951,6 +988,79 @@ object Queries {
       .agg(mg(col("bigram")).as("sk"))
       .select(explode(col("sk")).as(Seq("bigram", "n")))
       .orderBy(col("n").desc, col("bigram")).limit(20)
+  }
+
+  /** #57c SEGMENT-level dedup — the relational form of CCNet/RefinedWeb
+    * line-dedup: drop from every document any aligned 10-token segment
+    * whose exact content also appears in ANOTHER document, then
+    * reassemble the survivors in order. (This corpus has no newline
+    * structure, so "lines" are non-overlapping aligned 10-grams — the
+    * same boilerplate-removal semantics on a segment boundary the
+    * tokenizer defines instead of '\n'.)
+    *
+    * Shape: posexplode aligned segments → distinct(seg, doc) →
+    * partial-agg df per segment → join back keyed on seg → per-doc
+    * reassembly (collect kept (i, seg), sort by i, rejoin). Every
+    * shuffle is keyed (seg or doc_id) and the df aggregation state is
+    * one counter per distinct segment — the exact shape line-dedup runs
+    * at web scale (where the join key would be the segment's hash; here
+    * the full string keeps the oracle collision-free). A doc whose
+    * every segment is boilerplate survives with new_n_chars = 0 — docs
+    * drop out only by the explicit quality stage, never silently. */
+  def qSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val segArr = expr(
+      """transform(sequence(0, (size(toks) + 9) div 10 - 1),
+        |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)
+    val segs = graft.core.Eager(
+      T(s, dir).documents
+        .repartition(col("doc_id"))
+        .selectExpr("doc_id", s"${d.toksExpr} AS toks")
+        .where(size(col("toks")) >= 1)
+        .select(col("doc_id"), posexplode(segArr).as(Seq("i", "seg"))))
+    val df = segs.select("seg", "doc_id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df"))
+    segs.join(df, "seg")
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("df") < 2, 1L).otherwise(0L)).as("kept_segs"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dropped_segs"),
+        collect_list(when(col("df") < 2, struct(col("i"), col("seg"))))
+          .as("kept"))
+      .withColumn("new_text",
+        array_join(transform(array_sort(col("kept")),
+          x => x.getField("seg")), " "))
+      .select(col("doc_id"), col("kept_segs"), col("dropped_segs"),
+        length(col("new_text")).cast("long").as("new_n_chars"),
+        md5(col("new_text")).as("new_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** #65f context-window CHUNKING — split every document into token
+    * windows of W=40 with stride S=30 (10-token overlap), the unit a
+    * training pipeline actually feeds a model. Starts are 0, S, 2S, …
+    * with (max(n−W,0)+S−1) div S + 1 windows total, so every token is
+    * covered, the final window may be short, and a doc with n ≤ W is
+    * exactly one window. Pure per-row expansion (posexplode over a
+    * computed start sequence — no shuffle at all until the final
+    * ORDER BY, which only the oracle gate needs); the chunk content is
+    * carried as md5 so the gate pins the exact token spans without
+    * materializing duplicated text. */
+  def qChunk(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    T(s, dir).documents
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", s"${d.toksExpr} AS toks")
+      .where(size(col("toks")) >= 1)
+      .withColumn("nst",
+        expr("(greatest(size(toks) - 40, 0) + 29) div 30 + 1"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(expr("sequence(0, nst - 1)")).as(Seq("chunk_id", "ci")))
+      .withColumn("ctoks", expr("slice(toks, ci * 30 + 1, 40)"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tok"),
+        md5(array_join(col("ctoks"), " ")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_id")
   }
 
   /** #64b repetition signals (Gopher-style quality filters): duplicate
@@ -1308,6 +1418,41 @@ object Queries {
       .where(col("cum_tokens") <= 5000)
       .select("doc_id", "lang", "ntok", "cum_tokens")
       .orderBy("lang", "doc_id")
+  }
+
+  /** #56i sequence PACKING — the concat-and-chunk shape every trainer
+    * uses to fill fixed context windows: per language, documents are
+    * concatenated in a seeded deterministic order ("p#" md5 — a third
+    * independent seed stream) and cut into CTX=512-token sequences.
+    * Reported per language: total tokens, sequences produced, documents
+    * straddling a sequence boundary (the rows attention-masking has to
+    * care about), and tail padding in the final sequence. All exact
+    * integer math over ONE keyed window cumsum (partitionBy lang) + a
+    * partial agg — the scale shape is identical to q_mixture's. A doc's
+    * first/last sequence are start div CTX and (end-1) div CTX of its
+    * half-open [start, end) token span in the concatenation. */
+  def qPack(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val rk = conv(substring(
+      md5(concat(lit("p#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    T(s, dir).documents
+      .selectExpr("doc_id", "lang", s"size(${d.toksExpr}) AS ntok")
+      .where(col("ntok") >= 1)
+      .withColumn("rk", rk)
+      .withColumn("endtok", sum("ntok").over(w))
+      .withColumn("straddle",
+        when(expr("(endtok - ntok) div 512") =!=
+             expr("(endtok - 1) div 512"), 1L).otherwise(0L))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ntok").cast("long").as("total_tokens"),
+        expr("(sum(ntok) + 511) div 512").cast("long").as("n_seqs"),
+        sum("straddle").as("n_boundary_docs"))
+      .withColumn("tail_pad",
+        (col("n_seqs") * 512 - col("total_tokens")).cast("long"))
+      .orderBy("lang")
   }
 
   /** #56c deterministic train/valid/test split: portable 60-bit md5

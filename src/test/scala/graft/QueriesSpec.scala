@@ -73,6 +73,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("chunking covers every token; segment dedup conserves segments") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.tables.Tables(spark, sf).documents
+      .selectExpr("doc_id", s"size(${graft.dedup.Dedup.toksExpr}) AS n")
+      .where(col("n") >= 1)
+    // chunks: ids contiguous from 0, count matches the start formula,
+    // non-final windows are full W=40, the final window ends at token n
+    val ch = graft.ops.Queries.qChunk(spark, sf)
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("nst"), max("chunk_id").as("mx"),
+        min("chunk_id").as("mn"),
+        sum(when(col("n_tok") =!= 40, 1L).otherwise(0L)).as("n_short"),
+        max(col("chunk_id") * 30 + col("n_tok")).as("last_end"))
+    val chBad = ch.join(toks, "doc_id").where(
+      col("mn") =!= 0 || col("mx") =!= col("nst") - 1 ||
+      col("nst") =!= expr("(greatest(n - 40, 0) + 29) div 30 + 1") ||
+      col("n_short") > 1 || col("last_end") =!= col("n"))
+    assert(chBad.count() == 0)
+    // segment dedup: kept + dropped = ceil(n/10); untouched docs (no
+    // boilerplate) rejoin to exactly their own token stream
+    val sd = graft.ops.Queries.qSegmentDedup(spark, sf)
+    val sdBad = sd.join(toks, "doc_id").where(
+      col("kept_segs") + col("dropped_segs") =!= expr("(n + 9) div 10"))
+    assert(sdBad.count() == 0)
+    val untouched = sd.where(col("dropped_segs") === 0)
+    val rejoined = graft.tables.Tables(spark, sf).documents
+      .selectExpr("doc_id",
+        s"md5(array_join(${graft.dedup.Dedup.toksExpr}, ' ')) AS want_fp")
+    val fpBad = untouched.join(rejoined, "doc_id")
+      .where(col("new_fp") =!= col("want_fp"))
+    assert(fpBad.count() == 0 && untouched.count() > 0)
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -152,6 +152,42 @@ class ScaleSpec extends AnyFunSuite {
       s"q_quality_filter lost the keyed windows:\n$qf")
     assert(!qf.contains("Join"),
       s"q_quality_filter plan grew a join:\n$qf")
+    // packing: like mixture, ONE keyed lang window + partial agg — the
+    // only join allowed is nothing at all (pure window + groupBy)
+    val pk = graft.SparkEntry.queries("q_pack")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pk.contains("Window") && pk.contains("hashpartitioning(lang"),
+      s"q_pack lost the keyed lang window:\n$pk")
+    assert(pk.contains("partial_count") && !pk.contains("Join"),
+      s"q_pack shape drifted:\n$pk")
+    // collocations: marginals are keyed-window sums over the aggregated
+    // bigram table (no self-joins); N is a broadcast 1-row cross (the
+    // scalar-subquery shape — the only nested-loop allowed); top-k
+    // never full-sorts
+    val cl = graft.SparkEntry.queries("q_collocations")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(cl.contains("hashpartitioning(l") && cl.contains(
+      "hashpartitioning(r"), s"q_collocations lost a marginal window:\n$cl")
+    assert(cl.contains("partial_count") &&
+           cl.contains("TakeOrderedAndProject"),
+      s"q_collocations shape drifted:\n$cl")
+    assert(!cl.contains("CartesianProduct"),
+      s"q_collocations has a shuffled cartesian:\n$cl")
+    // segment dedup: the df join must stay a keyed (seg) shuffle join —
+    // never a cartesian — and the df count must aggregate partially
+    val sd = graft.SparkEntry.queries("q_segment_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(sd.contains("partial_count"),
+      s"q_segment_dedup df count lost partial agg:\n$sd")
+    assert(!sd.contains("CartesianProduct") &&
+           !sd.contains("BroadcastNestedLoopJoin"),
+      s"q_segment_dedup plan contains a cartesian:\n$sd")
+    // chunking: pure per-row expansion — no join, no aggregation, the
+    // only exchange is the display sort's range partitioning
+    val ch = graft.SparkEntry.queries("q_chunk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!ch.contains("Join") && !ch.contains("HashAggregate"),
+      s"q_chunk should be a pure generate:\n$ch")
     // cluster dedup: the fixpoint rounds are keyed joins over the pair
     // graph — nothing may cross-product at any round
     val cc = graft.dedup.Dedup.components(
