@@ -60,6 +60,8 @@ object SparkEntry {
     "q_window_lag" -> (Q.qWindowLag _),
     "q_rollup" -> (Q.qRollup _),
     "q_cube" -> (Q.qCube _),
+    "q_grouping_sets" -> (Q.qGroupingSets _),
+    "q_outliers" -> (Q.qOutliers _),
     "q_window_range" -> (Q.qWindowRange _),
     "q_subquery" -> (Q.qSubquery _),
     "q_case_agg" -> (Q.qCaseAgg _),

@@ -345,6 +345,39 @@ object Oracles {
          |ORDER BY o_orderstatus ASC NULLS FIRST,
          |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    // explicit grouping sets; gid = grouping(status)*2 + grouping(prio)
+    // computed per column (portable across engines' GROUPING_ID forms)
+    "q_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, $CNT AS n,
+         |  ${d2("o_totalprice")} AS total,
+         |  cast(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+         |    AS bigint) AS gid
+         |FROM orders GROUP BY GROUPING SETS
+         |  ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+         |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+         |  o_orderpriority ASC NULLS FIRST""".stripMargin,
+
+    // 3-sigma outliers: per-type mean/sd from decimal-exact moments
+    // rounded to 6dp (the q_stats discipline), then the flag and the
+    // z-score in identical IEEE double op order
+    "q_outliers" ->
+      """WITH s AS (
+        |  SELECT event_type, cast(count(*) as bigint) AS n,
+        |    cast(sum(cast(value AS DECIMAL(12,2))) as double) AS sx,
+        |    cast(sum(cast(value AS DECIMAL(12,2))
+        |           * cast(value AS DECIMAL(12,2))) as double) AS sxx
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type,
+        |    round(sx / cast(n as double), 6) AS mean,
+        |    round(sqrt((sxx - sx * sx / cast(n as double))
+        |      / cast(n - 1 as double)), 6) AS sd
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - m.mean) / m.sd, 6) AS z
+        |FROM events e JOIN m USING (event_type)
+        |WHERE abs(e.value - m.mean) > m.sd * 3.0
+        |ORDER BY event_id""".stripMargin,
+
     // range frame: seconds-granularity epoch on both sides (the repo's
     // portable duration idiom), decimal-routed sum. epoch(ts) is a
     // fractional DOUBLE in DuckDB while Spark's unix_timestamp floors to

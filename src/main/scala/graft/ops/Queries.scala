@@ -452,6 +452,54 @@ object Queries {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** #49c explicit GROUPING SETS — the general form rollup and cube are
+    * sugar for: an arbitrary set list ((status, priority), (priority),
+    * ()) that neither rollup (prefix-closed) nor cube (power set)
+    * produces, through the same one-pass Expand + partial-agg family.
+    * The grouping indicator is computed portably as
+    * grouping(status)·2 + grouping(priority) — NULL-from-grouping vs
+    * NULL-in-data disambiguation, same bitmask on both engines. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        (grouping(col("o_orderstatus")).cast("long") * 2 +
+          grouping(col("o_orderpriority")).cast("long")).as("gid"))
+      .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"))
+
+  /** #38d 3σ OUTLIER detection per group — the classic data-quality
+    * scan, with the [[qStats]] exactness discipline: per-type mean and
+    * stddev come from decimal-exact moments, get rounded well inside
+    * double precision (conversion-independent), broadcast back via a
+    * tiny agg join, and the |v − mean| > 3σ flag plus the z-score then
+    * run in identical IEEE double order on both engines. Two scans of
+    * events (moment pass + flag pass) fused into one partial-agg plus a
+    * broadcast join — at 100 TB the stats side is grouping-cardinality
+    * rows, always broadcastable. */
+  def qOutliers(s: SparkSession, dir: String): DataFrame = {
+    val x = col("value").cast(P2)
+    val stats = T(s, dir).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(x * x).cast("double").as("sxx"))
+      .select(col("event_type"),
+        round(col("sx") / col("n").cast("double"), 6).as("mean"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") /
+            col("n").cast("double")) /
+          (col("n") - 1).cast("double")), 6).as("sd"))
+    T(s, dir).events
+      .join(broadcast(stats), "event_type")
+      .where(abs(col("value") - col("mean")) > col("sd") * 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+      .orderBy("event_id")
+  }
+
   /** #48b time-RANGE window frame: per-user count and exact sum of
     * events in the PRECEDING HOUR of each event — the range frame is a
     * distinct window capability from the rows frames elsewhere (frame

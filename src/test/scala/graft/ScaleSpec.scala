@@ -68,6 +68,15 @@ class ScaleSpec extends AnyFunSuite {
         s"$q has no broadcast join")
     // global top-k never materializes a full sort
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    // grouping sets run the one-pass Expand + partial-agg family
+    val gs = plan("q_grouping_sets")
+    assert(gs.contains("Expand") && gs.contains("partial_count"),
+      s"q_grouping_sets lost the Expand/partial-agg shape:\n$gs")
+    // outliers: the per-type stats side broadcasts back (never a
+    // shuffled fact-fact join) and the moments aggregate partially
+    val ol = plan("q_outliers")
+    assert(ol.contains("BroadcastHashJoin") && ol.contains("partial_count"),
+      s"q_outliers stats side not broadcast/partial:\n$ol")
   }
 
   test("graded dedup/ANN plans are cartesian-free") {
