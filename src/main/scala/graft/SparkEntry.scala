@@ -119,6 +119,7 @@ object SparkEntry {
     "q_stream_sliding" -> (Q.qStreamSliding _),
     "q_stream_enrich" -> (Q.qStreamEnrich _),
     "q_stream_join" -> (Q.qStreamJoin _),
+    "q_stream_blocklist" -> (Q.qStreamBlocklist _),
   )
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the

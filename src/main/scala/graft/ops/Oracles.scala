@@ -846,6 +846,17 @@ object Oracles {
          |  AND fp NOT IN (SELECT fp FROM f WHERE source = 'src0')
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // the streaming blocklist's left_outer + IS NULL is exact anti-join
+    // semantics, so its oracle is the same plain NOT IN as q_blocklist's
+    "q_stream_blocklist" ->
+      s"""WITH f AS (SELECT doc_id, lang, source, n_chars,
+         |    md5(trim(regexp_replace(lower(text), '$WS+', ' ', 'g'))) AS fp
+         |  FROM documents)
+         |SELECT lang, $CNT AS n_docs, cast(sum(n_chars) as bigint) AS n_chars
+         |FROM f WHERE source <> 'src0'
+         |  AND fp NOT IN (SELECT fp FROM f WHERE source = 'src0')
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // seeded ("s#") md5 bucket, per-lang keep rates — independent of
     // q_split's unseeded bucket by construction
     "q_sample_stratified" ->

@@ -1611,6 +1611,25 @@ object Queries {
       .orderBy("hour")
   }
 
+  /** #74 stream-static BLOCKLIST removal (batch twin): the
+    * [[graft.streaming.Streams.blocklistKept]] transform — anti
+    * semantics as left_outer + IS NULL, because stream-static anti
+    * joins don't exist — over the same src0-fingerprint blocklist as
+    * q_blocklist. Stateless per-micro-batch broadcast probe; an
+    * AvailableNow replay is asserted row-equal to this batch form in
+    * StreamingSpec, and the oracle is the plain anti join. */
+  def qStreamBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val withFp = T(s, dir).documents
+      .withColumn("fp", fingerprint(col("text")))
+    val block = withFp.where(col("source") === "src0")
+      .select(col("fp").as("bfp"))
+    val corpus = withFp.where(col("source") =!= "src0")
+    graft.streaming.Streams.blocklistKept(corpus, block)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("lang")
+  }
+
   /** #67 multimodal with a REAL codec: synthesize a genuine PNG per
     * document, run the actual `javax.imageio` decoder on every payload,
     * and emit the decoded metadata + exact per-channel pixel sums. The

@@ -193,6 +193,21 @@ object Streams {
       col("p_ts") <= col("v_ts") + expr("INTERVAL 30 MINUTES"), joinType)
   }
 
+  /** Stream-static BLOCKLIST removal (#74): drop corpus rows whose
+    * content fingerprint `fp` appears in the static blocklist `bfp`
+    * column. Structured Streaming supports stream-static INNER /
+    * LEFT OUTER / LEFT SEMI — not anti — so the anti semantics compose
+    * exactly as left_outer against the DISTINCT blocklist (distinct
+    * keeps the outer join row-preserving) + IS NULL: a stateless
+    * per-micro-batch broadcast probe, no streaming state at all. The
+    * same code path serves the batch twin ([[graft.ops.Queries
+    * .qStreamBlocklist]], oracle = the plain anti join). */
+  def blocklistKept(corpus: DataFrame, block: DataFrame): DataFrame =
+    corpus.join(broadcast(block.select("bfp").dropDuplicates("bfp")),
+        col("fp") === col("bfp"), "left_outer")
+      .where(col("bfp").isNull)
+      .drop("bfp")
+
   /** Streaming dedup within a watermark (#72). */
   def dedupedStream(df: DataFrame, keys: Seq[String],
                     watermarkCol: String, delay: String): DataFrame =

@@ -413,6 +413,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(survivors.toSet == batchFps)
   }
 
+  test("stream-static blocklist replay == batch anti-join result (#74)") {
+    // documents replayed as a file stream, probed per micro-batch
+    // against the STATIC src0 fingerprint blocklist; the left_outer +
+    // IS NULL composition must reproduce the batch anti join exactly
+    val dir = "/root/testdata/sf0.001"
+    val fp = graft.text.TextFunctions.fingerprint(col("text"))
+    val block = graft.tables.Tables(spark, dir).documents
+      .where(col("source") === "src0").select(fp.as("bfp"))
+    val corpus = Streams.documentsStream(spark, dir)
+      .withColumn("fp", fp).where(col("source") =!= "src0")
+    val q = Streams.blocklistKept(corpus, block)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("bl_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("bl_replay").orderBy("lang")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Queries.qStreamBlocklist(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming dedup drops repeats within the watermark (#72)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
