@@ -1111,6 +1111,38 @@ object Queries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** #65h COUNT-MIN frequency estimation — the third sketch family
+    * (Misra–Gries bounds the top-k SET, HLL bounds cardinality; CMS
+    * answers point frequency queries for ANY key against bounded
+    * state). Built with Spark's own `count_min_sketch` aggregate —
+    * map-side-mergeable partial sketches, exactly like the bloom
+    * blocklist — then the finished ~KB sketch is probed on the driver
+    * for the exact top-20 bigrams (a bounded query set BY contract:
+    * the probe side of a CMS is always a handful of keys, the data
+    * side is the 100 TB stream). Rows-only by design (estimates are
+    * sketch-specific); the CMS contract — est ≥ true, est ≤ true +
+    * ε·N at the fixed seed — is asserted in TopKSketchSpec, plus
+    * determinism. */
+  def qNgramFreqCms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val d = graft.dedup.Dedup
+    val bigrams = graft.core.Eager(T(s, dir).documents
+      .selectExpr(s"${d.toksExpr} AS toks")
+      .where(size(col("toks")) >= 2)
+      .selectExpr(s"explode(${d.bigramsExpr}) AS bigram"))
+    val skBytes = bigrams
+      .agg(expr("count_min_sketch(bigram, 0.001d, 0.99d, 42)").as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(20).collect()
+    val out = top.toSeq.map(r =>
+      (r.getString(0), r.getLong(1), cms.estimateCount(r.getString(0))))
+    s.createDataFrame(out).toDF("bigram", "n_exact", "n_est")
+      .orderBy(col("n_exact").desc, col("bigram"))
+  }
+
   /** #64b repetition signals (Gopher-style quality filters): duplicate
     * -token ratio, top-unigram fraction, top-bigram fraction. All exact
     * rational arithmetic (counts + one division) — bit-identical across
@@ -1628,6 +1660,24 @@ object Queries {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
       .orderBy("lang")
+  }
+
+  /** #62c embedding CLUSTERING as a first-class operator: every vector
+    * assigned to its nearest trained centroid (the [[graft.sim
+    * .Similarity.ivfAssign]] machinery — sampled spherical k-means,
+    * broadcast centroids, one linear scan, argmax window), summarized
+    * per cluster. The summary columns are integer-exact (counts,
+    * min/sum of vec_id) so the result is bit-deterministic even though
+    * the assignment math is floating-point — the spec re-runs the
+    * operator and asserts equality plus total-count conservation.
+    * Rows-only by design (k-means centroids have no SQL oracle). */
+  def qEmbedCluster(s: SparkSession, dir: String): DataFrame = {
+    val (assigned, _) =
+      graft.sim.Similarity.ivfAssign(T(s, dir).embeddings, 16)
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("vec_id").as("min_vec"), sum("vec_id").as("sum_vec"))
+      .orderBy("cid")
   }
 
   /** #67 multimodal with a REAL codec: synthesize a genuine PNG per

@@ -22,7 +22,7 @@ class QueriesSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct",
         "q_mm_pipeline", "q_ngram_top_sketch", "q_percentile_approx",
-        "q_tokens_bpe"),
+        "q_tokens_bpe", "q_ngram_freq_cms", "q_embed_cluster"),
       s"unexpected rows-only: ${q -- o}")
   }
 

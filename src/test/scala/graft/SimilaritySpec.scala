@@ -78,6 +78,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("embed_cluster: conserves vectors, <= k clusters, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.Queries.qEmbedCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(rows.nonEmpty && rows.size <= 16)
+    val total = graft.tables.Tables(spark, dir).embeddings.count()
+    assert(rows.map(_._2).sum == total, "clustering lost/duplicated vectors")
+    val again = graft.ops.Queries.qEmbedCluster(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(again == rows, "clustering summary not deterministic")
+  }
+
   test("trained centroids do not lose recall vs the untrained seed (sf0.01)") {
     val e = graft.tables.Tables(spark, "/root/testdata/sf0.01").embeddings
     val brute = Similarity.knnBrute(e, col("vec_id") < 5, 3)

@@ -101,4 +101,26 @@ class TopKSketchSpec extends AnyFunSuite {
     val overlap = (exact & sk).size.toDouble / exact.size
     assert(overlap >= 0.8, s"overlap $overlap; sk=$sk exact=$exact")
   }
+
+  test("count-min estimates: est >= true, est <= true + eps*N, deterministic") {
+    // the CMS contract at the fixed seed: one-sided error (never an
+    // undercount), bounded overcount (eps = 0.001 of total bigram
+    // mass), and bit-identical output across runs
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.ops.Queries.qNgramFreqCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.size == 20)
+    val n = graft.tables.Tables(spark, dir).documents
+      .selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")
+      .selectExpr("greatest(size(toks) - 1, 0) AS nb")
+      .agg(org.apache.spark.sql.functions.sum("nb")).collect()(0).getLong(0)
+    rows.foreach { case (b, exact, est) =>
+      assert(est >= exact, s"$b: CMS undercounted ($est < $exact)")
+      assert(est <= exact + (0.001 * n).toLong + 1,
+        s"$b: overcount past eps*N ($est vs $exact + ${0.001 * n})")
+    }
+    val again = graft.ops.Queries.qNgramFreqCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(again == rows)
+  }
 }
