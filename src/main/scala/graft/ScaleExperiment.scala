@@ -123,7 +123,10 @@ object ScaleExperiment {
       "q_knn_lsh|q_knn_ivf|q_decontam|q_decontam_lsh|q_decontam_ngram|" +
       "q_split|q_sample_stratified|q_mixture|q_tokens_bpe|q_blocklist|" +
       "q_distinctive_terms|q_stream_join|q_dedup_cluster|q_quality_filter|" +
-      "q_pipeline_e2e|q_cube|q_window_range|q_rank_family|q_full_outer").r
+      "q_pipeline_e2e|q_cube|q_window_range|q_rank_family|q_full_outer|" +
+      "q_segment_dedup|q_chunk|q_pack|q_collocations|q_grouping_sets|" +
+      "q_outliers|q_stream_blocklist|q_embed_cluster|q_ngram_freq_cms|" +
+      "q_window_nav|q_sample_topk|q_jaccard_est").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -331,6 +331,21 @@ object Oracles {
         |    ORDER BY ts, event_id) AS dv
         |FROM events ORDER BY event_id""".stripMargin,
 
+    // navigation family: total (ts, event_id) order => no peer groups,
+    // default running frame and explicit full frame agree cross-engine
+    "q_window_nav" ->
+      """SELECT event_id, user_id, value,
+        |  first_value(value) OVER w AS first_v,
+        |  last_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS last_v,
+        |  nth_value(value, 2) OVER w AS second_v,
+        |  lead(value, 1) OVER w AS next_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, $CNT AS n,
          |  ${d2("o_totalprice")} AS total
@@ -868,6 +883,18 @@ object Oracles {
          |           WHEN lang = 'de' THEN 25 ELSE 10 END
          |ORDER BY doc_id""".stripMargin,
 
+    // fixed-size per-stratum sample: rank under the seeded ("k#") md5
+    // order, keep rank <= 20 — exactly min(20, n) rows per language
+    "q_sample_topk" ->
+      s"""SELECT lang, cast(smp_rank AS bigint) AS smp_rank, doc_id
+         |FROM (SELECT lang, doc_id, row_number() OVER (
+         |    PARTITION BY lang ORDER BY rk, doc_id) AS smp_rank
+         |  FROM (SELECT doc_id, lang,
+         |      ('0x' || substr(md5('k#' || cast(doc_id AS varchar)), 1, 15))
+         |        ::UBIGINT::BIGINT AS rk
+         |    FROM documents) x) y
+         |WHERE smp_rank <= 20 ORDER BY lang, smp_rank""".stripMargin,
+
     // token-budget mixture: per-lang md5-("m#")-ranked greedy fill to
     // 5000 tokens; window cumsum order (rk, doc_id) is total, so the
     // kept set is engine-independent
@@ -958,6 +985,40 @@ object Oracles {
          |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the portable k=16 seeded-md5 minhash signature (the q_winnow hash
+    // idiom, seeds 0..15): signature, match count and J-hat = cnt/16
+    // are all bit-identical to the Spark side; pairs = the exact
+    // J >= 0.8 set (q_dedup_minhash's oracle)
+    "q_jaccard_est" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(len(list_intersect(a.sh, b.sh)) as double)
+         |      / cast(len(a.sh) + len(b.sh)
+         |             - len(list_intersect(a.sh, b.sh)) as double) AS j
+         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |pp AS (SELECT * FROM p WHERE j >= 0.8),
+         |ids AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_a AS doc_id FROM pp
+         |  UNION ALL SELECT doc_b FROM pp) u),
+         |g AS (SELECT s.doc_id, list_transform(range(0, 16),
+         |    i -> list_min(list_transform(s.sh, x ->
+         |      ('0x' || substr(md5(cast(i AS varchar) || '#' || x), 1, 15))
+         |        ::UBIGINT::BIGINT))) AS sig
+         |  FROM s JOIN ids USING (doc_id)),
+         |q AS (SELECT pp.doc_a, pp.doc_b, pp.j,
+         |    cast(len(list_filter(range(1, 17),
+         |      i -> ga.sig[i] = gb.sig[i])) AS bigint) AS n_match
+         |  FROM pp
+         |  JOIN g ga ON ga.doc_id = pp.doc_a
+         |  JOIN g gb ON gb.doc_id = pp.doc_b)
+         |SELECT doc_a, doc_b, j, n_match,
+         |  cast(n_match AS double) / 16.0 AS j_est
+         |FROM q ORDER BY doc_a, doc_b""".stripMargin,
 
     // connected components of the same J>=0.8 pair graph: transitive
     // closure by recursive CTE (UNION dedups, so it terminates), then

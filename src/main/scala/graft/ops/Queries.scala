@@ -452,6 +452,27 @@ object Queries {
       .orderBy(asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** #47c window NAVIGATION family — first_value / last_value /
+    * nth_value / lead over one keyed (user) window: the per-group
+    * "context row" accessors that complement the rank family (#47b)
+    * and lag (#48). last_value takes the explicit full frame (the
+    * default running frame would make it ≡ current row); the (ts,
+    * event_id) order is total, so the default RANGE running frame has
+    * no peer groups and both engines agree row-for-row. */
+  def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val full = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, dir).events
+      .select(col("event_id"), col("user_id"), col("value"),
+        first(col("value")).over(ord).as("first_v"),
+        last(col("value")).over(full).as("last_v"),
+        nth_value(col("value"), 2).over(ord).as("second_v"),
+        lead(col("value"), 1).over(ord).as("next_v"))
+      .orderBy("event_id")
+  }
+
   /** #49c explicit GROUPING SETS — the general form rollup and cube are
     * sugar for: an arbitrary set list ((status, priority), (priority),
     * ()) that neither rollup (prefix-closed) nor cube (power set)
@@ -1213,6 +1234,54 @@ object Queries {
         graft.dedup.Dedup.minhashPairs(T(s, dir).documents))
       .orderBy("doc_id")
 
+  /** #57d PORTABLE minhash Jaccard ESTIMATION, itself hash-gated: the
+    * production minhash ([[graft.dedup.Dedup.minhashPairs]]) hashes
+    * with engine-local xxhash64 because its LSH layer only needs a
+    * candidate superset — but the minhash ESTIMATE Ĵ = |matching
+    * components|/k is an artifact worth reproducing across engines
+    * (sketches shipped between systems must agree bit-for-bit). This
+    * operator builds a k=16 signature from the portable seeded-md5
+    * hash (the q_winnow idiom), so sig, match count and Ĵ = cnt/16
+    * (an exact power-of-two division) are all bit-identical in DuckDB
+    * — the estimator itself passes the oracle gate, not just its
+    * verified output. Pairs = the exact J ≥ 0.8 near-dups; columns
+    * carry exact J and the estimate side by side. The per-shingle
+    * k-hash lambda is the measured-slower construction (why production
+    * uses the native one-hash MinHashSig) — acceptable here because
+    * the POINT is portability, and the estimate quality spec
+    * (|Ĵ − J| bounded) lives in DedupSpec. */
+  def qJaccardEst(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val sigExpr =
+      """transform(sequence(0, 15), i -> array_min(transform(sh,
+        |  s -> cast(conv(substring(md5(concat(cast(i AS string), '#', s)),
+        |    1, 15), 16, 10) AS bigint))))""".stripMargin
+    val pairs = graft.core.Eager(d.minhashPairs(T(s, dir).documents))
+    // portable sigs ONLY for pair participants (a semi join keyed on
+    // doc_id): the k·|shingles| md5 lambda is the expensive per-row
+    // stage, and the pair set is tiny relative to the corpus — the
+    // same prune a production "re-estimate shipped sketches" pass runs
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val sigs = graft.core.Eager(d.shingled(T(s, dir).documents)
+      .join(ids, Seq("doc_id"), "left_semi")
+      .selectExpr("doc_id", s"$sigExpr AS sig"))
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")),
+        "doc_b")
+      .withColumn("n_match", expr(
+        """size(filter(sequence(1, 16),
+          |  i -> element_at(sig_a, i) = element_at(sig_b, i)))"""
+          .stripMargin).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("j"),
+        col("n_match"),
+        (col("n_match").cast("double") / 16.0d).as("j_est"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** #58 SimHash near-dup: 60-bit frequency-weighted simhash, 4-chunk
     * pigeonhole banding, Hamming ≤ 3 — banding is lossless for ≤3. */
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -1474,6 +1543,25 @@ object Queries {
       .where(bucket < rate)
       .select("doc_id", "lang")
       .orderBy("doc_id")
+  }
+
+  /** #56j fixed-size per-stratum sampling — exactly K=20 docs per
+    * language (the reservoir-sample contract, made deterministic): rank
+    * under an independent seeded md5 ("k#") order and keep rank ≤ K.
+    * Rate-based sampling (#56e) can't promise a size; this promises
+    * exactly min(K, n) rows per stratum, reproducible across engines /
+    * runs / partitionings. One keyed window shuffle, like q_mixture. */
+  def qSampleTopK(s: SparkSession, dir: String): DataFrame = {
+    val rk = conv(substring(
+      md5(concat(lit("k#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    T(s, dir).documents
+      .select(col("doc_id"), col("lang"), rk.as("rk"))
+      .withColumn("smp_rank", row_number().over(w).cast("long"))
+      .where(col("smp_rank") <= 20)
+      .select("lang", "smp_rank", "doc_id")
+      .orderBy("lang", "smp_rank")
   }
 
   /** #56f token-budget MIXTURE curation: per language, documents are

@@ -67,6 +67,20 @@ class DedupSpec extends AnyFunSuite {
     assert(got.length == 1 && math.abs(got(0) - 1.0 / 3.0) < 1e-15)
   }
 
+  test("jaccard_est: estimates concentrate around exact J (sf0.001)") {
+    // k=16 portable minhash: sd of J-hat is sqrt(J(1-J)/16) <= 0.125;
+    // on the graded pairs (J >= 0.8) a 4-sd band is |Jhat - J| <= 0.35
+    // worst-case — assert that, PLUS the tighter mean-level property
+    // that the average error across pairs is well inside one sd
+    val rows = graft.ops.Queries.qJaccardEst(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getDouble(2), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, est) =>
+      assert(math.abs(est - j) <= 0.35, s"estimate $est too far from $j") }
+    val meanAbs = rows.map { case (j, e) => math.abs(e - j) }.sum / rows.size
+    assert(meanAbs <= 0.125, s"mean |err| $meanAbs exceeds one sd")
+  }
+
   test("jaccardBandingFor: recall >= 0.999 at tau, sharpest rows wins") {
     def recallAt(tau: Double, bands: Int, rows: Int): Double =
       1.0 - math.pow(1.0 - math.pow(tau, rows), bands)

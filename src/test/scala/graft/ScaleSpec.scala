@@ -161,6 +161,26 @@ class ScaleSpec extends AnyFunSuite {
       s"q_quality_filter lost the keyed windows:\n$qf")
     assert(!qf.contains("Join"),
       s"q_quality_filter plan grew a join:\n$qf")
+    // fixed-size sample: one keyed lang window, no join, no agg
+    val st = graft.SparkEntry.queries("q_sample_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(st.contains("Window") && st.contains("hashpartitioning(lang"),
+      s"q_sample_topk lost the keyed window:\n$st")
+    assert(!st.contains("Join") && !st.contains("HashAggregate"),
+      s"q_sample_topk shape drifted:\n$st")
+    // navigation family: keyed (user) window, no join anywhere
+    val nv = graft.SparkEntry.queries("q_window_nav")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(nv.contains("Window") && nv.contains("hashpartitioning(user_id"),
+      s"q_window_nav lost the keyed window:\n$nv")
+    assert(!nv.contains("Join"), s"q_window_nav grew a join:\n$nv")
+    // portable jaccard estimation rides the LSH candidate pairs — the
+    // sig joins are keyed on doc ids, nothing cross-products
+    val je = graft.SparkEntry.queries("q_jaccard_est")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!je.contains("CartesianProduct") &&
+           !je.contains("BroadcastNestedLoopJoin"),
+      s"q_jaccard_est plan contains a cartesian:\n$je")
     // packing: like mixture, ONE keyed lang window + partial agg — the
     // only join allowed is nothing at all (pure window + groupBy)
     val pk = graft.SparkEntry.queries("q_pack")(spark, sf)
