@@ -372,6 +372,43 @@ object Oracles {
          |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
          |  o_orderpriority ASC NULLS FIRST""".stripMargin,
 
+    // dense per-type hourly grid via generate_series over the observed
+    // span; zero-filled gaps; carry-forward = last observed (n>0) sv
+    // under the total per-type hour order — both engines IGNORE NULLS
+    "q_resample" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    cast(count(*) as bigint) AS n,
+        |    cast(sum(cast(value AS DECIMAL(18,4))) as double) AS sv
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, unnest(generate_series(h0, h1,
+        |    INTERVAL '1 hour')) AS hour
+        |  FROM (SELECT event_type,
+        |      min(date_trunc('hour', ts)) AS h0,
+        |      max(date_trunc('hour', ts)) AS h1
+        |    FROM events GROUP BY 1) spans)
+        |SELECT g.event_type, g.hour,
+        |  coalesce(h.n, 0) AS n,
+        |  coalesce(h.sv, 0.0) AS sv,
+        |  last_value(CASE WHEN h.n > 0 THEN h.sv END IGNORE NULLS)
+        |    OVER (PARTITION BY g.event_type ORDER BY g.hour) AS sv_ff
+        |FROM g LEFT JOIN h
+        |  ON g.event_type = h.event_type AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
+
+    // top-5-per-group ordered string aggregation; the rank filter
+    // bounds the group payload on both sides
+    "q_listagg" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderpriority,
+        |  cast(count(*) as bigint) AS n,
+        |  string_agg(cast(o_orderkey AS varchar), ',' ORDER BY rnk)
+        |    AS top_keys
+        |FROM r WHERE rnk <= 5
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+
     // 3-sigma outliers: per-type mean/sd from decimal-exact moments
     // rounded to 6dp (the q_stats discipline), then the flag and the
     // z-score in identical IEEE double op order

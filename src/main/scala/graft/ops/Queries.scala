@@ -492,6 +492,60 @@ object Queries {
       .orderBy(col("gid"), asc_nulls_first("o_orderstatus"),
         asc_nulls_first("o_orderpriority"))
 
+  /** #53b time-series RESAMPLING with gap fill — the missing-bucket
+    * problem every hourly rollup has: aggregate per (type, hour), then
+    * LEFT JOIN a generated dense hourly grid (sequence(min, max,
+    * 1 hour) per type — its own observed span), zero-fill the empty
+    * buckets, and carry the last observed sum forward (last_value
+    * IGNORE NULLS over the per-type hour order — interpolation-free,
+    * so the filled values are actual data values and bit-portable).
+    * The grid is grouping-cardinality × span rows — tiny next to the
+    * events — so the join broadcasts; the window is keyed on type. */
+  def qResample(s: SparkSession, dir: String): DataFrame = {
+    val hourly = T(s, dir).events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    val grid = T(s, dir).events
+      .groupBy("event_type")
+      .agg(min(date_trunc("hour", col("ts"))).as("h0"),
+        max(date_trunc("hour", col("ts"))).as("h1"))
+      .select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+    grid.join(hourly, Seq("event_type", "hour"), "left_outer")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sv"), lit(0.0d)).as("sv"),
+        last(when(col("n") > 0, col("sv")), ignoreNulls = true).over(w)
+          .as("sv_ff"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** #52b ordered LISTAGG — string aggregation with an explicit
+    * within-group order (the top-5 orders per (status, priority) by
+    * price): rank-filter bounds the group payload, then the repo's
+    * deterministic collect idiom (collect_list of (rank, key) structs
+    * → array_sort → join) reproduces exactly what the oracle's
+    * `string_agg(... ORDER BY rnk)` emits. Bounded-state by the rank
+    * cutoff — an unbounded listagg over a 100 TB group is a driver-
+    * sized string by definition, so the operator takes the cutoff as
+    * part of its contract. */
+  def qListagg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, dir).orders
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("rnk").as("r"),
+            col("o_orderkey").as("k")))),
+          x => x.getField("k").cast("string")), ",").as("top_keys"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** #38d 3σ OUTLIER detection per group — the classic data-quality
     * scan, with the [[qStats]] exactness discipline: per-type mean and
     * stddev come from decimal-exact moments, get rounded well inside

@@ -68,6 +68,19 @@ class ScaleSpec extends AnyFunSuite {
         s"$q has no broadcast join")
     // global top-k never materializes a full sort
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    // resample: the dense grid joins broadcast (grouping-cardinality ×
+    // span rows on both sides — never a shuffled fact-fact join) and
+    // the carry-forward window is keyed on type
+    val rs = plan("q_resample")
+    assert(rs.contains("BroadcastHashJoin") && rs.contains("Window"),
+      s"q_resample lost the broadcast-grid/window shape:\n$rs")
+    assert(!rs.contains("CartesianProduct"),
+      s"q_resample has a cartesian:\n$rs")
+    // listagg: rank-filtered keyed window, then the ordered collect —
+    // no join anywhere
+    val la = plan("q_listagg")
+    assert(la.contains("Window") && !la.contains("Join"),
+      s"q_listagg shape drifted:\n$la")
     // grouping sets run the one-pass Expand + partial-agg family
     val gs = plan("q_grouping_sets")
     assert(gs.contains("Expand") && gs.contains("partial_count"),
