@@ -1130,13 +1130,18 @@ object Queries {
     * the full string keeps the oracle collision-free). A doc whose
     * every segment is boilerplate survives with new_n_chars = 0 — docs
     * drop out only by the explicit quality stage, never silently. */
-  def qSegmentDedup(s: SparkSession, dir: String): DataFrame = {
+  def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
+    segmentDedup(T(s, dir).documents)
+
+  /** [[qSegmentDedup]]'s body over any (doc_id, text) frame — split out
+    * so the property spec can drive it with random corpora. */
+  def segmentDedup(docs: DataFrame): DataFrame = {
     val d = graft.dedup.Dedup
     val segArr = expr(
       """transform(sequence(0, (size(toks) + 9) div 10 - 1),
         |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)
     val segs = graft.core.Eager(
-      T(s, dir).documents
+      docs
         .repartition(col("doc_id"))
         .selectExpr("doc_id", s"${d.toksExpr} AS toks")
         .where(size(col("toks")) >= 1)
@@ -1169,9 +1174,14 @@ object Queries {
     * ORDER BY, which only the oracle gate needs); the chunk content is
     * carried as md5 so the gate pins the exact token spans without
     * materializing duplicated text. */
-  def qChunk(s: SparkSession, dir: String): DataFrame = {
+  def qChunk(s: SparkSession, dir: String): DataFrame =
+    chunkTokens(T(s, dir).documents)
+
+  /** [[qChunk]]'s body over any (doc_id, text) frame (property spec
+    * entry point). */
+  def chunkTokens(docs: DataFrame): DataFrame = {
     val d = graft.dedup.Dedup
-    T(s, dir).documents
+    docs
       .repartition(col("doc_id"))
       .selectExpr("doc_id", s"${d.toksExpr} AS toks")
       .where(size(col("toks")) >= 1)
@@ -1653,13 +1663,18 @@ object Queries {
     * partial agg — the scale shape is identical to q_mixture's. A doc's
     * first/last sequence are start div CTX and (end-1) div CTX of its
     * half-open [start, end) token span in the concatenation. */
-  def qPack(s: SparkSession, dir: String): DataFrame = {
+  def qPack(s: SparkSession, dir: String): DataFrame =
+    packStats(T(s, dir).documents)
+
+  /** [[qPack]]'s body over any (doc_id, lang, text) frame (property
+    * spec entry point). */
+  def packStats(docs: DataFrame): DataFrame = {
     val d = graft.dedup.Dedup
     val rk = conv(substring(
       md5(concat(lit("p#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
       .cast("long")
     val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
-    T(s, dir).documents
+    docs
       .selectExpr("doc_id", "lang", s"size(${d.toksExpr}) AS ntok")
       .where(col("ntok") >= 1)
       .withColumn("rk", rk)

@@ -193,6 +193,89 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("chunking: exact spans on every edge size (1, W-1, W, W+1, kS, kS+1)") {
+    import spark.implicits._
+    // the boundary sizes where an off-by-one in the start formula or
+    // slice arithmetic would bite; independent Scala recomputation
+    val sizes = Seq(1, 10, 39, 40, 41, 60, 61, 70, 71, 100, 130, 131)
+    val docs = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(k => s"t$k").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.Queries.chunkTokens(docs)
+      .select("doc_id", "chunk_id", "n_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = sizes.zipWithIndex.flatMap { case (n, i) =>
+      val nst = (math.max(n - 40, 0) + 29) / 30 + 1
+      (0 until nst).map { c =>
+        (i.toLong, c.toLong, math.min(40, n - c * 30).toLong) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("packing: boundary counts match a driver-side simulation (random)") {
+    import spark.implicits._
+    // replicate the seeded md5 order in plain JVM code and simulate the
+    // concat-and-chunk packing — the Spark window cumsum must agree on
+    // every aggregate, not just the obvious ceil/pad identities
+    def rk(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"p#$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    check("pack", Prop.forAll { (ns0: List[Int]) =>
+      val ns = ns0.map(n => math.abs(n % 120) + 1).take(25)
+      ns.isEmpty || {
+        val docs = ns.zipWithIndex.map { case (n, i) =>
+          (i.toLong, if (i % 2 == 0) "aa" else "bb",
+            (1 to n).map(k => s"w$k").mkString(" ")) }
+        val got = graft.ops.Queries.packStats(
+            docs.toDF("doc_id", "lang", "text"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+             r.getLong(5))).toMap
+        val want = docs.groupBy(_._2).map { case (lang, ds) =>
+          val ordered = ds.sortBy(d => (rk(d._1), d._1))
+          var end = 0L; var straddle = 0L
+          ordered.foreach { d =>
+            val n = d._3.split(" ").length.toLong
+            val start = end; end += n
+            if (start / 512 != (end - 1) / 512) straddle += 1
+          }
+          val seqs = (end + 511) / 512
+          lang -> (ds.size.toLong, end, seqs, straddle, seqs * 512 - end)
+        }
+        got == want
+      }
+    })
+  }
+
+  test("segment dedup: per-doc drop counts match recomputation (random)") {
+    import spark.implicits._
+    // small vocab ("a".."e") forces genuine cross-doc segment clashes;
+    // the df>=2 rule is recomputed independently over aligned 10-grams
+    check("segdedup", Prop.forAll { (seed0: Int, ns0: List[Int]) =>
+      val rnd = new scala.util.Random(seed0)
+      val ns = ns0.map(n => math.abs(n % 45) + 1).take(12)
+      ns.isEmpty || {
+        val docs = ns.zipWithIndex.map { case (n, i) =>
+          (i.toLong, (1 to n).map(_ => ('a' + rnd.nextInt(5)).toChar.toString)
+            .mkString(" ")) }
+        val segsOf = docs.map { case (id, text) =>
+          id -> text.split(" ").grouped(10).map(_.mkString(" ")).toSeq }
+        val df = segsOf.flatMap { case (id, segs) => segs.distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).distinct.size }
+        val want = segsOf.map { case (id, segs) =>
+          id -> (segs.count(s => df(s) < 2).toLong,
+                 segs.count(s => df(s) >= 2).toLong) }.toMap
+        val got = graft.ops.Queries.segmentDedup(docs.toDF("doc_id", "text"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        got == want
+      }
+    })
+  }
+
   test("jaccard is symmetric, bounded, and 1 on equal sets") {
     import spark.implicits._
     check("jaccard", Prop.forAll { (a0: List[String], b0: List[String]) =>
