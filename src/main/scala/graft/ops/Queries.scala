@@ -1309,11 +1309,15 @@ object Queries {
     * (an exact power-of-two division) are all bit-identical in DuckDB
     * — the estimator itself passes the oracle gate, not just its
     * verified output. Pairs = the exact J ≥ 0.8 near-dups; columns
-    * carry exact J and the estimate side by side. The per-shingle
-    * k-hash lambda is the measured-slower construction (why production
-    * uses the native one-hash MinHashSig) — acceptable here because
-    * the POINT is portability, and the estimate quality spec
-    * (|Ĵ − J| bounded) lives in DedupSpec. */
+    * carry exact J and the estimate side by side. The per-doc
+    * k×|shingles| md5 lambda is the MEASURED winner here, against the
+    * usual grain: the relational rewrite (explode → 16 codegen'd hash
+    * columns → partial-agg min per seed) clocked a fixed ~11 s at
+    * BOTH sf0.1 and sf1 — plan-compile overhead, not data work — vs
+    * 5 s / 2.3-in-suite for this form, because after the semi-join
+    * prune the data volume is tiny (pair participants only) and the
+    * explode pipeline's fixed cost dominates; the estimate quality
+    * spec (|Ĵ − J| bounded) lives in DedupSpec. */
   def qJaccardEst(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
     val sigExpr =
@@ -1322,8 +1326,8 @@ object Queries {
         |    1, 15), 16, 10) AS bigint))))""".stripMargin
     val pairs = graft.core.Eager(d.minhashPairs(T(s, dir).documents))
     // portable sigs ONLY for pair participants (a semi join keyed on
-    // doc_id): the k·|shingles| md5 lambda is the expensive per-row
-    // stage, and the pair set is tiny relative to the corpus — the
+    // doc_id): the k·|shingles| md5 stage is the expensive per-row
+    // work, and the pair set is tiny relative to the corpus — the
     // same prune a production "re-estimate shipped sketches" pass runs
     val ids = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
