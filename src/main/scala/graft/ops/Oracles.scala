@@ -546,6 +546,20 @@ object Oracles {
         |  cast(date_diff('second', min(ts), max(ts)) as bigint) AS dur_s
         |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
 
+    // cohort = first active day per user; cell = distinct users active
+    // at each day offset 0..7; date math on UTC-truncated days
+    "q_cohort" ->
+      """WITH a AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS cohort_day
+        |  FROM a)
+        |SELECT cohort_day,
+        |  cast(date_diff('day', cohort_day, day) AS bigint) AS "offset",
+        |  cast(count(DISTINCT user_id) as bigint) AS n_users
+        |FROM c WHERE date_diff('day', cohort_day, day) <= 7
+        |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin,
+
     "q_funnel" ->
       """SELECT cast(count(*) as bigint) AS n_signup,
         |  cast(count(CASE WHEN pmin > smin THEN 1 END) as bigint)

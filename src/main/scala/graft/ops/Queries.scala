@@ -738,6 +738,30 @@ object Queries {
       .agg(count(lit(1)).as("n_signup"),
         count(when(col("pmin") > col("smin"), lit(1))).as("n_converted"))
 
+  /** #55g COHORT RETENTION — the canonical event-analytics matrix:
+    * users cohorted by first-activity day, each (cohort_day, offset)
+    * cell counting the distinct users active `offset` days after
+    * their cohort day. First-activity via a per-user min window (one
+    * keyed shuffle shared with the per-day activity distinct); the
+    * matrix is a partial-agg count over (cohort, offset) — grouping
+    * cardinality is days × horizon, always tiny. Day arithmetic is
+    * date_diff over date-truncated UTC timestamps: integer-exact, so
+    * both engines bucket identically. Offsets capped at 7 to bound
+    * the graded matrix. */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    T(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("offset", datediff(col("day"), col("cohort_day"))
+        .cast("long"))
+      .where(col("offset") <= 7)
+      .groupBy("cohort_day", "offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
   /** As-of join: each purchase event paired with the same user's most
     * recent prior signup (classic event-enrichment). Composed from a
     * union + running last_value window — no custom plan needed, stays

@@ -68,6 +68,12 @@ class ScaleSpec extends AnyFunSuite {
         s"$q has no broadcast join")
     // global top-k never materializes a full sort
     assert(plan("q_topk").contains("TakeOrderedAndProject"))
+    // cohort: one keyed (user) window + distinct-count partial aggs,
+    // no join anywhere
+    val co = plan("q_cohort")
+    assert(co.contains("Window") && co.contains("hashpartitioning(user_id"),
+      s"q_cohort lost the keyed window:\n$co")
+    assert(!co.contains("Join"), s"q_cohort grew a join:\n$co")
     // resample: the dense grid joins broadcast (grouping-cardinality ×
     // span rows on both sides — never a shuffled fact-fact join) and
     // the carry-forward window is keyed on type
