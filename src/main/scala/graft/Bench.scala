@@ -22,7 +22,19 @@ import org.apache.spark.sql.SparkSession
   *
   * SPARK_GRAFT_QUERIES (optional regex) restricts the run for local
   * iteration, e.g. SPARK_GRAFT_QUERIES='q_dedup_.*' — the driver never
-  * sets it, so graded runs always cover the full surface. */
+  * sets it, so graded runs always cover the full surface.
+  *
+  * Record contract (r5 verdict: every BENCH_r*.json had `parsed: null`):
+  * the driver keeps only the last ~2000 chars of stdout and sbt appends
+  * a `[success] …` trailer, so a single >2000-char JSON line is always
+  * front-truncated and unparseable. Two lines are therefore emitted:
+  * 1. the FULL record, with the per-query `queries` (name→min) map LAST
+  *    so the tail keeps as many named mins as fit;
+  * 2. a COMPACT final line — totals, error count, and `mins`: ALL
+  *    per-query minimums as a positional array in the same alphabetical
+  *    query order as `queries` (the order of CORRECTNESS_r*.json keys).
+  *    ~900 chars at 115 queries, so the tail always contains it whole
+  *    and the official record's `parsed` field is self-contained. */
 object Bench {
   private def jstr(s: String): String = Jsons.quote(s.take(120))
 
@@ -89,7 +101,10 @@ object Bench {
       s""""$k":${jstr(m)}""" }.mkString("{", ",", "}")
     val total = byQuery.map(_._2).sum
     val nErr = byQuery.count(_._4.isDefined)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"errors":$nErr,"queries":$qs,"spread":$spreads,"errs":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"errors":$nErr,"spread":$spreads,"errs":$errs,"sf":"$sfDir","queries":$qs}""")
+    val minsArr = byQuery.map { case (_, mn, _, _) => f"$mn%.3f" }
+      .mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"errors":$nErr,"n":${byQuery.size},"order":"alpha","mins":$minsArr,"sf":"$sfDir"}""")
     spark.stop()
     if (nErr > 0) sys.exit(1)
   }

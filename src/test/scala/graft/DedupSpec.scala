@@ -68,9 +68,11 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("jaccard_est: estimates concentrate around exact J (sf0.001)") {
-    // k=16 portable minhash: sd of J-hat is sqrt(J(1-J)/16) <= 0.125;
-    // on the graded pairs (J >= 0.8) a 4-sd band is |Jhat - J| <= 0.35
-    // worst-case — assert that, PLUS the tighter mean-level property
+    // k=16 portable minhash: sd of J-hat is sqrt(J(1-J)/16), which is
+    // <= 0.125 only at the J=0.5 worst case; the graded pairs all have
+    // J >= 0.8 where sd <= sqrt(0.8*0.2/16) = 0.1, so 0.35 is a 3.5-sd
+    // band there (deterministic on the fixed data) — assert that, PLUS
+    // the tighter mean-level property
     // that the average error across pairs is well inside one sd
     val rows = graft.ops.Queries.qJaccardEst(spark, "/root/testdata/sf0.001")
       .collect().map(r => (r.getDouble(2), r.getDouble(4)))

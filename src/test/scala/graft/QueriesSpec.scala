@@ -22,7 +22,8 @@ class QueriesSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct",
         "q_mm_pipeline", "q_ngram_top_sketch", "q_percentile_approx",
-        "q_tokens_bpe", "q_ngram_freq_cms", "q_embed_cluster"),
+        "q_tokens_bpe", "q_ngram_freq_cms", "q_embed_cluster",
+        "q_quality_filter_approx"),
       s"unexpected rows-only: ${q -- o}")
   }
 
@@ -51,6 +52,55 @@ class QueriesSpec extends AnyFunSuite {
       val (e50, e90) = exact(k)
       assert(close(a50, e50) && close(a90, e90),
         s"$k: approx=($a50,$a90) exact=($e50,$e90)")
+    }
+  }
+
+  test("approx quality cutoff obeys the sketch rank-error bound at all three SFs") {
+    // contract under test (the GK summary behind approx_percentile):
+    // the returned cutoff is an actual data value whose rank r in the
+    // stratum satisfies |r - ceil(0.25 n)| <= eps*n + 1 at accuracy
+    // 1/eps = 10000. With ties the cutoff occupies ranks lo+1..hi
+    // (lo = #{q < cut}, hi = #{q <= cut}); the band must intersect the
+    // guarantee interval. Also: strata and n must match the exact
+    // order-statistic form bit-for-bit, and the rollup must be
+    // consistent with its own cutoff (n_kept = n - lo).
+    import org.apache.spark.sql.functions._
+    val eps = 1e-4
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1")) {
+      val exact = graft.ops.Queries.qQualityFilter(spark, d).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val approx = graft.ops.Queries.qQualityFilterApprox(spark, d)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toMap
+      assert(approx.keySet == exact.keySet, s"$d: stratum sets differ")
+      graft.functions.ArrayCountIn.register(spark)
+      val ranks = graft.tables.Tables(spark, d).documents
+        .select(col("lang"),
+          graft.text.TextFunctions.qualityScore(col("text")).as("q"))
+        .where(col("q").isNotNull && !isnan(col("q")))
+        .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val scored = graft.tables.Tables(spark, d).documents
+        .select(col("lang"),
+          graft.text.TextFunctions.qualityScore(col("text")).as("q"))
+        .where(col("q").isNotNull && !isnan(col("q")))
+      approx.foreach { case (lang, (n, cut, nKept)) =>
+        val (nE, _) = exact(lang)
+        assert(n == nE && n == ranks(lang), s"$d/$lang: n drifted")
+        val Array(lo, hi) = scored.where(col("lang") === lang)
+          .agg(sum(when(col("q") < cut, 1L).otherwise(0L)),
+               sum(when(col("q") <= cut, 1L).otherwise(0L)))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val target = math.ceil(0.25 * n).toLong
+        val slack = eps * n + 1
+        assert(lo + 1 <= target + slack && hi >= target - slack,
+          s"$d/$lang: cutoff rank band [${lo + 1},$hi] misses " +
+            s"target $target ± $slack")
+        assert(nKept == n - lo,
+          s"$d/$lang: rollup inconsistent with its own cutoff")
+      }
     }
   }
 

@@ -180,6 +180,16 @@ class ScaleSpec extends AnyFunSuite {
       s"q_quality_filter lost the keyed windows:\n$qf")
     assert(!qf.contains("Join"),
       s"q_quality_filter plan grew a join:\n$qf")
+    // approx twin: the whole point is NO per-stratum sort — cutoffs
+    // come from a partial-agg mergeable sketch, rejoined by BROADCAST;
+    // any Window or sort-based exchange here is a scale regression
+    val qfa = graft.SparkEntry.queries("q_quality_filter_approx")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!qfa.contains("Window"),
+      s"q_quality_filter_approx grew a per-stratum window:\n$qfa")
+    assert(qfa.contains("approx_percentile") &&
+           qfa.contains("BroadcastHashJoin"),
+      s"q_quality_filter_approx lost the sketch/broadcast shape:\n$qfa")
     // fixed-size sample: one keyed lang window, no join, no agg
     val st = graft.SparkEntry.queries("q_sample_topk")(spark, sf)
       .queryExecution.executedPlan.toString
@@ -214,8 +224,8 @@ class ScaleSpec extends AnyFunSuite {
     // never full-sorts
     val cl = graft.SparkEntry.queries("q_collocations")(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(cl.contains("hashpartitioning(l") && cl.contains(
-      "hashpartitioning(r"), s"q_collocations lost a marginal window:\n$cl")
+    assert(cl.contains("hashpartitioning(l#") && cl.contains(
+      "hashpartitioning(r#"), s"q_collocations lost a marginal window:\n$cl")
     assert(cl.contains("partial_count") &&
            cl.contains("TakeOrderedAndProject"),
       s"q_collocations shape drifted:\n$cl")
