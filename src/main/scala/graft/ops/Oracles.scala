@@ -1170,6 +1170,22 @@ object Oracles {
          |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
          |GROUP BY 1 ORDER BY hour""".stripMargin,
 
+    // the view filter lives in WHERE (it prunes the preserved side
+    // BEFORE the outer join, exactly like the Spark twin's pre-join
+    // select); the purchase-side predicates stay in ON, where an outer
+    // join requires them
+    "q_stream_join_outer" ->
+      s"""SELECT date_trunc('hour', v.ts) AS hour, $CNT AS n_rows,
+         |  cast(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+         |    as bigint) AS n_unmatched,
+         |  cast(count(DISTINCT v.event_id) as bigint) AS n_views,
+         |  ${d4("p.value")} AS sv
+         |FROM events v LEFT JOIN events p
+         |  ON v.user_id = p.user_id AND p.event_type = 'purchase'
+         |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+         |WHERE v.event_type = 'view'
+         |GROUP BY 1 ORDER BY hour""".stripMargin,
+
     // every event belongs to the two 1h windows starting at its
     // half-hour truncation and 30 minutes before it (epoch-aligned,
     // mirroring Spark's window(ts, '1 hour', '30 minutes'))

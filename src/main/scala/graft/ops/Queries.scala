@@ -1896,6 +1896,28 @@ object Queries {
       .orderBy("hour")
   }
 
+  /** #73-outer the LEFT_OUTER stream-stream interval join, graded: the
+    * batch twin of [[graft.streaming.Streams.viewPurchase]] with
+    * joinType="left_outer" — every view appears (multiplied by its
+    * in-window purchases when matched, once with null purchase columns
+    * when not), so the hourly rollup carries BOTH the pair counts and
+    * the unmatched-view counts the outer form exists to surface. In
+    * streaming mode the unmatched row legally emits only after the
+    * watermark passes the view's match window (gated on in
+    * StreamingSpec's closure test); the batch twin is the total-result
+    * oracle for that semantics, checked against a DuckDB LEFT JOIN. */
+  def qStreamJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    graft.streaming.Streams.viewPurchase(ev, ev, "left_outer")
+      .groupBy(date_trunc("hour", col("v_ts")).as("hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"),
+        countDistinct(col("view_id")).as("n_views"),
+        dsum(col("value"), D4).as("sv"))
+      .orderBy("hour")
+  }
+
   /** #74 stream-static BLOCKLIST removal (batch twin): the
     * [[graft.streaming.Streams.blocklistKept]] transform — anti
     * semantics as left_outer + IS NULL, because stream-static anti
