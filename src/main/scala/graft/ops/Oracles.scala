@@ -570,19 +570,19 @@ object Oracles {
         |  FROM events GROUP BY user_id) x
         |WHERE smin IS NOT NULL""".stripMargin,
 
+    // DuckDB's first-class ASOF LEFT JOIN: an independent
+    // implementation of the backward equality-inclusive as-of
+    // contract graft.ops.Relational.asofJoin promises
     "q_asof" ->
-      """WITH f AS (SELECT * FROM events
-        |  WHERE event_type IN ('signup','purchase')),
-        |x AS (SELECT event_id, user_id, ts, event_type,
-        |    max(CASE WHEN event_type = 'signup' THEN ts END) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS last_signup
-        |  FROM f)
-        |SELECT event_id, user_id,
-        |  cast(date_diff('second', last_signup, ts) as bigint)
+      """SELECT p.event_id, p.user_id,
+        |  cast(date_diff('second', s.ts, p.ts) as bigint)
         |    AS since_signup_s
-        |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q_percentile" ->
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,

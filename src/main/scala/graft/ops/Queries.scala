@@ -763,20 +763,21 @@ object Queries {
   }
 
   /** As-of join: each purchase event paired with the same user's most
-    * recent prior signup (classic event-enrichment). Composed from a
-    * union + running last_value window — no custom plan needed, stays
-    * hash-partitioned on user_id. */
+    * recent prior-or-equal signup (classic event-enrichment), through
+    * the general [[Relational.asofJoin]] API — union + running window,
+    * no range join, stays hash-partitioned on user_id. The oracle is
+    * DuckDB's native ASOF LEFT JOIN, so the API's contract (backward,
+    * equality-inclusive, left-preserving) is checked against an
+    * independent first-class implementation of the same operator. */
   def qAsof(s: SparkSession, dir: String): DataFrame = {
     val e = T(s, dir).events
-    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.filter(col("event_type").isin("signup", "purchase"))
-      .withColumn("last_signup", last(
-        when(col("event_type") === "signup", col("ts")), ignoreNulls = true)
-        .over(w))
-      .filter(col("event_type") === "purchase")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = e.filter(col("event_type") === "signup")
+      .select("user_id", "ts")
+    Relational.asofJoin(purchases, signups, Seq("user_id"), "ts")
       .select(col("event_id"), col("user_id"),
-        (unix_timestamp(col("ts")) - unix_timestamp(col("last_signup")))
+        (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")))
           .as("since_signup_s"))
       .orderBy("event_id")
   }

@@ -152,6 +152,37 @@ class MiscSpec extends AnyFunSuite {
       && r.getLong(1) >= 1 && r.getLong(2) >= 1))
   }
 
+  test("asofJoin: inclusive ties, atomic payload, outer nulls (#55b)") {
+    import spark.implicits._
+    val left = Seq((1, 5, "L5"), (1, 10, "L10"), (1, 3, "L3"), (2, 7, "L7"))
+      .toDF("k", "t", "tag")
+    // right row at t=5 has a NULL in one payload column: per-column
+    // last(ignoreNulls) would stitch v1 from t=5 with v2 from t=2 —
+    // the struct payload must keep the matched row atomic
+    val right = Seq((1, 2, Some("a"), Some("x")), (1, 5, Some("b"), None),
+      (3, 1, Some("z"), Some("z"))).toDF("k", "t", "v1", "v2")
+    val out = graft.ops.Relational.asofJoin(left, right, Seq("k"), "t")
+      .orderBy("k", "t").collect()
+    // t=3 → right t=2; t=5 → right t=5 (equality inclusive, v2 null
+    // stays null); t=10 → right t=5; k=2 → no match, all nulls
+    assert(out.map(r => (r.getInt(0), r.getInt(1),
+      Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toSeq == Seq(
+      (1, 3, Some(2), Some("a"), Some("x")),
+      (1, 5, Some(5), Some("b"), None),
+      (1, 10, Some(5), Some("b"), None),
+      (2, 7, None, None, None)))
+    // right-side ties on (k, t) resolve deterministically (max by
+    // payload struct), not by partition order
+    val tied = Seq((1, 5, "p"), (1, 5, "q")).toDF("k", "t", "v")
+      .repartition(4)
+    val got = (1 to 3).map { _ =>
+      graft.ops.Relational.asofJoin(
+          Seq((1, 9)).toDF("k", "t"), tied, Seq("k"), "t")
+        .collect().map(r => (r.get(2), r.get(3))).toSeq
+    }
+    assert(got.distinct == Seq(Seq((5, "q"))))
+  }
+
   test("file-source streaming replay equals batch on real events (#68)") {
     val dir = "/root/testdata/sf0.001"
     val stream = Streams.hourlyRollup(Streams.eventsStream(spark, dir))
