@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * statistics are INDEPENDENTLY recomputable by the SQL oracle — the
   * encode→decode→stat path is hash-checked, not just shape-checked.
   *
+  * The audio path is equally real: payloads are genuine WAV files
+  * (RIFF container written and parsed by `javax.sound.sampled` — also
+  * JDK-public), with closed-form integer PCM content so decoded sample
+  * statistics hash-match an independent SQL oracle too.
+  *
   * At 100 TB: payloads stay columnar binary (parquet keeps them
   * page-compressed, scans prune them unless selected), per-row decode is
   * embarrassingly parallel behind a repartition, and thumbnail/frame
@@ -173,6 +178,114 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "payload")
+  }
+
+  // ---- audio modality: real WAV encode/decode via javax.sound.sampled ----
+
+  /** Deterministic synthetic PCM content for a doc_id — the closed form
+    * the SQL oracle re-evaluates. 16-bit signed mono at 8 kHz; every
+    * intermediate fits comfortably in Int, so any engine reproduces the
+    * exact samples with integer arithmetic only. */
+  private[graft] def wavN(docId: Long): Int = 800 + (docId % 37).toInt * 16
+  private[graft] def wavSeed(docId: Long): Int = (docId % 997).toInt
+  private[graft] def sample(d: Int, i: Int): Int =
+    ((i * 31 + d * 17) * 73 + d) % 65536 - 32768
+
+  private val WavFormat = new javax.sound.sampled.AudioFormat(
+    8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, LE
+
+  /** Encode the synthetic signal for one doc as a real WAV file
+    * (RIFF container written by `javax.sound.sampled.AudioSystem`). */
+  private[graft] def synthWav(docId: Long): Array[Byte] = {
+    val (n, d) = (wavN(docId), wavSeed(docId))
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(d, i)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), WavFormat, n.toLong)
+    val out = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** docs → (doc_id, payload: REAL WAV bytes, meta). */
+  def packAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, synthWav(id))))
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("audio/wav").as("mime")).as("meta"))
+  }
+
+  /** REAL decode: parse the RIFF header + PCM frames with the JDK's
+    * WAV codec, returning (sampleRate, channels, samples). */
+  private def decodePcm(bytes: Array[Byte]): (Float, Int, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(bytes))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+      s"expected 16-bit LE PCM, got $fmt")
+    val data = ais.readAllBytes()
+    val out = new Array[Int](data.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (data(2 * i) & 0xff) | (data(2 * i + 1).toInt << 8)
+      i += 1
+    }
+    (fmt.getSampleRate, fmt.getChannels, out)
+  }
+
+  /** Exact integer statistics over DECODED samples — the audio twin of
+    * [[decodeImage]]: rate/length from the real WAV header, sum and
+    * energy (sum of squares) over the real decoded PCM, all integers so
+    * the SQL oracle hash-matches bit-for-bit. */
+  def decodeAudio(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (rate, channels, xs) = decodePcm(bytes)
+        var (s, sq, mx) = (0L, 0L, 0L)
+        var i = 0
+        while (i < xs.length) {
+          val v = xs(i)
+          s += v; sq += v.toLong * v; mx = math.max(mx, math.abs(v.toLong))
+          i += 1
+        }
+        (id, rate.toLong, channels.toLong, xs.length.toLong, s, sq, mx)
+      })
+      .toDF("doc_id", "sample_rate", "channels", "n_samples",
+        "sum_s", "sum_sq", "max_abs")
+  }
+
+  /** Feature extraction over DECODED samples: L1-normalized energy per
+    * `dim` equal time bands — same output contract as [[imageFeatures]]
+    * (array<float>[dim]), so the ANN stage consumes it unchanged. */
+  def audioFeatures(packed: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (_, _, xs) = decodePcm(bytes)
+        val acc = new Array[Double](dim)
+        var i = 0
+        while (i < xs.length) {
+          val v = xs(i).toDouble
+          acc(math.min(dim - 1, i * dim / xs.length)) += v * v
+          i += 1
+        }
+        val total = math.max(acc.sum, 1e-12)
+        (id, acc.map(e => (e / total).toFloat))
+      })
+      .toDF("doc_id", "embedding")
   }
 
   /** Frame sampling: one payload → every `stride`-th fixed-size frame,

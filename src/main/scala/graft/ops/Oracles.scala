@@ -1222,5 +1222,24 @@ object Oracles {
         |    list_transform(range(h), y -> (x*13 + y + d) % 256))))
         |    as bigint) AS sum_b
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    // audio twin: recompute the closed-form 16-bit PCM signal
+    // (graft.mm.Multimodal.sample) and its exact integer statistics —
+    // the Spark side must recover the identical numbers through a real
+    // WAV encode → AudioSystem decode round trip
+    "q_audio" ->
+      """WITH p AS (SELECT doc_id, 800 + (doc_id % 37) * 16 AS n,
+        |    doc_id % 997 AS d FROM documents),
+        |s AS (SELECT doc_id, n, list_transform(range(n),
+        |    i -> ((i*31 + d*17)*73 + d) % 65536 - 32768) AS xs FROM p)
+        |SELECT doc_id, cast(8000 as bigint) AS sample_rate,
+        |  cast(1 as bigint) AS channels,
+        |  cast(n as bigint) AS n_samples,
+        |  cast(list_sum(xs) as bigint) AS sum_s,
+        |  cast(list_sum(list_transform(xs, x -> x*x)) as bigint)
+        |    AS sum_sq,
+        |  cast(list_max(list_transform(xs, x -> abs(x))) as bigint)
+        |    AS max_abs
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

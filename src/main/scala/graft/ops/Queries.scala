@@ -1987,4 +1987,27 @@ object Queries {
     graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)
       .orderBy("qid", "rank")
   }
+
+  /** #67c the audio modality, hash-gated end to end like q_multimodal:
+    * synthesize real WAV payloads (closed-form integer PCM), decode
+    * them with the JDK's actual RIFF/WAV codec, and emit exact integer
+    * sample statistics the DuckDB oracle recomputes from the closed
+    * form — encode→container→decode→stat checked bit-for-bit. */
+  def qAudio(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decodeAudio(
+      graft.mm.Multimodal.packAudio(
+        T(s, dir).documents.repartition(col("doc_id"))))
+      .orderBy("doc_id")
+
+  /** #67d audio → ANN: real WAV decode → per-band energy features →
+    * brute cosine top-k, the audio twin of [[qMmPipeline]]. Rows-only
+    * (ANN layer has no SQL oracle); determinism asserted in MiscSpec. */
+  def qAudioPipeline(s: SparkSession, dir: String): DataFrame = {
+    val packed = graft.mm.Multimodal.packAudio(
+      T(s, dir).documents.repartition(col("doc_id")))
+    val feats = graft.mm.Multimodal.audioFeatures(packed, dim = 16)
+      .withColumnRenamed("doc_id", "vec_id")
+    graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)
+      .orderBy("qid", "rank")
+  }
 }

@@ -152,6 +152,30 @@ class MiscSpec extends AnyFunSuite {
       && r.getLong(1) >= 1 && r.getLong(2) >= 1))
   }
 
+  test("audio: WAV round trip recovers closed-form PCM exactly (#67c)") {
+    import spark.implicits._
+    val docs = Seq(3L, 41L, 1000L).toDF("doc_id")
+    val got = Multimodal.decodeAudio(Multimodal.packAudio(docs))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (n, d) = (Multimodal.wavN(id), Multimodal.wavSeed(id))
+      val xs = (0 until n).map(Multimodal.sample(d, _))
+      assert(r.getLong(1) == 8000L && r.getLong(2) == 1L)
+      assert(r.getLong(3) == n.toLong)
+      assert(r.getLong(4) == xs.map(_.toLong).sum)
+      assert(r.getLong(5) == xs.map(x => x.toLong * x).sum)
+      assert(r.getLong(6) == xs.map(x => math.abs(x.toLong)).max)
+    }
+    // energy-band features: deterministic, L1-normalized, right arity
+    val f1 = Multimodal.audioFeatures(Multimodal.packAudio(docs), dim = 16)
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    val f2 = Multimodal.audioFeatures(Multimodal.packAudio(docs), dim = 16)
+      .orderBy("doc_id").collect().map(_.getSeq[Float](1))
+    assert(f1.map(_.toSeq).toSeq == f2.map(_.toSeq).toSeq)
+    assert(f1.forall(v => v.length == 16 && math.abs(v.sum - 1f) < 1e-3))
+  }
+
   test("asofJoin: inclusive ties, atomic payload, outer nulls (#55b)") {
     import spark.implicits._
     val left = Seq((1, 5, "L5"), (1, 10, "L10"), (1, 3, "L3"), (2, 7, "L7"))
