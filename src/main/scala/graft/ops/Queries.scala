@@ -1484,6 +1484,15 @@ object Queries {
     graft.sim.Similarity.knnIvf(T(s, dir).embeddings, col("vec_id") < 5, 3)
       .orderBy("qid", "rank")
 
+  /** #62d IVF-PQ ANN top-3 — product-quantized codes + ADC scoring +
+    * exact re-rank, the compressed-index ANN family real 100 TB
+    * deployments run ([[graft.sim.Similarity.knnIvfPq]]). Approximate;
+    * no SQL oracle; recall asserted in the spec ≥ the plain IVF
+    * bound. */
+  def qKnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.knnIvfPq(T(s, dir).embeddings, col("vec_id") < 5, 3)
+      .orderBy("qid", "rank")
+
   /** #66b winnowing: rolling window (w=4) of portable token hashes, keep
     * each window's min — the classic local-fingerprint selection
     * (Schleimer et al.); per-row column math, no shuffle before the

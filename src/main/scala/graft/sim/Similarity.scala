@@ -344,6 +344,161 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** Plain L2 Lloyd iterations over driver-held vectors (the PQ
+    * codebook trainer — unlike [[kmeansOnPv]] residual subvectors are
+    * NOT unit, so means are not re-normalized). Deterministic: first-k
+    * seed, first-wins ties, empty clusters keep their centroid. */
+  private def kmeansL2(vecs: Array[Array[Double]], k: Int,
+                       iters: Int): Array[Array[Double]] = {
+    val kk = math.min(k, vecs.length)
+    val dim = if (vecs.isEmpty) 0 else vecs(0).length
+    val cents = Array.tabulate(kk)(i => vecs(i).clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val counts = new Array[Long](kk)
+      for (v <- vecs) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val t = v(i) - cents(c)(i); d += t * t; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until kk if counts(c) > 0) {
+        var i = 0
+        while (i < dim) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+      }
+    }
+    cents
+  }
+
+  /** PQ codebooks for the IVF residuals: the vector space minus each
+    * cell's centroid, split into `m` subvectors, each quantized by its
+    * own `ksub`-entry L2 codebook — trained driver-side on a bounded
+    * sample exactly like [[kmeansOnPv]] (sample, train offline,
+    * broadcast: the 100 TB IVF-PQ build shape). Returns (mi, j, cbv),
+    * m·ksub small rows. */
+  def trainPqCodebook(assigned: DataFrame, cents: DataFrame, m: Int,
+                      ksub: Int, iters: Int = 4,
+                      sampleN: Int = 2048): DataFrame = {
+    val rows = assigned.join(broadcast(cents), "cid")
+      .orderBy("vec_id").limit(sampleN)
+      .select(col("ne"), col("ce")).collect()
+    val resids = rows.map { r =>
+      val a = r.getSeq[Double](0); val b = r.getSeq[Double](1)
+      Array.tabulate(a.length)(i => a(i) - b(i))
+    }
+    require(resids.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = resids(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subvectors")
+    val sub = dim / m
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    (0 until m).flatMap { mi =>
+      val cb = kmeansL2(resids.map(_.slice(mi * sub, (mi + 1) * sub)),
+        ksub, iters)
+      cb.zipWithIndex.map { case (v, j) => (mi, j, v.toSeq) }
+    }.toDF("mi", "j", "cbv")
+  }
+
+  /** PQ encode: each vector stored as (vec_id, cid, code[m]) — code[mi]
+    * is the codebook entry nearest (L2) to the mi-th residual
+    * subvector. One broadcast join against the m·ksub codebook rows,
+    * argmin by keyed window, codes re-packed ordered by subvector —
+    * at scale this is the whole index: m small ints per vector instead
+    * of the raw embedding. */
+  def pqEncode(assigned: DataFrame, cents: DataFrame,
+               codebook: DataFrame, m: Int): DataFrame = {
+    graft.functions.VectorDot.register(assigned.sparkSession)
+    val resid = assigned.join(broadcast(cents), "cid")
+      .withColumn("resid", zip_with(col("ne"), col("ce"), (a, b) => a - b))
+      .withColumn("sub", (size(col("resid")) / m).cast("int"))
+      .select(col("vec_id"), col("cid"), col("resid"), col("sub"),
+        explode(sequence(lit(0), lit(m - 1))).as("mi"))
+      .withColumn("rm", slice(col("resid"), col("mi") * col("sub") + 1,
+        col("sub")))
+    // ‖r−c‖² argmin ≡ argmin(‖c‖² − 2·r·c): two native dots, no sqrt
+    val scored = resid.join(broadcast(codebook), "mi")
+      .withColumn("d2", expr("vec_dot(cbv, cbv) - 2 * vec_dot(rm, cbv)"))
+    val w = Window.partitionBy("vec_id", "mi")
+      .orderBy(col("d2").asc, col("j"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .groupBy("vec_id", "cid")
+      .agg(transform(sort_array(collect_list(struct(col("mi"), col("j")))),
+        s => s.getField("j")).as("code"))
+  }
+
+  /** IVF-PQ ANN top-k: probe the nearest centroid cells like [[knnIvf]],
+    * but score cell candidates from their PQ codes by asymmetric
+    * distance computation (ADC) — score(q, x) ≈ q·c_cell + Σ_mi
+    * q_mi·cb[mi][code_mi], i.e. a per-query lookup table of m·ksub
+    * precomputed dots instead of a full-vector dot per candidate — then
+    * re-rank only the top `rerank` ADC survivors with the exact dot.
+    *
+    * Scale shape: the ADC table (n_q·m·ksub rows) is built once per
+    * query and joined back packed as ONE flat array per query, so
+    * per-candidate scoring is a sequential `aggregate` fold over the m
+    * code entries — deterministic (no distributed float-sum reorder)
+    * and O(m) per candidate with no explode of the candidate set. The
+    * full embedding is touched only for `rerank` rows per query: at
+    * 100 TB the corpus scan reads (cid, code) — m bytes a vector — not
+    * the raw vectors, which is the entire point of PQ. Approximate by
+    * design (recall vs [[knnBrute]] asserted in the spec, ≥ the plain
+    * IVF bound). */
+  def knnIvfPq(emb: DataFrame, queryPred: Column, k: Int,
+               centroids: Int = 16, probes: Int = 4, m: Int = 8,
+               ksub: Int = 16, rerank: Int = 32,
+               trainIters: Int = 2): DataFrame = {
+    val (assigned, cents) = ivfAssign(emb, centroids, trainIters)
+    val cb = trainPqCodebook(assigned, cents, m, ksub)
+    val codes = pqEncode(assigned, cents, cb, m)
+    val q = assigned.where(queryPred)
+      .select(col("vec_id").as("qid"), col("ne").as("qe"))
+    // per-query ADC lookup table, packed flat ordered by (mi, j)
+    val adcFlat = q.crossJoin(broadcast(cb))
+      .withColumn("sub", (size(col("qe")) / m).cast("int"))
+      .withColumn("contrib", expr(
+        "vec_dot(slice(qe, mi * sub + 1, sub), cbv)"))
+      .groupBy("qid")
+      .agg(transform(
+        sort_array(collect_list(struct(col("mi"), col("j"), col("contrib")))),
+        s => s.getField("contrib")).as("tbl"))
+    val probed = q.crossJoin(broadcast(cents))
+      .withColumn("csim", expr("vec_dot(qe, ce)"))
+      .withColumn("prn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))))
+      .where(col("prn") <= probes)
+      .select(col("qid"), col("qe"), col("cid"), col("csim"))
+    // candidates = vectors in probed cells; ADC score via sequential
+    // fold over the code (element_at into the flat table)
+    val cand = probed.join(codes, "cid").join(adcFlat, "qid")
+      .where(col("qid") =!= col("vec_id"))
+      .withColumn("adc", col("csim") + aggregate(
+        zip_with(col("code"),
+          sequence(lit(0), size(col("code")) - 1),
+          (cj, mi) => element_at(col("tbl"), (mi * ksub + cj + 1).cast("int"))),
+        lit(0.0), (acc, v) => acc + v))
+    val wA = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+    val survivors = cand.withColumn("arn", row_number().over(wA))
+      .where(col("arn") <= rerank)
+      .select(col("qid"), col("qe"), col("vec_id").as("vid"))
+    // exact re-rank on the survivors only
+    val nv = assigned.select(col("vec_id").as("vid"), col("ne").as("ve"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    survivors.join(nv, "vid")
+      .withColumn("cos", expr("vec_dot(qe, ve)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("qid", "rank", "vid", "cos")
+  }
+
   /** ANN top-k: candidates share an LSH bucket in ≥1 table, reranked by
     * exact cosine (normalize-once + native dot, like every other path).
     * Approximate by design (no SQL oracle; recall is asserted in the

@@ -78,6 +78,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("knnIvfPq: recall vs brute on the real sf0.01 embeddings >= IVF bound") {
+    val e = graft.tables.Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = Similarity.knnBrute(e, col("vec_id") < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.knnIvfPq(e, col("vec_id") < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the same bound the plain-IVF spec enforces: PQ compresses the
+    // scoring, the rerank stage restores exactness on the survivors
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall too low; pq=$pq brute=$brute")
+    // deterministic end to end (sampled trainers seeded, ADC scored by
+    // sequential fold, every window tie-broken)
+    val again = Similarity.knnIvfPq(e, col("vec_id") < 5, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(again == pq, "knnIvfPq not deterministic")
+  }
+
+  test("pqEncode: codes are m entries in [0, ksub) for every vector") {
+    val e = graft.tables.Tables(spark, "/root/testdata/sf0.001").embeddings
+    val (assigned, cents) = Similarity.ivfAssign(e, 8, trainIters = 1)
+    val cb = Similarity.trainPqCodebook(assigned, cents, m = 8, ksub = 16)
+    assert(cb.count() == 8 * 16)
+    val codes = Similarity.pqEncode(assigned, cents, cb, m = 8).collect()
+    assert(codes.length == e.count())
+    codes.foreach { r =>
+      val code = r.getSeq[Int](2)
+      assert(code.length == 8 && code.forall(j => j >= 0 && j < 16))
+    }
+  }
+
   test("embed_cluster: conserves vectors, <= k clusters, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.ops.Queries.qEmbedCluster(spark, dir).collect()
