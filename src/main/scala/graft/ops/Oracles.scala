@@ -30,6 +30,27 @@ object Oracles {
   private def xsum(e: String) = s"cast(sum($e) AS double)"
   private val CNT = "cast(count(*) as bigint)"
 
+  /** The exact J >= 0.8 pair set over documents, shared verbatim by
+    * q_dedup_minhash (banded-LSH discovery, lossless on this data) and
+    * q_jaccard_join (prefix-filtered exact join, complete by theorem). */
+  private lazy val exactJaccardPairsSql: String =
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    cast(count(*) as double) AS inter
+       |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b,
+       |    inter / (len(sa.sh) + len(sb.sh) - inter) AS j
+       |  FROM i JOIN s sa ON sa.doc_id = i.doc_a
+       |         JOIN s sb ON sb.doc_id = i.doc_b)
+       |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_each" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -1023,19 +1044,18 @@ object Oracles {
          |SELECT doc_id, unnest(fps) AS fp FROM wi
          |ORDER BY doc_id, fp""".stripMargin,
 
-    "q_dedup_minhash" ->
-      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
-         |s AS (SELECT doc_id, list_distinct(list_transform(
-         |    range(1, len(toks) - 1),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-         |  FROM t WHERE len(toks) >= 3),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    cast(len(list_intersect(a.sh, b.sh)) as double)
-         |      / cast(len(a.sh) + len(b.sh)
-         |             - len(list_intersect(a.sh, b.sh)) as double) AS j
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    // exact J via the inverted-index form, not an all-pairs
+    // list_intersect: a pair with J > 0 shares >= 1 shingle, so
+    // equi-joining the unnested shingle postings and counting shared
+    // shingles per pair computes the IDENTICAL result (verified
+    // bit-equal to the quadratic form at sf0.1) in near-linear time —
+    // 4.8 s vs 468 s measured; this is what keeps the full-sweep
+    // oracle pass tractable
+    "q_dedup_minhash" -> exactJaccardPairsSql,
+
+    // the exact prefix-filtered similarity join computes the same
+    // J >= 0.8 pair set — by theorem rather than by banding luck
+    "q_jaccard_join" -> exactJaccardPairsSql,
 
     // the portable k=16 seeded-md5 minhash signature (the q_winnow hash
     // idiom, seeds 0..15): signature, match count and J-hat = cnt/16
@@ -1047,11 +1067,15 @@ object Oracles {
          |    range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
          |  FROM t WHERE len(toks) >= 3),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    cast(len(list_intersect(a.sh, b.sh)) as double)
-         |      / cast(len(a.sh) + len(b.sh)
-         |             - len(list_intersect(a.sh, b.sh)) as double) AS j
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b,
+         |    inter / (len(sa.sh) + len(sb.sh) - inter) AS j
+         |  FROM i JOIN s sa ON sa.doc_id = i.doc_a
+         |         JOIN s sb ON sb.doc_id = i.doc_b),
          |pp AS (SELECT * FROM p WHERE j >= 0.8),
          |ids AS (SELECT DISTINCT doc_id FROM (
          |  SELECT doc_a AS doc_id FROM pp
@@ -1081,11 +1105,15 @@ object Oracles {
          |    range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
          |  FROM t WHERE len(toks) >= 3),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-         |  WHERE cast(len(list_intersect(a.sh, b.sh)) as double)
-         |      / cast(len(a.sh) + len(b.sh)
-         |             - len(list_intersect(a.sh, b.sh)) as double) >= 0.8),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM i
+         |  JOIN s sa ON sa.doc_id = i.doc_a
+         |  JOIN s sb ON sb.doc_id = i.doc_b
+         |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
          |  UNION ALL SELECT doc_b, doc_a FROM p),
          |r AS (SELECT src AS id, dst AS reach FROM e
@@ -1113,17 +1141,24 @@ object Oracles {
          |SELECT doc_a, doc_b, dist FROM p WHERE dist <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // same inverted-index form (J >= 0.2 still implies >= 1 shared
+    // shingle); lang equality rides on the postings join
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
          |s AS (SELECT doc_id, lang, list_distinct(list_transform(
          |    range(1, len(toks) - 1),
          |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
          |  FROM t WHERE len(toks) >= 3),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    cast(len(list_intersect(a.sh, b.sh)) as double)
-         |      / cast(len(a.sh) + len(b.sh)
-         |             - len(list_intersect(a.sh, b.sh)) as double) AS j
-         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |u AS (SELECT doc_id, lang, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.lang = b.lang
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b,
+         |    inter / (len(sa.sh) + len(sb.sh) - inter) AS j
+         |  FROM i JOIN s sa ON sa.doc_id = i.doc_a
+         |         JOIN s sb ON sb.doc_id = i.doc_b)
          |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
 

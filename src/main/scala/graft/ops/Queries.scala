@@ -1370,6 +1370,17 @@ object Queries {
     graft.dedup.Dedup.minhashPairs(T(s, dir).documents)
       .orderBy("doc_a", "doc_b")
 
+  /** #57e EXACT similarity join (AllPairs/PPJoin prefix filter): the
+    * same J≥0.8 pair set as [[qDedupMinhash]] but guaranteed complete
+    * by theorem — no banding-miss probability — while staying
+    * near-linear ([[graft.dedup.Dedup.jaccardJoin]]). The oracle is
+    * literally the same SQL as q_dedup_minhash's: two independent
+    * Spark plans and one DuckDB plan must all agree on the exact
+    * result set. */
+  def qJaccardJoin(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.jaccardJoin(T(s, dir).documents, 0.8)
+      .orderBy("doc_a", "doc_b")
+
   /** #57b CLUSTER dedup: connected components over the minhash pair
     * graph ([[graft.dedup.Dedup.components]] — min-label propagation
     * through the bounded [[graft.core.Fixpoint]], the total mapping of

@@ -56,6 +56,44 @@ class DedupSpec extends AnyFunSuite {
     assert(dist(0L, 2L) > 10)               // unrelated
   }
 
+  test("jaccardJoin: complete vs a quadratic reference on random dup-heavy docs") {
+    import spark.implicits._
+    // 120 docs: 40 bases, each with 2 mutated copies whose J spans the
+    // 0.8 boundary — boundary pairs are exactly where a banding scheme
+    // could miss and the prefix filter must not
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 300).map(i => s"w$i")
+    def doc(words: Seq[String]) = words.mkString(" ")
+    val rows = (0 until 40).flatMap { b =>
+      val base = Seq.fill(25 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      (0 until 3).map { c =>
+        val mut = base.map(w =>
+          if (rnd.nextInt(100) < c * 4) vocab(rnd.nextInt(vocab.size)) else w)
+        ((b * 3 + c).toLong, doc(mut))
+      }
+    }
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.jaccardJoin(df, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // quadratic reference: distinct 3-gram shingle sets in plain Scala
+    def sh(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = rows.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.8
+    } yield (ia, ib) -> j).toMap
+    assert(got.keySet == want.keySet,
+      s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
+    assert(want.nonEmpty, "reference produced no pairs — test data broken")
+  }
+
   test("ngram jaccard: hand-checked value") {
     import spark.implicits._
     val two = Seq(

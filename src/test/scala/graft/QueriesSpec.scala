@@ -20,10 +20,10 @@ class QueriesSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_approx_distinct",
-        "q_mm_pipeline", "q_ngram_top_sketch", "q_percentile_approx",
-        "q_tokens_bpe", "q_ngram_freq_cms", "q_embed_cluster",
-        "q_quality_filter_approx"),
+    assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_knn_ivfpq",
+        "q_approx_distinct", "q_mm_pipeline", "q_ngram_top_sketch",
+        "q_percentile_approx", "q_tokens_bpe", "q_ngram_freq_cms",
+        "q_embed_cluster", "q_quality_filter_approx", "q_audio_pipeline"),
       s"unexpected rows-only: ${q -- o}")
   }
 
