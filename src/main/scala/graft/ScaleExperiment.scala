@@ -118,7 +118,7 @@ object ScaleExperiment {
     // (tau=0.8, lshTablesFor-sized), which is the regime a real dedup
     // pipeline runs in.
     val only = args.headOption.getOrElse(
-      "q_dedup_minhash|q_jaccard_join|q_dedup_simhash|q_ngram_jaccard|" +
+      "q_dedup_minhash|q_jaccard_join|q_substr_dedup|q_dedup_simhash|q_ngram_jaccard|" +
       "q_winnow|q_repetition|q1_agg|q_sessionize|q_take_within|" +
       "q_knn_lsh|q_knn_ivf|q_knn_ivfpq|q_decontam|q_decontam_lsh|q_decontam_ngram|" +
       "q_split|q_sample_stratified|q_mixture|q_tokens_bpe|q_blocklist|" +

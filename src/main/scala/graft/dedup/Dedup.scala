@@ -319,6 +319,86 @@ object Dedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** EXACT substring dedup — the ExactSubstr operator of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499): remove every token span that also occurs in
+    * another document, leaving the rest of the text intact. Span-level
+    * removal is strictly stronger than whole-doc dedup: boilerplate,
+    * licenses, and quoted passages are cut out of otherwise-unique
+    * documents instead of either surviving (doc-level J below
+    * threshold) or nuking the whole doc.
+    *
+    * The paper builds a corpus-wide suffix array — a sequential,
+    * single-machine construction. The distributed re-expression is the
+    * k-gram cover: a duplicated substring of length ≥ k is exactly a
+    * maximal run of duplicated k-token windows, so (1) explode each
+    * doc's k-windows with their start position, (2) keep windows whose
+    * gram occurs in ≥ 2 distinct docs, (3) merge each doc's surviving
+    * [s, s+k−1] intervals (gaps-and-islands over one doc-keyed window),
+    * (4) drop covered positions and reassemble the remainder in order.
+    * Result is identical to suffix-array ExactSubstr at span length
+    * ≥ k; spans shorter than k are deliberately below the horizon
+    * (the paper's length floor — they use 50 BPE tokens — exists for
+    * the same reason: short repeats are natural language, not dupes).
+    *
+    * Scale shape: the gram table is n·k tokens wide but every shuffle
+    * is keyed on the gram (df count + the dup semi-join — partial-agg
+    * and 1:1 fanout respectively) or on doc_id (island merge,
+    * reassembly — each a window/agg over one doc's rows). Nothing is
+    * pairwise: unlike similarity joins the operator never materializes
+    * doc×doc candidates, so output size is bounded by input size and
+    * the 10× factor sits in the scan-speed band. */
+  def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"window must span >= 2 tokens, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.core.Eager(docs.selectExpr("doc_id", s"$toksExpr AS toks"))
+    val grams = t.where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${k - 1}),
+           |  i -> struct(i AS s, concat_ws(' ', slice(toks, i, $k)) AS g))"""
+          .stripMargin)).as("pg"))
+      .select(col("doc_id"), col("pg.s").as("s"), col("pg.g").as("g"))
+    val dup = grams.groupBy("g")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") > 1).select("g")
+    val iv = grams.join(dup, "g")
+      .select(col("doc_id"), col("s"), (col("s") + lit(k - 1)).as("e"))
+    // gaps-and-islands: a window starts a new island iff it begins past
+    // the running max end of everything before it ((doc_id, s) is
+    // unique — at fixed k one position holds one gram — so the order is
+    // total and the running sums deterministic)
+    val byPos = Window.partitionBy("doc_id").orderBy("s", "e")
+    val spans = iv
+      .withColumn("pm", max(col("e")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("grp", sum(when(col("pm").isNull ||
+        col("s") > col("pm"), 1).otherwise(0)).over(byPos))
+      .groupBy("doc_id", "grp").agg(min("s").as("s"), max("e").as("e"))
+    val nDup = spans.groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("n_dup"))
+    val covered = spans.select(col("doc_id"),
+      explode(expr("sequence(s, e)")).as("pos"))
+    val kept = t.select(col("doc_id"),
+        posexplode(col("toks")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok")))).as("pt"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("transform(pt, x -> x.tok)")).as("ct"))
+    // fully-covered docs have no kept rows — coalesce must yield ''
+    // for them, not the original text
+    t.join(nDup, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
+        when(coalesce(col("n_dup"), lit(0L)) === size(col("toks")),
+          lit("")).otherwise(
+          coalesce(col("ct"), concat_ws(" ", col("toks"))))
+          .as("clean_text"))
+  }
+
   /** 60-bit SimHash as one column expression over `toks` (frequency-
     * weighted): per-bit ±1 votes folded across tokens, no shuffle.
     *

@@ -673,6 +673,28 @@ object Oracles {
          |    AS n_kept
          |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // LM-commonness: per-lang unigram tf model, mean-tf score, ntile
+    // bands — integer sums exact, one correctly-rounded division, and
+    // the (avg_tf DESC, doc_id) order total, so bands are portable
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, lang, $TOKS AS toks FROM documents),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM t
+         |  WHERE len(toks) >= 1),
+         |tf AS (SELECT lang, tok, count(*) AS tf FROM tok
+         |  GROUP BY lang, tok),
+         |d AS (SELECT doc_id, tok.lang AS lang,
+         |    cast(count(*) AS bigint) AS n_toks,
+         |    cast(sum(tf) AS bigint) AS sum_tf,
+         |    cast(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS bigint)
+         |      AS n_hapax
+         |  FROM tok JOIN tf USING (lang, tok) GROUP BY doc_id, tok.lang),
+         |s AS (SELECT *, cast(sum_tf AS double) / cast(n_toks AS double)
+         |    AS avg_tf FROM d)
+         |SELECT doc_id, lang, n_toks, sum_tf, n_hapax, avg_tf,
+         |  cast(ntile(3) OVER (PARTITION BY lang
+         |    ORDER BY avg_tf DESC, doc_id) AS bigint) AS band
+         |FROM s ORDER BY doc_id""".stripMargin,
+
     "q_langid" ->
       s"""SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
          |  CASE WHEN c_zh > 0 THEN 'zh'
@@ -1056,6 +1078,43 @@ object Oracles {
     // the exact prefix-filtered similarity join computes the same
     // J >= 0.8 pair set — by theorem rather than by banding luck
     "q_jaccard_join" -> exactJaccardPairsSql,
+
+    // ExactSubstr span removal: k=8 windows duplicated across >= 2
+    // docs, merged per doc (gaps-and-islands), covered tokens dropped,
+    // remainder reassembled in order; fully-covered docs → ''
+    "q_substr_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |g AS (SELECT doc_id, i AS s, array_to_string(toks[i:i+7], ' ') AS g
+         |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |d AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) > 1),
+         |iv AS (SELECT doc_id, s, s + 7 AS e FROM g JOIN d USING (g)),
+         |m AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id
+         |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |    AS pm FROM iv),
+         |isl AS (SELECT doc_id, s, e,
+         |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e
+         |            ROWS UNBOUNDED PRECEDING) AS grp FROM m),
+         |sp AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM isl
+         |  GROUP BY doc_id, grp),
+         |nd AS (SELECT doc_id, sum(e - s + 1) AS n_dup FROM sp GROUP BY doc_id),
+         |cov AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM sp),
+         |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+         |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |kept AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+         |  LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+         |  WHERE cov.pos IS NULL),
+         |ct AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS ct
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, cast(len(t.toks) AS bigint) AS n_toks,
+         |  cast(coalesce(nd.n_dup, 0) AS bigint) AS n_dup,
+         |  CASE WHEN coalesce(nd.n_dup, 0) = len(t.toks) THEN ''
+         |       ELSE coalesce(ct.ct, array_to_string(t.toks, ' ')) END
+         |    AS clean_text
+         |FROM t LEFT JOIN nd ON t.doc_id = nd.doc_id
+         |       LEFT JOIN ct ON t.doc_id = ct.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // the portable k=16 seeded-md5 minhash signature (the q_winnow hash
     // idiom, seeds 0..15): signature, match count and J-hat = cnt/16

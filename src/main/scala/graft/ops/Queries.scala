@@ -1081,6 +1081,48 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** #64d LM-commonness scoring + per-language banding — the CCNet
+    * shape (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    * Datasets from Web Crawl Data"): score every document against a
+    * language model over its language slice, then bucket each language
+    * into head/middle/tail thirds by score. CCNet's model is a KenLM
+    * 5-gram and its score a perplexity; here the model table is the
+    * unigram term-frequency of the lang slice and the score the mean
+    * token frequency — the portable stand-in, because libm log is not
+    * ulp-stable across engines (the q_distinctive_terms finding) while
+    * integer tf sums are exact and one IEEE division is correctly
+    * rounded in both. Swapping in real LM log-probs changes the model
+    * TABLE, not the plan: train = one (lang, tok) partial-agg groupBy,
+    * score = one (lang, tok) keyed join + per-doc agg — both the 100 TB
+    * shape (the model table shuffles once; no driver state).
+    *
+    * `n_hapax` counts tokens occurring exactly once in the whole lang
+    * slice — necessarily in this doc — the classic junk signal.
+    * Banding uses exact ntile over a per-lang window with (score desc,
+    * doc_id) total order; at 100 TB the cutoffs come from the
+    * mergeable-sketch path instead ([[qQualityFilterApprox]]'s
+    * approx_percentile idiom — same contract, stratum-parallel). */
+  def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val tok = graft.core.Eager(T(s, dir).documents
+      .withColumn("toks", wsTokens(col("text")))
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok")))
+    val tf = tok.groupBy("lang", "tok").agg(count(lit(1)).as("tf"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(desc("avg_tf"), col("doc_id"))
+    tok.join(tf, Seq("lang", "tok"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("tf")).as("sum_tf"),
+        sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .withColumn("avg_tf",
+        col("sum_tf").cast("double") / col("n_toks").cast("double"))
+      .withColumn("band", ntile(3).over(byLang).cast("long"))
+      .select("doc_id", "lang", "n_toks", "sum_tf", "n_hapax",
+        "avg_tf", "band")
+      .orderBy("doc_id")
+  }
+
   /** #63 language ID heuristic — one tokenization, four hit-counts
     * (native `array_count_in`: a codegen'd hash-set probe per list,
     * replacing four interpreted filter+isin lambdas per row). */
@@ -1380,6 +1422,16 @@ object Queries {
   def qJaccardJoin(s: SparkSession, dir: String): DataFrame =
     graft.dedup.Dedup.jaccardJoin(T(s, dir).documents, 0.8)
       .orderBy("doc_a", "doc_b")
+
+  /** #57f SUBSTRING dedup ([[graft.dedup.Dedup.substringDedup]] — the
+    * ExactSubstr span-removal operator, k = 8 token windows): per doc,
+    * the token count, how many tokens sat inside a cross-document
+    * duplicated span, and the reassembled text with those spans
+    * removed. Every column is exact (integer counts + deterministic
+    * string rebuild), so the whole cleaned corpus is hash-gated. */
+  def qSubstrDedup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.substringDedup(T(s, dir).documents, 8)
+      .orderBy("doc_id")
 
   /** #57b CLUSTER dedup: connected components over the minhash pair
     * graph ([[graft.dedup.Dedup.components]] — min-label propagation

@@ -94,6 +94,42 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "reference produced no pairs — test data broken")
   }
 
+  test("substringDedup: equals brute-force span removal incl. full-cover and short docs") {
+    import spark.implicits._
+    val k = 4
+    val license = "licensed under the apache license version two point zero"
+    val docs = Seq(
+      0L -> s"alpha beta gamma delta $license epsilon zeta",
+      1L -> s"one two three four five $license",
+      2L -> license,                       // fully covered -> ""
+      3L -> "unique words nowhere else repeated in this corpus at all",
+      4L -> "tiny doc",                    // shorter than k -> untouched
+      5L -> s"$license prefix shared then diverging tail here")
+    val got = Dedup.substringDedup(docs.toDF("doc_id", "text"), k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // brute force: same tokenization, gram -> distinct docs, cover, strip
+    val toks = docs.map { case (id, t) =>
+      id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val gramDocs = toks.toSeq.flatMap { case (id, tk) =>
+      if (tk.length < k) Seq.empty
+      else tk.sliding(k).map(_.mkString(" ")).toSeq.distinct.map(_ -> id)
+    }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    docs.foreach { case (id, _) =>
+      val tk = toks(id)
+      val covered = (0 to tk.length - k).flatMap { i =>
+        val g = tk.slice(i, i + k).mkString(" ")
+        if (tk.length >= k && gramDocs.getOrElse(g, 0) > 1) i until i + k
+        else Seq.empty
+      }.toSet
+      val clean = tk.zipWithIndex.collect {
+        case (w, i) if !covered(i) => w }.mkString(" ")
+      assert(got(id) == ((tk.length.toLong, covered.size.toLong, clean)),
+        s"doc $id: got ${got(id)}, want (${tk.length}, ${covered.size}, '$clean')")
+    }
+    assert(got(2L)._3 == "" && got(4L)._2 == 0L)
+  }
+
   test("ngram jaccard: hand-checked value") {
     import spark.implicits._
     val two = Seq(
