@@ -43,6 +43,16 @@ object Dedup {
        |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1),
        |              ' ', element_at(toks, i + 2))))""".stripMargin
 
+  /** The PORTABLE k=16 seeded-md5 minhash signature over `sh` — the
+    * q_winnow hash idiom, seeds 0..15 — bit-identical in any engine
+    * with md5 (production minhash stays native xxhash64; this one is
+    * for sketches that must be reproduced cross-engine: q_jaccard_est,
+    * q_stream_neardup and their oracles). */
+  val portableSigExpr: String =
+    """transform(sequence(0, 15), i -> array_min(transform(sh,
+      |  s -> cast(conv(substring(md5(concat(cast(i AS string), '#', s)),
+      |    1, 15), 16, 10) AS bigint))))""".stripMargin
+
   /** docs(doc_id, text) → (doc_id, sh: array<string>) for docs with ≥3
     * tokens. Repartitioned first: document tables often arrive in few
     * splits, and everything downstream is CPU-heavy per-row work that

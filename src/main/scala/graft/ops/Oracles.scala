@@ -605,6 +605,54 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // the plain interval-containment θ-join (DuckDB plans it as an
+    // IEJoin); the Spark side answers through the binning rewrite —
+    // equality of the two IS the gate
+    "q_range_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  cast(count(*) as bigint) AS n_orders,
+        |  cast(sum(cast(o.o_totalprice AS DECIMAL(18,2))) AS double)
+        |    AS sum_price
+        |FROM lineitem l JOIN orders o
+        |  ON o.o_orderdate BETWEEN l.l_shipdate
+        |    AND l.l_shipdate + (l.l_orderkey % 30 + 1) * INTERVAL 1 DAY
+        |WHERE l.l_orderkey % 97 = 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DSIR importance selection: the identical log-free ratio score —
+    // hashed bigram buckets (60-bit md5 % 64), Laplace-smoothed ratio
+    // weights whose doubles are bit-identical (correctly-rounded ops
+    // only), quantized to Q20 integers so the per-doc sum is exact
+    // integer math (double summation order diverges between engines —
+    // Spark windows sum sequentially, DuckDB uses a segment tree)
+    "q_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, source, $TOKS AS toks
+         |  FROM documents),
+         |b AS (SELECT doc_id, lang, source,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS g FROM t),
+         |kk AS (SELECT doc_id, lang, source,
+         |    ('0x' || substr(md5('dsir#' || g), 1, 15))::UBIGINT::BIGINT
+         |      % 64 AS k FROM b),
+         |r AS (SELECT k, count(*) AS r FROM kk GROUP BY 1),
+         |tg AS (SELECT k, count(*) AS t FROM kk
+         |  WHERE source = 'src0' GROUP BY 1),
+         |bk AS (SELECT r.k, r.r, coalesce(tg.t, 0) AS t
+         |  FROM r LEFT JOIN tg USING (k)),
+         |tot AS (SELECT sum(r) AS rtot, sum(t) AS ttot FROM bk),
+         |w AS (SELECT k, cast(floor((
+         |    (cast(t + 1 AS double) / cast(r + 1 AS double)) *
+         |    (cast(rtot + 64 AS double) / cast(ttot + 64 AS double)))
+         |    * 1048576.0) AS bigint) AS wq
+         |  FROM bk CROSS JOIN tot),
+         |c AS (SELECT doc_id, lang, k, count(*) AS c FROM kk
+         |  GROUP BY 1, 2, 3)
+         |SELECT doc_id, lang,
+         |  cast(sum(c * wq) AS double) / 1048576.0 AS score,
+         |  cast(sum(c) AS bigint) AS n_bigrams
+         |FROM c JOIN w USING (k) GROUP BY 1, 2
+         |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+
     "q_percentile" ->
       """SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS p50,
         |  quantile_cont(o_totalprice, 0.9) AS p90,
@@ -1005,6 +1053,35 @@ object Oracles {
          |SELECT doc_id, lang, ntok, cum_tokens FROM c
          |WHERE cum_tokens <= 5000 ORDER BY lang, doc_id""".stripMargin,
 
+    // temperature mixture (alpha = 1/2): budget_s = floor(B*sqrt(n_s)/S)
+    // with S read from a running sum in lang order — sqrt/mul/div all
+    // correctly rounded IEEE, so budgets are bit-portable; then the
+    // "t#"-seeded greedy cumsum take per lang
+    "q_mixture_temp" ->
+      s"""WITH t AS (SELECT doc_id, lang, len($TOKS) AS ntok,
+         |    ('0x' || substr(md5('t#' || cast(doc_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT AS rk
+         |  FROM documents),
+         |n AS (SELECT lang, cast(sum(ntok) AS bigint) AS n_tokens
+         |  FROM t GROUP BY lang),
+         |w AS (SELECT lang, n_tokens,
+         |    sqrt(cast(n_tokens AS double)) AS w FROM n),
+         |c AS (SELECT *, sum(w) OVER (ORDER BY lang
+         |    ROWS UNBOUNDED PRECEDING) AS cum FROM w),
+         |b AS (SELECT lang, n_tokens,
+         |    cast(floor((20000.0 * w) / max(cum) OVER ()) AS bigint)
+         |      AS budget FROM c),
+         |k AS (SELECT lang, doc_id, ntok,
+         |    sum(ntok) OVER (PARTITION BY lang ORDER BY rk, doc_id)
+         |      AS cum_tok FROM t),
+         |kk AS (SELECT lang, count(*) AS n_kept, sum(ntok) AS tokens_kept
+         |  FROM k JOIN b USING (lang) WHERE cum_tok <= budget
+         |  GROUP BY lang)
+         |SELECT b.lang, b.n_tokens, b.budget,
+         |  cast(coalesce(kk.n_kept, 0) AS bigint) AS n_kept,
+         |  cast(coalesce(kk.tokens_kept, 0) AS bigint) AS tokens_kept
+         |FROM b LEFT JOIN kk USING (lang) ORDER BY lang""".stripMargin,
+
     // concat-and-chunk packing: "p#"-seeded per-lang order, CTX=512;
     // a doc straddles when its [start, end) span crosses a 512 multiple
     "q_pack" ->
@@ -1116,10 +1193,42 @@ object Oracles {
          |       LEFT JOIN ct ON t.doc_id = ct.doc_id
          |ORDER BY t.doc_id""".stripMargin,
 
+    // streaming near-dup's batch twin: SAME banding (8 bands x 2 rows
+    // of the portable md5 sig) + SAME verify rule (n_match >= 12) as
+    // the Spark side — the oracle replays the operator's contract, so
+    // no recall exposure rides on this gate
+    "q_stream_neardup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |g AS (SELECT doc_id, list_transform(range(0, 16),
+         |    i -> list_min(list_transform(sh, x ->
+         |      ('0x' || substr(md5(cast(i AS varchar) || '#' || x), 1, 15))
+         |        ::UBIGINT::BIGINT))) AS sig
+         |  FROM s),
+         |bd AS (SELECT doc_id, sig,
+         |    cast(b AS varchar) || ',' || cast(sig[b*2+1] AS varchar)
+         |      || ',' || cast(sig[b*2+2] AS varchar) AS bkt
+         |  FROM g, unnest(range(0, 8)) AS u(b)),
+         |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bd a JOIN bd b ON a.bkt = b.bkt AND a.doc_id < b.doc_id),
+         |q AS (SELECT p.doc_a, p.doc_b,
+         |    cast(len(list_filter(range(1, 17),
+         |      i -> ga.sig[i] = gb.sig[i])) AS bigint) AS n_match
+         |  FROM p
+         |  JOIN g ga ON ga.doc_id = p.doc_a
+         |  JOIN g gb ON gb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_match,
+         |  cast(n_match AS double) / 16.0 AS j_est
+         |FROM q WHERE n_match >= 12 ORDER BY doc_a, doc_b""".stripMargin,
+
     // the portable k=16 seeded-md5 minhash signature (the q_winnow hash
     // idiom, seeds 0..15): signature, match count and J-hat = cnt/16
     // are all bit-identical to the Spark side; pairs = the exact
-    // J >= 0.8 set (q_dedup_minhash's oracle)
+    // J >= 0.8 set, which the Spark side now also enumerates exactly
+    // (jaccardJoin prefix filter) — no banding-miss exposure here
     "q_jaccard_est" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(

@@ -782,6 +782,39 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** #55h binned RANGE join ([[Relational.rangeJoin]]): orders whose
+    * date falls inside a lineitem's [shipdate, shipdate + 1..30 d]
+    * delivery window (the span a closed form of l_orderkey — the
+    * testdata carries no receiptdate) — the interval-containment shape
+    * (point-in-time enrichment, IP-range lookup, sensor-window
+    * matching) that naive Spark plans as a nested-loop. Dates become
+    * epoch days (`datediff` from 1970-01-01 — exact integer arithmetic
+    * both engines), the binning rewrite turns the θ-join into a bucket
+    * equi-join (bin = 32 d ≥ the 1–30 d span, so ≤ 2 buckets per
+    * interval), and the residual BETWEEN keeps it exact. The oracle
+    * states the plain θ-join — same answer by the rewrite's
+    * correctness, which is the point of the gate. RangeJoinSpec
+    * machine-asserts the plan has no BroadcastNestedLoopJoin /
+    * CartesianProduct and that the rewrite equals the naive θ-join
+    * row-for-row at every bin width. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val epoch = (c: String) => expr(s"datediff($c, DATE'1970-01-01')")
+    val intervals = T(s, dir).lineitem
+      .where(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        epoch("l_shipdate").cast("long").as("lo"),
+        (epoch("l_shipdate").cast("long") +
+          col("l_orderkey") % 30 + lit(1)).as("hi"))
+    val points = T(s, dir).orders
+      .select(col("o_totalprice"), epoch("o_orderdate").cast("long").as("od"))
+    Relational.rangeJoin(points, intervals, "od", "lo", "hi", bin = 32L)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   /** Exact interpolated percentiles per group (analytics staple).
     *
     * Sort-based, not the built-in `percentile` aggregate: that
@@ -1467,20 +1500,17 @@ object Queries {
     * explode pipeline's fixed cost dominates; the estimate quality
     * spec (|Ĵ − J| bounded) lives in DedupSpec.
     *
-    * Oracle-gate caveat (inherited from q_dedup_minhash): the Spark
-    * pair set comes from minhashPairs' 16×4 banded LSH (at-threshold
-    * recall ≈ 0.99978 at exactly J = 0.8) while the DuckDB oracle
-    * enumerates the exact all-pairs J ≥ 0.8 set, so a boundary pair
-    * the banding happens to miss on a new scale factor would surface
-    * as a row-count mismatch here, not a wrong value — the same
-    * documented exposure, not a second mechanism. */
+    * The pair set comes from [[graft.dedup.Dedup.jaccardJoin]] — the
+    * prefix-filtered EXACT similarity join — rather than minhashPairs'
+    * banded LSH, so the Spark side enumerates precisely the J ≥ 0.8
+    * set the DuckDB oracle does, by theorem: no banding-miss
+    * probability rides on this gate (the r5 ADVICE exposure), and
+    * q_dedup_minhash remains the one place the documented LSH recall
+    * bound is itself under test. */
   def qJaccardEst(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
-    val sigExpr =
-      """transform(sequence(0, 15), i -> array_min(transform(sh,
-        |  s -> cast(conv(substring(md5(concat(cast(i AS string), '#', s)),
-        |    1, 15), 16, 10) AS bigint))))""".stripMargin
-    val pairs = graft.core.Eager(d.minhashPairs(T(s, dir).documents))
+    val sigExpr = d.portableSigExpr
+    val pairs = graft.core.Eager(d.jaccardJoin(T(s, dir).documents, 0.8))
     // portable sigs ONLY for pair participants (a semi join keyed on
     // doc_id): the k·|shingles| md5 stage is the expensive per-row
     // work, and the pair set is tiny relative to the corpus — the
@@ -1821,6 +1851,121 @@ object Queries {
       .orderBy("lang", "doc_id")
   }
 
+  /** #56k TEMPERATURE-weighted mixture — the multilingual sampling
+    * trick (XLM-R / T5 / mBERT): stratum s gets budget ∝ n_s^α with
+    * α = 1/2, so low-resource languages are upsampled relative to
+    * their share while the corpus-wide budget stays fixed. α = 1/2
+    * specifically because `sqrt` is CORRECTLY ROUNDED under
+    * IEEE-754 — bit-identical across engines — where `pow(x, α)` and
+    * `exp(α·log x)` are libm calls with no such guarantee (the
+    * q_distinctive_terms finding). The normalizer Σ_s sqrt(n_s) is a
+    * RUNNING sum over strata in lang order (`rows unbounded
+    * preceding`, final value read back with an order-insensitive
+    * `max`), pinning the double addition order on both engines; the
+    * per-stratum budget is then floor((B·w_s)/S) — one multiply, one
+    * divide, each correctly rounded, and floor exact. Given budgets,
+    * the take is [[qMixture]]'s greedy seeded-rank cumsum, "t#" seed
+    * stream. Scale shape: one partial-agg groupBy to n_s (the stratum
+    * table is tiny — the only single-task stage runs on one row per
+    * stratum), budgets broadcast back, one lang-keyed window for the
+    * cumsum. Strata whose budget undercuts their cheapest doc keep 0
+    * docs — the left join keeps the stratum row visible. */
+  def qMixtureTemp(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val rk = conv(substring(
+      md5(concat(lit("t#"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val docs = graft.core.Eager(T(s, dir).documents
+      .selectExpr("doc_id", "lang", s"${d.toksExpr} AS toks")
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("ntok"), rk.as("rk")))
+    val wOrd = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val budgets = docs.groupBy("lang").agg(sum("ntok").as("n_tokens"))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")))
+      .withColumn("cum", sum("w").over(wOrd))
+      .withColumn("budget",
+        floor(lit(20000.0d) * col("w") / max("cum").over(wAll))
+          .cast("long"))
+      .select("lang", "n_tokens", "budget")
+    val byLang = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    val kept = docs.withColumn("cum_tok", sum("ntok").over(byLang))
+      .join(broadcast(budgets.select("lang", "budget")), "lang")
+      .where(col("cum_tok") <= col("budget"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("ntok").as("tokens_kept"))
+    budgets.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_tokens"), col("budget"),
+        coalesce(col("n_kept"), lit(0L)).cast("long").as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).cast("long")
+          .as("tokens_kept"))
+      .orderBy("lang")
+  }
+
+  /** #56l DSIR-style importance SELECTION — score every document by a
+    * hashed-n-gram likelihood ratio against a target domain (here
+    * `source = 'src0'`) and keep the top-N: the data-selection shape
+    * from "Data Selection for Language Models via Importance
+    * Resampling" (Xie et al. 2023), with hashed bigram features and
+    * Laplace-smoothed bucket probabilities. Portability is the design
+    * constraint, exactly as in [[qMixtureTemp]]: the published method
+    * scores with Σ c_k·log(p̂_k/q̂_k), but `log` is a libm call with no
+    * cross-engine rounding guarantee, and for SELECTION the log is
+    * unnecessary — we rank by the ratio-weighted count
+    * Σ_k c_k · w_k with w_k = ((t_k+1)/(r_k+1)) · ((R+B)/(T+B)):
+    * every count exact (60-bit md5 buckets, integers < 2^53), every
+    * double op a correctly-rounded `/` or `·`, so each w_k is
+    * BIT-identical cross-engine. The remaining hazard is the per-doc
+    * SUM of doubles, whose value depends on association order — and
+    * engines disagree there by design (a window running sum is
+    * sequential in Spark but a segment tree in DuckDB; measured 1-ulp
+    * divergence at 64 terms). So the sum never happens in floating
+    * point: w_k is quantized to Q20 fixed point (`floor(w_k·2^20)` —
+    * floor of a bit-identical double is exact), the per-doc score is
+    * the INTEGER Σ c_k·wq_k (order-free, associative), and the
+    * reported double is that integer divided by 2^20 (a power of two
+    * — exact). Full hash gate, no tolerance band. (Gumbel-top-k
+    * resampling would reintroduce `log`; deterministic top-N is the
+    * portable selection rule, ties broken by doc_id.)
+    *
+    * Scale shape: bucket stats are two partial aggs to B=64 rows
+    * (broadcast back with the scalar totals); per-doc scoring is one
+    * map-side explode + groupBy(doc,k) partial agg + a doc-keyed
+    * window; top-N is a TakeOrdered. No shuffle carries more than the
+    * (doc × distinct-bucket) frame, ≤ 64 rows per doc. */
+  def qDsir(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val B = 64
+    val keyed = graft.core.Eager(T(s, dir).documents
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", "lang", "source", s"${d.toksExpr} AS toks")
+      .selectExpr("doc_id", "lang", "source",
+        s"explode(${d.bigramsExpr}) AS g")
+      .withColumn("k", d.md5Hash60(col("g"), lit("dsir")) % B)
+      .drop("g"))
+    val raw = keyed.groupBy("k").agg(count(lit(1)).as("r"))
+    val tgt = keyed.where(col("source") === "src0")
+      .groupBy("k").agg(count(lit(1)).as("t"))
+    val buckets = raw.join(tgt, Seq("k"), "left")
+      .select(col("k"), col("r"), coalesce(col("t"), lit(0L)).as("t"))
+    val tot = buckets.agg(sum("r").as("rtot"), sum("t").as("ttot"))
+    val weights = buckets.crossJoin(broadcast(tot)).select(col("k"),
+      floor((((col("t") + 1).cast("double") / (col("r") + 1).cast("double")) *
+        ((col("rtot") + B).cast("double") / (col("ttot") + B).cast("double")))
+        * lit(1048576.0d)).cast("long").as("wq"))
+    keyed.groupBy("doc_id", "lang", "k").agg(count(lit(1)).as("c"))
+      .join(broadcast(weights), Seq("k"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c") * col("wq")).as("sq"), sum("c").as("n_bigrams"))
+      .select(col("doc_id"), col("lang"),
+        (col("sq").cast("double") / lit(1048576.0d)).as("score"),
+        col("n_bigrams"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+  }
+
   /** #56i sequence PACKING — the concat-and-chunk shape every trainer
     * uses to fill fixed context windows: per language, documents are
     * concatenated in a seeded deterministic order ("p#" md5 — a third
@@ -1989,6 +2134,53 @@ object Queries {
         countDistinct(col("view_id")).as("n_views"),
         dsum(col("value"), D4).as("sv"))
       .orderBy("hour")
+  }
+
+  /** The banded portable-signature frame behind [[qStreamNeardup]] and
+    * its streaming replay gate: per doc, the k=16 md5 minhash
+    * signature and 8 band-bucket keys (band index + 2-element slice,
+    * one string — `groupByKey`-ready). One row per (doc, band). */
+  def neardupBands(docs: DataFrame): DataFrame = {
+    val d = graft.dedup.Dedup
+    graft.core.Eager(d.shingled(docs)
+      .selectExpr("doc_id", s"${d.portableSigExpr} AS sig"))
+      .select(col("doc_id"), col("sig"), explode(expr(
+        """transform(sequence(0, 7), b -> concat_ws(',',
+          |  cast(b AS string),
+          |  cast(element_at(sig, b * 2 + 1) AS string),
+          |  cast(element_at(sig, b * 2 + 2) AS string)))"""
+          .stripMargin)).as("bkt"))
+  }
+
+  /** #75 streaming NEAR-DUP discovery (batch twin): the exact
+    * candidate-and-verify rule [[graft.streaming.Streams.neardupPairs]]
+    * applies statefully — 8 bands × 2 rows over the portable k=16 md5
+    * signature ([[graft.dedup.Dedup.portableSigExpr]]), pairs sharing
+    * any bucket verified by signature agreement n_match ≥ 12 (Ĵ ≥
+    * 0.75). Everything — signature, buckets, verdict — is bit-portable,
+    * so unlike the LSH operators whose oracles enumerate exact pair
+    * sets, THIS oracle replays the identical banding + estimate rule in
+    * DuckDB: the gate carries no recall exposure at all, it checks the
+    * operator's own contract. The streaming form's replay equality to
+    * this frame is gated in StreamingSpec. Scale shape: bucket-keyed
+    * self-join (no cartesian), verify on candidates only. */
+  def qStreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    val bands = neardupBands(T(s, dir).documents)
+    val a = bands.select(col("bkt"), col("doc_id").as("doc_a"),
+      col("sig").as("sig_a"))
+    val b = bands.select(col("bkt"), col("doc_id").as("doc_b"),
+      col("sig").as("sig_b"))
+    a.join(b, Seq("bkt"))
+      .where(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_match", expr(
+        """size(filter(sequence(1, 16),
+          |  i -> element_at(sig_a, i) = element_at(sig_b, i)))"""
+          .stripMargin).cast("long"))
+      .where(col("n_match") >= 12)
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast("double") / 16.0d).as("j_est"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** #74 stream-static BLOCKLIST removal (batch twin): the

@@ -208,6 +208,72 @@ object Streams {
       .where(col("bfp").isNull)
       .drop("bfp")
 
+  /** One LSH band row of a streaming document: `bkt` = the band's
+    * bucket key (band index + that band's signature slice, one
+    * string), `sig` the doc's full minhash signature. */
+  case class BandRow(bkt: String, doc_id: Long, sig: Seq[Long])
+  case class NDMember(doc_id: Long, sig: Seq[Long])
+  case class NDState(members: List[NDMember])
+  case class NDPair(doc_a: Long, doc_b: Long, n_match: Long, j_est: Double)
+
+  /** STREAMING near-dup pair discovery (#75) — minhash-LSH dedup as a
+    * stateful streaming operator: state is keyed by LSH bucket and
+    * holds the bucket's membership (doc_id + full signature); an
+    * arriving document is verified against every earlier member by
+    * signature agreement (n_match of k positions, Ĵ = n/k) and emits a
+    * (min, max)-normalized pair for each match ≥ `minMatch`.
+    *
+    * Emission is MONOTONE — a pair appears exactly when its LATER
+    * member arrives, whatever the arrival order — so this runs in
+    * Append mode with no revision problem (contrast
+    * [[pipelineDedupStream]], whose min-winner choice forces update
+    * mode). The same pair can surface from two buckets its members
+    * share; downstream consumers (and the replay gate) `distinct` —
+    * the verdict columns are pure functions of the pair, so duplicate
+    * emissions carry identical values.
+    *
+    * State bounds: one signature per (bucket, member) — the streaming
+    * form of the batch LSH's bucket table, O(corpus·bands) total, the
+    * same cardinality class as exact streaming dedup's per-fingerprint
+    * state; a production deploy bounds it in TIME with a state TTL at
+    * the ingest horizon, trading "dup against all history" for "dup
+    * against the horizon" (exactly [[dedupedStream]]'s trade). Within
+    * a micro-batch, rows are processed in doc_id order so in-batch
+    * arrivals are deterministic. The batch twin with identical
+    * banding + verify rule is [[graft.ops.Queries.qStreamNeardup]],
+    * DuckDB-gated end to end via the portable md5 signature
+    * ([[graft.dedup.Dedup.portableSigExpr]]); replay equality is
+    * gated in StreamingSpec. */
+  def neardupPairs(ds: Dataset[BandRow], minMatch: Int)(implicit
+      ke: Encoder[String], se: Encoder[NDState],
+      oe: Encoder[NDPair]): Dataset[NDPair] =
+    ds.groupByKey(_.bkt).flatMapGroupsWithState(
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      GroupStateTimeout.NoTimeout()) {
+      (bkt: String, it: Iterator[BandRow],
+       state: org.apache.spark.sql.streaming.GroupState[NDState]) =>
+        var members = state.getOption.map(_.members).getOrElse(Nil)
+        val out = scala.collection.mutable.ArrayBuffer[NDPair]()
+        it.toSeq.sortBy(_.doc_id).foreach { r =>
+          if (!members.exists(_.doc_id == r.doc_id)) {
+            val k = r.sig.length
+            members.foreach { m =>
+              val n = m.sig.iterator.zip(r.sig.iterator)
+                .count { case (x, y) => x == y }
+              if (n >= minMatch) {
+                val (a, b) =
+                  if (m.doc_id < r.doc_id) (m.doc_id, r.doc_id)
+                  else (r.doc_id, m.doc_id)
+                out += NDPair(a, b, n.toLong, n.toDouble / k)
+              }
+            }
+            members ::= NDMember(r.doc_id, r.sig)
+          }
+        }
+        state.update(NDState(members))
+        out.iterator
+    }
+
   /** Streaming dedup within a watermark (#72). */
   def dedupedStream(df: DataFrame, keys: Seq[String],
                     watermarkCol: String, delay: String): DataFrame =

@@ -437,6 +437,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming near-dup pairs: replay == batch twin, any chunking (#75)") {
+    // the sf0.001 documents' banded portable signatures, fed through
+    // the stateful bucket-membership operator in three micro-batches
+    // split mid-corpus: every pair the batch twin verifies (n_match >=
+    // 12 over any shared bucket) must surface from the stream exactly
+    // — whichever side of a chunk boundary its members land on. The
+    // stream emits a pair once per shared bucket; distinct'ing is the
+    // documented consumer contract.
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.tables.Tables(spark, dir).documents
+    val bandRows = graft.ops.Queries.neardupBands(docs)
+      .select("bkt", "doc_id", "sig")
+      .as[Streams.BandRow].collect().sortBy(_.doc_id)
+    val chunks = bandRows.grouped(math.max(1, bandRows.length / 3)).toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.BandRow]
+    val q = Streams.neardupPairs(mem.toDS(), minMatch = 12)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nd_replay").start()
+    chunks.foreach { c => mem.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("nd_replay")
+      .select("doc_a", "doc_b", "n_match", "j_est").distinct()
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.Queries.qStreamNeardup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streaming near-dup: later arrival pairs against held state (#75)") {
+    // hand-built buckets: A and B share bucket "x" with 13/16 agreeing
+    // signature positions (dup), C shares a bucket with A but agrees on
+    // too few positions (not a dup); B arrives two micro-batches after
+    // A — the pair must still emit, from B's arrival against state.
+    import spark.implicits._
+    val sigA = (1L to 16L).toSeq
+    val sigB = sigA.updated(0, 99L).updated(1, 98L).updated(2, 97L)
+    val sigC = sigA.map(_ + 100L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Streams.BandRow]
+    val q = Streams.neardupPairs(mem.toDS(), minMatch = 12)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("nd_state").start()
+    mem.addData(Streams.BandRow("x", 10L, sigA))
+    q.processAllAvailable()
+    mem.addData(Streams.BandRow("y", 30L, sigC), Streams.BandRow("y", 10L, sigA))
+    q.processAllAvailable()
+    mem.addData(Streams.BandRow("x", 20L, sigB))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("nd_state")
+      .select("doc_a", "doc_b", "n_match").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((10L, 20L, 13L)))
+  }
+
   test("streaming dedup drops repeats within the watermark (#72)") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
