@@ -517,4 +517,60 @@ object Dedup {
     edges.unpersist()
     out
   }
+
+  /** PageRank over the near-dup pair graph, in fixed-point INTEGER
+    * arithmetic — centrality on the similarity graph ranks each
+    * cluster's most-connected member (a better keep-this-one choice
+    * than min-doc_id when dup clusters are star-shaped around a
+    * canonical source), and flags template hubs that connect many
+    * otherwise-unrelated docs.
+    *
+    * Fixed-point by design: float PageRank sums per-node double
+    * contributions whose association order no engine pins down, so
+    * K-iteration results are only ever tolerance-comparable. Here rank
+    * is a Q-scaled integer (init = `scale`), one iteration is
+    * r'_i = floor(0.15·scale) + floor(85·Σ_j floor(r_j/deg_j) / 100)
+    * over undirected edges j→i — every operation integer division or
+    * sum, so K iterations are EXACTLY reproducible in any engine and
+    * the oracle gate is a hash check on an unrolled K-step SQL twin.
+    * (The floors leak rank mass — deliberately: this is the ranking
+    * contract, not a probability distribution; magnitudes stay within
+    * [0.15·scale, ~scale·maxdeg].)
+    *
+    * Scale shape: identical to [[components]] — per iteration ONE
+    * keyed join (rank onto edge sources) + one partial-agg sum keyed
+    * on dst; the rank frame is pair-participant-sized (vastly smaller
+    * than the corpus), edges+degrees cached once. K fixed (default 8)
+    * — no convergence scan. Nodes without pairs are excluded by
+    * definition, as in [[components]].
+    *
+    * Returns (doc_id, deg, pr) for every pair participant. */
+  def pageRank(pairs: DataFrame, iters: Int = 8,
+               scale: Long = 1000000L): DataFrame = {
+    val edges = graft.core.Eager(pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val deg = graft.core.Eager(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val withDeg = graft.core.Eager(edges.join(deg, "src"))
+    val base = scale * 15 / 100
+    var rank = graft.core.Eager(
+      deg.select(col("src").as("doc_id"), lit(scale).as("pr")))
+    for (_ <- 1 to iters) {
+      val next = graft.core.Eager(withDeg
+        .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("pr div deg").as("share"))
+        .groupBy("dst").agg(sum("share").as("inflow"))
+        .select(col("dst").as("doc_id"),
+          (lit(base) + expr("(85 * inflow) div 100")).as("pr")))
+      rank.unpersist()
+      rank = next
+    }
+    val out = rank
+      .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")
+      .select("doc_id", "deg", "pr")
+    edges.unpersist(); withDeg.unpersist()
+    out
+  }
 }

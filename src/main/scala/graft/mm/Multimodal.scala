@@ -63,8 +63,10 @@ object Multimodal {
      (x * 13 + y + d) % 256)
 
   /** Encode the synthetic image for one doc as a real PNG. */
-  private[graft] def synthPng(docId: Long): Array[Byte] = {
-    val (w, h, d) = (imgW(docId), imgH(docId), imgSeed(docId))
+  private[graft] def synthPng(docId: Long): Array[Byte] =
+    encodePng(imgW(docId), imgH(docId), imgSeed(docId))
+
+  private def encodePng(w: Int, h: Int, d: Int): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -302,5 +304,85 @@ object Multimodal {
         }
       })
       .toDF("doc_id", "frame_no", "frame")
+  }
+
+  // ---- video modality: container of real PNG frames (M-JPEG shape) --
+
+  /** Synthetic video geometry: 3–6 frames per doc, image-modality
+    * dims, a frame-varying seed — every value a closed form of
+    * (doc_id, frame_no) so the SQL oracle recomputes the exact pixel
+    * sums of every sampled frame. */
+  private[graft] def vidFrames(docId: Long): Int = 3 + (docId % 4).toInt
+  private[graft] def frameSeed(docId: Long, f: Int): Int =
+    ((docId + f.toLong * 7919L) % 251).toInt
+
+  /** docs → (doc_id, payload: concatenated REAL PNG frames, meta with
+    * per-frame byte lengths). The JDK ships no video codec, so the
+    * container is the M-JPEG shape — independently decodable
+    * intra-frames back to back, the index in metadata; every frame is
+    * a genuine PNG through `javax.imageio`. At 100 TB the payload
+    * stays one opaque parquet binary cell per doc; the frame index
+    * rides in the typed meta struct so samplers can slice without
+    * decoding. */
+  def packVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select("doc_id").as[Long]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { id =>
+          val frames = (0 until vidFrames(id)).map(f =>
+            encodePng(imgW(id), imgH(id), frameSeed(id, f)))
+          (id, frames.toArray.flatten, frames.map(_.length).toArray)
+        }
+      }
+      .toDF("doc_id", "payload", "frame_bytes")
+      .select(col("doc_id"), col("payload"),
+        struct(lit("video/x-png-frames").as("mime"),
+          col("frame_bytes").as("frame_bytes")).as("meta"))
+  }
+
+  /** REAL frame-sampled decode: slice the payload at the meta frame
+    * index, run the PNG decoder on every `stride`-th frame, return
+    * exact integer pixel sums over the sampled frames (the
+    * frame-sampling shape of video feature extraction — decode cost
+    * divides by `stride`, untouched frames are never parsed). */
+  def decodeVideo(packed: DataFrame, stride: Int = 2): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select(col("doc_id"), col("payload"),
+        col("meta.frame_bytes").as("fb"))
+      .as[(Long, Array[Byte], Array[Int])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes, lens) =>
+          var off = 0
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var ns = 0L
+          var w = 0; var h = 0
+          var f = 0
+          while (f < lens.length) {
+            if (f % stride == 0) {
+              val (fw, fh, px) = decodeRgb(
+                java.util.Arrays.copyOfRange(bytes, off, off + lens(f)))
+              w = fw; h = fh
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff
+                sb += p & 0xff
+                i += 1
+              }
+              ns += 1
+            }
+            off += lens(f)
+            f += 1
+          }
+          (id, lens.length.toLong, ns, w.toLong, h.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "n_frames", "n_sampled", "width", "height",
+        "sum_r", "sum_g", "sum_b")
   }
 }

@@ -51,6 +51,44 @@ object Oracles {
        |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Unrolled K=8 integer-PageRank twin over the exact J >= 0.8 pair
+    * set — each step repeats graft.dedup.Dedup.pageRank's recurrence
+    * r' = 150000 + (85 * sum(r // deg)) // 100 exactly (DuckDB `//`
+    * and Spark `div` agree on non-negative integers), so the chain is
+    * hash-comparable with no tolerance band. */
+  private lazy val pageRankSql: String = {
+    val steps = (1 to 8).map { i =>
+      s"""r$i AS (SELECT ed.dst AS doc_id,
+         |    150000 + (85 * sum(r${i - 1}.pr // ed.deg)) // 100 AS pr
+         |  FROM ed JOIN r${i - 1} ON r${i - 1}.doc_id = ed.src
+         |  GROUP BY ed.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    cast(count(*) as double) AS inter
+       |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b FROM i
+       |  JOIN s sa ON sa.doc_id = i.doc_a
+       |  JOIN s sb ON sb.doc_id = i.doc_b
+       |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL SELECT doc_b, doc_a FROM p),
+       |d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+       |r0 AS (SELECT src AS doc_id, cast(1000000 AS bigint) AS pr
+       |  FROM d),
+       |$steps
+       |SELECT r8.doc_id, cast(d.deg AS bigint) AS deg,
+       |  cast(r8.pr AS bigint) AS pr
+       |FROM r8 JOIN d ON d.src = r8.doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_each" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -1267,6 +1305,8 @@ object Oracles {
     // closure by recursive CTE (UNION dedups, so it terminates), then
     // component id = min reachable id (incl. self) — the same canonical
     // label the distributed min-propagation fixpoint converges to
+    "q_pagerank" -> pageRankSql,
+
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |s AS (SELECT doc_id, list_distinct(list_transform(
@@ -1444,5 +1484,34 @@ object Oracles {
         |  cast(list_max(list_transform(xs, x -> abs(x))) as bigint)
         |    AS max_abs
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // video twin: recompute the closed-form pixel content of exactly
+    // the SAMPLED frames (every 2nd of 3..6) — the Spark side must
+    // recover identical sums through slice → real PNG decode per frame
+    "q_video" ->
+      """WITH p AS (SELECT doc_id, 16 + doc_id % 13 AS w,
+        |    16 + doc_id % 11 AS h, 3 + doc_id % 4 AS nf FROM documents),
+        |f AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS fr FROM p),
+        |sf AS (SELECT doc_id, w, h, nf, fr,
+        |    (doc_id + fr * 7919) % 251 AS d FROM f WHERE fr % 2 = 0),
+        |sums AS (SELECT doc_id, nf, w, h,
+        |  cast(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (x*7 + y*11 + d*3) % 256))))
+        |    as bigint) AS fr_r,
+        |  cast(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (x*5 + y*3 + d*7) % 256))))
+        |    as bigint) AS fr_g,
+        |  cast(list_sum(flatten(list_transform(range(w), x ->
+        |    list_transform(range(h), y -> (x*13 + y + d) % 256))))
+        |    as bigint) AS fr_b
+        |  FROM sf)
+        |SELECT doc_id, cast(nf as bigint) AS n_frames,
+        |  cast(count(*) as bigint) AS n_sampled,
+        |  cast(w as bigint) AS width, cast(h as bigint) AS height,
+        |  cast(sum(fr_r) as bigint) AS sum_r,
+        |  cast(sum(fr_g) as bigint) AS sum_g,
+        |  cast(sum(fr_b) as bigint) AS sum_b
+        |FROM sums GROUP BY doc_id, nf, w, h
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1479,6 +1479,21 @@ object Queries {
         graft.dedup.Dedup.minhashPairs(T(s, dir).documents))
       .orderBy("doc_id")
 
+  /** #57g PAGERANK over the similarity graph
+    * ([[graft.dedup.Dedup.pageRank]], K=8 iterations, Q=10^6 fixed
+    * point): centrality ranks each dup cluster's most-connected member
+    * and exposes template hubs. Edges are the EXACT J≥0.8 pair set
+    * ([[graft.dedup.Dedup.jaccardJoin]] — complete by theorem), so the
+    * oracle can replay the identical integer recurrence: an unrolled
+    * 8-step CTE chain over the same pair SQL, hash-equal because every
+    * step is integer division and summation — no float PageRank
+    * tolerance band anywhere. */
+  def qPagerank(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    d.pageRank(d.jaccardJoin(T(s, dir).documents, 0.8), iters = 8)
+      .orderBy("doc_id")
+  }
+
   /** #57d PORTABLE minhash Jaccard ESTIMATION, itself hash-gated: the
     * production minhash ([[graft.dedup.Dedup.minhashPairs]]) hashes
     * with engine-local xxhash64 because its LSH layer only needs a
@@ -2274,4 +2289,21 @@ object Queries {
     graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)
       .orderBy("qid", "rank")
   }
+
+  /** #67e the VIDEO modality, hash-gated end to end: 3–6 genuine PNG
+    * intra-frames per doc packed M-JPEG-style (the JDK ships no video
+    * codec; independently decodable frames + a byte index in metadata
+    * is the honest container), then a REAL frame-sampled decode —
+    * every 2nd frame sliced out and run through `javax.imageio` — with
+    * exact integer pixel sums over the sampled frames. Frame content
+    * is a closed form of (doc_id, frame_no), so the oracle recomputes
+    * the sums of exactly the sampled frames: the encode→slice→decode→
+    * stat path is hash-checked like [[qMultimodal]] and [[qAudio]].
+    * Skipped frames are never parsed — the stride divides decode cost,
+    * which is the point of frame sampling at scale. */
+  def qVideo(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.decodeVideo(
+      graft.mm.Multimodal.packVideo(
+        T(s, dir).documents.repartition(col("doc_id"))), stride = 2)
+      .orderBy("doc_id")
 }

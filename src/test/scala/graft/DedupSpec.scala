@@ -227,6 +227,38 @@ class DedupSpec extends AnyFunSuite {
     for ((id, c) <- comp) assert(c <= id && comp(c) == c)
   }
 
+  test("pageRank matches a driver-local reference on the sf0.001 graph") {
+    val pairs = Dedup.jaccardJoin(
+      graft.tables.Tables(spark, "/root/testdata/sf0.001").documents, 0.8)
+    val got = Dedup.pageRank(pairs, iters = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent per-iteration reference: plain Scala maps, the same
+    // integer recurrence
+    val ps = pairs.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    val adj = (ps ++ ps.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var r = adj.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 8)
+      r = adj.map { case (n, nbrs) =>
+        n -> (150000L + 85L * nbrs.map(j => r(j) / adj(j).size).sum / 100L)
+      }
+    assert(got == adj.map { case (n, nbrs) =>
+      n -> (nbrs.size.toLong, r(n)) })
+  }
+
+  test("pageRank: a 2-regular cycle is a fixed point at rank=scale") {
+    import spark.implicits._
+    // 0-1-2-3-0: deg 2 everywhere; floor(1e6/2)*2 feeds back exactly
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.pageRank(cyc, iters = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got == Seq((0L, 2L, 1000000L), (1L, 2L, 1000000L),
+      (2L, 2L, 1000000L), (3L, 2L, 1000000L)))
+  }
+
   test("Fixpoint.iterate raises instead of returning unconverged") {
     import spark.implicits._
     // a step that never stabilizes the measure within the bound

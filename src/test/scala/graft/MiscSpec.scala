@@ -152,6 +152,34 @@ class MiscSpec extends AnyFunSuite {
       && r.getLong(1) >= 1 && r.getLong(2) >= 1))
   }
 
+  test("video: PNG-frame container slices and decodes exactly (#67e)") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 2L, 3L, 123L, 250L)
+    val packed = Multimodal.packVideo(ids.toDF("doc_id"))
+    // every frame slice is itself a well-formed PNG (magic at offset 0)
+    val magic = Array(0x89, 'P', 'N', 'G').map(_.toByte)
+    assert(packed.select("payload").collect()
+      .forall(_.getAs[Array[Byte]](0).take(4).sameElements(magic)))
+    // stride=1 sums every frame: equals the closed form over ALL frames
+    val all = Multimodal.decodeVideo(packed, stride = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    for (id <- ids) {
+      val nf = Multimodal.vidFrames(id)
+      val (w, h) = (Multimodal.imgW(id), Multimodal.imgH(id))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (f <- 0 until nf; x <- 0 until w; y <- 0 until h) {
+        val rgb = Multimodal.pixel(Multimodal.frameSeed(id, f), x, y)
+        sr += rgb._1; sg += rgb._2; sb += rgb._3
+      }
+      assert(all(id) == (nf.toLong, nf.toLong, sr, sg, sb), s"doc $id")
+    }
+    // a stride past the frame count still decodes frame 0
+    val sparse = Multimodal.decodeVideo(packed, stride = 100).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ids.forall(sparse(_) == 1L))
+  }
+
   test("audio: WAV round trip recovers closed-form PCM exactly (#67c)") {
     import spark.implicits._
     val docs = Seq(3L, 41L, 1000L).toDF("doc_id")
