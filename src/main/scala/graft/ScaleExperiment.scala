@@ -128,7 +128,8 @@ object ScaleExperiment {
       "q_segment_dedup|q_chunk|q_pack|q_collocations|q_grouping_sets|" +
       "q_outliers|q_stream_blocklist|q_embed_cluster|q_ngram_freq_cms|" +
       "q_window_nav|q_sample_topk|q_jaccard_est|q_resample|q_listagg|" +
-      "q_cohort|q_lm_score|q_mixture_temp|q_stream_neardup").r
+      "q_cohort|q_lm_score|q_mixture_temp|q_stream_neardup|" +
+      "q_range_join|q_dsir|q_pagerank|q_video").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
