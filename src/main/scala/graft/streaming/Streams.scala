@@ -49,15 +49,15 @@ object Streams {
       col("user_id") === col("c_custkey"))
 
   /** The events table as a REAL file-source stream (replay): same
-    * nanos→µs conversion as the batch loader, so the identical
-    * transforms run on both. Streaming file sources need an explicit
-    * schema. */
+    * ts normalization as the batch loader (see Tables.events — the
+    * driver's physical ts type has changed across testdata
+    * generations), so the identical transforms run on both. Streaming
+    * file sources need an explicit schema; take the one a batch read
+    * of the same file infers, which is by construction the physical
+    * truth. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // The file stream source wants a directory. A Spark-written
     // events.parquet already IS one (a dir of part files) — use it
     // as-is; the driver's single-file testdata gets exposed through a
@@ -71,8 +71,13 @@ object Streams {
           streamDir.resolve("events.parquet"), src)
         streamDir.toString
       }
-    spark.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(path)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   case class KV(k: Long, v: Double)

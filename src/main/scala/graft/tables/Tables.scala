@@ -3,7 +3,8 @@ package graft.tables
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Typed loaders for the driver's test schema (TESTDATA.md). Plain
   * parquet scans — Catalyst prunes columns and pushes filters into them,
@@ -46,13 +47,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** The driver's events.parquet carries TIMESTAMP(NANOS), which Spark's
-    * vectorized parquet reader rejects; read nanos as long and convert to
-    * a (micros) timestamp — the data itself is µs-precision. */
+  /** events.ts normalized to a session-zone TIMESTAMP regardless of how
+    * the driver generated the file — the physical type has changed across
+    * testdata generations (TIMESTAMP(NANOS), which Spark's vectorized
+    * reader only accepts as long via `nanosAsLong`; later int64;
+    * currently TIMESTAMP(MICROS), which arrives as TIMESTAMP_NTZ).
+    * Adapt by the schema actually read, not by assumption:
+    * long ⇒ nanos→micros conversion; any timestamp flavor ⇒ cast to
+    * TimestampType (value-identical under the repo's UTC session zone). */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    memo("events:conv")(
-      t("events").withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    memo("events:conv") {
+      val raw = t("events")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    }
   }
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
