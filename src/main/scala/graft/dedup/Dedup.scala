@@ -555,17 +555,22 @@ object Dedup {
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
     val withDeg = graft.core.Eager(edges.join(deg, "src"))
     val base = scale * 15 / 100
-    var rank = graft.core.Eager(
-      deg.select(col("src").as("doc_id"), lit(scale).as("pr")))
+    // localCheckpoint, not persist: persist keeps the DATA hot but the
+    // LOGICAL plan still embeds the whole previous iteration, so
+    // analysis cost doubles per round (measured: iteration 8 spent
+    // ~70 s in Catalyst on a 256-pair graph). Truncating lineage each
+    // round keeps every iteration's plan one join + one agg deep —
+    // the Fixpoint/Bpe loop discipline.
+    var rank = deg.select(col("src").as("doc_id"), lit(scale).as("pr"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val next = graft.core.Eager(withDeg
+      rank = withDeg
         .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst"), expr("pr div deg").as("share"))
         .groupBy("dst").agg(sum("share").as("inflow"))
         .select(col("dst").as("doc_id"),
-          (lit(base) + expr("(85 * inflow) div 100")).as("pr")))
-      rank.unpersist()
-      rank = next
+          (lit(base) + expr("(85 * inflow) div 100")).as("pr"))
+        .localCheckpoint()
     }
     val out = rank
       .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")

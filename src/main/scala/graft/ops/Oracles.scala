@@ -1513,5 +1513,118 @@ object Oracles {
         |  cast(sum(fr_b) as bigint) AS sum_b
         |FROM sums GROUP BY doc_id, nf, w, h
         |ORDER BY doc_id""".stripMargin,
+
+    // SCD-1 merge: latest change per user under the identical total
+    // order; full-outer apply; values pass through untouched.
+    "q_upsert" ->
+      """WITH latest AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM events) WHERE rn = 1)
+        |SELECT coalesce(c.c_custkey, l.user_id) AS c_custkey,
+        |  c.c_name,
+        |  coalesce(l.value, c.c_acctbal) AS c_acctbal,
+        |  CASE WHEN c.c_custkey IS NULL THEN 'insert'
+        |       WHEN l.user_id IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
+        |ORDER BY c_custkey""".stripMargin,
+
+    // SCD-2: change-filter under a null-safe IS DISTINCT FROM against
+    // the lag, then version/interval windows over the SURVIVORS only —
+    // the nested-CTE twin of the two-window Spark plan. Epochs floored
+    // to whole seconds (the portable duration idiom).
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS tsec,
+        |    event_id, value FROM events),
+        |d AS (
+        |  SELECT *, lag(value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM ch WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsec, event_id)),
+        |kept AS (
+        |  SELECT * FROM d
+        |  WHERE rn = 1 OR value IS DISTINCT FROM prev)
+        |SELECT user_id,
+        |  cast(row_number() OVER w AS bigint) AS version, value,
+        |  tsec AS valid_from,
+        |  lead(tsec) OVER w AS valid_to,
+        |  (lead(tsec) OVER w IS NULL) AS is_current
+        |FROM kept WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY tsec, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    // data-quality audit: same five scans, unioned scalar counts
+    "q_dq_audit" ->
+      """SELECT chk, n FROM (
+        |  SELECT 'lineitem_rows' AS chk,
+        |    cast(count(*) as bigint) AS n FROM lineitem
+        |  UNION ALL SELECT 'lineitem_null_shipdate',
+        |    cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+        |      as bigint) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_nonpositive_qty',
+        |    cast(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)
+        |      as bigint) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_discount_out_of_range',
+        |    cast(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5
+        |      THEN 1 ELSE 0 END) as bigint) FROM lineitem
+        |  UNION ALL SELECT 'lineitem_orphan_orderkey',
+        |    cast(count(*) as bigint) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL SELECT 'lineitem_duplicate_pk',
+        |    cast(count(*) as bigint) FROM (
+        |      SELECT l_orderkey, l_linenumber FROM lineitem
+        |      GROUP BY 1, 2 HAVING count(*) > 1)
+        |  UNION ALL SELECT 'orders_orphan_custkey',
+        |    cast(count(*) as bigint) FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |ORDER BY chk""".stripMargin,
+
+    // triangles: the SAME exact J>=0.8 pair set as q_jaccard_join's
+    // oracle, closed naively (a<b<c three-way self-join) — the Spark
+    // side's degree-oriented enumeration must produce the identical
+    // list, so the orientation machinery is hash-verified.
+    "q_triangles" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b,
+         |    inter / (len(sa.sh) + len(sb.sh) - inter) AS j
+         |  FROM i JOIN s sa ON sa.doc_id = i.doc_a
+         |         JOIN s sb ON sb.doc_id = i.doc_b),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM p WHERE j >= 0.8)
+         |SELECT e1.a AS doc_a, e1.b AS doc_b, e2.b AS doc_c
+         |FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |ORDER BY doc_a, doc_b, doc_c""".stripMargin,
+
+    // portable signed random projection: identical ±1 stream from the
+    // md5 hex prefix, identical exact integer quantization (×2^16 is
+    // an exponent shift — exact in both engines' doubles), so each
+    // projection is the same 64-term integer sum. Subscripts are
+    // 1-based in DuckDB → i-1 feeds the hash to match Spark's 0-based
+    // sequence.
+    "q_rand_proj" -> {
+      val cols = (0 until 8).map(j =>
+        s"""  cast(sum(CASE WHEN ('0x' || substr(md5('rp#$j#' || i), 1, 15))
+           |      ::UBIGINT::BIGINT % 2 = 0 THEN 1 ELSE -1 END
+           |    * cast(floor(cast(v as double) * 65536) as bigint))
+           |    as bigint) AS p$j""".stripMargin).mkString(",\n")
+      s"""WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+         |    generate_subscripts(embedding, 1) - 1 AS i FROM embeddings)
+         |SELECT vec_id,
+         |$cols
+         |FROM u GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin
+    },
   )
 }

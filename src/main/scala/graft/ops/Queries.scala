@@ -2306,4 +2306,131 @@ object Queries {
       graft.mm.Multimodal.packVideo(
         T(s, dir).documents.repartition(col("doc_id"))), stride = 2)
       .orderBy("doc_id")
+
+  /** #42c changelog UPSERT (SCD-1 merge) through
+    * [[Relational.upsert]]: events as a per-user balance changelog —
+    * latest event per user under the total (ts desc, event_id desc)
+    * order — applied over the customer snapshot. Insert/update/keep
+    * actions come out of ONE full-outer join; this is the plan a
+    * MERGE INTO lowers to, i.e. the nightly incremental-snapshot
+    * maintenance job at 100 TB. Values pass through untouched (no
+    * arithmetic), so the gate is exact. */
+  def qUpsert(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = T(s, dir).events
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("user_id").as("c_custkey"), col("value").as("c_acctbal"))
+    Relational.upsert(T(s, dir).customer, latest, Seq("c_custkey"))
+      .select("c_custkey", "c_name", "c_acctbal", "action")
+      .orderBy("c_custkey")
+  }
+
+  /** #42d SCD TYPE-2 history build through [[Relational.scd2]]: the
+    * events changelog per user collapsed to value-change versions with
+    * half-open [valid_from, valid_to) second-granularity intervals and
+    * a current flag — the warehouse dimension-history operator. Epochs
+    * floored to whole seconds on both engines (the repo's portable
+    * duration idiom, see q_window_range); one keyed shuffle total. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val ch = T(s, dir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"), col("value"))
+    Relational.scd2(ch, Seq("user_id"), Seq("tsec", "event_id"), "value")
+      .select(col("user_id"), col("version"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** #38e data-quality AUDIT: the expectations/constraint-check pass a
+    * pipeline runs before trusting a drop — row counts, null checks,
+    * domain-range checks, duplicate-PK detection, and referential
+    * orphan counts, emitted as one (check, n) report. The four
+    * lineitem predicates FUSE into a single conditional-agg scan
+    * (`stack` unpivots the 1-row agg — no second pass); each FK check
+    * is one anti join + count; the PK check one keyed agg. Every leg
+    * is partial-aggregated to a scalar before the union, so the whole
+    * audit moves O(1) rows after its scans regardless of table size. */
+  def qDqAudit(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir).lineitem
+    val fused = li.agg(
+      count(lit(1)).as("c0"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("c2"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 0.5, 1L)
+        .otherwise(0L)).as("c3"))
+      .select(expr(
+        """stack(4,
+          |  'lineitem_rows', c0,
+          |  'lineitem_null_shipdate', c1,
+          |  'lineitem_nonpositive_qty', c2,
+          |  'lineitem_discount_out_of_range', c3) AS (chk, n)""".stripMargin))
+    val orphanLine = li
+      .join(T(s, dir).orders, col("l_orderkey") === col("o_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("lineitem_orphan_orderkey").as("chk"), col("n"))
+    val dupPk = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") > 1)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("lineitem_duplicate_pk").as("chk"), col("n"))
+    val orphanOrd = T(s, dir).orders
+      .join(T(s, dir).customer, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("orders_orphan_custkey").as("chk"), col("n"))
+    fused.unionByName(orphanLine).unionByName(dupPk)
+      .unionByName(orphanOrd)
+      .orderBy("chk")
+  }
+
+  /** #57h TRIANGLE listing on the exact J≥0.8 similarity graph through
+    * [[Relational.triangles]] — the clustering primitive that
+    * separates true near-dup cliques from star-shaped template hubs
+    * (a boilerplate page matches many docs pairwise; only real
+    * co-duplication closes triangles). Degree-oriented wedge closure
+    * (Suri & Vassilvitskii): each triangle found exactly once, hub
+    * wedge fanout bounded by O(√|E|) higher-degree neighbors — the
+    * naive a<b<c self-join's quadratic hub blowup cannot happen. The
+    * oracle closes the SAME exact pair set naively in SQL: identical
+    * triangles, so the orientation machinery is hash-verified. */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    Relational.triangles(
+      graft.dedup.Dedup.jaccardJoin(T(s, dir).documents, 0.8),
+      "doc_a", "doc_b")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("c").as("doc_c"))
+      .orderBy("doc_a", "doc_b", "doc_c")
+
+  /** #62e PORTABLE signed random projection of the embedding corpus —
+    * the JL/Hamming-sketch foundation under the ANN family, expressed
+    * so the sketch itself is cross-engine bit-identical (the same
+    * treatment q_jaccard_est gives minhash): the projection matrix is
+    * ±1 from the seeded portable-md5 stream ('rp#j#i'), and each
+    * float component is scaled by 2^16 (EXACT in binary FP — exponent
+    * shift only) and floored to an integer, so every projection value
+    * is an exact 64-term INTEGER sum both engines reproduce bit-for-
+    * bit — no float-summation-order tolerance band anywhere. Pure
+    * per-row map at scan speed (zero shuffle before the display sort);
+    * the production path keeps float dot products
+    * ([[graft.functions.HyperplaneLsh]]) — this is its verifiable
+    * integer twin, and sign(p_j) IS a usable 8-bit Hamming sketch. */
+  def qRandProj(s: SparkSession, dir: String): DataFrame = {
+    val P = 8
+    def proj(j: Int): Column = {
+      val signs = transform(sequence(lit(0), lit(63)), i =>
+        when(conv(substring(md5(
+          concat(lit(s"rp#$j#"), i.cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 2 === 0, 1L).otherwise(-1L))
+      aggregate(
+        zip_with(col("embedding"), signs,
+          (v, sg) => floor(v.cast("double") * 65536d).cast("long") * sg),
+        lit(0L), (acc, x) => acc + x).as(s"p$j")
+    }
+    T(s, dir).embeddings
+      .select(col("vec_id") +: (0 until P).map(proj): _*)
+      .orderBy("vec_id")
+  }
 }

@@ -57,6 +57,139 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Changelog upsert (MERGE-style SCD-1): apply the latest state per
+    * key from `changes` over `base`. The output keeps `base`'s schema
+    * plus an `action` column; for every column present in BOTH inputs
+    * (other than the key) the change value wins when non-null — the
+    * MERGE convention that a null change field means "no change", which
+    * also gives insert rows their changed columns and keep rows their
+    * base columns with one `coalesce` per column.
+    *
+    * `action` ∈ insert (key only in `changes`), update (both), keep
+    * (key only in `base`). Base-only columns ride through; change-only
+    * columns are dropped (the output contract is the base table's
+    * shape — project the change beforehand to add columns).
+    *
+    * Contract: `changes` must be unique per `key` (dedupe upstream —
+    * e.g. a row_number()==1 window over arrival order; doing it here
+    * would hide the caller's choice of "latest").
+    *
+    * Scale: one full-outer hash equi-join on `key` — a single shuffle
+    * of both sides, partitioned for downstream writes keyed the same
+    * way. A small changelog broadcast-joins automatically under AQE;
+    * this is the canonical incremental-snapshot maintenance shape (the
+    * nightly "apply the day's changes to the 100 TB snapshot" job,
+    * where the alternative CDC formats — MERGE INTO in Delta/Iceberg —
+    * lower to exactly this plan). */
+  def upsert(base: DataFrame, changes: DataFrame, key: Seq[String])
+      : DataFrame = {
+    require(key.nonEmpty, "upsert needs at least one key column")
+    require(key.forall(base.columns.contains) &&
+      key.forall(changes.columns.contains),
+      s"both sides must contain key columns $key")
+    val common = base.columns.filterNot(key.contains)
+      .filter(changes.columns.contains)
+    val c = changes.select(key.map(col) ++
+      common.map(n => col(n).as(s"__c_$n")) :+ lit(1).as("__c"): _*)
+    base.withColumn("__b", lit(1)).join(c, key, "full_outer")
+      .select(key.map(col) ++
+        base.columns.filterNot(key.contains).toSeq.map { n =>
+          if (common.contains(n)) coalesce(col(s"__c_$n"), col(n)).as(n)
+          else col(n)
+        } :+
+        when(col("__b").isNull, lit("insert"))
+          .when(col("__c").isNull, lit("keep"))
+          .otherwise(lit("update")).as("action"): _*)
+  }
+
+  /** SCD Type-2 history build from a changelog: collapse consecutive
+    * no-change rows and assign each surviving version its validity
+    * interval — the standard warehouse dimension-history operator.
+    *
+    * Two window passes over ONE hash shuffle on `key` (the second
+    * window reuses the first's partitioning; only the in-partition
+    * sort reruns): (1) change detection — keep a row iff its `value`
+    * differs from the previous row's under the total `order` (null-safe
+    * `<=>`, so null→x and x→null are changes and the first row always
+    * survives); (2) over survivors, `version` = row_number,
+    * `valid_from` = the row's first `order` column, `valid_to` = the
+    * NEXT version's `valid_from` (null for the current version — the
+    * half-open [from, to) convention), `is_current` = `valid_to` null.
+    *
+    * `order` must be a TOTAL order per key (pass a tiebreaker — e.g.
+    * Seq(ts, event_id)); ties would otherwise make both the kept set
+    * and the intervals nondeterministic. Scale: parallelism bounded by
+    * key cardinality like any keyed window — dimensions have millions
+    * of keys, so this is the safe shape (contrast a GLOBAL history
+    * sort, which would serialize). */
+  def scd2(changes: DataFrame, key: Seq[String], order: Seq[String],
+           value: String): DataFrame = {
+    require(key.nonEmpty && order.nonEmpty, "scd2 needs key and order")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(order.map(col(_).asc): _*)
+    val changed = changes
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .where(col("__first") || !(col(value) <=> col("__prev")))
+    changed
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(order.head))
+      .withColumn("valid_to", lead(col(order.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(key.map(col) ++ Seq(col("version"), col(value),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+  }
+
+  /** Triangle listing on an undirected graph — the clustering primitive
+    * (local clustering coefficients, community seeds, template-farm
+    * detection on a similarity graph). Emits each triangle once as
+    * `(a, b, c)` with `a < b < c`.
+    *
+    * Shape: degree-oriented wedge closure (the MapReduce triangle
+    * algorithm of Suri & Vassilvitskii, WWW'11). Every edge is oriented
+    * from its lower-rank endpoint under rank = (degree, id); each
+    * triangle then has exactly ONE node with two out-edges, so
+    * enumerating wedges from out-edge pairs and closing them against
+    * the oriented edge set finds each triangle exactly once with no
+    * dedup pass. The orientation is the scale story: a hub of degree d
+    * contributes C(out_d, 2) wedges with out_d bounded by the number of
+    * HIGHER-degree neighbors — at most O(sqrt(|E|)) — instead of
+    * C(d, 2), so power-law hot keys (boilerplate template farms in a
+    * near-dup graph) cannot quadratically explode the wedge join the
+    * way the naive a<b<c self-join's first hop does.
+    *
+    * Three hash equi-joins (degree attach ×2, wedge build, closure
+    * semi-join), all keyed — no cartesian anywhere. Input edges are
+    * normalized (self-loops dropped, (min,max) + distinct), so
+    * multi-edges and either orientation are accepted. */
+  def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("v"))
+      .unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // rank struct (degree, id): lexicographic struct comparison gives
+    // the total tie-broken degree order the orientation needs
+    val withR = e
+      .join(deg.select(col("v").as("a"), struct(col("d"), col("v")).as("ra")), "a")
+      .join(deg.select(col("v").as("b"), struct(col("d"), col("v")).as("rb")), "b")
+    val o = withR.select(
+      when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
+      when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
+      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
+    val wedge = o.select(col("u"), col("v").as("x"), col("rv").as("rx"))
+      .join(o.select(col("u"), col("v").as("y"), col("rv").as("ry")), "u")
+      .where(col("rx") < col("ry"))
+    // the closing edge, if present, is oriented x→y (rank(x) < rank(y))
+    wedge.join(o.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      .select(array_sort(array(col("u"), col("x"), col("y"))).as("t"))
+      .select(col("t").getItem(0).as("a"), col("t").getItem(1).as("b"),
+        col("t").getItem(2).as("c"))
+  }
+
   /** Backward as-of join: attach to every `left` row the `right` row
     * with the greatest `order` value that is `<=` the left row's
     * `order`, within the same equality `key` (the pandas

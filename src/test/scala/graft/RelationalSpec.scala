@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Relational
+
+/** Unit contracts for the round-6 Relational additions: changelog
+  * upsert (#42c), SCD-2 history build (#42d), and degree-oriented
+  * triangle listing (#57h — equality vs brute-force enumeration on a
+  * random graph, the same adversarial-reference style DedupSpec uses
+  * for the prefix-filter join). */
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  test("upsert: insert/update/keep actions; null change keeps base (#42c)") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq((2L, Some(99.0)), (4L, Some(40.0)), (3L, None))
+      .toDF("k", "bal")
+    val got = Relational.upsert(base, changes, Seq("k"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), Some(10.0), "keep"),
+      (2L, Some("b"), Some(99.0), "update"),
+      // MERGE convention: a null change field means "no change"
+      (3L, Some("c"), Some(30.0), "update"),
+      (4L, None, Some(40.0), "insert")))
+  }
+
+  test("scd2: collapses no-change runs; half-open contiguous intervals (#42d)") {
+    val ch = Seq(
+      (1L, 10L, 1L, 5.0), (1L, 20L, 2L, 5.0), // no-change collapsed
+      (1L, 30L, 3L, 7.0), (1L, 40L, 4L, 5.0), // back to 5.0 IS a change
+      (2L, 10L, 5L, 1.0))
+      .toDF("k", "t", "seq", "v")
+    val got = Relational.scd2(ch, Seq("k"), Seq("t", "seq"), "v")
+      .orderBy("k", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), Option(r.get(4)), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5.0, 10L, Some(30L), false),
+      (1L, 2L, 7.0, 30L, Some(40L), false),
+      (1L, 3L, 5.0, 40L, None, true),
+      (2L, 1L, 1.0, 10L, None, true)))
+    // interval chain: each version's valid_to == next's valid_from
+    got.groupBy(_._1).foreach { case (_, vs) =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._5.contains(b._4))
+        case _ =>
+      }
+    }
+  }
+
+  test("triangles: degree-oriented listing == brute force on random graphs (#57h)") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val es = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextInt(100) < 12 + trial * 8
+      } yield (a.toLong, b.toLong)) ++ Seq((5L, 5L)) // self-loop dropped
+      // feed some edges reversed + duplicated: normalization contract
+      val fed = es.map { case (a, b) =>
+        if (rnd.nextBoolean()) (b, a) else (a, b)
+      } ++ es.take(3)
+      val got = Relational.triangles(fed.toDF("x", "y"), "x", "y")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val undirected = es.filter(e => e._1 != e._2).toSet
+      def has(a: Long, b: Long) = undirected.contains((a min b, a max b))
+      val brute = (for {
+        a <- 0L until n.toLong; b <- (a + 1) until n.toLong
+        c <- (b + 1) until n.toLong
+        if has(a, b) && has(b, c) && has(a, c)
+      } yield (a, b, c)).toSet
+      assert(got == brute, s"trial $trial: ${got.size} vs ${brute.size}")
+    }
+  }
+}
