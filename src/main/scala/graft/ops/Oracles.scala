@@ -1403,6 +1403,11 @@ object Oracles {
          |  ${d4("value")} AS sv
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "q_stream_distinct" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        |  cast(count(DISTINCT user_id) as bigint) AS uu
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+
     "q_stream_join" ->
       s"""SELECT date_trunc('hour', v.ts) AS hour, $CNT AS n_pairs,
          |  cast(count(DISTINCT v.user_id) as bigint) AS n_users,
@@ -1513,6 +1518,19 @@ object Oracles {
         |  cast(sum(fr_b) as bigint) AS sum_b
         |FROM sums GROUP BY doc_id, nf, w, h
         |ORDER BY doc_id""".stripMargin,
+
+    // z-order key: the identical 32-term interleave sum, restated by
+    // ZOrder.zvalSql — pure non-negative integer bit math
+    "q_zorder" -> {
+      val z = graft.functions.ZOrder.zvalSql("x", "y")
+      s"""WITH b AS (SELECT o_orderkey,
+         |    o_custkey % 65536 AS x,
+         |    cast(date_diff('day', DATE '1970-01-01',
+         |      cast(o_orderdate as date)) as bigint) % 65536 AS y
+         |  FROM orders)
+         |SELECT o_orderkey, x, y, $z AS zval
+         |FROM b ORDER BY o_orderkey""".stripMargin
+    },
 
     // SCD-1 merge: latest change per user under the identical total
     // order; full-outer apply; values pass through untouched.

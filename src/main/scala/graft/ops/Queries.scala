@@ -1200,12 +1200,7 @@ object Queries {
     * lossy counting) — exact is right whenever the vocab fits a
     * shuffle, which n-gram vocabularies at trained-tokenizer sizes do. */
   def qNgramTop(s: SparkSession, dir: String): DataFrame =
-    T(s, dir).documents
-      .selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")
-      .where(size(col("toks")) >= 2)
-      .selectExpr(s"explode(${graft.dedup.Dedup.bigramsExpr}) AS bigram")
-      .groupBy("bigram").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("bigram")).limit(20)
+    graft.streaming.Streams.topBigrams(T(s, dir).documents, 20)
 
   /** #65g COLLOCATIONS — bigrams whose parts co-occur far more than
     * independence predicts, ranked by the log-free PMI kernel
@@ -2099,6 +2094,14 @@ object Queries {
     graft.streaming.Streams.hourlyRollup(T(s, dir).events)
       .orderBy("hour", "event_type")
 
+  /** #76 windowed exact distinct users — the same
+    * [[graft.streaming.Streams.hourlyDistinctUsers]] transform serves
+    * readStream as a watermark-bounded dedup→agg chain of two stateful
+    * operators; batch is what the oracle checks. */
+  def qStreamDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.Streams.hourlyDistinctUsers(T(s, dir).events)
+      .orderBy("hour")
+
   /** #69b sliding-window counts (1 h window, 30 min slide) — same
     * transform serves readStream with a watermark. */
   def qStreamSliding(s: SparkSession, dir: String): DataFrame =
@@ -2306,6 +2309,23 @@ object Queries {
       graft.mm.Multimodal.packVideo(
         T(s, dir).documents.repartition(col("doc_id"))), stride = 2)
       .orderBy("doc_id")
+
+  /** #55h Z-ORDER clustering key over orders — (customer, order-day)
+    * interleaved through [[graft.functions.ZOrder.zval]]. The KEY is
+    * what's graded (pure integer bit math, bit-identical in any
+    * engine — full hash gate); the LAYOUT it buys is machine-asserted
+    * in ScaleSpec: files range-partitioned on z prune on min/max stats
+    * for predicates on EITHER dimension, where a 1-D sort key reads
+    * the whole table for the other dimension. Scan-speed map, zero
+    * shuffle before the display sort. */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 65536).as("x"),
+        (datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long") % 65536).as("y"))
+      .withColumn("zval", graft.functions.ZOrder.zval(col("x"), col("y")))
+      .orderBy("o_orderkey")
 
   /** #42c changelog UPSERT (SCD-1 merge) through
     * [[Relational.upsert]]: events as a per-user balance changelog —

@@ -43,6 +43,45 @@ object Streams {
         col("n"), col("sv"))
   }
 
+  /** Windowed EXACT distinct-user counts (#76): unique visitors per
+    * tumbling hour — the metric approximate sketches usually stand in
+    * for, kept exact here because streaming dedup makes it affordable:
+    * a watermarked `dropDuplicates` on (window, user_id) holds ONE
+    * state row per distinct pair per live window (not per event), and
+    * the following windowed count is then an ordinary streaming agg —
+    * the documented two-stateful-operator chain, both stages bounded
+    * by the same watermark. Batch runs the identical transform (the
+    * dedup is a plain keyed distinct) and is what the oracle checks;
+    * the streaming replay gate proves the chained-stateful form emits
+    * the same finalized windows. */
+  def hourlyDistinctUsers(events: DataFrame): DataFrame = {
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", "2 hours")
+      else events
+    src.select(window(col("ts"), "1 hour").as("w"), col("user_id"),
+        col("ts"))
+      .dropDuplicates("w", "user_id")
+      .groupBy("w")
+      .agg(count(lit(1)).as("uu"))
+      .select(col("w.start").as("hour"), col("uu"))
+  }
+
+  /** Streaming vocabulary heavy hitters (#77): the q_ngram_top
+    * transform as a complete-mode streaming agg — bigram counts are an
+    * additive streaming aggregation (state = one counter per live
+    * bigram; for genuinely unbounded vocabularies the Misra–Gries
+    * sketch of #65c is the bounded-state form), with the top-k
+    * sort+limit riding on the complete-mode output. Batch runs the
+    * identical transform — q_ngram_top IS this function, so the
+    * replay gate checks the streaming twin against the graded oracle
+    * surface. */
+  def topBigrams(docs: DataFrame, k: Int): DataFrame =
+    docs.selectExpr(s"${graft.dedup.Dedup.toksExpr} AS toks")
+      .where(size(col("toks")) >= 2)
+      .selectExpr(s"explode(${graft.dedup.Dedup.bigramsExpr}) AS bigram")
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
+
   /** Stream-static enrichment: events against a broadcast dimension. */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

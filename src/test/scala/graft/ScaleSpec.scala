@@ -279,4 +279,35 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("z-order layout: y-predicate prunes z-clustered files, not x-sorted ones") {
+    // The layout claim behind q_zorder (#55h): range-partitioning files
+    // on the interleaved key gives EVERY dimension locality, so
+    // per-file min/max stats — exactly what lakehouse formats and
+    // parquet row-group pruning consult — skip most files for a
+    // predicate on the dimension a 1-D sort key does NOT cover.
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(1 << 14)(
+        (rnd.nextInt(4096).toLong, rnd.nextInt(4096).toLong))
+      .toDF("x", "y")
+      .withColumn("z",
+        graft.functions.ZOrder.zval(col("x"), col("y"), bits = 12))
+    def filesIntersectingLowY(sortCol: String): (Int, Int) = {
+      val d = java.nio.file.Files.createTempDirectory("graft_zord")
+      pts.repartitionByRange(16, col(sortCol))
+        .write.mode("overwrite").parquet(d.toString)
+      val stats = spark.read.parquet(d.toString)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("y").as("ymin")).collect()
+      (stats.length, stats.count(_.getAs[Long]("ymin") < 256L))
+    }
+    val (nz, needZ) = filesIntersectingLowY("z")
+    val (nx, needX) = filesIntersectingLowY("x")
+    assert(nz == 16 && nx == 16, s"expected 16 files, got $nz / $nx")
+    // x-sorted: every file spans the full y range — zero y-pruning
+    assert(needX == 16, s"x-sorted layout unexpectedly pruned: $needX")
+    // z-clustered: only the Morton cells whose y-band meets [0, 256)
+    assert(needZ <= 6, s"z layout should prune most files, needed $needZ")
+  }
 }

@@ -135,6 +135,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("hourlyDistinctUsers replay == batch distinct counts (#76)") {
+    val q = Streams.hourlyDistinctUsers(Streams.eventsStream(spark, replayDir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("uu_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("uu_replay")
+      .select("hour", "uu").collect().map(_.toSeq).toSet
+    val batch = graft.ops.Queries.qStreamDistinct(spark, replayDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("topBigrams stream replay == q_ngram_top batch top-k (#77)") {
+    val q = Streams.topBigrams(Streams.documentsStream(spark, replayDir), 20)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tb_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tb_replay")
+      .select("bigram", "n").collect().map(_.toSeq).toSet
+    val batch = graft.ops.Queries.qNgramTop(spark, replayDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("sessionizeStream replay == q_sessionize batch oracle (#70b)") {
     import spark.implicits._
     val es = Streams.eventsStream(spark, replayDir)
