@@ -2310,6 +2310,27 @@ object Queries {
         T(s, dir).documents.repartition(col("doc_id"))), stride = 2)
       .orderBy("doc_id")
 
+  /** #64e TRAINED document classifier (fastText shape — trained
+    * operator: no SQL oracle; ClassifierSpec gates partitioning-
+    * invariance, bit-equality to a driver-local reference trainer, and
+    * accuracy): hashed presence features + bias into a linear model
+    * trained by Q20-QUANTIZED gradient descent, so training is
+    * bit-deterministic under ANY partitioning — see
+    * [[graft.ml.Classifier]]. Demo label: seed-lexicon weak
+    * supervision (docs mentioning join/shuffle/broadcast — the
+    * synthetic corpus shares one vocabulary across langs/sources, so
+    * no organic label is linearly learnable); swap the label for
+    * curated-vs-crawl on a real corpus and this is the GPT-3 quality
+    * classifier. Output: per-language prediction/correctness counts. */
+  def qClassifier(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Classifier.trainAndSummarize(
+      T(s, dir).documents,
+      expr(s"arrays_overlap(${graft.dedup.Dedup.toksExpr}, " +
+        "array('join', 'shuffle', 'broadcast'))"),
+      col("lang"))
+      .withColumnRenamed("grp", "lang")
+      .orderBy("lang")
+
   /** #55h Z-ORDER clustering key over orders — (customer, order-day)
     * interleaved through [[graft.functions.ZOrder.zval]]. The KEY is
     * what's graded (pure integer bit math, bit-identical in any
