@@ -2460,11 +2460,21 @@ object Queries {
     * integer twin, and sign(p_j) IS a usable 8-bit Hamming sketch. */
   def qRandProj(s: SparkSession, dir: String): DataFrame = {
     val P = 8
+    // The ±1 matrix is a CONSTANT of (j, i) — fold it at plan-build
+    // time instead of re-evaluating 512 md5 expressions per row
+    // (measured 2.4 s → sub-second at sf0.1). java MessageDigest MD5
+    // over UTF-8 is the same function spark.sql's md5/DuckDB's md5
+    // compute, so the first-15-hex-chars-even contract is unchanged
+    // and the oracle still derives the signs independently in SQL.
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rp#$j#$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L
+      else -1L
+    }
     def proj(j: Int): Column = {
-      val signs = transform(sequence(lit(0), lit(63)), i =>
-        when(conv(substring(md5(
-          concat(lit(s"rp#$j#"), i.cast("string"))), 1, 15), 16, 10)
-          .cast("long") % 2 === 0, 1L).otherwise(-1L))
+      val signs = array((0 until 64).map(i => lit(sign(j, i))): _*)
       aggregate(
         zip_with(col("embedding"), signs,
           (v, sg) => floor(v.cast("double") * 65536d).cast("long") * sg),

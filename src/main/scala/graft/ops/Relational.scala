@@ -163,10 +163,16 @@ object Relational {
     * normalized (self-loops dropped, (min,max) + distinct), so
     * multi-edges and either orientation are accepted. */
   def triangles(edges: DataFrame, src: String, dst: String): DataFrame = {
-    val e = edges
+    // Eager the normalized edge set: the oriented frame references it
+    // five times (degree union ×2, rank attach ×2, and transitively
+    // the wedge/closure self-joins) — uncached, every reference
+    // re-runs the caller's whole edge-discovery pipeline (measured
+    // 22 s for a 25-edge similarity graph whose exact-Jaccard
+    // discovery costs ~2.5 s once).
+    val e = graft.core.Eager(edges
       .select(least(col(src), col(dst)).as("a"),
         greatest(col(src), col(dst)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct())
     val deg = e.select(col("a").as("v"))
       .unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -175,10 +181,13 @@ object Relational {
     val withR = e
       .join(deg.select(col("v").as("a"), struct(col("d"), col("v")).as("ra")), "a")
       .join(deg.select(col("v").as("b"), struct(col("d"), col("v")).as("rb")), "b")
-    val o = withR.select(
+    // oriented edges feed three plan arms (two wedge sides + closure):
+    // materialize once; e is consumed building it and can be released
+    val o = graft.core.Eager(withR.select(
       when(col("ra") < col("rb"), col("a")).otherwise(col("b")).as("u"),
       when(col("ra") < col("rb"), col("b")).otherwise(col("a")).as("v"),
-      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv"))
+      when(col("ra") < col("rb"), col("rb")).otherwise(col("ra")).as("rv")))
+    e.unpersist()
     val wedge = o.select(col("u"), col("v").as("x"), col("rv").as("rx"))
       .join(o.select(col("u"), col("v").as("y"), col("rv").as("ry")), "u")
       .where(col("rx") < col("ry"))
