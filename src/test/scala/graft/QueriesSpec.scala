@@ -23,7 +23,8 @@ class QueriesSpec extends AnyFunSuite {
     assert((q -- o) == Set("q_knn_lsh", "q_knn_ivf", "q_knn_ivfpq",
         "q_approx_distinct", "q_mm_pipeline", "q_ngram_top_sketch",
         "q_percentile_approx", "q_tokens_bpe", "q_ngram_freq_cms",
-        "q_embed_cluster", "q_quality_filter_approx", "q_audio_pipeline"),
+        "q_embed_cluster", "q_quality_filter_approx", "q_audio_pipeline",
+        "q_classifier"),
       s"unexpected rows-only: ${q -- o}")
   }
 
