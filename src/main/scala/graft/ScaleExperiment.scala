@@ -129,7 +129,9 @@ object ScaleExperiment {
       "q_outliers|q_stream_blocklist|q_embed_cluster|q_ngram_freq_cms|" +
       "q_window_nav|q_sample_topk|q_jaccard_est|q_resample|q_listagg|" +
       "q_cohort|q_lm_score|q_mixture_temp|q_stream_neardup|" +
-      "q_range_join|q_dsir|q_pagerank|q_video").r
+      "q_range_join|q_dsir|q_pagerank|q_video|" +
+      "q_upsert|q_scd2|q_dq_audit|q_triangles|q_rand_proj|" +
+      "q_stream_distinct|q_zorder|q_classifier").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -111,17 +111,25 @@ object Classifier {
                         dim: Int = 256, iters: Int = 15,
                         lr: Double = 1.0, trainCap: Int = 4096): DataFrame = {
     val f = featurize(docs, label, group, dim)
-    val sample = f
-      .orderBy(conv(substring(md5(concat(lit("cls#"),
-          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"),
-        col("doc_id"))
-      .limit(trainCap)
+    val ord = conv(substring(md5(concat(lit("cls#"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val sample = f.orderBy(ord, col("doc_id")).limit(trainCap)
     val w = train(sample, dim, iters, lr)
-    f.withColumn("pred", (margin(w) > 0d).cast("int"))
+    // score the WHOLE corpus; report train and held-out correctness
+    // separately — train accuracy alone overstates a memorizing model,
+    // and when the corpus fits inside trainCap there simply is no
+    // held-out slice (n_docs == n_train)
+    f.join(sample.select(col("doc_id")).withColumn("__tr", lit(1)),
+        Seq("doc_id"), "left")
+      .withColumn("pred", (margin(w) > 0d).cast("int"))
+      .withColumn("ok",
+        (col("pred").cast("double") === col("y")).cast("long"))
       .groupBy("grp")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("pred").cast("long")).as("n_pred_pos"),
-        sum((col("pred").cast("double") === col("y")).cast("long"))
-          .as("n_correct"))
+        sum(col("ok")).as("n_correct"),
+        sum(when(col("__tr").isNotNull, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("__tr").isNull, col("ok")).otherwise(0L))
+          .as("n_holdout_correct"))
   }
 }

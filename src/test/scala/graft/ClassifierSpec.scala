@@ -65,13 +65,24 @@ class ClassifierSpec extends AnyFunSuite {
 
   test("seed-lexicon demo label is learned (accuracy >= 0.97) (#64e)") {
     val sums = graft.ops.Queries.qClassifier(spark, "/root/testdata/sf0.001")
-      .agg(sum("n_docs"), sum("n_correct")).head
+      .agg(sum("n_docs"), sum("n_correct"), sum("n_pred_pos")).head
     val n = sums.getLong(0)
     val acc = sums.getLong(1).toDouble / n
     // both classes present, and the majority-class baseline is beaten
-    val pos = graft.ops.Queries.qClassifier(spark, "/root/testdata/sf0.001")
-      .agg(sum("n_pred_pos")).head.getLong(0)
+    val pos = sums.getLong(2)
     assert(pos > 0 && pos < n, s"degenerate predictions: $pos of $n")
     assert(acc >= 0.97, s"train accuracy $acc")
+  }
+
+  test("held-out docs (outside the trainCap sample) generalize (#64e)") {
+    // cap the training sample below the corpus so a real held-out
+    // slice exists; the model must generalize, not memorize
+    val r = graft.ml.Classifier.trainAndSummarize(
+        docs, label, col("lang"), trainCap = 256)
+      .agg(sum("n_docs"), sum("n_train"), sum("n_holdout_correct")).head
+    val held = r.getLong(0) - r.getLong(1)
+    assert(held > 100, s"expected a real held-out slice, got $held")
+    val acc = r.getLong(2).toDouble / held
+    assert(acc >= 0.9, s"held-out accuracy $acc over $held docs")
   }
 }
