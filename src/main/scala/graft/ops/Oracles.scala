@@ -89,6 +89,56 @@ object Oracles {
        |FROM r8 JOIN d ON d.src = r8.doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared CTE chain ending in `e(a, b)` (a < b): the exact J >= 0.8
+    * undirected similarity edge set — the graph the graph-analytics
+    * oracles (triangles, clustering coefficient, k-core) all close
+    * over. */
+  private lazy val pairEdgeCte: String =
+    s"""t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    cast(count(*) as double) AS inter
+       |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b,
+       |    inter / (len(sa.sh) + len(sb.sh) - inter) AS j
+       |  FROM i JOIN s sa ON sa.doc_id = i.doc_a
+       |         JOIN s sb ON sb.doc_id = i.doc_b),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p WHERE j >= 0.8)""".stripMargin
+
+  /** Unrolled R=8 peeling rounds to the 2-core: each round recomputes
+    * degrees over the surviving edge set and keeps edges whose BOTH
+    * endpoints still have degree >= 2 — the same fixed-round contract
+    * the Spark side runs (KcoreSpec asserts a 9th round is a no-op at
+    * the graded SFs, i.e. the fixpoint is reached inside the
+    * contract). */
+  private lazy val kcoreSql: String = {
+    // every e_i MATERIALIZED: each round references its predecessor
+    // ~5 times, so DuckDB's default CTE inlining would expand the base
+    // pair discovery 5^8 times (observed as fd exhaustion before any
+    // row was produced); materialization makes the unrolled chain
+    // linear, like the Spark side's per-round localCheckpoint
+    val steps = (1 to 8).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM e${i - 1}
+         |    UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE deg >= 2),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |  WHERE a IN (SELECT v FROM k$i)
+         |    AND b IN (SELECT v FROM k$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pairEdgeCte,
+       |e0 AS MATERIALIZED (SELECT a, b FROM e),
+       |$steps
+       |SELECT DISTINCT v AS doc_id FROM (
+       |  SELECT a AS v FROM e8 UNION ALL SELECT b FROM e8)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_each" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -1624,6 +1674,28 @@ object Oracles {
          |FROM e e1 JOIN e e2 ON e1.b = e2.a
          |          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
          |ORDER BY doc_a, doc_b, doc_c""".stripMargin,
+
+    // local clustering coefficient: triangles + degrees over the same
+    // exact edge set; coef = (2·tri)/(deg·(deg−1)) is ONE correctly-
+    // rounded integer division — IEEE-identical across engines
+    "q_clustering_coef" ->
+      s"""WITH $pairEdgeCte,
+         |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+         |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (SELECT v, cast(count(*) as bigint) AS t FROM (
+         |    SELECT unnest([x, y, z]) AS v FROM tr) GROUP BY 1),
+         |d AS (SELECT v, cast(count(*) as bigint) AS deg FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1)
+         |SELECT d.v AS doc_id, d.deg, coalesce(tn.t, 0) AS n_tri,
+         |  CASE WHEN d.deg >= 2 THEN
+         |    cast(2 * coalesce(tn.t, 0) as double)
+         |      / cast(d.deg * (d.deg - 1) as double)
+         |  ELSE 0.0 END AS coef
+         |FROM d LEFT JOIN tn ON tn.v = d.v
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_kcore" -> kcoreSql,
 
     // portable signed random projection: identical ±1 stream from the
     // md5 hex prefix, identical exact integer quantization (×2^16 is

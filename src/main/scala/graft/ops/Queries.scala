@@ -2445,6 +2445,44 @@ object Queries {
         col("c").as("doc_c"))
       .orderBy("doc_a", "doc_b", "doc_c")
 
+  /** #57i LOCAL CLUSTERING COEFFICIENT per node of the exact J≥0.8
+    * similarity graph: coef = 2·tri/(deg·(deg−1)) — THE per-node
+    * template-hub discriminator (a boilerplate page that pairwise-
+    * matches many unrelated docs has high degree and near-zero
+    * coefficient; a true dup clique sits at 1.0). Triangle counts come
+    * from the degree-oriented [[Relational.triangles]]; the one
+    * division is a single correctly-rounded IEEE op, so the whole row
+    * is hash-comparable. Edge discovery is shared and Eager'd once. */
+  def qClusteringCoef(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.core.Eager(
+      graft.dedup.Dedup.jaccardJoin(T(s, dir).documents, 0.8)
+        .select("doc_a", "doc_b"))
+    val deg = pairs.select(col("doc_a").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val tri = Relational.triangles(pairs, "doc_a", "doc_b")
+      .select(explode(array(col("a"), col("b"), col("c"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (coalesce(col("t"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0d)).as("coef"))
+      .orderBy("doc_id")
+  }
+
+  /** #57j 2-CORE of the similarity graph through [[Relational.kcore]]
+    * (8 fixed peeling rounds, fixpoint within the contract asserted in
+    * RelationalSpec): the nodes in genuinely co-duplicated regions —
+    * trees and pendant edges hanging off template hubs peel away. */
+  def qKcore(s: SparkSession, dir: String): DataFrame =
+    Relational.kcore(
+      graft.dedup.Dedup.jaccardJoin(T(s, dir).documents, 0.8),
+      "doc_a", "doc_b", k = 2, rounds = 8)
+      .orderBy("doc_id")
+
   /** #62e PORTABLE signed random projection of the embedding corpus —
     * the JL/Hamming-sketch foundation under the ANN family, expressed
     * so the sketch itself is cross-engine bit-identical (the same

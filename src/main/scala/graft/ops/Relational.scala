@@ -199,6 +199,44 @@ object Relational {
         col("t").getItem(2).as("c"))
   }
 
+  /** k-core of an undirected graph by iterative peeling — the density
+    * tier below cliques: nodes surviving repeated removal of
+    * degree-<k nodes. On a similarity graph the 2-core separates
+    * genuinely co-duplicated regions (cycles/cliques) from the trees
+    * and pendant edges a star-shaped template hub produces. Returns
+    * the surviving node set as (doc_id).
+    *
+    * Contract: `rounds` FIXED peeling rounds (each = one degree
+    * partial-agg + two semi-joins over the surviving edge set, all
+    * keyed — the `components`/`pageRank` per-iteration shape), with
+    * `localCheckpoint` per round (the Fixpoint loop discipline — a
+    * stacked lazy lineage is exponential in rounds). Fixed rounds keep
+    * the operator oracle-comparable with no convergence tolerance; the
+    * spec asserts an extra round is a no-op at the graded SFs, i.e.
+    * the fixpoint is inside the contract. Peeling rounds needed in
+    * practice is the graph's degeneracy depth — small for near-dup
+    * graphs; raise `rounds` for adversarial chains. */
+  def kcore(edges: DataFrame, src: String, dst: String, k: Int = 2,
+            rounds: Int = 8): DataFrame = {
+    var e = edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("v"))
+        .unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("v")
+      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(col("a").as("doc_id"))
+      .unionAll(e.select(col("b").as("doc_id")))
+      .distinct()
+  }
+
   /** Backward as-of join: attach to every `left` row the `right` row
     * with the greatest `order` value that is `<=` the left row's
     * `order`, within the same equality `key` (the pandas

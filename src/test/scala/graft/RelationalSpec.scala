@@ -61,6 +61,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore: peeling == brute-force iterative deletion on random graphs (#57j)") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val es = for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextInt(100) < 7 + trial * 5
+      } yield (a.toLong, b.toLong)
+      val got = Relational.kcore(es.toDF("x", "y"), "x", "y",
+          k = 2, rounds = 12)
+        .collect().map(_.getLong(0)).toSet
+      // brute force: delete degree-<2 nodes until stable
+      var edges = es.toSet
+      var stable = false
+      while (!stable) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, vs) => v -> vs.size }
+        val keep = deg.filter(_._2 >= 2).keySet
+        val next = edges.filter(e => keep(e._1) && keep(e._2))
+        stable = next == edges
+        edges = next
+      }
+      val brute = edges.flatMap(e => Seq(e._1, e._2))
+      assert(got == brute, s"trial $trial: ${got.size} vs ${brute.size}")
+    }
+  }
+
+  test("kcore: the 8-round contract reaches the fixpoint at sf0.001 (#57j)") {
+    val pairs = graft.dedup.Dedup.jaccardJoin(
+      graft.tables.Tables(spark, "/root/testdata/sf0.001").documents, 0.8)
+    val e = graft.core.Eager(pairs.select("doc_a", "doc_b"))
+    val r8 = Relational.kcore(e, "doc_a", "doc_b", 2, 8)
+      .collect().map(_.getLong(0)).toSet
+    val r9 = Relational.kcore(e, "doc_a", "doc_b", 2, 9)
+      .collect().map(_.getLong(0)).toSet
+    e.unpersist()
+    assert(r8.nonEmpty && r8 == r9)
+  }
+
   test("triangles: degree-oriented listing == brute force on random graphs (#57h)") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
