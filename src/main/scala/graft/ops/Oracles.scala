@@ -1569,6 +1569,15 @@ object Oracles {
         |FROM sums GROUP BY doc_id, nf, w, h
         |ORDER BY doc_id""".stripMargin,
 
+    // incremental rollup maintenance: the oracle is the SINGLE-PASS
+    // rollup — the gate proves the sharded partial-state merge is
+    // exact (decimal aggregation state is algebraic)
+    "q_incr_rollup" ->
+      s"""SELECT cast(ts as date) AS day, event_type, $CNT AS n,
+         |  ${d4("value")} AS sv
+         |FROM events GROUP BY 1, 2
+         |ORDER BY day, event_type""".stripMargin,
+
     // z-order key: the identical 32-term interleave sum, restated by
     // ZOrder.zvalSql — pure non-negative integer bit math
     "q_zorder" -> {

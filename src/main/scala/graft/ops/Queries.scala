@@ -36,6 +36,15 @@ object Queries {
 
   case class Ord(o_orderkey: Long, o_orderpriority: String)
   case class OrdLen(o_orderkey: Long, prio_len: Long)
+  // Derived ONCE at object init (which the JVM serializes) instead of
+  // implicitly at each call site: concurrent first-use derivation
+  // races scala-reflect's runtime mirror — observed under parallel
+  // test suites as "class graft.ops.Queries.Ord in JavaMirror ...
+  // not found" (the scala/bug#12038 shape).
+  private implicit val ordEnc: org.apache.spark.sql.Encoder[Ord] =
+    org.apache.spark.sql.Encoders.product[Ord]
+  private implicit val ordLenEnc: org.apache.spark.sql.Encoder[OrdLen] =
+    org.apache.spark.sql.Encoders.product[OrdLen]
 
   // ───────────────────────── §2.1 core tube calculus ─────────────────────
 
@@ -60,13 +69,11 @@ object Queries {
       .toDF.orderBy("line_uid", "qty2", "flag")
 
   /** #4 `mapM`: effectful per-element transform via mapPartitions. */
-  def qMapM(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def qMapM(s: SparkSession, dir: String): DataFrame =
     Source(T(s, dir).orders
         .select("o_orderkey", "o_orderpriority").as[Ord])
       .mapM(o => OrdLen(o.o_orderkey, o.o_orderpriority.length.toLong))
       .toDF.orderBy("o_orderkey")
-  }
 
   /** #5 `filter`: predicate pushed into the parquet scan. */
   def qFilter(s: SparkSession, dir: String): DataFrame =
@@ -2330,6 +2337,32 @@ object Queries {
       col("lang"))
       .withColumnRenamed("grp", "lang")
       .orderBy("lang")
+
+  /** #49d INCREMENTAL rollup maintenance: the materialized-view
+    * pattern — aggregate two independently-computed partial rollups
+    * (here: disjoint user shards, so every (day, type) cell genuinely
+    * merges state from both sides) and re-aggregate, gated against the
+    * single-pass rollup of everything. The merge is EXACT because the
+    * aggregation state is decimal (count + decimal sum are algebraic:
+    * merge = add) — float partial sums would re-associate and drift,
+    * which is exactly why the repo routes money math through DECIMAL.
+    * At 100 TB this is the don't-rescan-history shape: yesterday's
+    * materialized state + today's delta, one union + one partial-agg
+    * over state-sized input. */
+  def qIncrRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+      .select(to_date(col("ts")).as("day"), col("event_type"),
+        col("user_id"), col("value"))
+    def roll(df: DataFrame): DataFrame =
+      df.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(D4)).as("svd"))
+    roll(ev.where(col("user_id") % 2 === 0))
+      .unionByName(roll(ev.where(col("user_id") % 2 === 1)))
+      .groupBy("day", "event_type")
+      .agg(sum(col("n")).as("n"),
+        sum(col("svd")).cast("double").as("sv"))
+      .orderBy("day", "event_type")
+  }
 
   /** #55h Z-ORDER clustering key over orders — (customer, order-day)
     * interleaved through [[graft.functions.ZOrder.zval]]. The KEY is
