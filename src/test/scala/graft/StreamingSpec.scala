@@ -135,6 +135,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("checkpoint restart: exactly-once across stop/restart + new files (#68)") {
+    // The fault-tolerance contract at scale: a stopped query restarted
+    // from its checkpoint must (1) not reprocess data it already
+    // committed, (2) not lose data that arrived while it was down, and
+    // (3) produce exactly the batch answer. Deterministic staging — no
+    // timing games: run over files 1–2, stop, add files 3–4, restart
+    // from the same checkpoint.
+    val stage = java.nio.file.Files.createTempDirectory("graft_rst")
+    val evDir = stage.resolve("events.parquet")
+    val ckpt = stage.resolve("ckpt").toString
+    val t = graft.tables.Tables(spark, replayDir)
+    t.events.repartition(4).write.parquet(evDir.toString)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(evDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.sortBy(_.toString)
+    assert(parts.size == 4)
+    // hold back the last two part files
+    val held = parts.drop(2).map { p =>
+      val away = stage.resolve(p.getFileName.toString)
+      java.nio.file.Files.move(p, away); away
+    }
+    def run(name: String): Long = {
+      val q = Streams.hourlyRollup(Streams.eventsStream(spark, stage.toString))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      q.processAllAvailable()
+      val rows = q.recentProgress.map(_.numInputRows).sum
+      q.stop()
+      rows
+    }
+    val firstRows = run("rst1")
+    held.foreach(p => java.nio.file.Files.move(p,
+      evDir.resolve(p.getFileName.toString)))
+    val secondRows = run("rst2")
+    val total = spark.read.parquet(evDir.toString).count()
+    // (1) no reprocessing: the restarted query read only the new files
+    assert(firstRows + secondRows == total && secondRows < total,
+      s"first=$firstRows second=$secondRows total=$total")
+    // (3) final state == batch answer over everything
+    val streamed = spark.table("rst2")
+      .select("hour", "event_type", "n", "sv")
+      .collect().map(_.toSeq).toSet
+    val batch = Streams.hourlyRollup(
+        graft.tables.Tables(spark, stage.toString).events)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("hourlyDistinctUsers replay == batch distinct counts (#76)") {
     val q = Streams.hourlyDistinctUsers(Streams.eventsStream(spark, replayDir))
       .writeStream.outputMode("complete")
