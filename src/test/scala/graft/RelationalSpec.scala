@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,6 +59,55 @@ class RelationalSpec extends AnyFunSuite {
         case Array(a, b) => assert(a._5.contains(b._4))
         case _ =>
       }
+    }
+  }
+
+  test("upsert laws: idempotent; empty changes = all-keep (#42c)") {
+    val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+    val ch = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "bal")
+    val once = Relational.upsert(base, ch, Seq("k"))
+    // applying the same changes to the merged state changes no values,
+    // only flips keep→update where the key is present in changes
+    val twice = Relational.upsert(once.drop("action"), ch, Seq("k"))
+    assert(once.drop("action").orderBy("k").collect().toSeq ==
+      twice.drop("action").orderBy("k").collect().toSeq)
+    val noop = Relational.upsert(base, ch.limit(0), Seq("k"))
+    assert(noop.where(col("action") =!= "keep").count() == 0 &&
+      noop.count() == 2)
+  }
+
+  test("scd2 reconstruction law: current versions == upsert of latest changes (#42d)") {
+    val rnd = new scala.util.Random(3)
+    val ch = (0 until 200).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, i.toLong, rnd.nextInt(4).toDouble)
+    }.toDF("k", "t", "seq", "v")
+    val current = Relational.scd2(ch, Seq("k"), Seq("t", "seq"), "v")
+      .where(col("is_current"))
+      .select(col("k"), col("v")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // independent route: last value per key under the same total order
+    val w = Window.partitionBy("k").orderBy(col("t").desc, col("seq").desc)
+    val latest = ch.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).select(col("k"), col("v")).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(current.toSeq == latest.toSeq)
+    // exactly one current version per key
+    assert(current.map(_._1).distinct.length == current.length)
+  }
+
+  test("zorder: bijective on the masked domain; per-dimension monotone (#55h)") {
+    val rnd = new scala.util.Random(5)
+    val pts = Seq.fill(4000)((rnd.nextInt(1 << 12).toLong,
+      rnd.nextInt(1 << 12).toLong)).distinct
+    val zs = pts.toDF("x", "y")
+      .withColumn("z", graft.functions.ZOrder.zval(col("x"), col("y"), 12))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+    // injective: distinct inputs → distinct keys (it's a bit interleave)
+    assert(zs.map(_._2).distinct.length == pts.length)
+    // monotone per dimension: growing x with y fixed grows z
+    zs.groupBy(_._1._2).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._1._1)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
     }
   }
 

@@ -113,6 +113,30 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("r6b graph/warehouse plans: cartesian-free; scan-speed ops shuffle-free") {
+    // graph analytics and the upsert/SCD family are all keyed joins and
+    // windows — nothing may degenerate to a cross product (q_triangles
+    // materializes intermediate frames, so its final plan reads from
+    // InMemory/checkpoint scans — asserting on the query's own plan
+    // still covers the wedge/closure joins)
+    for (q <- Seq("q_triangles", "q_clustering_coef", "q_upsert",
+                  "q_scd2", "q_dq_audit", "q_incr_rollup")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a cartesian:\n$plan")
+    }
+    // the two scan-speed maps must not shuffle before their display
+    // sort: zero Exchange hashpartitioning anywhere
+    for (q <- Seq("q_zorder", "q_rand_proj")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$q should be scan-speed (no hash shuffle):\n$plan")
+    }
+  }
+
   test("pipeline operators keep partial aggregation and no cartesian") {
     // q_split / q_pipeline_e2e are pure column math + keyed aggs: the
     // count must be map-side partial and nothing may cross-product
