@@ -1569,6 +1569,31 @@ object Oracles {
         |FROM sums GROUP BY doc_id, nf, w, h
         |ORDER BY doc_id""".stripMargin,
 
+    // systematic PPS sampling: identical seeded order, integer cumsum,
+    // midpoint positions — pure integer math on both engines
+    "q_sample_pps" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, lang,
+         |    cast(len($TOKS) as bigint) AS ntok,
+         |    ('0x' || substr(md5('pps#' || doc_id), 1, 15))
+         |      ::UBIGINT::BIGINT AS rk
+         |  FROM documents),
+         |cc AS (
+         |  SELECT doc_id, lang, ntok,
+         |    sum(ntok) OVER (PARTITION BY lang ORDER BY rk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM c),
+         |t AS (SELECT lang, max(cum) AS total FROM cc GROUP BY 1),
+         |pos AS (
+         |  SELECT lang, j, (total * (2 * j + 1)) // 20 AS p
+         |  FROM t CROSS JOIN (SELECT unnest(range(10)) AS j)),
+         |sel AS (
+         |  SELECT cc.lang, pos.j, cc.doc_id, cc.ntok
+         |  FROM cc JOIN pos ON cc.lang = pos.lang
+         |    AND pos.p > cc.cum - cc.ntok AND pos.p <= cc.cum)
+         |SELECT lang, cast(j as int) AS j, doc_id, ntok FROM sel
+         |ORDER BY lang, j""".stripMargin,
+
     // incremental rollup maintenance: the oracle is the SINGLE-PASS
     // rollup — the gate proves the sharded partial-state merge is
     // exact (decimal aggregation state is algebraic)

@@ -2338,6 +2338,46 @@ object Queries {
       .withColumnRenamed("grp", "lang")
       .orderBy("lang")
 
+  /** #56m PPS SAMPLING (probability proportional to size): K=10 docs
+    * per language, each doc's inclusion probability ∝ its token count
+    * — the eval-set construction staple (long docs carry more eval
+    * signal; uniform doc sampling under-weights them). SYSTEMATIC form
+    * so it is exactly reproducible: docs take a seeded-md5 random
+    * order per stratum ("pps#" — independent of the split/sample/
+    * mixture seed streams), the token counts cumsum over that order,
+    * and the j-th draw is the doc whose (prev, cum] interval contains
+    * the midpoint position floor(total·(2j+1)/(2K)) — all integer
+    * math, zero tolerance. A doc longer than total/K can absorb
+    * several positions (the with-replacement PPS contract — the j
+    * column keeps draws distinct). One keyed window cumsum + a
+    * broadcast of K positions per stratum (strata-sized table) probed
+    * with an equi-join on lang + range residual — the q_mixture scale
+    * shape. */
+  def qSamplePps(s: SparkSession, dir: String): DataFrame = {
+    val K = 10
+    val d = graft.dedup.Dedup
+    val rk = conv(substring(
+      md5(concat(lit("pps#"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val w = Window.partitionBy("lang").orderBy("rk", "doc_id")
+    val cum = T(s, dir).documents
+      .selectExpr("doc_id", "lang", s"${d.toksExpr} AS toks")
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).cast("long").as("ntok"), rk.as("rk"))
+      .withColumn("cum", sum("ntok").over(w))
+      .withColumn("prev", col("cum") - col("ntok"))
+    val pos = cum.groupBy("lang").agg(max("cum").as("total"))
+      .select(col("lang").as("plang"), col("total"),
+        explode(sequence(lit(0), lit(K - 1))).as("j"))
+      .select(col("plang"), col("j"),
+        expr(s"(total * (2 * j + 1)) div ${2 * K}").as("p"))
+    cum.join(broadcast(pos),
+        col("lang") === col("plang") &&
+          col("p") > col("prev") && col("p") <= col("cum"))
+      .select(col("lang"), col("j"), col("doc_id"), col("ntok"))
+      .orderBy("lang", "j")
+  }
+
   /** #49d INCREMENTAL rollup maintenance: the materialized-view
     * pattern — aggregate two independently-computed partial rollups
     * (here: disjoint user shards, so every (day, type) cell genuinely
