@@ -2338,6 +2338,16 @@ object Queries {
       .withColumnRenamed("grp", "lang")
       .orderBy("lang")
 
+  /** #64f COMPRESSION-RATIO quality signal (rows-only — zlib's byte
+    * count is a JVM artifact no SQL engine recomputes; CompressSpec
+    * gates determinism, planted separation, range): per-doc DEFLATE
+    * ratio through [[graft.text.Compress.ratios]] — the Gopher-style
+    * compressibility junk detector. Scan-speed mapPartitions with one
+    * reused Deflater; zero shuffle before the display sort. */
+  def qCompressRatio(s: SparkSession, dir: String): DataFrame =
+    graft.text.Compress.ratios(T(s, dir).documents)
+      .orderBy("doc_id")
+
   /** #56m PPS SAMPLING (probability proportional to size): K=10 docs
     * per language, each doc's inclusion probability ∝ its token count
     * — the eval-set construction staple (long docs carry more eval
