@@ -82,6 +82,24 @@ object Streams {
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(k)
 
+  /** Idempotent partitioned parquet sink via `foreachBatch` (#79) —
+    * THE production sink pattern: each micro-batch lands in its own
+    * `batch=<id>` directory with overwrite semantics, so a batch
+    * REPLAYED after a failure (Structured Streaming's at-least-once
+    * re-delivery window) rewrites the same directory with the same
+    * rows instead of appending duplicates — at-least-once delivery +
+    * idempotent write = exactly-once output, without a transactional
+    * table format. The (batchId → same input) determinism this leans
+    * on is the checkpoint's replay contract. Returns a starter so the
+    * caller picks trigger/checkpoint. */
+  def idempotentParquetSink(df: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        ()
+    }
+
   /** Stream-static enrichment: events against a broadcast dimension. */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

@@ -184,6 +184,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("foreachBatch idempotent sink: no loss, replayed batch = no dups (#79)") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_fb")
+    val evDir = stage.resolve("events.parquet")
+    graft.tables.Tables(spark, replayDir).events
+      .repartition(3).write.parquet(evDir.toString)
+    val out = stage.resolve("out").toString
+    // maxFilesPerTrigger is a SOURCE option: one part file per
+    // micro-batch, so AvailableNow produces one batch per file
+    val schema = spark.read.parquet(evDir.toString).schema
+    val streamSrc = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(evDir.toString)
+      .select("event_id", "user_id", "value")
+    val q = Streams.idempotentParquetSink(streamSrc, out)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val batchDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("batch=")).toSeq
+    assert(batchDirs.size >= 3, s"expected >=3 micro-batches: $batchDirs")
+    // no loss, no dups across all batch dirs
+    val sunk = spark.read.parquet(s"$out/batch=*")
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val src = spark.read.parquet(evDir.toString)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(sunk.sorted == src.sorted)
+    // idempotence: re-running a batch write (the failure-replay case)
+    // leaves the sink byte-identical in row content
+    val b0 = spark.read.parquet(s"$out/batch=0")
+    val schema0 = b0.schema
+    val rows0 = b0.collect() // materialize BEFORE overwriting the path
+    spark.createDataFrame(rows0.toSeq.asJava, schema0)
+      .write.mode("overwrite").parquet(s"$out/batch=0")
+    val after = spark.read.parquet(s"$out/batch=0")
+      .collect().map(_.toSeq).toSet
+    assert(rows0.map(_.toSeq).toSet == after)
+  }
+
   test("hourlyDistinctUsers replay == batch distinct counts (#76)") {
     val q = Streams.hourlyDistinctUsers(Streams.eventsStream(spark, replayDir))
       .writeStream.outputMode("complete")
