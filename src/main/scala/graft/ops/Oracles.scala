@@ -539,6 +539,56 @@ object Oracles {
         |WHERE abs(e.value - m.mean) > m.sd * 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // NULL semantics: count(col) skips nulls, GROUP BY collates NULL
+    // keys, IS NOT DISTINCT FROM matches NULL to NULL, NULLS FIRST
+    // pins the Spark ascending order
+    "q_null_semantics" ->
+      s"""WITH e AS (
+         |  SELECT CASE WHEN user_id % 3 = 0 THEN NULL
+         |           ELSE user_id % 3 END AS g,
+         |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+         |  FROM events),
+         |a AS (
+         |  SELECT g, cast(count(*) as bigint) AS n_all,
+         |    cast(count(v) as bigint) AS n_v, ${d4("v")} AS sv
+         |  FROM e GROUP BY g),
+         |d AS (SELECT CAST(NULL AS BIGINT) AS gkey, 1 AS hit
+         |  UNION ALL SELECT 1, 1)
+         |SELECT a.g, a.n_all, a.n_v, a.sv,
+         |  (d.hit IS NOT NULL) AS matched
+         |FROM a LEFT JOIN d ON d.gkey IS NOT DISTINCT FROM a.g
+         |ORDER BY g NULLS FIRST""".stripMargin,
+
+    // MAD robust outliers: identical interpolation-free order
+    // statistics (rank ceil(n/2) under total orders), fixed multiply
+    // order (mad*1.4826)*3.0
+    "q_mad_outliers" ->
+      """WITH s1 AS (
+        |  SELECT event_id, event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+        |      OVER (PARTITION BY event_type) AS med
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT *, abs(value - med) AS dev FROM s2),
+        |s4 AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dev, event_id) AS rd
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT *, max(CASE WHEN rd = (n + 1) // 2 THEN dev END)
+        |      OVER (PARTITION BY event_type) AS mad
+        |  FROM s4)
+        |SELECT event_id, event_type, value, med, mad,
+        |  round(dev / (mad * 1.4826), 6) AS z_robust
+        |FROM s5
+        |WHERE mad > 0 AND dev > mad * 1.4826 * 3.0
+        |ORDER BY event_id""".stripMargin,
+
     // range frame: seconds-granularity epoch on both sides (the repo's
     // portable duration idiom), decimal-routed sum. epoch(ts) is a
     // fractional DOUBLE in DuckDB while Spark's unix_timestamp floors to

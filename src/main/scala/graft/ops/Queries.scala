@@ -582,6 +582,69 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** #45c NULL-semantics showcase, hash-gated: the five NULL edge
+    * rules every engine pair silently disagrees on somewhere —
+    * count(*) vs count(col) (null-skipping), decimal sums over
+    * nullable columns, GROUP BY collating NULL keys into one group,
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM) matching NULL
+    * to NULL in a join, and NULL placement in ORDER BY (Spark sorts
+    * nulls FIRST ascending; the oracle must say NULLS FIRST
+    * explicitly or the row order diverges). Synthetic nulls carved
+    * deterministically from events. */
+  def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).events.select(
+      when(col("user_id") % 3 === 0, lit(null))
+        .otherwise(col("user_id") % 3).as("g"),
+      when(col("event_id") % 7 === 0, lit(null))
+        .otherwise(col("value")).as("v"))
+    val dim = s.range(1).select(lit(null).cast("long").as("gkey"))
+      .unionByName(s.range(1).select(lit(1L).as("gkey")))
+      .withColumn("hit", lit(1))
+    e.groupBy("g")
+      .agg(count(lit(1)).as("n_all"), count(col("v")).as("n_v"),
+        dsum(col("v"), D4).as("sv"))
+      .join(broadcast(dim), col("g") <=> col("gkey"), "left")
+      .select(col("g"), col("n_all"), col("n_v"), col("sv"),
+        col("hit").isNotNull.as("matched"))
+      .orderBy(col("g").asc_nulls_first)
+  }
+
+  /** #38f MAD-based ROBUST outliers — the heavy-tail-safe twin of
+    * [[qOutliers]]: 3σ breaks when the tail itself inflates σ, while
+    * the median absolute deviation is 50%-breakdown robust. Both
+    * statistics are interpolation-free ORDER STATISTICS (the
+    * q_quality_filter convention): med = value at rank ⌈n/2⌉ under the
+    * total (value, event_id) order, mad = |x−med| at rank ⌈n/2⌉ under
+    * (dev, event_id) — so every number is an exact element of the
+    * data, bit-identical across engines, and the scaled cutoff
+    * (mad·1.4826)·3.0 multiplies in one fixed order. TWO windows over
+    * ONE event_type-keyed shuffle (the second reuses the first's
+    * partitioning). */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wVal = wAll.orderBy("value", "event_id")
+    val stage1 = T(s, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("med", max(when(
+        col("rn") === expr("(n + 1) div 2"), col("value")))
+        .over(wAll))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val wDev = wAll.orderBy("dev", "event_id")
+    stage1
+      .withColumn("rd", row_number().over(wDev))
+      .withColumn("mad", max(when(
+        col("rd") === expr("(n + 1) div 2"), col("dev")))
+        .over(wAll))
+      .where(col("mad") > 0 &&
+        col("dev") > col("mad") * 1.4826 * 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med"), col("mad"),
+        round(col("dev") / (col("mad") * 1.4826), 6).as("z_robust"))
+      .orderBy("event_id")
+  }
+
   /** #48b time-RANGE window frame: per-user count and exact sum of
     * events in the PRECEDING HOUR of each event — the range frame is a
     * distinct window capability from the rows frames elsewhere (frame
