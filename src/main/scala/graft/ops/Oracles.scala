@@ -539,6 +539,24 @@ object Oracles {
         |WHERE abs(e.value - m.mean) > m.sd * 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // TWAP: decimal x integer-second mass, one final double division
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    cast(floor(epoch(ts)) as bigint) AS tsec, value
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, value,
+        |    lead(tsec) OVER (PARTITION BY user_id
+        |      ORDER BY tsec, event_id) - tsec AS dt
+        |  FROM e)
+        |SELECT user_id, cast(count(*) as bigint) AS n_obs,
+        |  cast(sum(dt) as bigint) AS total_dt,
+        |  cast(sum(cast(value AS DECIMAL(18,4)) * dt) as double)
+        |    / cast(sum(dt) as double) AS twap
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // NULL semantics: count(col) skips nulls, GROUP BY collates NULL
     // keys, IS NOT DISTINCT FROM matches NULL to NULL, NULLS FIRST
     // pins the Spark ascending order

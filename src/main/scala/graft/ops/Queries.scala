@@ -582,6 +582,31 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** #53c TIME-WEIGHTED average (TWAP) per user — the finance/sensor
+    * aggregation where sampling is irregular: each observation is
+    * weighted by how long it was current (lead(ts) − ts; the open-
+    * ended last observation carries no weight — the step-function
+    * convention). Weighted mass accumulates as DECIMAL(18,4) × whole-
+    * second integers (exact, order-insensitive); the single final
+    * double division is correctly rounded. One user-keyed window +
+    * partial agg. */
+  def qTwap(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+    T(s, dir).events
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("value"))
+      .withColumn("dt", lead(col("tsec"), 1).over(w) - col("tsec"))
+      .where(col("dt").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("dt")).as("total_dt"),
+        sum(col("value").cast(D4) * col("dt")).as("wsum"))
+      .select(col("user_id"), col("n_obs"), col("total_dt"),
+        (col("wsum").cast("double") / col("total_dt").cast("double"))
+          .as("twap"))
+      .orderBy("user_id")
+  }
+
   /** #45c NULL-semantics showcase, hash-gated: the five NULL edge
     * rules every engine pair silently disagrees on somewhere —
     * count(*) vs count(col) (null-skipping), decimal sums over
