@@ -539,6 +539,17 @@ object Oracles {
         |WHERE abs(e.value - m.mean) > m.sd * 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // edit-distance join: brute all-pairs levenshtein over the same
+    // distinct-value domain — the prefilter's completeness is what the
+    // hash gate checks
+    "q_edit_join" ->
+      """WITH p AS (SELECT DISTINCT p_name AS s FROM part)
+        |SELECT a.s AS name_a, b.s AS name_b,
+        |  cast(levenshtein(a.s, b.s) as bigint) AS d
+        |FROM p a JOIN p b
+        |  ON a.s < b.s AND levenshtein(a.s, b.s) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
     // TWAP: decimal x integer-second mass, one final double division
     "q_twap" ->
       """WITH e AS (

@@ -582,6 +582,19 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** #57k EDIT-DISTANCE similarity join over part names through
+    * [[Relational.editDistanceJoin]] — field-level near-dup (entity
+    * resolution), where the shingle/Jaccard family is blind to
+    * character typos. Candidates from the Ed-Join length + q-gram
+    * prefilter, exact `levenshtein ≤ 2` verify (both engines implement
+    * the identical DP distance — no tolerance band); the oracle is the
+    * brute all-pairs form over the same distinct-value domain, so the
+    * prefilter's completeness is hash-verified. */
+  def qEditJoin(s: SparkSession, dir: String): DataFrame =
+    Relational.editDistanceJoin(T(s, dir).part, "p_name", k = 2)
+      .select(col("a").as("name_a"), col("b").as("name_b"), col("d"))
+      .orderBy("name_a", "name_b")
+
   /** #53c TIME-WEIGHTED average (TWAP) per user — the finance/sensor
     * aggregation where sampling is irregular: each observation is
     * weighted by how long it was current (lead(ts) − ts; the open-

@@ -199,6 +199,56 @@ object Relational {
         col("t").getItem(2).as("c"))
   }
 
+  /** Edit-distance similarity join (entity-resolution primitive): all
+    * distinct-value pairs of `field` within Levenshtein distance `k`
+    * — near-dup at the FIELD level (product names, addresses, author
+    * strings), where the set-based Jaccard family is blind to
+    * character-level typos.
+    *
+    * The Ed-Join shape: a candidate pair must (a) differ in length by
+    * at most `k` (length pruning) and (b) share at least one
+    * character q-gram — complete for strings of length ≥ q·(k+1),
+    * since k edits destroy at most k·q of the (len−q+1) grams.
+    * Shorter strings can evade the gram filter, so they route to a
+    * broadcast bucket verified against everything (tiny by contract —
+    * documented, not assumed: the spec's random corpus exercises it).
+    * Exact `levenshtein` verifies candidates; both engines implement
+    * the same classic DP distance, so results hash-compare with no
+    * tolerance.
+    *
+    * Scale: the gram join shuffles on the q-gram key (posting lists,
+    * the inverted-index shape); a hot gram's fanout is bounded by its
+    * posting length like any similarity join — cap df or raise q for
+    * adversarial corpora. Distinct-values first: the join runs on the
+    * VALUE domain, not the row count. */
+  def editDistanceJoin(df: DataFrame, field: String, k: Int,
+                       q: Int = 2): DataFrame = {
+    val names = graft.core.Eager(
+      df.select(col(field).as("s")).where(col("s").isNotNull).distinct())
+    val minLen = q * (k + 1)
+    val long = names.where(length(col("s")) >= minLen)
+    val short = names.where(length(col("s")) < minLen)
+    val grams = long.select(col("s"),
+        explode(expr(
+          s"transform(sequence(1, length(s) - ${q - 1}), " +
+            s"i -> substring(s, i, $q))")).as("g"))
+      .distinct()
+    val candLong = grams.select(col("g"), col("s").as("a"))
+      .join(grams.select(col("g"), col("s").as("b")), "g")
+      .where(col("a") < col("b") &&
+        abs(length(col("a")) - length(col("b"))) <= k)
+      .select("a", "b").distinct()
+    val candShort = short.select(col("s").as("a"))
+      .crossJoin(broadcast(names.select(col("s").as("b"))))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") < col("b")).distinct()
+    candLong.unionByName(candShort)
+      .withColumn("d", levenshtein(col("a"), col("b")))
+      .where(col("d") <= k)
+      .select(col("a"), col("b"), col("d").cast("long").as("d"))
+  }
+
   /** k-core of an undirected graph by iterative peeling — the density
     * tier below cliques: nodes surviving repeated removal of
     * degree-<k nodes. On a similarity graph the 2-core separates

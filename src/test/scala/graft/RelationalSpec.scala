@@ -62,6 +62,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("editDistanceJoin == brute force incl. short strings (#57k)") {
+    val rnd = new scala.util.Random(23)
+    val alpha = "abcde"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // lengths 1..10: strings below q*(k+1)=6 exercise the brute bucket
+    val vals = (0 until 120).map(_ => randStr(1 + rnd.nextInt(10))).distinct
+    val got = Relational.editDistanceJoin(vals.toDF("v"), "v", k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val brute = (for {
+      a <- vals; b <- vals if a < b
+      d = lev(a, b) if d <= 2
+    } yield (a, b, d.toLong)).toSet
+    assert(got == brute, s"${got.size} vs ${brute.size}")
+  }
+
   test("upsert laws: idempotent; empty changes = all-keep (#42c)") {
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
     val ch = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "bal")
