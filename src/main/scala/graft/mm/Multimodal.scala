@@ -128,6 +128,71 @@ object Multimodal {
       .toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** Perceptual dHash (#67f) over the REAL decode — the LAION-style
+    * image-dedup primitive: integer grayscale → 9×8 block-mean
+    * downsample → 64 horizontal-gradient bits packed into one BIGINT.
+    * Every step is integer math on exactly-recoverable pixels (PNG is
+    * lossless), so the hash is bit-reproducible from the closed-form
+    * content and the SQL oracle recomputes it without any codec —
+    * the decode→downsample→hash path gets a full hash gate, unlike
+    * float perceptual hashes (pHash's DCT) which carry engine drift.
+    *
+    * Conventions pinned for cross-engine equality: gray =
+    * (299r + 587g + 114b) div 1000; block (i,j) covers
+    * x ∈ [iw div 9, (i+1)w div 9) × y ∈ [jh div 8, (j+1)h div 8)
+    * (floor boundaries); mean = sum div area; bit j·8+i set iff
+    * mean(i,j) > mean(i+1,j). Bit 63 makes the value negative in
+    * two's complement — identically in both engines, and a sum of
+    * DISTINCT bit values cannot overflow en route (positives total
+    * < 2^63; the sign bit only moves the total back down). */
+  def dhashImage(packed: DataFrame): DataFrame = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    packed.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodeRgb(bytes)
+          def gray(x: Int, y: Int): Long = {
+            val p = px(y * w + x)
+            (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)) / 1000L
+          }
+          val m = Array.ofDim[Long](9, 8)
+          var i = 0
+          while (i < 9) {
+            val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+            var j = 0
+            while (j < 8) {
+              val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+              var s = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) { s += gray(x, y); x += 1 }
+                y += 1
+              }
+              m(i)(j) = s / ((x1 - x0).toLong * (y1 - y0))
+              j += 1
+            }
+            i += 1
+          }
+          var hash = 0L
+          var j = 0
+          while (j < 8) {
+            i = 0
+            while (i < 8) {
+              if (m(i)(j) > m(i + 1)(j)) hash |= (1L << (j * 8 + i))
+              i += 1
+            }
+            j += 1
+          }
+          (id, w.toLong, h.toLong, hash)
+        }
+      }
+      .toDF("doc_id", "width", "height", "dhash")
+  }
+
   /** Feature extraction over DECODED pixels: normalized luminance
     * histogram folded to `dim` buckets — the output schema
     * (array<float>[dim], L1 = 1) is exactly what graft.sim consumes. */

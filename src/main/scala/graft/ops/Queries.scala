@@ -582,6 +582,20 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** #67f PERCEPTUAL image hash (dHash) over the REAL PNG decode — the
+    * LAION-style image-dedup primitive, hash-gated end to end: decode
+    * → integer grayscale → 9×8 block-mean downsample → 64
+    * horizontal-gradient bits in one BIGINT. PNG is lossless and every
+    * step is pinned integer math, so the DuckDB oracle recomputes the
+    * identical hash from the closed-form pixel content without any
+    * codec — the whole decode→downsample→hash path is verified, which
+    * float perceptual hashes (DCT pHash) cannot offer. */
+  def qImageDhash(s: SparkSession, dir: String): DataFrame =
+    graft.mm.Multimodal.dhashImage(
+      graft.mm.Multimodal.packImage(
+        T(s, dir).documents.repartition(col("doc_id"))))
+      .orderBy("doc_id")
+
   /** #57k EDIT-DISTANCE similarity join over part names through
     * [[Relational.editDistanceJoin]] — field-level near-dup (entity
     * resolution), where the shingle/Jaccard family is blind to

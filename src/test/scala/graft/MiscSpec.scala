@@ -117,6 +117,17 @@ class MiscSpec extends AnyFunSuite {
     assert(frames.count(_.getLong(0) == 1L) == 2)
   }
 
+  test("dhash: identical content hashes equal; different content differs (#67f)") {
+    import spark.implicits._
+    // 35893 = 13·11·251, so doc 35893 has the same (w, h, seed) triple
+    // as doc 0 — a true perceptual duplicate across different doc_ids
+    val docs = Seq(0L, 35893L, 7L).toDF("doc_id")
+    val h = Multimodal.dhashImage(Multimodal.packImage(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(h(0L) == h(35893L), "perceptual duplicates must collide")
+    assert(h(0L) != h(7L), "different content should not collide")
+  }
+
   test("multimodal: real PNG codec roundtrip decodes exactly (#67)") {
     import spark.implicits._
     val docs = Seq(0L, 7L, 123L, 250L, 251L).toDF("doc_id")
