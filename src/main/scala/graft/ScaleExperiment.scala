@@ -133,7 +133,8 @@ object ScaleExperiment {
       "q_upsert|q_scd2|q_dq_audit|q_triangles|q_rand_proj|" +
       "q_stream_distinct|q_zorder|q_classifier|" +
       "q_clustering_coef|q_kcore|q_incr_rollup|" +
-      "q_sample_pps|q_compress_ratio").r
+      "q_sample_pps|q_compress_ratio|" +
+      "q_mad_outliers|q_null_semantics|q_twap|q_edit_join|q_image_dhash").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
