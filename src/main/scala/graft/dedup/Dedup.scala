@@ -329,6 +329,57 @@ object Dedup {
       .select("doc_a", "doc_b", "j")
   }
 
+  /** EXACT containment-similarity join — C(A→B) = |A∩B| / |A| ≥ τ over
+    * 3-gram shingle sets, the ASYMMETRIC cousin of [[jaccardJoin]] and
+    * the metric the decontamination literature actually wants: a short
+    * benchmark question fully quoted inside a long training document
+    * has tiny Jaccard (the union is dominated by |B|) but containment
+    * ≈ 1. Eval-side prefix filter, complete by the same pigeonhole as
+    * the Jaccard prefix: C ≥ τ ⇒ |A∩B| ≥ ⌈τ·|A|⌉, so A's rarest
+    * |A| − ⌈τ·|A|⌉ + 1 shingles (rarity = corpus df asc, hash asc;
+    * shingles ABSENT from the corpus rank rarest at df 0 and simply
+    * join nothing) must contain a shared one. Only the EVAL side posts
+    * prefixes — the corpus side posts everything but is equi-joined
+    * against the eval prefixes' (rare) shingle keys, so common-shingle
+    * fanout never materializes. Candidates get the exact sorted-merge
+    * intersection verify; no tolerance band anywhere, so the oracle
+    * (inverted-index exact form) matches bit-for-bit at any SF.
+    *
+    * Scale shape: one corpus df groupBy, eval ordering keyed on
+    * eval_id, candidate join keyed on (rare) shingles, verify keyed on
+    * doc ids. Eval sets are small by nature (benchmarks); corpus-side
+    * cost is one postings pass — linear. */
+  def containmentJoin(eval: DataFrame, corpus: DataFrame,
+                      tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    graft.functions.SortedIntersectCount.register(eval.sparkSession)
+    val se = graft.core.Eager(shingled(eval)
+      .select(col("doc_id").as("eval_id"),
+        expr("array_sort(transform(sh, s -> xxhash64(s)))").as("she")))
+    val sc = graft.core.Eager(shingled(corpus).select(col("doc_id"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shc")))
+    val postC = sc.select(col("doc_id"), explode(col("shc")).as("g"))
+    val dfTab = postC.groupBy("g").agg(count(lit(1)).as("df"))
+    val postE = se.select(col("eval_id"), explode(col("she")).as("g"))
+    val ordered = postE.join(dfTab, Seq("g"), "left")
+      .na.fill(0L, Seq("df"))
+      .groupBy("eval_id")
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
+        s => s.getField("g")).as("ord"))
+    val pref = ordered.select(col("eval_id"),
+      explode(slice(col("ord"), lit(1),
+        (size(col("ord")) - ceil(size(col("ord")) * tau) + 1).cast("int")))
+        .as("g"))
+    val cands = pref.join(postC, "g")
+      .select("eval_id", "doc_id").dropDuplicates("eval_id", "doc_id")
+    cands.join(se, "eval_id").join(sc, "doc_id")
+      .withColumn("containment",
+        expr("sorted_intersect_count(she, shc)").cast("double") /
+          size(col("she")).cast("double"))
+      .where(col("containment") >= tau)
+      .select("eval_id", "doc_id", "containment")
+  }
+
   /** EXACT substring dedup — the ExactSubstr operator of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"
     * (arXiv:2107.06499): remove every token span that also occurs in

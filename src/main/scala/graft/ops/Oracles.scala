@@ -30,6 +30,41 @@ object Oracles {
   private def xsum(e: String) = s"cast(sum($e) AS double)"
   private val CNT = "cast(count(*) as bigint)"
 
+  /** BM25 oracle (q_bm25): per-term scores share one template so the
+    * operation order provably matches the Spark side's. */
+  private lazy val bm25Sql: String = {
+    val terms = Seq("spark", "window", "merge")
+    def term(i: Int): String =
+      s"""((((cast(n_docs AS double) - cast(df$i AS double)) + 0.5)
+         |      / (cast(df$i AS double) + 0.5))
+         |   * ((cast(tf$i AS double) * 2.2)
+         |      / (cast(tf$i AS double) + 1.2 * (0.25
+         |         + (0.75 * cast(dl AS double))
+         |           / (cast(sum_dl AS double) / cast(n_docs AS double))))))"""
+        .stripMargin
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"cast(len(list_filter(toks, x -> x = '$t')) as bigint) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"cast(count(*) FILTER (WHERE tf$i > 0) as bigint) AS df$i")
+      .mkString(",\n    ")
+    s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |b AS (SELECT doc_id, cast(len(toks) as bigint) AS dl,
+       |    $tfCols
+       |  FROM t),
+       |st AS (SELECT cast(count(*) as bigint) AS n_docs,
+       |    cast(sum(dl) as bigint) AS sum_dl,
+       |    $dfCols
+       |  FROM b)
+       |SELECT doc_id, cast(tf0 + tf1 + tf2 as bigint) AS n_hits,
+       |  ((${term(0)}
+       |   + ${term(1)})
+       |   + ${term(2)}) AS score
+       |FROM b, st
+       |WHERE tf0 + tf1 + tf2 > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The exact J >= 0.8 pair set over documents, shared verbatim by
     * q_dedup_minhash (banded-LSH discovery, lossless on this data) and
     * q_jaccard_join (prefix-filtered exact join, complete by theorem). */
@@ -264,6 +299,16 @@ object Oracles {
     "q_sink_roundtrip" ->
       s"""SELECT $CNT AS n, ${d2("o_totalprice")} AS total
          |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    // partitioned layout round trip: the oracle reads the SOURCE table
+    // with the same predicate — equality proves the partitionBy write +
+    // pruned read is lossless (the pruning itself is a ScaleSpec plan
+    // assertion)
+    "q_partition_prune" ->
+      """SELECT lang, source, cast(count(*) as bigint) AS n_docs,
+        |  cast(sum(n_chars) as bigint) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
     "q_route" ->
       s"""SELECT CASE WHEN event_type IN ('click','view') THEN 'engagement'
@@ -656,6 +701,59 @@ object Oracles {
         |WHERE mad > 0 AND dev > mad * 1.4826 * 3.0
         |ORDER BY event_id""".stripMargin,
 
+    // HOF kernel: the RELATIONAL route to qHof's array-lambda numbers —
+    // window ranks + a rank-reversal self-join instead of
+    // transform/zip_with/aggregate. Decimal throughout, so both plans
+    // land on bit-equal doubles.
+    "q_hof" ->
+      """WITH e AS (
+        |  SELECT user_id, cast(value AS DECIMAL(18,4)) AS v,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |base AS (
+        |  SELECT user_id, cast(max(n) as bigint) AS n,
+        |    cast(sum(v * 2) as double) AS sum_doubled,
+        |    cast(count(*) FILTER (WHERE v > 500) as bigint) AS n_big
+        |  FROM e GROUP BY user_id),
+        |dot AS (
+        |  SELECT a.user_id, cast(sum(a.v * b.v) as double) AS dot_rev
+        |  FROM e a JOIN e b
+        |    ON b.user_id = a.user_id AND b.rn = a.n + 1 - a.rn
+        |  GROUP BY a.user_id)
+        |SELECT base.user_id AS user_id, n, sum_doubled, n_big, dot_rev
+        |FROM base JOIN dot ON dot.user_id = base.user_id
+        |ORDER BY base.user_id""".stripMargin,
+
+    // EWMA: list_reduce seeds from the FIRST element — exactly qEwma's
+    // aggregate(slice(vals,2,n-1), vals[1], ...) — and both engines
+    // fold the same doubles in the same order through correctly-rounded
+    // IEEE ops, so the unrounded doubles hash bit-equal.
+    "q_ewma" ->
+      """WITH e AS (
+        |  SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, cast(len(vals) as bigint) AS n_obs,
+        |  vals[-1] AS last_v,
+        |  list_reduce(vals,
+        |    (acc, x) -> acc + (x - acc) * cast(0.25 AS double)) AS ewma
+        |FROM e ORDER BY user_id""".stripMargin,
+
+    // cumulative distinct: first-seen-day per (type, user), daily
+    // newcomers, running sum — the set-free identity on both sides
+    "q_window_distinct" ->
+      """WITH fs AS (
+        |  SELECT event_type, user_id, min(cast(ts AS date)) AS day
+        |  FROM events GROUP BY event_type, user_id),
+        |d AS (
+        |  SELECT event_type, day, cast(count(*) as bigint) AS n_new
+        |  FROM fs GROUP BY event_type, day)
+        |SELECT event_type, day, n_new,
+        |  cast(sum(n_new) OVER (PARTITION BY event_type ORDER BY day)
+        |    as bigint) AS cum_distinct
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
     // range frame: seconds-granularity epoch on both sides (the repo's
     // portable duration idiom), decimal-routed sum. epoch(ts) is a
     // fractional DOUBLE in DuckDB while Spark's unix_timestamp floors to
@@ -966,6 +1064,12 @@ object Oracles {
          |  FROM (SELECT doc_id, lang, text, $TOKS AS toks FROM documents) t) x
          |ORDER BY doc_id""".stripMargin,
 
+    // BM25 with the log-free RSJ odds idf: the identical parse tree as
+    // the Spark side (same parenthesization down to the term-sum
+    // association), all ops correctly-rounded IEEE double arithmetic
+    // on exact integer inputs — unrounded doubles hash bit-equal
+    "q_bm25" -> bm25Sql,
+
     // tf/df division: both operands are small exact integers and both
     // engines' double division is correctly rounded, so scores and
     // ranks are bit-identical (the log-idf form would not be)
@@ -1195,6 +1299,29 @@ object Oracles {
          |  coalesce(h.n_hit, 0) = 0 AS kept
          |FROM g LEFT JOIN h ON g.doc_id = h.doc_id
          |WHERE g.source <> 'src0' ORDER BY g.doc_id""".stripMargin,
+
+    // exact containment C(eval→train) = |A∩B|/|A| >= 0.6 via the
+    // inverted-index form (unnest → postings equi-join → shared count);
+    // the Spark prefix filter is complete by pigeonhole, so the sets
+    // match exactly — same division form both sides (inter/|A| as
+    // double >= 0.6), no boundary-rounding asymmetry
+    "q_containment" ->
+      s"""WITH t AS (SELECT doc_id, source, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, source, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |ev AS (SELECT doc_id AS eval_id, sh FROM s WHERE source = 'src0'),
+         |cp AS (SELECT doc_id, sh FROM s WHERE source <> 'src0'),
+         |ue AS (SELECT eval_id, unnest(sh) AS g FROM ev),
+         |uc AS (SELECT doc_id, unnest(sh) AS g FROM cp),
+         |i AS (SELECT eval_id, doc_id, cast(count(*) as double) AS inter
+         |  FROM ue JOIN uc USING (g) GROUP BY 1, 2)
+         |SELECT i.eval_id AS eval_id, i.doc_id AS doc_id,
+         |  i.inter / cast(len(ev.sh) as double) AS containment
+         |FROM i JOIN ev ON ev.eval_id = i.eval_id
+         |WHERE i.inter / cast(len(ev.sh) as double) >= 0.6
+         |ORDER BY eval_id, doc_id""".stripMargin,
 
     // the bloom sketch is a pure pre-pruning optimization (no false
     // negatives; positives re-verified by the exact anti join), so the

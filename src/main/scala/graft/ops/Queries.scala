@@ -219,6 +219,33 @@ object Queries {
       dsum(col("o_totalprice")).as("total"))
   }
 
+  /** #24b HIVE-PARTITIONED layout round trip + PARTITION PRUNING — the
+    * first physical-design decision of any 100 TB lake: write the
+    * corpus `partitionBy(lang)`, read it back with a partition-column
+    * predicate, and the scan must touch ONLY the matching directories
+    * (PartitionFilters in the FileSourceScan — asserted in ScaleSpec —
+    * not a post-scan data filter; at 100 TB this is the difference
+    * between reading 2 languages and reading all 20). The oracle
+    * computes the same rollup straight off the source table with a
+    * WHERE — result equality proves the layout round-trips losslessly,
+    * the plan assertion proves it prunes. */
+  def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_part").resolve("docs").toString
+    T(s, dir).documents.write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    partitionPruneRead(s, out)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+
+  /** The pruned read behind [[qPartitionPrune]] (shared with the
+    * ScaleSpec plan assertion): partition-column predicate over a
+    * lang-partitioned layout. */
+  def partitionPruneRead(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).where(col("lang").isin("en", "de"))
+
   /** #27 Decidable routing: rows split by predicate into two sinks, then
     * both routes summarized. */
   def qRoute(s: SparkSession, dir: String): DataFrame = {
@@ -695,6 +722,82 @@ object Queries {
         col("med"), col("mad"),
         round(col("dev") / (col("mad") * 1.4826), 6).as("z_robust"))
       .orderBy("event_id")
+  }
+
+  /** #52c HIGHER-ORDER array-function kernel (transform / filter /
+    * aggregate / zip_with / slice / reverse — the codegen'd lambda
+    * surface), hash-gated through a DELIBERATELY different oracle
+    * route: Spark folds per-user ordered value arrays with array
+    * lambdas, while the DuckDB oracle computes the identical numbers
+    * relationally (window ranks + a rank-reversal self-join). Same
+    * math down two independent plans is a stronger gate than
+    * transliterating the lambdas. All accumulation is DECIMAL (exact,
+    * order-pinned by the array_sort total order on (ts, event_id)), so
+    * the hash compares bit-equal doubles. Scale shape: one user-keyed
+    * shuffle; array length = one user's events (the same per-key bound
+    * every collect-based op in the repo documents). */
+  def qHof(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value").cast(D4).as("v")))).as("evs"))
+      .withColumn("vals", expr("transform(evs, e -> e.v)"))
+      .select(col("user_id"),
+        size(col("vals")).cast("long").as("n"),
+        expr("""aggregate(vals, cast(0 AS decimal(38,4)),
+                (acc, x) -> cast(acc + x * 2 AS decimal(38,4)))""")
+          .cast("double").as("sum_doubled"),
+        expr("size(filter(vals, x -> x > 500))").cast("long").as("n_big"),
+        expr("""aggregate(
+                  zip_with(vals, reverse(vals), (a, b) -> a * b),
+                  cast(0 AS decimal(38,8)),
+                  (acc, x) -> cast(acc + x AS decimal(38,8)))""")
+          .cast("double").as("dot_rev"))
+      .orderBy("user_id")
+
+  /** #53d EWMA (exponentially weighted moving average) per user — the
+    * classic IIR smoother y_n = y_{n−1} + (x_n − y_{n−1})·α, which no
+    * window frame expresses (every output depends on the whole
+    * prefix). Re-expressed as a LEFT FOLD over the user's ordered
+    * value array (adjust=False, y_1 = x_1, α = 0.25). Bit-portability
+    * without decimals: both engines fold the SAME doubles in the SAME
+    * order through correctly-rounded IEEE ops (+, −, ×), so the
+    * result is bit-identical with no tolerance band — the q_twap
+    * convention extended to order-SENSITIVE float math. The oracle's
+    * `list_reduce` seeds from the first element exactly like the
+    * Spark `aggregate(slice(…, 2, n−1), vals[1], …)` spelling. EWMA is
+    * sequential per key BY DEFINITION; the fold is the honest shape,
+    * parallel across users (one keyed shuffle), linear within. */
+  def qEwma(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("value").as("v")))).as("evs"))
+      .withColumn("vals", expr("transform(evs, e -> e.v)"))
+      .select(col("user_id"),
+        size(col("vals")).cast("long").as("n_obs"),
+        element_at(col("vals"), -1).as("last_v"),
+        expr("""aggregate(slice(vals, 2, size(vals) - 1),
+                element_at(vals, 1),
+                (acc, x) -> acc + (x - acc) * 0.25D)""").as("ewma"))
+      .orderBy("user_id")
+
+  /** #47d CUMULATIVE DISTINCT count — "distinct users ever seen per
+    * event_type, day by day". COUNT(DISTINCT) OVER a running frame
+    * doesn't exist in either engine (and a naive set-carrying state
+    * would be O(users) per row); the scalable identity is
+    * first-seen-day per (type, user) → daily newcomer counts → running
+    * sum. Two partial-agg shuffles + one tiny keyed window over
+    * (type, day) rows — state is a counter, never a set. */
+  def qWindowDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = T(s, dir).events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(min(to_date(col("ts"))).as("day"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    firstSeen.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_distinct", sum(col("n_new")).over(w))
+      .orderBy("event_type", "day")
   }
 
   /** #48b time-RANGE window frame: per-user count and exact sum of
@@ -1210,6 +1313,54 @@ object Queries {
       .where(col("rank") <= 3)
       .select("doc_id", "term", "tf", "df", "score", "rank")
       .orderBy("doc_id", "rank")
+  }
+
+  /** #65i BM25 full-text relevance scoring (Robertson–Spärck Jones,
+    * k1 = 1.2, b = 0.75) for a fixed 3-term query, hash-gated with NO
+    * tolerance band via the repo's log-free idf convention
+    * (q_distinctive_terms, q_collocations): idf_t = (N − df_t + 0.5) /
+    * (df_t + 0.5) — the raw RSJ odds WITHOUT the log, a strictly
+    * monotone transform, so per-term score ORDER is preserved while
+    * every operation stays a correctly-rounded IEEE +,−,×,÷ on exact
+    * integer inputs — bit-identical in any engine, which libm's log is
+    * not. Both sides evaluate the identical parse tree (parenthesized
+    * the same down to the term-sum association), so the unrounded
+    * doubles hash equal. Shape: one scan computes (dl, tf_t) per doc;
+    * one 1-row stats agg (N, Σdl, df_t) broadcast back — the
+    * scalar-subquery shape; scoring is then scan-speed column math.
+    * Every doc with ≥1 hit is emitted in doc_id order — no float-
+    * ordered top-k cut, so near-tie ranking can't destabilize the
+    * gate (consumers sort by score downstream at whatever k). */
+  def qBm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("spark", "window", "merge")
+    val d = graft.dedup.Dedup
+    val base = T(s, dir).documents
+      .selectExpr("doc_id", s"${d.toksExpr} AS toks")
+      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          expr(s"size(filter(toks, x -> x = '$t'))").cast("long")
+            .as(s"tf$i") }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
+    def termScore(i: Int): Column = {
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val n = col("n_docs").cast("double")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      (((n - df) + lit(0.5)) / (df + lit(0.5))) *
+        ((tf * lit(2.2)) /
+          (tf + lit(1.2) *
+            (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl)))
+    }
+    base.crossJoin(broadcast(stats))
+      .where(col("tf0") + col("tf1") + col("tf2") > 0)
+      .select(col("doc_id"),
+        (col("tf0") + col("tf1") + col("tf2")).as("n_hits"),
+        ((termScore(0) + termScore(1)) + termScore(2)).as("score"))
+      .orderBy("doc_id")
   }
 
   /** #64 quality scoring — features derive from a shared `toks` column.
@@ -1870,6 +2021,23 @@ object Queries {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         (coalesce(col("n_hit"), lit(0L)) === 0).as("kept"))
       .orderBy("doc_id")
+  }
+
+  /** #56k EXACT containment decontamination
+    * ([[graft.dedup.Dedup.containmentJoin]]): every (eval, train) pair
+    * where ≥ 60% of the eval doc's 3-gram shingles appear in the train
+    * doc — the asymmetric-overlap metric the decontam literature wants
+    * (a benchmark question quoted inside a long page has tiny Jaccard
+    * but containment ≈ 1, invisible to q_decontam's max-J). Eval-side
+    * prefix filter, complete by pigeonhole; oracle is the
+    * inverted-index exact form — bit-equal, no recall exposure. */
+  def qContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    graft.dedup.Dedup.containmentJoin(
+      docs.where(col("source") === "src0").select("doc_id", "text"),
+      docs.where(col("source") =!= "src0").select("doc_id", "text"),
+      tau = 0.6)
+      .orderBy("eval_id", "doc_id")
   }
 
   /** #56g content-hash BLOCKLIST removal with bloom pre-pruning: drop

@@ -334,4 +334,26 @@ class ScaleSpec extends AnyFunSuite {
     // z-clustered: only the Morton cells whose y-band meets [0, 256)
     assert(needZ <= 6, s"z layout should prune most files, needed $needZ")
   }
+
+  test("hive-partitioned read prunes at the PARTITION level (q_partition_prune)") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_ppr").resolve("docs").toString
+    graft.tables.Tables(spark, sf).documents.write
+      .partitionBy("lang").parquet(out)
+    val read = graft.ops.Queries.partitionPruneRead(spark, out)
+    val plan = read.queryExecution.executedPlan.toString
+    // the lang predicate must be a PartitionFilter on the scan (directory
+    // pruning), never a post-scan data filter
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition filters on lang in:\n$plan")
+    assert(plan.contains("DataFilters: []") &&
+      plan.contains("PushedFilters: []"),
+      s"lang leaked into data filters:\n$plan")
+    // and the scan must actually touch only the en/de directories
+    val files = read.select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(f => f.contains("lang=en") || f.contains("lang=de")),
+      s"scan read non-matching partitions: ${files.mkString(", ")}")
+  }
 }
