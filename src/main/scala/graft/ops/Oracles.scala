@@ -1728,6 +1728,27 @@ object Oracles {
          |WHERE v.event_type = 'view'
          |GROUP BY 1 ORDER BY hour""".stripMargin,
 
+    // FULL OUTER interval join: both unmatched sides, hour keyed on
+    // coalesce(v_ts, p_ts) like the Spark twin
+    "q_stream_join_full" ->
+      s"""WITH v AS (SELECT user_id AS v_user, ts AS v_ts,
+         |    event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (SELECT user_id AS p_user, ts AS p_ts,
+         |    event_id AS purchase_id, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT v_ts, p_ts, view_id, purchase_id, value
+         |  FROM v FULL JOIN p ON v_user = p_user
+         |    AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTE)
+         |SELECT date_trunc('hour', coalesce(v_ts, p_ts)) AS hour,
+         |  $CNT AS n_rows,
+         |  cast(sum(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END)
+         |    as bigint) AS n_unmatched_views,
+         |  cast(sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END)
+         |    as bigint) AS n_unmatched_purchases,
+         |  ${d4("value")} AS sv
+         |FROM j GROUP BY 1 ORDER BY hour""".stripMargin,
+
     // every event belongs to the two 1h windows starting at its
     // half-hour truncation and 30 minutes before it (epoch-aligned,
     // mirroring Spark's window(ts, '1 hour', '30 minutes'))

@@ -1121,6 +1121,30 @@ object Queries {
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
 
+  /** #55i MERGEABLE distinct-count sketches — the Datasketches HLL
+    * pre-aggregation pattern that makes "distinct users" tractable at
+    * 100 TB: build one `hll_sketch_agg` sketch PER STRATUM (a partial-
+    * agg shuffle whose state is a ~KB sketch, not a user set), persist/
+    * reuse those, and answer the GLOBAL question by `hll_union_agg`
+    * over the per-stratum sketches — no second pass over the raw data.
+    * Distinct counts don't add (strata share users), which is exactly
+    * why the mergeable-sketch identity matters: union-of-sketches ==
+    * sketch-of-union, asserted in QueriesSpec against the direct
+    * whole-table sketch, with the ±5% accuracy bound vs exact counts.
+    * Rows-only by design (DuckDB's approx_count_distinct is a
+    * different estimator). */
+  def qHllMerge(s: SparkSession, dir: String): DataFrame = {
+    val perType = graft.core.Eager(T(s, dir).events
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk")))
+    perType
+      .select(col("event_type"), hll_sketch_estimate(col("sk")).as("est_users"))
+      .unionByName(perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        .select(lit("__all__").as("event_type"), col("est_users")))
+      .orderBy("event_type")
+  }
+
   /** #51b pivot: per-day event counts spread into one column per event
     * type (explicit value list ⇒ deterministic schema; Catalyst rewrites
     * to the same conditional-agg shape as Q14 — one pass, partial agg). */
@@ -2444,6 +2468,28 @@ object Queries {
       .orderBy("hour")
   }
 
+  /** #73-full the FULL OUTER stream-stream interval join, graded: both
+    * unmatched sides surface — views that never convert AND purchases
+    * with no preceding in-window view (the attribution-gap question
+    * the left form can't ask). Spark emits each unmatched side only
+    * after ITS watermark proves the match window closed (gated in
+    * StreamingSpec); this batch twin is the total-result oracle,
+    * checked against a DuckDB FULL JOIN. The hour key coalesces v_ts
+    * then p_ts — total over both null patterns. */
+  def qStreamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events
+    graft.streaming.Streams.viewPurchase(ev, ev, "full_outer")
+      .groupBy(date_trunc("hour", coalesce(col("v_ts"), col("p_ts")))
+        .as("hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("purchase_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_views"),
+        sum(when(col("view_id").isNull, 1L).otherwise(0L))
+          .as("n_unmatched_purchases"),
+        dsum(col("value"), D4).as("sv"))
+      .orderBy("hour")
+  }
+
   /** The banded portable-signature frame behind [[qStreamNeardup]] and
     * its streaming replay gate: per doc, the k=16 md5 minhash
     * signature and 8 band-bucket keys (band index + 2-element slice,
@@ -2527,6 +2573,25 @@ object Queries {
         min("vec_id").as("min_vec"), sum("vec_id").as("sum_vec"))
       .orderBy("cid")
   }
+
+  /** #62d SemDeDup — semantic near-dup removal over the embedding
+    * column ([[graft.sim.Similarity.semDedup]]): k-means clusters, then
+    * drop every vector with a smaller-id cosine-τ neighbor INSIDE its
+    * cluster. τ = 0.45 because this corpus's max pairwise cosine is
+    * ≈ 0.51 (the q_dedup_embed setting) — on real text embeddings this
+    * runs at τ ≈ 0.95. Summarized per cluster in integer-exact columns
+    * (counts + min/sum of kept ids) so the result is bit-deterministic;
+    * rows-only by design (k-means has no SQL oracle) — SimilaritySpec
+    * proves the keep rule on a ground-truth fixture (kept == group
+    * minima) and determinism + conservation here. */
+  def qSemdedup(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.semDedup(T(s, dir).embeddings, k = 16, tau = 0.45)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("is_dup").cast("long")).as("n_dups"),
+        min(when(!col("is_dup"), col("vec_id"))).as("min_kept"),
+        sum(when(!col("is_dup"), col("vec_id"))).as("sum_kept"))
+      .orderBy("cid")
 
   /** #67 multimodal with a REAL codec: synthesize a genuine PNG per
     * document, run the actual `javax.imageio` decoder on every payload,

@@ -525,4 +525,41 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "rank", "vid", "cos")
   }
+
+  /** SemDeDup — SEMANTIC deduplication via cluster-then-compare (Abbas
+    * et al., "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): k-means the embedding
+    * space, then compare pairs ONLY within each cluster and drop every
+    * vector with a cosine-τ neighbor of smaller vec_id. Catches
+    * paraphrases and re-renderings that shingle/minhash dedup (lexical
+    * overlap) cannot see. The keep rule is the repo's min-id-winner
+    * convention, applied per pair: kept(v) ⇔ v has NO same-cluster
+    * τ-neighbor with a smaller id — i.e. the local minima of the
+    * similarity graph under the id order. (Deliberately a touch more
+    * aggressive than keep-one-per-connected-component at chain
+    * boundaries; at the near-exact τ this operator targets, τ-groups
+    * are cliques and the two rules coincide. The component form, when
+    * wanted, is the q_dedup_cluster fixpoint over these same pairs.)
+    *
+    * 100 TB shape — the PAPER'S own answer baked into the operator: the
+    * quadratic stage is cluster-local, so cost is Σ|cluster|², and k
+    * scales WITH the corpus (they run 50k clusters on LAION) keeping
+    * |cluster| ≈ n/k bounded; training is sample-bounded
+    * ([[kmeansOnPv]]), assignment one broadcast-centroid linear scan,
+    * the pair join keyed on cid — never all-pairs across clusters. */
+  def semDedup(emb: DataFrame, k: Int = 16, tau: Double = 0.95,
+               trainIters: Int = 2): DataFrame = {
+    val (assigned, _) = ivfAssign(emb, k, trainIters)
+    val a = assigned.select(col("cid"), col("vec_id"), col("ne"))
+    val dominated = a
+      .join(assigned.select(col("cid"), col("vec_id").as("vid_b"),
+        col("ne").as("ne_b")), Seq("cid"))
+      .where(col("vid_b") < col("vec_id"))
+      .where(expr("vec_dot(ne, ne_b)") >= tau)
+      .select("vec_id").distinct()
+    assigned.select("cid", "vec_id")
+      .join(dominated.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -24,7 +24,7 @@ class QueriesSpec extends AnyFunSuite {
         "q_approx_distinct", "q_mm_pipeline", "q_ngram_top_sketch",
         "q_percentile_approx", "q_tokens_bpe", "q_ngram_freq_cms",
         "q_embed_cluster", "q_quality_filter_approx", "q_audio_pipeline",
-        "q_classifier", "q_compress_ratio"),
+        "q_classifier", "q_compress_ratio", "q_hll_merge", "q_semdedup"),
       s"unexpected rows-only: ${q -- o}")
   }
 
@@ -37,6 +37,29 @@ class QueriesSpec extends AnyFunSuite {
     def close(a: Long, e: Long) = math.abs(a - e).toDouble / e < 0.05
     assert(close(approx.getLong(0), exact.getLong(0)))
     assert(close(approx.getLong(1), exact.getLong(1)))
+  }
+
+  test("hll sketches: union-of-strata == direct sketch; ±5% of exact") {
+    val rows = SparkEntry.queries("q_hll_merge")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ev = graft.tables.Tables(spark, sf).events
+    // mergeability identity: the merged per-stratum sketches must give
+    // the IDENTICAL estimate as one sketch built over the whole column
+    val direct = ev
+      .agg(org.apache.spark.sql.functions.expr(
+        "hll_sketch_estimate(hll_sketch_agg(user_id))")).collect()(0).getLong(0)
+    assert(rows("__all__") == direct,
+      s"union-of-sketches ${rows("__all__")} != direct sketch $direct")
+    // accuracy: every stratum estimate and the global inside ±5% of exact
+    val exactAll = ev.selectExpr("count(distinct user_id)")
+      .collect()(0).getLong(0)
+    assert(math.abs(rows("__all__") - exactAll).toDouble / exactAll < 0.05)
+    val exactPer = ev.groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactPer.foreach { case (t, e) =>
+      assert(math.abs(rows(t) - e).toDouble / e < 0.05,
+        s"$t: est ${rows(t)} vs exact $e") }
   }
 
   test("approx percentiles land within 2% of the exact interpolated rewrite") {

@@ -122,6 +122,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == rows, "clustering summary not deterministic")
   }
 
+  test("semdedup: kept == per-group minima on ground-truth clusters (#62d)") {
+    // k = 1 makes the cluster stage a no-op, so the keep rule is tested
+    // in isolation: the two noisy groups are internal cliques at
+    // tau = 0.9 (cos ~0.999) and mutually orthogonal, the outlier
+    // matches nothing — kept must be exactly each group's min id.
+    val out = Similarity.semDedup(emb, k = 1, tau = 0.9, trainIters = 0)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 21)
+    val kept = out.filter(!_._2).keySet
+    assert(kept == Set(0L, 10L, 20L), s"kept $kept")
+  }
+
+  test("semdedup: conservation, determinism, dup-implies-earlier-neighbor") {
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.tables.Tables(spark, dir).embeddings
+    def run() = graft.ops.Queries.qSemdedup(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val rows = run()
+    assert(rows.nonEmpty && rows == run(), "semdedup summary not deterministic")
+    val out = Similarity.semDedup(e, k = 16, tau = 0.45)
+    assert(out.count() == e.count(), "semdedup lost/duplicated vectors")
+    // every dup has a smaller-id tau-neighbor in ITS cluster; every kept
+    // vec has none — recomputed through an independent join shape over
+    // the operator's own (cid, vec_id) output + re-normalized embeddings
+    graft.functions.VectorDot.register(spark)
+    val ne = Similarity.normalized(e).select(col("vec_id"), col("ne"))
+    val o = out.join(ne, "vec_id")
+    val hasEarlier = o.select(col("cid"), col("vec_id"), col("ne"))
+      .join(o.select(col("cid"), col("vec_id").as("vb"),
+        col("ne").as("nb")), Seq("cid"))
+      .where(col("vb") < col("vec_id") && expr("vec_dot(ne, nb)") >= 0.45)
+      .select("vec_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val dups = out.where(col("is_dup")).collect().map(_.getLong(0)).toSet
+    assert(dups == hasEarlier,
+      s"dup set != earlier-neighbor set: ${dups.diff(hasEarlier)} / ${hasEarlier.diff(dups)}")
+    assert(dups.nonEmpty, "tau=0.45 should catch the embedded near-dups")
+  }
+
   test("trained centroids do not lose recall vs the untrained seed (sf0.01)") {
     val e = graft.tables.Tables(spark, "/root/testdata/sf0.01").embeddings
     val brute = Similarity.knnBrute(e, col("vec_id") < 5, 3)

@@ -337,6 +337,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows().contains((2L, None)))
   }
 
+  test("FULL OUTER stream-stream join emits BOTH unmatched sides (#73-full)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    val buys = MemoryStream[(Long, Timestamp, String, Long, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, String, Long, Double)]) =
+      m.toDF.toDF("user_id", "ts", "event_type", "event_id", "value")
+    val q = Streams.viewPurchase(df(views), df(buys), "full_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vpf_stream").start()
+    // user 7 matches; user 8's view never converts; user 6 purchases
+    // with no preceding view — BOTH null patterns must surface
+    views.addData(
+      (7L, ts("2024-01-01 10:00:00"), "view", 1L, 0.0),
+      (8L, ts("2024-01-01 10:05:00"), "view", 2L, 0.0))
+    buys.addData(
+      (7L, ts("2024-01-01 10:20:00"), "purchase", 3L, 5.0),
+      (6L, ts("2024-01-01 10:10:00"), "purchase", 9L, 7.0))
+    q.processAllAvailable()
+    def rows() = spark.table("vpf_stream")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    // only the inner match may have emitted yet
+    assert(rows() == Set((Some(1L), Some(3L))))
+    // push both watermarks far past every open match window
+    for (h <- Seq("14", "15")) {
+      views.addData((9L, ts(s"2024-01-01 $h:00:00"), "view", 40L, 0.0))
+      buys.addData((9L, ts(s"2024-01-01 $h:00:01"), "purchase", 41L, 1.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(rows().contains((Some(2L), None)), "unmatched view missing")
+    assert(rows().contains((None, Some(9L))), "unmatched purchase missing")
+  }
+
   test("stream-stream join replay == batch viewPurchase rows (#73)") {
     import spark.implicits._
     // two independent file-source streams over the same events replay;
