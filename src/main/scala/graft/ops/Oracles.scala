@@ -1064,6 +1064,30 @@ object Oracles {
          |  FROM (SELECT doc_id, lang, text, $TOKS AS toks FROM documents) t) x
          |ORDER BY doc_id""".stripMargin,
 
+    // variant extraction: the same nested payload parsed with DuckDB's
+    // JSON functions; integer/string fields are exact, so full hash gate
+    "q_variant" ->
+      """WITH e AS (SELECT
+        |  '{"meta":{"t":"' || event_type || '","u":' ||
+        |    cast(user_id % 7 as varchar) || '},"arr":[' ||
+        |    cast(event_id % 5 as varchar) || ',' ||
+        |    cast(user_id % 3 as varchar) || '],"p":' || props || '}' AS j
+        |  FROM events),
+        |x AS (SELECT
+        |  json_extract_string(j, '$.meta.t') AS t,
+        |  cast(json_extract(j, '$.meta.u') as bigint) AS u,
+        |  cast(json_extract(j, '$.arr[0]') as bigint) AS a0,
+        |  cast(json_extract(j, '$.p.k') as bigint) AS k,
+        |  try_cast(json_extract_string(j, '$.meta.t') as bigint) AS bad
+        |FROM e)
+        |SELECT t, cast(count(*) as bigint) AS n,
+        |  cast(sum(u) as bigint) AS sum_u,
+        |  cast(sum(a0) as bigint) AS sum_a0,
+        |  cast(sum(k) as bigint) AS sum_k,
+        |  cast(sum(CASE WHEN bad IS NULL THEN 1 ELSE 0 END) as bigint)
+        |    AS n_bad
+        |FROM x GROUP BY t ORDER BY t""".stripMargin,
+
     // BM25 with the log-free RSJ odds idf: the identical parse tree as
     // the Spark side (same parenthesization down to the term-sum
     // association), all ops correctly-rounded IEEE double arithmetic

@@ -1189,6 +1189,41 @@ object Queries {
       .groupBy("k").agg(count(lit(1)).as("n"))
       .orderBy("k")
 
+  /** #55a' VARIANT semi-structured extraction — the Spark 4 path for
+    * JSON at scale: `parse_json` shreds each payload ONCE into the
+    * binary variant encoding, then `variant_get` pulls typed fields by
+    * path with no re-parsing per extraction (the regex/get_json_object
+    * family re-scans the string per field — at 100 TB with 5
+    * extractions that is 5 full parses). Exercised over a NESTED
+    * payload (object + array + the raw `props` object spliced in) with
+    * typed paths, plus `try_variant_get` type-mismatch-to-null
+    * semantics. The oracle extracts the same integer/string fields
+    * with DuckDB's JSON functions — values are exact, so the gate is
+    * a full hash gate. */
+  def qVariant(s: SparkSession, dir: String): DataFrame = {
+    val j = concat(lit("{\"meta\":{\"t\":\""), col("event_type"),
+      lit("\",\"u\":"), (col("user_id") % 7).cast("string"),
+      lit("},\"arr\":["), (col("event_id") % 5).cast("string"),
+      lit(","), (col("user_id") % 3).cast("string"),
+      lit("],\"p\":"), col("props"), lit("}"))
+    T(s, dir).events
+      .withColumn("j", j)
+      .withColumn("v", expr("parse_json(j)"))
+      .select(
+        expr("variant_get(v, '$.meta.t', 'string')").as("t"),
+        expr("variant_get(v, '$.meta.u', 'bigint')").as("u"),
+        expr("variant_get(v, '$.arr[0]', 'bigint')").as("a0"),
+        expr("variant_get(v, '$.p.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.meta.t', 'bigint')").as("bad"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"),
+        sum(col("u")).as("sum_u"),
+        sum(col("a0")).as("sum_a0"),
+        sum(col("k")).as("sum_k"),
+        sum(col("bad").isNull.cast("long")).as("n_bad"))
+      .orderBy("t")
+  }
+
   // ───────────────────────── §2.5 text analysis ──────────────────────────
 
   /** #65 token counting (whitespace + BPE-ish regex). */

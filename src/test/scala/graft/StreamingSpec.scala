@@ -237,6 +237,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("RocksDB state store: chained stateful ops == default provider (#80)") {
+    // The 100 TB state story: heap-backed (HDFSBackedStateStore) state
+    // must fit executor memory; RocksDB spills to local disk, so
+    // watermark-bounded state can exceed the heap. Same query, same
+    // answer — provider choice is a physical knob, proven here on the
+    // two-stateful-operator chain (dedup → windowed agg), the shape
+    // most sensitive to state-store semantics.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val dflt = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.hourlyDistinctUsers(
+          Streams.eventsStream(spark, replayDir))
+        .writeStream.outputMode("complete")
+        .format("memory").queryName("uu_rocks").start()
+      q.processAllAvailable()
+      val engaged = q.recentProgress.flatMap(_.stateOperators)
+        .exists(_.customMetrics.keySet.toArray
+          .exists(_.toString.toLowerCase.contains("rocksdb")))
+      q.stop()
+      assert(engaged, "RocksDB provider metrics absent — provider not engaged")
+      val streamed = spark.table("uu_rocks")
+        .select("hour", "uu").collect().map(_.toSeq).toSet
+      val batch = graft.ops.Queries.qStreamDistinct(spark, replayDir)
+        .collect().map(_.toSeq).toSet
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally dflt match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("topBigrams stream replay == q_ngram_top batch top-k (#77)") {
     val q = Streams.topBigrams(Streams.documentsStream(spark, replayDir), 20)
       .writeStream.outputMode("complete")
