@@ -154,6 +154,43 @@ object Streams {
         KTotal(k, s)
     }
 
+  /** The [[runningTotal]] fold re-expressed on the `transformWithState`
+    * processor API (Spark 4's arbitrary-stateful-processing v2): state
+    * lives in NAMED typed handles (`ValueState` here; List/Map state,
+    * timers and TTL in the general API) instead of one opaque
+    * `GroupState` blob, and the engine requires the RocksDB store —
+    * this is the API written for state that outgrows the heap. Kept as
+    * the exact semantic twin of the v1 fold; StreamingSpec gates the
+    * two APIs output-equal on the same input. */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, KV, KTotal] {
+    @transient private var sum:
+      org.apache.spark.sql.streaming.ValueState[Double] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sum = getHandle.getValueState[Double]("sum",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[KV],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[KTotal] = {
+      val s = (if (sum.exists()) sum.get() else 0.0) + rows.map(_.v).sum
+      sum.update(s)
+      Iterator.single(KTotal(key, s))
+    }
+  }
+
+  /** [[runningTotal]] on the v2 processor API — see
+    * [[RunningTotalProcessor]]. */
+  def runningTotalTws(ds: Dataset[KV])(implicit
+      ke: Encoder[Long], oe: Encoder[KTotal]): Dataset[KTotal] =
+    ds.groupByKey(_.k).transformWithState(
+      new RunningTotalProcessor,
+      org.apache.spark.sql.streaming.TimeMode.None(),
+      org.apache.spark.sql.streaming.OutputMode.Update())
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
   case class Session(start: Long, last: Long, n: Long, sid: Long)
   case class SessionOut(user_id: Long, sid: Long, n_events: Long, dur_s: Long)

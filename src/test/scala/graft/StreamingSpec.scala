@@ -94,6 +94,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map(1L -> 15.0, 2L -> 1.0)) // 10 then 10+5: resumed state
   }
 
+  test("transformWithState fold == mapGroupsWithState fold (#70d)") {
+    // the v2 processor API requires the RocksDB store
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val dflt = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Streams.KV]
+      val q = Streams.runningTotalTws(ms.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName("totals_tws").start()
+      ms.addData(Streams.KV(1L, 10.0), Streams.KV(2L, 1.0))
+      q.processAllAvailable()
+      ms.addData(Streams.KV(1L, 5.0))
+      q.processAllAvailable()
+      val last = spark.table("totals_tws").groupBy("k")
+        .agg(max("total").as("total"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      q.stop()
+      // identical to the v1 GroupState twin's gate: resumed state
+      assert(last == Map(1L -> 15.0, 2L -> 1.0))
+    } finally dflt match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming sessionization closes islands across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
