@@ -94,6 +94,49 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "reference produced no pairs — test data broken")
   }
 
+  test("containmentJoin: complete vs a quadratic reference incl. boundary pairs") {
+    import spark.implicits._
+    // eval docs are SUBSTRINGS and mutations of corpus docs, so
+    // containment spans the 0.6 boundary from both sides — the regime
+    // where the eval-side prefix filter must not miss (Jaccard for a
+    // short quote in a long doc is far below any dedup threshold, which
+    // is the whole point of the asymmetric metric)
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 250).map(i => s"w$i")
+    val corpus = (0 until 30).map { i =>
+      (100L + i, Seq.fill(40 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val evals = (0 until 30).map { i =>
+      val src = corpus(rnd.nextInt(corpus.size))._2.split(" ")
+      val from = rnd.nextInt(math.max(1, src.length - 12))
+      val quote = src.slice(from, from + 8 + rnd.nextInt(8))
+      // mutate 0–3 tokens: containment of the quote drifts across 0.6
+      val mut = quote.map(w => if (rnd.nextInt(100) < 12)
+        vocab(rnd.nextInt(vocab.size)) else w)
+      (i.toLong, mut.mkString(" "))
+    }
+    val got = Dedup.containmentJoin(
+        evals.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"), 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    def sh(t: String): Set[String] = {
+      val tk = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val es = evals.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val cs = corpus.map { case (id, t) => id -> sh(t) }.filter(_._2.nonEmpty)
+    val want = (for {
+      (ie, se) <- es; (ic, sc) <- cs
+      c = (se & sc).size.toDouble / se.size
+      if c >= 0.6
+    } yield (ie, ic) -> c).toMap
+    assert(got.keySet == want.keySet,
+      s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    want.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-12) }
+    assert(want.nonEmpty, "reference produced no pairs — test data broken")
+  }
+
   test("substringDedup: equals brute-force span removal incl. full-cover and short docs") {
     import spark.implicits._
     val k = 4

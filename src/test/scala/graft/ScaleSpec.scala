@@ -335,6 +335,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(needZ <= 6, s"z layout should prune most files, needed $needZ")
   }
 
+  test("join strategy hints steer the physical join (§5 knobs)") {
+    // the per-join override for when the optimizer's default is wrong
+    // at scale (stats-blind equal-size joins, broadcast-budget edges):
+    // each hint must actually land in the physical plan
+    val t = graft.tables.Tables(spark, sf)
+    def join(r: org.apache.spark.sql.DataFrame) =
+      t.orders.join(r, t.orders("o_custkey") === r("c_custkey"))
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.toString
+    assert(plan(join(t.customer.hint("merge")))
+      .contains("SortMergeJoin"), "merge hint ignored")
+    assert(plan(join(t.customer.hint("shuffle_hash")))
+      .contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    assert(plan(join(broadcast(t.customer)))
+      .contains("BroadcastHashJoin"), "broadcast hint ignored")
+  }
+
   test("hive-partitioned read prunes at the PARTITION level (q_partition_prune)") {
     val out = java.nio.file.Files
       .createTempDirectory("graft_ppr").resolve("docs").toString
