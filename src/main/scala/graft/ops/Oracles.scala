@@ -65,6 +65,28 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Profile oracle (q_profile): one UNION ALL leg per column. */
+  private lazy val profileSql: String = {
+    def leg(c: String, numeric: Boolean): String = {
+      val mm =
+        if (numeric) s"cast(min($c) as double) AS min_d, " +
+          s"cast(max($c) as double) AS max_d"
+        else "cast(NULL as double) AS min_d, cast(NULL as double) AS max_d"
+      s"""SELECT '$c' AS col_name, cast(count(*) as bigint) AS n,
+         |  cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) as bigint)
+         |    AS n_null,
+         |  cast(count(distinct $c) as bigint) AS n_distinct, $mm
+         |FROM e""".stripMargin
+    }
+    val legs =
+      Seq("event_id", "user_id", "value", "tsec").map(leg(_, numeric = true)) ++
+      Seq("event_type", "props").map(leg(_, numeric = false))
+    s"""WITH e AS (SELECT *, cast(floor(epoch(ts)) as bigint) AS tsec
+       |  FROM events)
+       |${legs.mkString("\nUNION ALL\n")}
+       |ORDER BY col_name""".stripMargin
+  }
+
   /** The exact J >= 0.8 pair set over documents, shared verbatim by
     * q_dedup_minhash (banded-LSH discovery, lossless on this data) and
     * q_jaccard_join (prefix-filtered exact join, complete by theorem). */
@@ -1087,6 +1109,29 @@ object Oracles {
         |  cast(sum(CASE WHEN bad IS NULL THEN 1 ELSE 0 END) as bigint)
         |    AS n_bad
         |FROM x GROUP BY t ORDER BY t""".stripMargin,
+
+    // novelty: same first-occurrence identity (gram-keyed min), same
+    // division form
+    "q_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |u AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i+1]))) AS g
+         |  FROM t WHERE len(toks) >= 2),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM u GROUP BY g),
+         |j AS (SELECT u.doc_id, f.first_doc FROM u JOIN f USING (g))
+         |SELECT doc_id, cast(count(*) as bigint) AS n_grams,
+         |  cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    as bigint) AS n_novel,
+         |  cast(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |      as double)
+         |    / cast(count(*) as double) AS novelty
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // one-pass profile: the oracle spells it as per-column passes —
+    // same exact numbers, different plan shape (the Spark side's point
+    // is that ONE scan carries all 22 aggregates)
+    "q_profile" -> profileSql,
 
     // BM25 with the log-free RSJ odds idf: the identical parse tree as
     // the Spark side (same parenthesization down to the term-sum

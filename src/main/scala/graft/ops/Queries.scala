@@ -1389,37 +1389,70 @@ object Queries {
     * scalar-subquery shape; scoring is then scan-speed column math.
     * Every doc with ≥1 hit is emitted in doc_id order — no float-
     * ordered top-k cut, so near-tie ranking can't destabilize the
-    * gate (consumers sort by score downstream at whatever k). */
-  def qBm25(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("spark", "window", "merge")
+    * gate (consumers sort by score downstream at whatever k).
+    * Implemented by [[graft.text.Search.bm25]] — the user-facing API;
+    * this entry fixes the graded query. */
+  def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.text.Search.bm25(T(s, dir).documents,
+      Seq("spark", "window", "merge"))
+
+  /** #65j n-gram NOVELTY scoring — per document, the fraction of its
+    * distinct bigrams whose FIRST corpus occurrence (min doc_id under
+    * the corpus order) is the document itself. The dataset-ordering /
+    * contribution signal: late boilerplate scores ≈ 0 (every gram seen
+    * before), genuinely new material scores high — the relational form
+    * of "how much does this doc add to the corpus". Shape: one gram
+    * explode (Eager'd — the first-occurrence agg and the rejoin both
+    * consume it), one gram-keyed partial-agg min, one doc-keyed
+    * rollup; division in the same form both sides. */
+  def qNovelty(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
-    val base = T(s, dir).documents
+    val grams = graft.core.Eager(T(s, dir).documents
+      .repartition(col("doc_id"))
       .selectExpr("doc_id", s"${d.toksExpr} AS toks")
-      .select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          expr(s"size(filter(toks, x -> x = '$t'))").cast("long")
-            .as(s"tf$i") }: _*)
-    val stats = base.agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl") +:
-        terms.indices.map(i =>
-          sum((col(s"tf$i") > 0).cast("long")).as(s"df$i")): _*)
-    def termScore(i: Int): Column = {
-      val tf = col(s"tf$i").cast("double")
-      val df = col(s"df$i").cast("double")
-      val n = col("n_docs").cast("double")
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      (((n - df) + lit(0.5)) / (df + lit(0.5))) *
-        ((tf * lit(2.2)) /
-          (tf + lit(1.2) *
-            (lit(0.25) + (lit(0.75) * col("dl").cast("double")) / avgdl)))
-    }
-    base.crossJoin(broadcast(stats))
-      .where(col("tf0") + col("tf1") + col("tf2") > 0)
-      .select(col("doc_id"),
-        (col("tf0") + col("tf1") + col("tf2")).as("n_hits"),
-        ((termScore(0) + termScore(1)) + termScore(2)).as("score"))
+      .selectExpr("doc_id",
+        s"explode(array_distinct(${d.bigramsExpr})) AS g"))
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long"))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
       .orderBy("doc_id")
+  }
+
+  /** #38g one-pass table PROFILE — the SUMMARIZE operator: per column,
+    * row count, null count, exact distinct count, numeric min/max —
+    * computed in ONE partial-agg scan (22 aggregate expressions share
+    * the pass; the naive per-column form is 6 scans, which at 100 TB
+    * is 6 reads of the lake). Long output via `stack`. The first
+    * thing run against any new dataset before trusting it. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).events
+      .withColumn("tsec", unix_timestamp(col("ts")))
+    val numeric = Seq("event_id", "user_id", "value", "tsec")
+    val strings = Seq("event_type", "props")
+    val aggs =
+      Seq(count(lit(1)).as("n")) ++
+      (numeric ++ strings).flatMap(c => Seq(
+        sum(col(c).isNull.cast("long")).as(s"null_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"))) ++
+      numeric.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"min_$c"),
+        max(col(c)).cast("double").as(s"max_$c")))
+    val one = e.agg(aggs.head, aggs.tail: _*)
+    val rows = (numeric.map(c =>
+        s"'$c', null_$c, ndv_$c, min_$c, max_$c") ++
+      strings.map(c =>
+        s"'$c', null_$c, ndv_$c, cast(null AS double), cast(null AS double)"))
+      .mkString(", ")
+    one.selectExpr("n", s"stack(${numeric.size + strings.size}, $rows) " +
+        "AS (col_name, n_null, n_distinct, min_d, max_d)")
+      .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_d"), col("max_d"))
+      .orderBy("col_name")
   }
 
   /** #64 quality scoring — features derive from a shared `toks` column.
