@@ -89,8 +89,15 @@ object Dedup {
     * candidate pairs, compared with the native sorted-merge counter
     * (same pattern as [[ngramJaccardPairs]], measured ~8× faster than
     * string array_intersect). */
-  def minhashPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
-                   tau: Double = 0.8): DataFrame = {
+  /** Shared signature/banding stage of the minhash family: per-doc
+    * (native k=64 sig, sorted hashed shingles) — Eager'd, every caller
+    * joins it at least twice — plus the per-band bucket rows. The
+    * bucket value is a pure function of the signature slice, so two
+    * frames built at different times (a persisted index vs a fresh
+    * batch) land in the SAME buckets — what makes [[incrementalPairs]]
+    * exactly the restriction of [[minhashPairs]]. */
+  private def bucketedSigs(docs: DataFrame, k: Int, bands: Int)
+      : (DataFrame, DataFrame) = {
     require(k == graft.functions.MinHashSig.K, s"native signature is k=64")
     val rows = k / bands
     // Native one-hash MinHash: each shingle string-hashed once, 64
@@ -114,6 +121,12 @@ object Dedup {
             .stripMargin)).as("bk"))
       .select(col("doc_id"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    (perDoc, bucketed)
+  }
+
+  def minhashPairs(docs: DataFrame, k: Int = 64, bands: Int = 16,
+                   tau: Double = 0.8): DataFrame = {
+    val (perDoc, bucketed) = bucketedSigs(docs, k, bands)
     val a = bucketed.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"))
     val b = bucketed.select(col("band"), col("bucket"),
@@ -124,6 +137,64 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     val sa = perDoc.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
     val sb = perDoc.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"))
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
+      .where(col("j") >= tau)
+      .select("doc_a", "doc_b", "j")
+  }
+
+  /** A prebuilt minhash index over a corpus: `buckets`(doc_id, band,
+    * bucket) and `docs`(doc_id, shh — the sorted hashed shingle sets
+    * the exact verify needs). Both frames are plain DataFrames — in
+    * production they are WRITTEN ONCE (parquet, bucketed on `bucket` /
+    * `doc_id`) when the corpus lands and only READ by every subsequent
+    * ingest. */
+  case class MinhashIndex(buckets: DataFrame, docs: DataFrame)
+
+  /** Build the [[MinhashIndex]] for `corpus` — the one-time (or
+    * per-compaction) cost that [[incrementalPairs]] amortizes. */
+  def minhashIndex(corpus: DataFrame, k: Int = 64,
+                   bands: Int = 16): MinhashIndex = {
+    val (perDoc, bucketed) = bucketedSigs(corpus, k, bands)
+    MinhashIndex(bucketed, perDoc.select("doc_id", "shh"))
+  }
+
+  /** INCREMENTAL near-dup ingest — the production shape at 100 TB: a
+    * daily batch must be deduped against the corpus WITHOUT
+    * re-sketching the corpus (re-running [[minhashPairs]] over
+    * corpus ∪ batch re-reads and re-hashes 100 TB to ingest 100 GB).
+    * Only the NEW docs are shingled and signed; candidates are
+    * new×old (bucket probe against the stored index — keyed equi-join
+    * on (band, bucket), the index side untouched) plus new×new (the
+    * batch's own self-join), then the usual exact sorted-intersect
+    * verify. Because the bucket value is a pure function of the
+    * signature slice ([[bucketedSigs]]), the result is EXACTLY
+    * `minhashPairs(corpus ∪ batch, …)` restricted to pairs touching
+    * the batch — gated both in DedupSpec (restriction equality on
+    * random dup-heavy docs) and by q_dedup_incr's exact-pair oracle.
+    * Contract: `fresh` doc_ids are disjoint from the index's. */
+  def incrementalPairs(idx: MinhashIndex, fresh: DataFrame, k: Int = 64,
+                       bands: Int = 16, tau: Double = 0.8): DataFrame = {
+    val (perNew, bNew) = bucketedSigs(fresh, k, bands)
+    val newSide = bNew.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_n"))
+    val crossCands = newSide
+      .join(idx.buckets.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_o")), Seq("band", "bucket"))
+      .select(least(col("doc_n"), col("doc_o")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_o")).as("doc_b"))
+    val selfCands = newSide
+      .join(bNew.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b")), Seq("band", "bucket"))
+      .where(col("doc_n") < col("doc_b"))
+      .select(col("doc_n").as("doc_a"), col("doc_b"))
+    val cands = crossCands.unionByName(selfCands)
+      .dropDuplicates("doc_a", "doc_b")
+    val all = idx.docs.unionByName(perNew.select("doc_id", "shh"))
+    val sa = all.select(col("doc_id").as("doc_a"), col("shh").as("sh_a"))
+    val sb = all.select(col("doc_id").as("doc_b"), col("shh").as("sh_b"))
     cands.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter", expr("sorted_intersect_count(sh_a, sh_b)"))
       .withColumn("j", col("inter").cast("double") /

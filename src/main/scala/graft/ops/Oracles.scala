@@ -90,7 +90,7 @@ object Oracles {
   /** The exact J >= 0.8 pair set over documents, shared verbatim by
     * q_dedup_minhash (banded-LSH discovery, lossless on this data) and
     * q_jaccard_join (prefix-filtered exact join, complete by theorem). */
-  private lazy val exactJaccardPairsSql: String =
+  private lazy val exactJaccardPairsCte: String =
     s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
        |s AS (SELECT doc_id, list_distinct(list_transform(
        |    range(1, len(toks) - 1),
@@ -104,8 +104,23 @@ object Oracles {
        |p AS (SELECT doc_a, doc_b,
        |    inter / (len(sa.sh) + len(sb.sh) - inter) AS j
        |  FROM i JOIN s sa ON sa.doc_id = i.doc_a
-       |         JOIN s sb ON sb.doc_id = i.doc_b)
+       |         JOIN s sb ON sb.doc_id = i.doc_b)""".stripMargin
+
+  private lazy val exactJaccardPairsSql: String =
+    s"""$exactJaccardPairsCte
        |SELECT doc_a, doc_b, j FROM p WHERE j >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q_dedup_incr oracle: the SAME exact pair set restricted to pairs
+    * touching the newest-20% batch (cut = (max_id + 1) * 4 / 5 in
+    * integer math on both sides). Banding-miss exposure is identical
+    * to q_dedup_minhash's: the LSH layer is lossless on this data, and
+    * the incremental form provably generates the same candidates. */
+  private lazy val incrementalPairsSql: String =
+    s"""$exactJaccardPairsCte,
+       |c AS (SELECT (max(doc_id) + 1) * 4 // 5 AS cut FROM documents)
+       |SELECT doc_a, doc_b, j FROM p, c
+       |WHERE j >= 0.8 AND (doc_a >= cut OR doc_b >= cut)
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Unrolled K=8 integer-PageRank twin over the exact J >= 0.8 pair
@@ -1532,6 +1547,20 @@ object Oracles {
          |  FROM documents) x
          |GROUP BY 1, 2 ORDER BY split, lang""".stripMargin,
 
+    // group-aware split: the bucket is a function of user_id, so NO
+    // user straddles splits BY CONSTRUCTION (the leakage rule); the
+    // oracle recomputes the same seeded bucket
+    "q_split_group" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |    ELSE 'test' END AS split,
+         |  cast(count(DISTINCT user_id) as bigint) AS n_users,
+         |  $CNT AS n_events, ${d4("value")} AS sv
+         |FROM (SELECT user_id, value,
+         |    ('0x' || substr(md5('g#' || cast(user_id AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT % 100 AS b
+         |  FROM events) x
+         |GROUP BY 1 ORDER BY split""".stripMargin,
+
     "q_winnow" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |h AS (SELECT doc_id, list_transform(toks,
@@ -1552,6 +1581,8 @@ object Oracles {
     // 4.8 s vs 468 s measured; this is what keeps the full-sweep
     // oracle pass tractable
     "q_dedup_minhash" -> exactJaccardPairsSql,
+
+    "q_dedup_incr" -> incrementalPairsSql,
 
     // the exact prefix-filtered similarity join computes the same
     // J >= 0.8 pair set — by theorem rather than by banding luck

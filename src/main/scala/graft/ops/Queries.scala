@@ -1805,6 +1805,27 @@ object Queries {
     graft.dedup.Dedup.minhashPairs(T(s, dir).documents)
       .orderBy("doc_a", "doc_b")
 
+  /** #57l INCREMENTAL dedup ingest
+    * ([[graft.dedup.Dedup.incrementalPairs]]): the newest 20% of
+    * doc_ids play today's batch, everything before them the standing
+    * corpus behind a prebuilt [[graft.dedup.Dedup.minhashIndex]] —
+    * only the batch is shingled/signed, the corpus contributes its
+    * stored buckets and shingle sets. Result == minhashPairs over the
+    * whole table restricted to pairs touching the batch (candidate
+    * identity is a theorem of the shared banding; DedupSpec asserts
+    * the restriction equality on random docs, and the oracle here is
+    * the exact restricted pair set — same lossless-banding exposure as
+    * q_dedup_minhash). The 1-row max(doc_id) agg is driver-collected
+    * (the BPE-count precedent: a scalar, not data). */
+  def qDedupIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val docs = T(s, dir).documents
+    val cut = (docs.agg(max("doc_id")).collect()(0).getLong(0) + 1L) * 4L / 5L
+    val idx = d.minhashIndex(docs.where(col("doc_id") < cut))
+    d.incrementalPairs(idx, docs.where(col("doc_id") >= cut))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** #57e EXACT similarity join (AllPairs/PPJoin prefix filter): the
     * same J≥0.8 pair set as [[qDedupMinhash]] but guaranteed complete
     * by theorem — no banding-miss probability — while staying
@@ -2415,6 +2436,28 @@ object Queries {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
+  }
+
+  /** #56o GROUP-aware split — train/valid/test assigned per USER, not
+    * per event: every event of a user lands in ONE split by
+    * construction (the leakage rule — per-row splits of grouped data
+    * leak each user's behavior across train and test, inflating every
+    * offline metric). Same portable seeded-md5 bucket idiom as
+    * [[qSplit]], on an independent "g#" seed stream; scan-speed
+    * assignment, one partial-agg rollup. */
+  def qSplitGroup(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("g#"), col("user_id").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(100))
+    T(s, dir).events
+      .select(col("user_id"), col("value"),
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value"), D4).as("sv"))
+      .orderBy("split")
   }
 
   /** #56d the composed training-data pipeline as ONE declarative plan:

@@ -94,6 +94,38 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty, "reference produced no pairs — test data broken")
   }
 
+  test("incrementalPairs == full minhashPairs restricted to batch-touching pairs") {
+    import spark.implicits._
+    // same dup-heavy generator as the jaccardJoin spec: 40 bases x 3
+    // mutated copies, so plenty of pairs fall corpus-corpus (must NOT
+    // appear), corpus-batch and batch-batch (must appear exactly)
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 300).map(i => s"w$i")
+    val rows = (0 until 40).flatMap { b =>
+      val base = Seq.fill(25 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size)))
+      (0 until 3).map { c =>
+        val mut = base.map(w =>
+          if (rnd.nextInt(100) < c * 4) vocab(rnd.nextInt(vocab.size)) else w)
+        ((b * 3 + c).toLong, mut.mkString(" "))
+      }
+    }
+    val df = rows.toDF("doc_id", "text")
+    val cut = 96L // newest 20% of 120 docs = the batch
+    val full = Dedup.minhashPairs(df)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val want = full.filter { case ((a, b), _) => a >= cut || b >= cut }
+    val idx = Dedup.minhashIndex(df.where(col("doc_id") < cut))
+    val got = Dedup.incrementalPairs(idx, df.where(col("doc_id") >= cut))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(got.keySet == want.keySet,
+      s"missed=${want.keySet -- got.keySet} extra=${got.keySet -- want.keySet}")
+    want.foreach { case (k, j) => assert(got(k) == j) }
+    assert(want.nonEmpty && full.size > want.size,
+      "generator must yield both corpus-corpus and batch-touching pairs")
+  }
+
   test("containmentJoin: complete vs a quadratic reference incl. boundary pairs") {
     import spark.implicits._
     // eval docs are SUBSTRINGS and mutations of corpus docs, so
