@@ -2704,6 +2704,25 @@ object Queries {
         sum(when(!col("is_dup"), col("vec_id"))).as("sum_kept"))
       .orderBy("cid")
 
+  /** #62e LABEL-ERROR triage ([[graft.sim.Similarity.labelErrors]]):
+    * per label, how many vectors sit closer to another class's
+    * spherical centroid — the pre-training label-noise report.
+    * Summary columns are integer-exact (counts + min flagged id) so
+    * the result is bit-deterministic; rows-only by design (centroid
+    * geometry has no SQL oracle). SimilaritySpec proves the rule on a
+    * ground-truth fixture: deliberately swapped labels are exactly the
+    * flagged set. NOTE the synthetic corpus draws labels independent
+    * of geometry, so the flagged fraction here reads as a class-prior
+    * report — the operator's discrimination is what the fixture
+    * gates. */
+  def qLabelErrors(s: SparkSession, dir: String): DataFrame =
+    graft.sim.Similarity.labelErrors(T(s, dir).embeddings)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("flagged").cast("long")).as("n_flagged"),
+        min(when(col("flagged"), col("vec_id"))).as("first_flagged"))
+      .orderBy("label")
+
   /** #67 multimodal with a REAL codec: synthesize a genuine PNG per
     * document, run the actual `javax.imageio` decoder on every payload,
     * and emit the decoded metadata + exact per-channel pixel sums. The

@@ -526,6 +526,47 @@ object Similarity {
       .select("qid", "rank", "vid", "cos")
   }
 
+  /** LABEL-ERROR detection — the confident-learning shape (Northcutt
+    * et al., "Confident Learning", JAIR 2021, simplified to the
+    * nearest-class-centroid rule): flag every vector whose embedding
+    * sits closer to ANOTHER class's spherical centroid than to its
+    * own. The triage pass run over labeled training data before
+    * trusting it — mislabeled examples dominate the flagged set when
+    * labels are real; on geometry-free labels it degrades to a
+    * class-prior report (both useful signals).
+    *
+    * Shape: centroids by posexplode → (label, dim)-keyed partial-agg
+    * sums (one keyed shuffle of label×dim rows, never a per-label
+    * collect), renormalized inline; scoring broadcasts the ≤-classes
+    * centroid table and folds one dot product per (vec, class) at scan
+    * speed; argmax by per-vec window. Deterministic: ties break to the
+    * smaller class label. */
+  def labelErrors(emb: DataFrame): DataFrame = {
+    val ne = graft.core.Eager(normalized(emb)
+      .select(col("vec_id"), col("label"), col("ne")))
+    val cents = ne
+      .select(col("label"), posexplode(col("ne")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x").cast("double")).as("sx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("sx")))),
+        s => s.getField("sx")).as("c0"))
+      .withColumn("c", expr(
+        "transform(c0, x -> x / sqrt(aggregate(c0, 0d, (a, y) -> a + y * y)))"))
+      .select(col("label").as("clabel"), col("c"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("clabel"))
+    ne.crossJoin(broadcast(cents))
+      .withColumn("cos", expr(
+        """aggregate(zip_with(ne, c, (a, b) -> cast(a AS double) * b),
+          |  0d, (acc, x) -> acc + x)""".stripMargin))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("label"),
+        col("clabel").as("pred_label"), col("cos"),
+        (col("clabel") =!= col("label")).as("flagged"))
+  }
+
   /** SemDeDup — SEMANTIC deduplication via cluster-then-compare (Abbas
     * et al., "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540): k-means the embedding

@@ -24,7 +24,8 @@ class QueriesSpec extends AnyFunSuite {
         "q_approx_distinct", "q_mm_pipeline", "q_ngram_top_sketch",
         "q_percentile_approx", "q_tokens_bpe", "q_ngram_freq_cms",
         "q_embed_cluster", "q_quality_filter_approx", "q_audio_pipeline",
-        "q_classifier", "q_compress_ratio", "q_hll_merge", "q_semdedup"),
+        "q_classifier", "q_compress_ratio", "q_hll_merge", "q_semdedup",
+        "q_label_errors"),
       s"unexpected rows-only: ${q -- o}")
   }
 

@@ -122,6 +122,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again == rows, "clustering summary not deterministic")
   }
 
+  test("labelErrors: flags exactly the deliberately swapped labels (#62e)") {
+    import spark.implicits._
+    // fixture geometry: two tight clusters + an orthogonal outlier.
+    // True labels = cluster id; swap two vectors' labels — those two
+    // (and ONLY those two) must be flagged, each predicted back to its
+    // geometric class. The outlier keeps a singleton class whose
+    // centroid is itself — never flagged.
+    val swapped = Set(3L, 14L)
+    val labeled = emb.withColumn("label",
+      when(col("vec_id").isin(3L), 1)
+        .when(col("vec_id").isin(14L), 0)
+        .when(col("vec_id") < 10, 0)
+        .when(col("vec_id") < 20, 1)
+        .otherwise(2))
+    val out = Similarity.labelErrors(labeled).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getBoolean(4))))
+      .toMap
+    assert(out.size == 21)
+    val flagged = out.filter(_._2._3).keySet
+    assert(flagged == swapped, s"flagged $flagged")
+    assert(out(3L)._2 == 0 && out(14L)._2 == 1, "swapped vecs not predicted home")
+    // determinism of the graded summary
+    val dir = "/root/testdata/sf0.001"
+    def run() = graft.ops.Queries.qLabelErrors(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val rows = run()
+    assert(rows.nonEmpty && rows == run())
+    val total = graft.tables.Tables(spark, dir).embeddings.count()
+    assert(rows.map(_(1).asInstanceOf[Long]).sum == total)
+  }
+
   test("semdedup: kept == per-group minima on ground-truth clusters (#62d)") {
     // k = 1 makes the cluster stage a no-op, so the keep rule is tested
     // in isolation: the two noisy groups are internal cliques at
