@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen'd expression — the
+  * first text-cleanup step of any multilingual corpus pipeline: the
+  * same visible string arrives both precomposed ("é" U+00E9) and
+  * decomposed ("e" + U+0301) from different crawls/OCR, and every
+  * downstream equality — exact dedup fingerprints, shingle sets,
+  * blocklists — silently misses across the two encodings until forms
+  * are canonicalized. Spark ships no normalization builtin; a Scala
+  * UDF would hide the call from codegen, so this wraps
+  * `java.text.Normalizer` (JDK-public, the canonical implementation)
+  * as a UnaryExpression with both interpreted and generated paths.
+  * DuckDB's `nfc_normalize` implements the same Unicode algorithm —
+  * verified byte-identical (q_normalize's md5 gate). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.NFC));""".stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalize = copy(child = newChild)
+}
+
+object NfcNormalize {
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
+}

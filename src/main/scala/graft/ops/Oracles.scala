@@ -1125,6 +1125,36 @@ object Oracles {
         |    AS n_bad
         |FROM x GROUP BY t ORDER BY t""".stripMargin,
 
+    // NFC normalization: DuckDB's nfc_normalize implements the same
+    // Unicode algorithm as java.text.Normalizer — the normalized string
+    // and its md5 must be byte-identical
+    "q_normalize" ->
+      s"""WITH r AS (SELECT doc_id,
+         |    array_to_string(list_transform(range(0, 10), i ->
+         |      substring('abcdefghijklmnopqrstuvwxyz',
+         |        cast((doc_id + i) % 26 + 1 as int), 1) ||
+         |      substring('${Queries.combiningMarks}',
+         |        cast((doc_id * 7 + i) % 9 + 1 as int), 1)), '') AS raw
+         |  FROM documents)
+        |SELECT doc_id, cast(length(raw) as bigint) AS len_raw,
+        |  cast(length(nfc_normalize(raw)) as bigint) AS len_nfc,
+        |  nfc_normalize(raw) AS nfc, md5(nfc_normalize(raw)) AS fp
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // moving median: element ceil(n/2) of the sorted bounded frame —
+    // an exact data value under the same (tsec, event_id) total order
+    "q_moving_median" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    cast(floor(epoch(ts)) as bigint) AS tsec, value FROM events),
+        |m AS (SELECT event_id, user_id,
+        |    list_sort(list(value) OVER (PARTITION BY user_id
+        |      ORDER BY tsec, event_id
+        |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS sarr
+        |  FROM e)
+        |SELECT event_id, user_id, cast(len(sarr) as bigint) AS n_win,
+        |  sarr[cast((len(sarr) + 1) // 2 as int)] AS med9
+        |FROM m ORDER BY event_id""".stripMargin,
+
     // novelty: same first-occurrence identity (gram-keyed min), same
     // division form
     "q_novelty" ->

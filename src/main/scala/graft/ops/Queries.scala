@@ -19,6 +19,10 @@ import graft.text.TextFunctions._
   * result ends in a total ORDER BY.
   */
 object Queries {
+  /** Combining marks U+0300..U+0308 for the q_normalize synthesis
+    * (shared with its oracle so both engines index the same string). */
+  val combiningMarks: String = (0x300 to 0x308).map(_.toChar).mkString
+
   private val D2 = DecimalType(18, 2)
   private val D4 = DecimalType(18, 4)
   private val P2 = DecimalType(12, 2) // raw money column (2dp doubles)
@@ -1453,6 +1457,60 @@ object Queries {
       .select(col("col_name"), col("n"), col("n_null"), col("n_distinct"),
         col("min_d"), col("max_d"))
       .orderBy("col_name")
+  }
+
+  /** #66d Unicode NFC NORMALIZATION ([[graft.functions.NfcNormalize]] —
+    * native codegen'd `java.text.Normalizer` wrapper): the corpus is
+    * ASCII, so the gate SYNTHESIZES mixed decomposed text per doc —
+    * ten (base letter, combining mark U+0300..U+0308) pairs chosen by
+    * doc_id — and normalizes it. Pairs with a precomposed form
+    * compose (length shrinks), pairs without one stay decomposed —
+    * both paths exercised, and the normalized STRING itself plus its
+    * md5 are hash-gated against DuckDB's `nfc_normalize` (same Unicode
+    * algorithm, byte-identical output). Scan-speed per-row work. */
+  def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    // Spark's chr() is ASCII-mod-256, so the combining marks
+    // U+0300..U+0308 are carried as a literal string and picked by
+    // (char-based) substring on both sides
+    T(s, dir).documents
+      .withColumn("lt", lit("abcdefghijklmnopqrstuvwxyz"))
+      .withColumn("mk", lit(Queries.combiningMarks))
+      .withColumn("raw", expr(
+        """array_join(transform(sequence(0, 9), i ->
+          |  concat(
+          |    substring(lt, cast(pmod(doc_id + i, 26) + 1 AS int), 1),
+          |    substring(mk, cast(pmod(doc_id * 7 + i, 9) + 1 AS int), 1))),
+          |  '')""".stripMargin))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        expr("nfc_normalize(raw)").as("nfc"))
+      .withColumn("len_nfc", length(col("nfc")).cast("long"))
+      .withColumn("fp", md5(col("nfc")))
+      .select("doc_id", "len_raw", "len_nfc", "nfc", "fp")
+      .orderBy("doc_id")
+  }
+
+  /** #48c MOVING MEDIAN — robust rolling smoother over the trailing 9
+    * observations per user: the windowed twin of [[qMadOutliers]]'s
+    * order-statistic discipline (median = element ⌈n/2⌉ of the sorted
+    * frame — an exact data value, bit-equal cross-engine; no
+    * interpolation, no mean's outlier sensitivity). No window frame
+    * computes a rank statistic directly in either engine; the bounded
+    * ROWS frame makes collect-sort-index exact AND O(9) per row. One
+    * user-keyed shuffle. */
+  def qMovingMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsec", "event_id")
+      .rowsBetween(-8, Window.currentRow)
+    T(s, dir).events
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("tsec"), col("value"))
+      .withColumn("sarr", array_sort(collect_list(col("value")).over(w)))
+      .select(col("event_id"), col("user_id"),
+        size(col("sarr")).cast("long").as("n_win"),
+        element_at(col("sarr"),
+          ((size(col("sarr")) + 1) / 2).cast("int")).as("med9"))
+      .orderBy("event_id")
   }
 
   /** #64 quality scoring — features derive from a shared `toks` column.

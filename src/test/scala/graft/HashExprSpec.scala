@@ -64,4 +64,27 @@ class HashExprSpec extends AnyFunSuite {
       .selectExpr("minhash_sig(sh)").collect()(0).getSeq[Long](0)
     assert(sup.zip(sigs(0)).forall { case (s, o) => s <= o })
   }
+
+  test("nfc_normalize: codegen == interpreted == java.text.Normalizer") {
+    import spark.implicits._
+    graft.functions.NfcNormalize.register(spark)
+    val marks = graft.ops.Queries.combiningMarks
+    val rows = Seq("e" + "\u0301", "a\u0300b\u0301q\u0308", "plain",
+      "", marks, null)
+    val df = rows.map(Tuple1(_)).toDF("s")
+    def run(): Seq[Any] =
+      df.selectExpr("nfc_normalize(s)").collect().toSeq.map(_.get(0))
+    val modeKey = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(modeKey, "FALLBACK")
+    val gen = try { spark.conf.set(modeKey, "CODEGEN_ONLY"); run() }
+      finally spark.conf.set(modeKey, prev)
+    val interp = try { spark.conf.set(modeKey, "NO_CODEGEN"); run() }
+      finally spark.conf.set(modeKey, prev)
+    val want = rows.map(r => if (r == null) null
+      else java.text.Normalizer.normalize(r, java.text.Normalizer.Form.NFC))
+    assert(gen.map(v => if (v == null) null else v.toString) == want)
+    assert(interp == gen)
+    // the composed form really is shorter: e + combining acute -> 1 char
+    assert(want.head.length == 1)
+  }
 }
