@@ -65,6 +65,27 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_dedup_unicode oracle: the same precomposed/decomposed twin
+    * construction (shared literals from [[Queries]]). */
+  private lazy val dedupUnicodeSql: String = {
+    val ac = Queries.combiningAcute
+    val dec = Seq("a", "e", "i", "o", "u").foldLeft("text") { (e, v) =>
+      s"replace($e, '$v', '$v$ac')"
+    }
+    s"""WITH pre AS (SELECT doc_id, lang,
+       |    translate(text, 'aeiou', '${Queries.acuteVowels}') AS text
+       |  FROM documents),
+       |dec AS (SELECT doc_id + 10000000 AS doc_id, lang,
+       |    $dec AS text
+       |  FROM documents),
+       |u AS (SELECT * FROM pre UNION ALL SELECT * FROM dec)
+       |SELECT lang, cast(count(*) as bigint) AS n_rows,
+       |  cast(count(distinct md5(nfc_normalize(text))) as bigint)
+       |    AS n_content,
+       |  cast(count(distinct md5(text)) as bigint) AS n_raw
+       |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Profile oracle (q_profile): one UNION ALL leg per column. */
   private lazy val profileSql: String = {
     def leg(c: String, numeric: Boolean): String = {
@@ -1124,6 +1145,22 @@ object Oracles {
         |  cast(sum(CASE WHEN bad IS NULL THEN 1 ELSE 0 END) as bigint)
         |    AS n_bad
         |FROM x GROUP BY t ORDER BY t""".stripMargin,
+
+    // k-anonymity audit: two plain partial-agg passes
+    "q_kanon" ->
+      """WITH q AS (SELECT event_type, cast(ts AS date) AS day,
+        |    user_id % 100 AS ubkt, count(*) AS cls
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type, cast(count(*) as bigint) AS n_classes,
+        |  cast(sum(CASE WHEN cls < 5 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_small,
+        |  cast(sum(CASE WHEN cls < 5 THEN cls ELSE 0 END) as bigint)
+        |    AS rows_at_risk
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // unicode-aware dedup: precomposed vs decomposed twins must
+    // collapse under nfc_normalize fingerprints and NOT under raw ones
+    "q_dedup_unicode" -> dedupUnicodeSql,
 
     // NFC normalization: DuckDB's nfc_normalize implements the same
     // Unicode algorithm as java.text.Normalizer — the normalized string

@@ -22,6 +22,10 @@ object Queries {
   /** Combining marks U+0300..U+0308 for the q_normalize synthesis
     * (shared with its oracle so both engines index the same string). */
   val combiningMarks: String = (0x300 to 0x308).map(_.toChar).mkString
+  /** U+0301 combining acute and the precomposed acute vowels
+    * (q_dedup_unicode — shared with its oracle). */
+  val combiningAcute: String = "\u0301"
+  val acuteVowels: String = "\u00e1\u00e9\u00ed\u00f3\u00fa"
 
   private val D2 = DecimalType(18, 2)
   private val D4 = DecimalType(18, 4)
@@ -1489,6 +1493,54 @@ object Queries {
       .withColumn("fp", md5(col("nfc")))
       .select("doc_id", "len_raw", "len_nfc", "nfc", "fp")
       .orderBy("doc_id")
+  }
+
+  /** #38h k-ANONYMITY audit — the privacy pass before releasing an
+    * events extract: group by the quasi-identifier tuple (event_type,
+    * day, coarse user bucket) and report, per event_type, how many
+    * equivalence classes fall below k = 5 and how many ROWS sit in
+    * them (re-identifiable under linkage). Two partial-agg shuffles,
+    * output stratum-sized. */
+  def qKanon(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        (col("user_id") % 100).as("ubkt"))
+      .groupBy("event_type", "day", "ubkt")
+      .agg(count(lit(1)).as("cls"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_classes"),
+        sum((col("cls") < 5).cast("long")).as("n_small"),
+        sum(when(col("cls") < 5, col("cls")).otherwise(0L))
+          .as("rows_at_risk"))
+      .orderBy("event_type")
+
+  /** #66e UNICODE-AWARE exact dedup — [[qNormalize]]'s native NFC
+    * normalization doing the job it exists for: the corpus is doubled
+    * into a PRECOMPOSED variant (vowels → á é í ó ú) and a DECOMPOSED
+    * twin (vowel + combining acute U+0301) of every doc — visually
+    * identical strings, byte-different. Raw fingerprints see ~2×
+    * distinct contents; fingerprints over `nfc_normalize` collapse
+    * every twin pair. Both counts are emitted per language so the gate
+    * proves normalization is LOAD-BEARING, not a no-op. */
+  def qDedupUnicode(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    val acute = Queries.combiningAcute
+    val docs = T(s, dir).documents
+    val pre = docs.select(col("doc_id"), col("lang"),
+      translate(col("text"), "aeiou", Queries.acuteVowels)
+        .as("text"))
+    val dec = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      col("lang"),
+      Seq("a", "e", "i", "o", "u").foldLeft(col("text")) { (c, v) =>
+        regexp_replace(c, v, v + acute) }.as("text"))
+    pre.unionByName(dec)
+      .withColumn("fp", md5(expr("nfc_normalize(text)")))
+      .withColumn("raw_fp", md5(col("text")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("fp")).as("n_content"),
+        countDistinct(col("raw_fp")).as("n_raw"))
+      .orderBy("lang")
   }
 
   /** #48c MOVING MEDIAN — robust rolling smoother over the trailing 9
