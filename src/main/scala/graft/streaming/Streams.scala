@@ -195,6 +195,41 @@ object Streams {
   case class Session(start: Long, last: Long, n: Long, sid: Long)
   case class SessionOut(user_id: Long, sid: Long, n_events: Long, dur_s: Long)
 
+  case class EvV(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                 value: Double)
+  case class EwmaState(n: Long, last: Double, ewma: Double)
+  case class EwmaOut(user_id: Long, n_obs: Long, last_v: Double,
+                     ewma: Double)
+
+  /** Streaming EWMA — the stateful twin of q_ewma's ordered left fold
+    * (α = 0.25, y₁ = x₁): per-user state carries (count, last, ewma)
+    * across micro-batches; within a batch one user's rows are sorted
+    * (bounded by trigger interval, the sessionizeStream convention) and
+    * folded in (ts, event_id) order. Emits the running row per batch
+    * (update mode); after a full replay the latest row per user equals
+    * the batch fold exactly — same doubles, same order, same IEEE ops
+    * (gated in StreamingSpec). The operator EWMA-at-scale wants:
+    * sequential per key by definition, parallel across keys, state one
+    * record per user. */
+  def ewmaStream(ds: Dataset[EvV], alpha: Double = 0.25)(implicit
+      ke: Encoder[Long], se: Encoder[EwmaState],
+      oe: Encoder[EwmaOut]): Dataset[EwmaOut] =
+    ds.groupByKey(_.user_id).mapGroupsWithState(
+      GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[EvV],
+       state: org.apache.spark.sql.streaming.GroupState[EwmaState]) =>
+        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = state.getOption.getOrElse(EwmaState(0L, 0.0, 0.0))
+        evs.foreach { e =>
+          st =
+            if (st.n == 0L) EwmaState(1L, e.value, e.value)
+            else EwmaState(st.n + 1, e.value,
+              st.ewma + (e.value - st.ewma) * alpha)
+        }
+        state.update(st)
+        EwmaOut(user, st.n, st.last, st.ewma)
+    }
+
   /** Streaming sessionization — the stateful twin of q_sessionize
     * (30-min-gap islands) as `flatMapGroupsWithState`. A session closes
     * when a later event arrives past the gap; the closed session is

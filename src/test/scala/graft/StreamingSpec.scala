@@ -94,6 +94,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(last == Map(1L -> 15.0, 2L -> 1.0)) // 10 then 10+5: resumed state
   }
 
+  test("ewmaStream replay: latest per-user row == q_ewma batch fold (#70e)") {
+    import spark.implicits._
+    val q = Streams.ewmaStream(
+        Streams.eventsStream(spark, replayDir)
+          .select("user_id", "ts", "event_id", "value").as[Streams.EvV])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ewma_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ewma_replay")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_obs"), col("last_v"), col("ewma")))
+        .as("last"))
+      .select(col("user_id"), col("last.n_obs"), col("last.last_v"),
+        col("last.ewma"))
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Queries.qEwma(spark, replayDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("transformWithState fold == mapGroupsWithState fold (#70d)") {
     // the v2 processor API requires the RocksDB store
     import spark.implicits._
