@@ -1146,6 +1146,35 @@ object Oracles {
         |    AS n_bad
         |FROM x GROUP BY t ORDER BY t""".stripMargin,
 
+    // schema evolution: the merged read == UNION with an explicit NULL
+    // column for the old batch
+    "q_schema_evolution" ->
+      """WITH u AS (
+        |  SELECT lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, cast(count(*) as bigint) AS n,
+        |  cast(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+        |    as bigint) AS n_missing,
+        |  cast(sum(coalesce(n_chars, 0)) as bigint) AS sum_chars
+        |FROM u GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // quantile normalization: pure integer rank math — decile =
+    // (rank-1)*10 // n under the same (n_chars, doc_id) total order
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, cast((rk - 1) * 10 // n as bigint) AS decile,
+        |  cast(count(*) as bigint) AS n_docs,
+        |  cast(min(n_chars) as bigint) AS lo_chars,
+        |  cast(max(n_chars) as bigint) AS hi_chars
+        |FROM r GROUP BY lang, (rk - 1) * 10 // n
+        |ORDER BY lang, decile""".stripMargin,
+
     // k-anonymity audit: two plain partial-agg passes
     "q_kanon" ->
       """WITH q AS (SELECT event_type, cast(ts AS date) AS day,

@@ -254,6 +254,30 @@ object Queries {
   def partitionPruneRead(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path).where(col("lang").isin("en", "de"))
 
+  /** #24c SCHEMA EVOLUTION read — the lake's schema-drift reality: an
+    * old batch written WITHOUT `n_chars`, a new batch WITH it, landing
+    * in the same directory; `mergeSchema` unifies the footers and
+    * null-fills the missing column, so consumers see one schema
+    * without rewriting history (at 100 TB nobody rewrites history).
+    * The rollup carries the null count per language, proving the
+    * missing column surfaces as NULL, not zero or error; oracle =
+    * the equivalent UNION with an explicit NULL column. */
+  def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_sev").resolve("docs").toString
+    val docs = T(s, dir).documents
+    docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
+      .write.mode("overwrite").parquet(out)
+    docs.where(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+      .write.mode("append").parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars").isNull.cast("long")).as("n_missing"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** #27 Decidable routing: rows split by predicate into two sinks, then
     * both routes summarized. */
   def qRoute(s: SparkSession, dir: String): DataFrame = {
@@ -1563,6 +1587,30 @@ object Queries {
         element_at(col("sarr"),
           ((size(col("sarr")) + 1) / 2).cast("int")).as("med9"))
       .orderBy("event_id")
+  }
+
+  /** #64e QUANTILE NORMALIZATION across strata — the calibration step
+    * before any GLOBAL threshold over per-language scores: raw score
+    * scales differ by language (English quality scores run higher on
+    * English-tuned features), so a single global cutoff silently
+    * filters whole languages; rank-normalizing within each stratum
+    * maps every language onto the same [0,1) scale first. Kept fully
+    * INTEGER: decile = (rank−1)·10 div n — exact in any engine, and
+    * the emitted per-(lang, decile) histogram is uniform by
+    * construction, which IS the calibration property. One keyed
+    * window + partial agg. */
+  def qQuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    T(s, dir).documents
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .withColumn("decile", expr("(rk - 1) * 10 div n"))
+      .groupBy("lang", "decile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("lo_chars"),
+        max(col("n_chars")).as("hi_chars"))
+      .orderBy("lang", "decile")
   }
 
   /** #64 quality scoring — features derive from a shared `toks` column.
