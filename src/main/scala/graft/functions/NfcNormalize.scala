@@ -48,3 +48,45 @@ object NfcNormalize {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "nfc_normalize", exprs => NfcNormalize(exprs(0)), "built-in")
 }
+
+/** Accent stripping by canonical decomposition: NFD then drop every
+  * combining mark (Unicode category Mn) — "café" and "cafe" become one
+  * search/dedup key. This is the NFD+Mn definition (exactly what the
+  * decomposition standard gives); engine-specific `strip_accents`
+  * tables can differ on NON-decomposable letters (ø, đ), so gates pin
+  * inputs to canonically-decomposable accents where every
+  * implementation agrees. Codegen'd static calls, no UDF. */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(StripAccents.strip(
+      s.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.StripAccents.strip($c.toString()));"""
+        .stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StripAccents = copy(child = newChild)
+}
+
+object StripAccents {
+  /** NFD + drop Mn (shared by interpreted and generated paths). */
+  def strip(s: String): String =
+    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{Mn}+", "")
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents", exprs => StripAccents(exprs(0)), "built-in")
+}

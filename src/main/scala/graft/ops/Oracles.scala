@@ -86,6 +86,29 @@ object Oracles {
        |FROM u GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** q_fold_text oracle: same twin construction, DuckDB's own
+    * strip_accents. */
+  private lazy val foldTextSql: String = {
+    val ac = Queries.combiningAcute
+    val dec = Seq("a", "e", "i", "o", "u").foldLeft("text") { (e, v) =>
+      s"replace($e, '$v', '$v$ac')"
+    }
+    s"""WITH x AS (SELECT lang,
+       |    lower(strip_accents(
+       |      translate(text, 'aeiou', '${Queries.acuteVowels}')))
+       |      AS fold_pre,
+       |    lower(strip_accents($dec)) AS fold_dec,
+       |    lower(text) AS base
+       |  FROM documents)
+       |SELECT lang, cast(count(*) as bigint) AS n_docs,
+       |  cast(sum(CASE WHEN fold_pre = base THEN 1 ELSE 0 END)
+       |    as bigint) AS n_pre_ok,
+       |  cast(sum(CASE WHEN fold_dec = base THEN 1 ELSE 0 END)
+       |    as bigint) AS n_dec_ok,
+       |  cast(count(distinct md5(fold_pre)) as bigint) AS n_content
+       |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** Profile oracle (q_profile): one UNION ALL leg per column. */
   private lazy val profileSql: String = {
     def leg(c: String, numeric: Boolean): String = {
@@ -1174,6 +1197,30 @@ object Oracles {
         |  cast(max(n_chars) as bigint) AS hi_chars
         |FROM r GROUP BY lang, (rk - 1) * 10 // n
         |ORDER BY lang, decile""".stripMargin,
+
+    // OHLC: open/close by rank-1 flags under the same total order
+    "q_ohlc" ->
+      s"""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    cast(floor(epoch(ts)) as bigint) AS tsec, event_id, value
+         |  FROM events),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY event_type, hour
+         |      ORDER BY tsec, event_id) AS rna,
+         |    row_number() OVER (PARTITION BY event_type, hour
+         |      ORDER BY tsec DESC, event_id DESC) AS rnd
+         |  FROM e)
+         |SELECT event_type, hour, $CNT AS n,
+         |  max(CASE WHEN rna = 1 THEN value END) AS open,
+         |  max(CASE WHEN rnd = 1 THEN value END) AS close,
+         |  min(value) AS low, max(value) AS high,
+         |  ${d4("value")} AS volume
+         |FROM r GROUP BY event_type, hour
+         |ORDER BY event_type, hour""".stripMargin,
+
+    // text folding: DuckDB's independent strip_accents implementation
+    // must agree on canonically-decomposable accents, and both
+    // encodings must roundtrip to the plain lowercase original
+    "q_fold_text" -> foldTextSql,
 
     // k-anonymity audit: two plain partial-agg passes
     "q_kanon" ->

@@ -1567,6 +1567,65 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** #53e OHLC BARS — the canonical time-series downsample (finance
+    * candles, sensor summaries): per (event_type, hour), open = first
+    * value and close = last value under the TOTAL (tsec, event_id)
+    * order (rank-1 flags from two windows over ONE keyed shuffle — the
+    * engine-portable spelling; min_by/arg_min tie semantics differ
+    * across engines, a total order does not), high/low = max/min,
+    * volume decimal-exact. */
+  def qOhlc(s: SparkSession, dir: String): DataFrame = {
+    val keys = Seq(col("event_type"), col("hour"))
+    val wAsc = Window.partitionBy(keys: _*).orderBy(col("tsec"), col("event_id"))
+    val wDesc = Window.partitionBy(keys: _*)
+      .orderBy(col("tsec").desc, col("event_id").desc)
+    T(s, dir).events
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"),
+        unix_timestamp(col("ts")).as("tsec"), col("event_id"), col("value"))
+      .withColumn("rna", row_number().over(wAsc))
+      .withColumn("rnd", row_number().over(wDesc))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n"),
+        max(when(col("rna") === 1, col("value"))).as("open"),
+        max(when(col("rnd") === 1, col("value"))).as("close"),
+        min(col("value")).as("low"), max(col("value")).as("high"),
+        dsum(col("value"), D4).as("volume"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** #66f TEXT FOLDING — the search/dedup key normalization chain:
+    * casefold + accent strip ([[graft.functions.StripAccents]], NFD +
+    * drop-Mn as a codegen'd native expression; "café" ≡ "cafe"). Over
+    * the [[qDedupUnicode]] twin corpus BOTH accent encodings — the
+    * precomposed á and the decomposed a+U+0301 — must fold back to the
+    * plain lowercase original (n_pre_ok == n_dec_ok == n_docs is the
+    * roundtrip property the gate carries), and the folded-content
+    * fingerprint count matches DuckDB's independent
+    * `strip_accents` implementation exactly. Inputs pin to
+    * canonically-decomposable accents where every strip definition
+    * agrees (engine tables differ on ø/đ — documented in the
+    * expression). */
+  def qFoldText(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.StripAccents.register(s)
+    val acute = Queries.combiningAcute
+    T(s, dir).documents
+      .withColumn("pre",
+        translate(col("text"), "aeiou", Queries.acuteVowels))
+      .withColumn("dec",
+        Seq("a", "e", "i", "o", "u").foldLeft(col("text")) { (c, v) =>
+          regexp_replace(c, v, v + acute) })
+      .select(col("lang"),
+        lower(expr("strip_accents(pre)")).as("fold_pre"),
+        lower(expr("strip_accents(dec)")).as("fold_dec"),
+        lower(col("text")).as("base"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("fold_pre") === col("base")).cast("long")).as("n_pre_ok"),
+        sum((col("fold_dec") === col("base")).cast("long")).as("n_dec_ok"),
+        countDistinct(md5(col("fold_pre"))).as("n_content"))
+      .orderBy("lang")
+  }
+
   /** #48c MOVING MEDIAN — robust rolling smoother over the trailing 9
     * observations per user: the windowed twin of [[qMadOutliers]]'s
     * order-statistic discipline (median = element ⌈n/2⌉ of the sorted

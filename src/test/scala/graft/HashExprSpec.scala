@@ -87,4 +87,27 @@ class HashExprSpec extends AnyFunSuite {
     // the composed form really is shorter: e + combining acute -> 1 char
     assert(want.head.length == 1)
   }
+
+  test("strip_accents: codegen == interpreted == NFD+drop-Mn") {
+    import spark.implicits._
+    graft.functions.StripAccents.register(spark)
+    val rows = Seq("caf\u00e9", "cafe\u0301", "plain", "",
+      graft.ops.Queries.acuteVowels, null)
+    val df = rows.map(Tuple1(_)).toDF("s")
+    def run(): Seq[Any] =
+      df.selectExpr("strip_accents(s)").collect().toSeq.map(_.get(0))
+    val modeKey = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(modeKey, "FALLBACK")
+    val gen = try { spark.conf.set(modeKey, "CODEGEN_ONLY"); run() }
+      finally spark.conf.set(modeKey, prev)
+    val interp = try { spark.conf.set(modeKey, "NO_CODEGEN"); run() }
+      finally spark.conf.set(modeKey, prev)
+    val want = rows.map(r =>
+      if (r == null) null else graft.functions.StripAccents.strip(r))
+    assert(gen.map(v => if (v == null) null else v.toString) == want)
+    assert(interp == gen)
+    // both encodings of cafe-acute land on the same key
+    assert(want(0) == "cafe" && want(1) == "cafe" &&
+      want(4) == "aeiou")
+  }
 }
