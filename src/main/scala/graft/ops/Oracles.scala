@@ -1198,6 +1198,28 @@ object Oracles {
         |FROM r GROUP BY lang, (rk - 1) * 10 // n
         |ORDER BY lang, decile""".stripMargin,
 
+    // winsorize: identical integer rank formulas for the p05/p95 order
+    // statistics, clamped sum through decimal
+    "q_winsorize" ->
+      s"""WITH r AS (SELECT event_id, event_type, value,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events),
+         |c AS (SELECT *,
+         |    max(CASE WHEN rn = (n * 5 + 99) // 100 THEN value END)
+         |      OVER (PARTITION BY event_type) AS lo,
+         |    max(CASE WHEN rn = (n * 95 + 99) // 100 THEN value END)
+         |      OVER (PARTITION BY event_type) AS hi
+         |  FROM r)
+         |SELECT event_type, $CNT AS n,
+         |  cast(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+         |    as bigint) AS n_clipped,
+         |  max(lo) AS p05, max(hi) AS p95,
+         |  ${d4("CASE WHEN value < lo THEN lo WHEN value > hi THEN hi ELSE value END")}
+         |    AS wsum
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // OHLC: open/close by rank-1 flags under the same total order
     "q_ohlc" ->
       s"""WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hour,

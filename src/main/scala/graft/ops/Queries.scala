@@ -1567,6 +1567,38 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** #38i WINSORIZED aggregation — tail-robust means without dropping
+    * rows: clamp each group's values at the exact p05/p95 ORDER
+    * STATISTICS (rank ⌈0.05n⌉ / ⌈0.95n⌉ under the total (value,
+    * event_id) order — integer rank math, exact data values, the
+    * q_mad_outliers discipline) and aggregate the clamped column
+    * through decimal. Means stay comparable across groups while a fat
+    * tail can no longer drag them. Two windows over ONE keyed
+    * shuffle + partial agg. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.partitionBy("event_type")
+    val wVal = wAll.orderBy("value", "event_id")
+    T(s, dir).events
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(wVal))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("lo", max(when(
+        col("rn") === expr("(n * 5 + 99) div 100"), col("value"))).over(wAll))
+      .withColumn("hi", max(when(
+        col("rn") === expr("(n * 95 + 99) div 100"), col("value"))).over(wAll))
+      .withColumn("cv",
+        when(col("value") < col("lo"), col("lo"))
+          .when(col("value") > col("hi"), col("hi"))
+          .otherwise(col("value")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum((col("value") < col("lo") || col("value") > col("hi"))
+          .cast("long")).as("n_clipped"),
+        max(col("lo")).as("p05"), max(col("hi")).as("p95"),
+        dsum(col("cv"), D4).as("wsum"))
+      .orderBy("event_type")
+  }
+
   /** #53e OHLC BARS — the canonical time-series downsample (finance
     * candles, sensor summaries): per (event_type, hour), open = first
     * value and close = last value under the TOTAL (tsec, event_id)
