@@ -25,9 +25,12 @@ import org.apache.spark.sql.DataFrame
   *    monotonically decreasing label column): measure-equal ⇒ fixed.
   */
 object Fixpoint {
-  def iterate(seed: DataFrame, maxIter: Int)(
+  /** `A` is any equality-comparable measure value — Long for small
+    * label domains, BigDecimal when labels are wide hashes whose sum
+    * overflows a long (q_er_cluster's 60-bit name ids). */
+  def iterate[A](seed: DataFrame, maxIter: Int)(
       step: DataFrame => DataFrame)(
-      measure: DataFrame => Long): DataFrame = {
+      measure: DataFrame => A): DataFrame = {
     var cur = seed.localCheckpoint()
     var m = measure(cur)
     var i = 0

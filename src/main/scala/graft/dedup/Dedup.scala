@@ -635,7 +635,13 @@ object Dedup {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
-    } { df => df.agg(sum("comp")).head.getLong(0) }
+    } { df =>
+      // decimal-exact sum: label values may be 60-bit hash ids whose
+      // long sum overflows (ANSI mode raises) — the measure just needs
+      // exact equality across iterations, not a machine word
+      df.agg(sum(col("comp").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
+    }
     edges.unpersist()
     out
   }

@@ -1889,6 +1889,59 @@ object Oracles {
          |SELECT id AS doc_id, least(id, min(reach)) AS comp
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // keep-best cluster dedup: same closure, then argmax n_chars
+    // (ties -> min doc_id) per component — integer comparisons only
+    "q_dedup_keepbest" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM i
+         |  JOIN s sa ON sa.doc_id = i.doc_a
+         |  JOIN s sb ON sb.doc_id = i.doc_b
+         |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT src AS id, dst AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+         |lab AS (SELECT id AS doc_id, least(id, min(reach)) AS comp
+         |  FROM r GROUP BY id),
+         |k AS (SELECT comp, l.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY comp
+         |      ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY comp) AS n_members
+         |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+         |SELECT comp, doc_id AS keep_id, n_chars AS keep_chars,
+         |  cast(n_members AS bigint) AS n_members
+         |FROM k WHERE rk = 1 ORDER BY comp""".stripMargin,
+
+    // ER clustering: recursive-CTE closure over brute levenshtein
+    // pairs, same portable seeded-md5 60-bit name ids, same min-label
+    "q_er_cluster" ->
+      """WITH RECURSIVE p AS (SELECT DISTINCT p_name AS s FROM part),
+        |ids AS (SELECT s,
+        |    ('0x' || substr(md5('er#' || s), 1, 15))::UBIGINT::BIGINT
+        |      AS id
+        |  FROM p),
+        |e0 AS (SELECT a.id AS src, b.id AS dst
+        |  FROM ids a JOIN ids b
+        |    ON a.s < b.s AND levenshtein(a.s, b.s) <= 2),
+        |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |r AS (SELECT src AS id, dst AS reach FROM e
+        |  UNION
+        |  SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+        |lab AS (SELECT id, least(id, min(reach)) AS comp
+        |  FROM r GROUP BY id)
+        |SELECT comp, cast(count(*) as bigint) AS n_names
+        |FROM lab GROUP BY comp ORDER BY comp""".stripMargin,
+
     "q_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),

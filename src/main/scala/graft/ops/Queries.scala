@@ -2109,6 +2109,34 @@ object Queries {
         graft.dedup.Dedup.minhashPairs(T(s, dir).documents))
       .orderBy("doc_id")
 
+  /** #57n CLUSTER dedup with a KEEP-BEST policy — the production
+    * selection rule: inside each near-dup cluster keep the LONGEST
+    * member (the longest near-duplicate usually carries the most
+    * content — truncated mirrors and teaser pages lose), ties broken
+    * by min doc_id. Composition of two gated operators: the exact
+    * J≥0.8 pair set ([[graft.dedup.Dedup.jaccardJoin]], complete by
+    * theorem — no banding-miss exposure in the oracle gate) →
+    * [[graft.dedup.Dedup.components]] → one keyed argmax window per
+    * cluster. All comparisons are integer (n_chars, doc_id), so the
+    * winner is bit-portable; the oracle replays the recursive-CTE
+    * closure and the same ORDER BY n_chars DESC, doc_id. Scale shape:
+    * cluster frame is pair-participant-sized, the argmax one window
+    * keyed on comp — nothing corpus-quadratic. */
+  def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val comps = graft.dedup.Dedup.components(
+      graft.dedup.Dedup.jaccardJoin(docs, 0.8).select("doc_a", "doc_b"))
+    val w = Window.partitionBy("comp")
+    val wr = w.orderBy(col("n_chars").desc, col("doc_id"))
+    comps.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .where(col("rk") === 1)
+      .select(col("comp"), col("doc_id").as("keep_id"),
+        col("n_chars").as("keep_chars"), col("n_members"))
+      .orderBy("comp")
+  }
+
   /** #57g PAGERANK over the similarity graph
     * ([[graft.dedup.Dedup.pageRank]], K=8 iterations, Q=10^6 fixed
     * point): centrality ranks each dup cluster's most-connected member
@@ -2685,6 +2713,27 @@ object Queries {
       .groupBy("split", "lang")
       .agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
+  }
+
+  /** #57m ENTITY-RESOLUTION clustering — the composed ER pipeline:
+    * blocking + edit-distance candidate pairs
+    * ([[Relational.editDistanceJoin]], complete by the Ed-Join
+    * theorem) fed into the bounded connected-components fixpoint
+    * ([[graft.dedup.Dedup.components]]) — typo variants of one entity
+    * collapse into one cluster labelled by its min member. Names enter
+    * the graph as portable seeded-md5 60-bit ids so the oracle (a
+    * recursive-CTE closure over brute levenshtein pairs) reproduces
+    * the identical labels. Each stage is its own graded operator;
+    * this entry grades their COMPOSITION. */
+  def qErCluster(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val pairs = Relational.editDistanceJoin(T(s, dir).part, "p_name", k = 2)
+      .select(d.md5Hash60(col("a"), lit("er")).as("doc_a"),
+        d.md5Hash60(col("b"), lit("er")).as("doc_b"))
+    d.components(pairs)
+      .groupBy("comp")
+      .agg(count(lit(1)).as("n_names"))
+      .orderBy("comp")
   }
 
   /** #56o GROUP-aware split — train/valid/test assigned per USER, not
