@@ -1341,6 +1341,87 @@ object Oracles {
          |  md5(trim(regexp_replace(lower(text), '$WS+', ' ', 'g'))) AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // identical synthesis + canonicalization rules; ASCII domain so
+    // lower()/list_sort collate identically across engines
+    "q_url_dedup" ->
+      """WITH syn AS (SELECT doc_id,
+        |    'HTTPS://WWW.' || source || '.Example.COM' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+        |    '/' || lang || '/Page/' || cast(doc_id % 50 AS varchar) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |        '?utm_source=feed&id=' || cast(doc_id % 7 AS varchar)
+        |          || '&utm_campaign=br'
+        |      WHEN doc_id % 3 = 1 THEN
+        |        '?id=' || cast(doc_id % 7 AS varchar) || '&ref=home'
+        |      ELSE '/' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |c2 AS (SELECT doc_id,
+        |    split_part(split_part(url, '#', 1), '//', 2) AS rest
+        |  FROM syn),
+        |c3 AS (SELECT doc_id, rest, split_part(rest, '/', 1) AS hostport
+        |  FROM c2),
+        |c4 AS (SELECT doc_id, substr(rest, length(hostport) + 1) AS pathq,
+        |    lower(hostport) AS host0 FROM c3),
+        |c5 AS (SELECT doc_id, pathq,
+        |    CASE WHEN substr(host0, length(host0) - 3) = ':443'
+        |      THEN substr(host0, 1, length(host0) - 4) ELSE host0 END
+        |      AS host1 FROM c4),
+        |c6 AS (SELECT doc_id, pathq,
+        |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
+        |      ELSE host1 END AS host FROM c5),
+        |c7 AS (SELECT doc_id, host, split_part(pathq, '?', 1) AS p0,
+        |    CASE WHEN contains(pathq, '?')
+        |      THEN split_part(pathq, '?', 2) ELSE '' END AS qs FROM c6),
+        |c8 AS (SELECT doc_id, host,
+        |    CASE WHEN rtrim(p0, '/') = '' THEN '/' ELSE rtrim(p0, '/') END
+        |      AS cpath,
+        |    list_sort(list_filter(string_split(qs, '&'),
+        |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS params
+        |  FROM c7),
+        |c9 AS (SELECT doc_id, host,
+        |    'https://' || host || cpath ||
+        |    CASE WHEN len(params) > 0
+        |      THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+        |  FROM c8)
+        |SELECT canon, host, cast(count(*) AS bigint) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM c9 GROUP BY canon, host ORDER BY canon""".stripMargin,
+
+    // identical synthesis + RE2-safe strip/decode patterns; replace
+    // order matters and is identical on both sides
+    "q_html_extract" ->
+      """WITH syn AS (SELECT doc_id,
+        |    '<!DOCTYPE html><html><head><title>' || source || ' #'
+        |      || cast(doc_id AS varchar) || '</title>'
+        |      || '<style>p{margin:0}</style><script>var x=1;</script>'
+        |      || '</head><body>'
+        |      || '<div class="nav"><a href="/home">Home</a> | '
+        |      || '<a href="/about">About</a></div>'
+        |      || '<h1>' || lang || '</h1><p>' || text || '</p>'
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN '<footer>&copy; 2026 Example &amp; Co.</footer>'
+        |           ELSE '' END
+        |      || '</body></html>' AS html
+        |  FROM documents),
+        |c AS (SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(
+        |        regexp_replace(regexp_replace(regexp_replace(html,
+        |          '<script[^>]*>[^<]*</script>', ' ', 'g'),
+        |          '<style[^>]*>[^<]*</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM syn)
+        |SELECT doc_id,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  cast(len(regexp_extract_all(html, '<a [^>]*>')) AS bigint)
+        |    AS n_links,
+        |  cast(length(clean) AS bigint) AS clean_len,
+        |  md5(clean) AS clean_fp
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // identical RE2-safe patterns to TextFunctions.urlRe/emailRe
     "q_scrub" ->
       s"""WITH s AS (SELECT doc_id, text,
@@ -1888,6 +1969,48 @@ object Oracles {
          |  SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
          |SELECT id AS doc_id, least(id, min(reach)) AS comp
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // near-dup-aware split: same closure for group labels, singletons
+    // fall back to their own doc_id, split = seeded-md5 bucket on the
+    // GROUP label (cluster cohesion by construction)
+    "q_split_neardup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM i
+         |  JOIN s sa ON sa.doc_id = i.doc_a
+         |  JOIN s sb ON sb.doc_id = i.doc_b
+         |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT src AS id, dst AS reach FROM e
+         |  UNION
+         |  SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src),
+         |lab AS (SELECT id AS doc_id, least(id, min(reach)) AS comp
+         |  FROM r GROUP BY id),
+         |g AS (SELECT d.doc_id, d.n_chars,
+         |    coalesce(l.comp, d.doc_id) AS grp,
+         |    l.comp IS NOT NULL AS clustered
+         |  FROM documents d LEFT JOIN lab l ON l.doc_id = d.doc_id),
+         |b AS (SELECT *,
+         |    ('0x' || substr(md5('nd#' || cast(grp AS varchar)), 1, 15))
+         |      ::UBIGINT::BIGINT % 100 AS b
+         |  FROM g)
+         |SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+         |    ELSE 'test' END AS split,
+         |  cast(count(*) AS bigint) AS n_docs,
+         |  cast(count(DISTINCT grp) AS bigint) AS n_groups,
+         |  cast(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS bigint)
+         |    AS n_clustered,
+         |  cast(sum(n_chars) AS bigint) AS sum_chars
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     // keep-best cluster dedup: same closure, then argmax n_chars
     // (ties -> min doc_id) per component — integer comparisons only

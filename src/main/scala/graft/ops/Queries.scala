@@ -1805,6 +1805,104 @@ object Queries {
         md5(scrubText(col("text"))).as("clean_fp"))
       .orderBy("doc_id")
 
+  /** #66d URL canonicalization + URL-level dedup — the crawl-curation
+    * step BEFORE any content dedup: the same page fetched as
+    * `HTTPS://WWW.Host:443/p/?utm_source=x` and `https://host/p` must
+    * collapse to one canonical key. Deterministic synthetic URLs (a
+    * closed-form function of doc_id/source/lang — the q_multimodal
+    * payload trick) exercise every rule: fragment strip, host
+    * lowercase, default-port and `www.` strip, trailing-slash
+    * normalization, utm_* tracking-param removal, and query-param
+    * SORTING (order-insensitive canonical form). All pure string/array
+    * column math (split_part/filter/array_sort — codegen'd, zero
+    * regex), then one groupBy(canon) keyed agg: count + min-doc_id
+    * keeper. Scale shape: per-row map + one partial-agg shuffle on the
+    * canonical key — scan-speed at any corpus size. Oracle replays the
+    * identical synthesis and rules in DuckDB SQL; ASCII domain makes
+    * lower/sort collation-identical. */
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val synth = T(s, dir).documents.select(id, concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      lit("/"), col("lang"), lit("/Page/"), (id % 50).cast("string"),
+      when(id % 3 === 0, concat(lit("?utm_source=feed&id="),
+        (id % 7).cast("string"), lit("&utm_campaign=br")))
+        .when(id % 3 === 1, concat(lit("?id="),
+          (id % 7).cast("string"), lit("&ref=home")))
+        .otherwise(lit("/")),
+      when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
+      .as("url"))
+    synth
+      .withColumn("rest", expr("split_part(split_part(url, '#', 1), '//', 2)"))
+      .withColumn("hostport", expr("split_part(rest, '/', 1)"))
+      .withColumn("pathq", expr("substr(rest, length(hostport) + 1)"))
+      .withColumn("host0", lower(col("hostport")))
+      .withColumn("host1", expr(
+        "if(substr(host0, length(host0) - 3) = ':443', " +
+          "substr(host0, 1, length(host0) - 4), host0)"))
+      .withColumn("host", expr(
+        "if(substr(host1, 1, 4) = 'www.', substr(host1, 5), host1)"))
+      .withColumn("p0", expr("split_part(pathq, '?', 1)"))
+      .withColumn("cpath",
+        when(rtrim(col("p0"), "/") === "", lit("/"))
+          .otherwise(rtrim(col("p0"), "/")))
+      .withColumn("qs", expr(
+        "if(instr(pathq, '?') > 0, split_part(pathq, '?', 2), '')"))
+      .withColumn("params", expr(
+        "array_sort(filter(split(qs, '&'), " +
+          "x -> x != '' AND substr(x, 1, 4) != 'utm_'))"))
+      .withColumn("canon", concat(lit("https://"), col("host"), col("cpath"),
+        when(size(col("params")) > 0,
+          concat(lit("?"), array_join(col("params"), "&")))
+          .otherwise(lit(""))))
+      .groupBy("canon", "host")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("canon")
+  }
+
+  /** #66e HTML boilerplate extraction — the text-extraction stage that
+    * sits between the crawl and every other text operator: strip
+    * script/style blocks WITH their contents, strip remaining tags,
+    * decode entities, normalize whitespace; keep title and link count
+    * as structural metadata. Deterministic synthetic HTML wraps each
+    * doc's text (nav bar, script, style, conditional footer — the
+    * q_multimodal payload trick), so every rule is exercised and the
+    * extracted text is hash-gated end to end (clean_fp = md5 of the
+    * final string). All patterns are RE2-safe and shared verbatim
+    * with the oracle; per-row map, no shuffle — scan-speed. */
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>"), col("source"),
+      lit(" #"), id.cast("string"), lit("</title>"),
+      lit("<style>p{margin:0}</style><script>var x=1;</script></head><body>"),
+      lit("<div class=\"nav\"><a href=\"/home\">Home</a> | " +
+        "<a href=\"/about\">About</a></div>"),
+      lit("<h1>"), col("lang"), lit("</h1><p>"), col("text"), lit("</p>"),
+      when(id % 2 === 0,
+        lit("<footer>&copy; 2026 Example &amp; Co.</footer>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+    T(s, dir).documents.select(id, html.as("html"))
+      .withColumn("stripped", regexp_replace(regexp_replace(regexp_replace(
+        col("html"),
+        "<script[^>]*>[^<]*</script>", " "),
+        "<style[^>]*>[^<]*</style>", " "),
+        "<[^>]*>", " "))
+      .withColumn("decoded", expr(
+        "replace(replace(replace(stripped, '&amp;', '&'), " +
+          "'&copy;', '(c)'), '&nbsp;', ' ')"))
+      .withColumn("clean", trim(regexp_replace(col("decoded"), "\\s+", " ")))
+      .select(id,
+        regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+        size(expr("regexp_extract_all(html, '<a [^>]*>', 0)"))
+          .cast("long").as("n_links"),
+        length(col("clean")).cast("long").as("clean_len"),
+        md5(col("clean")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** #65b vocabulary heavy-hitters: top-20 bigrams by frequency — the
     * n-gram statistics pass (tokenizer/vocab work). Partial-agg count
     * then TakeOrderedAndProject: the never-full-sort top-k shape.
@@ -2755,6 +2853,40 @@ object Queries {
       .agg(countDistinct("user_id").as("n_users"),
         count(lit(1)).as("n_events"),
         dsum(col("value"), D4).as("sv"))
+      .orderBy("split")
+  }
+
+  /** #56q NEAR-DUP-aware split — the cluster-level leakage rule:
+    * near-duplicates of one document must land in the SAME split, or
+    * held-out evaluation silently tests on paraphrases of training
+    * data (the group-split rule of [[qSplitGroup]] lifted from an
+    * explicit key to a DISCOVERED one). Group label = connected
+    * component of the exact J≥0.8 graph ([[graft.dedup.Dedup
+    * .jaccardJoin]] → [[graft.dedup.Dedup.components]]); singletons
+    * (no near-dup — the overwhelming mass of a real corpus) fall back
+    * to their own doc_id via one left join against the
+    * cluster-frame-sized label table. Split = the same seeded-md5
+    * bucket math as every other split operator, keyed on the GROUP
+    * label, so cluster cohesion holds by construction. */
+  def qSplitNeardup(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val comps = graft.dedup.Dedup.components(
+      graft.dedup.Dedup.jaccardJoin(docs, 0.8).select("doc_a", "doc_b"))
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("nd#"), col("grp").cast("string"))),
+        1, 15), 16, 10).cast("long"), lit(100))
+    docs.select("doc_id", "n_chars")
+      .join(comps, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("doc_id")))
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "valid")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("grp").as("n_groups"),
+        sum(when(col("comp").isNotNull, 1L).otherwise(0L))
+          .as("n_clustered"),
+        sum(col("n_chars")).as("sum_chars"))
       .orderBy("split")
   }
 
