@@ -1813,9 +1813,11 @@ object Queries {
     * payload trick) exercise every rule: fragment strip, host
     * lowercase, default-port and `www.` strip, trailing-slash
     * normalization, utm_* tracking-param removal, and query-param
-    * SORTING (order-insensitive canonical form). All pure string/array
-    * column math (split_part/filter/array_sort — codegen'd, zero
-    * regex), then one groupBy(canon) keyed agg: count + min-doc_id
+    * SORTING (order-insensitive canonical form). The rules live in
+    * [[graft.text.TextFunctions.canonicalizeUrl]]/[[graft.text
+    * .TextFunctions.urlHost]] — pure string/array column math
+    * (split_part/filter/array_sort — codegen'd, zero regex,
+    * idempotent), then one groupBy(canon) keyed agg: count + min-doc_id
     * keeper. Scale shape: per-row map + one partial-agg shuffle on the
     * canonical key — scan-speed at any corpus size. Oracle replays the
     * identical synthesis and rules in DuckDB SQL; ASCII domain makes
@@ -1834,28 +1836,8 @@ object Queries {
       when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
       .as("url"))
     synth
-      .withColumn("rest", expr("split_part(split_part(url, '#', 1), '//', 2)"))
-      .withColumn("hostport", expr("split_part(rest, '/', 1)"))
-      .withColumn("pathq", expr("substr(rest, length(hostport) + 1)"))
-      .withColumn("host0", lower(col("hostport")))
-      .withColumn("host1", expr(
-        "if(substr(host0, length(host0) - 3) = ':443', " +
-          "substr(host0, 1, length(host0) - 4), host0)"))
-      .withColumn("host", expr(
-        "if(substr(host1, 1, 4) = 'www.', substr(host1, 5), host1)"))
-      .withColumn("p0", expr("split_part(pathq, '?', 1)"))
-      .withColumn("cpath",
-        when(rtrim(col("p0"), "/") === "", lit("/"))
-          .otherwise(rtrim(col("p0"), "/")))
-      .withColumn("qs", expr(
-        "if(instr(pathq, '?') > 0, split_part(pathq, '?', 2), '')"))
-      .withColumn("params", expr(
-        "array_sort(filter(split(qs, '&'), " +
-          "x -> x != '' AND substr(x, 1, 4) != 'utm_'))"))
-      .withColumn("canon", concat(lit("https://"), col("host"), col("cpath"),
-        when(size(col("params")) > 0,
-          concat(lit("?"), array_join(col("params"), "&")))
-          .otherwise(lit(""))))
+      .withColumn("canon", canonicalizeUrl(col("url")))
+      .withColumn("host", urlHost(col("url")))
       .groupBy("canon", "host")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("canon")

@@ -148,6 +148,58 @@ class QueriesSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("canonicalizeUrl: handcrafted rules + idempotence") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextFunctions.{canonicalizeUrl, urlHost}
+    val cases = Seq(
+      // every rule at once: scheme+host case, default port, www,
+      // trailing slash, utm removal, param sort, fragment
+      ("HTTPS://WWW.Site.Example.COM:443/A/b/?utm_source=x&b=2&a=1#frag",
+        "https://site.example.com/A/b?a=1&b=2"),
+      // bare host, no path
+      ("https://WWW.EXAMPLE.com", "https://example.com/"),
+      // already canonical: fixed point
+      ("https://site.example.com/A/b?a=1&b=2",
+        "https://site.example.com/A/b?a=1&b=2"),
+      // utm-only query drops entirely; root path survives as "/"
+      ("https://example.com/?utm_campaign=z", "https://example.com/"),
+      // :8443 is NOT the default port and must survive
+      ("https://example.com:8443/x", "https://example.com:8443/x"))
+    val df = spark.createDataFrame(cases).toDF("url", "want")
+      .withColumn("got", canonicalizeUrl(col("url")))
+    val bad = df.where(col("got") =!= col("want")).collect()
+    assert(bad.isEmpty, bad.map(_.toSeq).mkString("; "))
+    // idempotence over the handcrafted set AND the graded synth corpus
+    val twice = df.where(
+      canonicalizeUrl(col("got")) =!= col("got")).count()
+    assert(twice == 0, "canonicalizeUrl not idempotent on handcrafted")
+    val host = spark.range(1)
+      .select(urlHost(lit("HTTP://WWW.Ex.Org:443/p")).as("h"))
+      .collect()(0).getString(0)
+    assert(host == "ex.org", s"urlHost: $host")
+    val canon = graft.ops.Queries.qUrlDedup(spark, sf)
+      .where(canonicalizeUrl(col("canon")) =!= col("canon"))
+    assert(canon.count() == 0, "canonical keys are not a fixed point")
+  }
+
+  test("q_split_neardup: no near-dup cluster straddles a split") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.tables.Tables(spark, sf).documents
+    val comps = graft.dedup.Dedup.components(
+      graft.dedup.Dedup.jaccardJoin(docs, 0.8).select("doc_a", "doc_b"))
+    // recompute the assignment exactly as the query does, then assert
+    // the leakage rule it exists for: one split per component
+    val bucket = pmod(conv(substring(md5(concat(lit("nd#"),
+      col("comp").cast("string"))), 1, 15), 16, 10).cast("long"), lit(100))
+    val straddle = comps
+      .withColumn("split", when(bucket < 80, "train")
+        .when(bucket < 90, "valid").otherwise("test"))
+      .groupBy("comp").agg(countDistinct("split").as("ns"))
+      .where(col("ns") > 1)
+    assert(straddle.count() == 0, "a cluster straddles splits")
+    assert(comps.count() > 0, "degenerate: no clusters at sf0.001")
+  }
+
   test("chunking covers every token; segment dedup conserves segments") {
     import org.apache.spark.sql.functions._
     val toks = graft.tables.Tables(spark, sf).documents

@@ -137,6 +137,31 @@ class ScaleSpec extends AnyFunSuite {
     }
   }
 
+  test("r6d curation plans: cartesian-free; extraction scan-speed") {
+    // the cluster compositions materialize their fixpoint via
+    // localCheckpoint (the q_triangles caveat): asserting on the
+    // returned frame still covers the label-join + argmax/split stages
+    for (q <- Seq("q_er_cluster", "q_dedup_keepbest", "q_split_neardup")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a cartesian:\n$plan")
+    }
+    // html extraction is a per-row map: nothing may hash-shuffle
+    // before the display sort
+    val he = graft.SparkEntry.queries("q_html_extract")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!he.contains("Exchange hashpartitioning"),
+      s"q_html_extract should be scan-speed (no hash shuffle):\n$he")
+    // url dedup: the one keyed agg must combine map-side
+    val ud = graft.SparkEntry.queries("q_url_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(ud.contains("partial_count"), s"q_url_dedup lost partial agg:\n$ud")
+    assert(!ud.contains("CartesianProduct"),
+      s"q_url_dedup plan contains a cartesian:\n$ud")
+  }
+
   test("pipeline operators keep partial aggregation and no cartesian") {
     // q_split / q_pipeline_e2e are pure column math + keyed aggs: the
     // count must be map-side partial and nothing may cross-product
