@@ -1003,6 +1003,26 @@ object Oracles {
         |WHERE l.l_orderkey % 97 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // naive overlap theta-join twin: gates both completeness and the
+    // first-shared-bucket exactly-once rule of the binned plan
+    "q_interval_join" ->
+      """WITH it AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    datediff('day', DATE '1970-01-01', l_shipdate) AS s_lo,
+        |    datediff('day', DATE '1970-01-01', l_shipdate)
+        |      + l_partkey % 20 + 3 AS s_hi
+        |  FROM lineitem WHERE l_orderkey % 61 = 0),
+        |w AS (SELECT cast(i AS bigint) AS wid,
+        |    datediff('day', DATE '1970-01-01', DATE '1992-01-01')
+        |      + i * 80 AS w_lo,
+        |    datediff('day', DATE '1970-01-01', DATE '1992-01-01')
+        |      + i * 80 + 45 AS w_hi
+        |  FROM range(40) t(i))
+        |SELECT wid, cast(count(*) AS bigint) AS n_lines,
+        |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double)
+        |    AS sum_qty
+        |FROM it JOIN w ON s_lo <= w_hi AND w_lo <= s_hi
+        |GROUP BY wid ORDER BY wid""".stripMargin,
+
     // DSIR importance selection: the identical log-free ratio score —
     // hashed bigram buckets (60-bit md5 % 64), Laplace-smoothed ratio
     // weights whose doubles are bit-identical (correctly-rounded ops
@@ -1387,6 +1407,21 @@ object Oracles {
         |SELECT canon, host, cast(count(*) AS bigint) AS n_docs,
         |  min(doc_id) AS keep_id
         |FROM c9 GROUP BY canon, host ORDER BY canon""".stripMargin,
+
+    // trained top-1000 vocab under the same (count desc, token asc)
+    // total order, then per-doc OOV counts via the same left join
+    "q_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
+         |vocab AS (SELECT tk FROM cnt ORDER BY c DESC, tk LIMIT 1000),
+         |per AS (SELECT doc_id, count(*) AS n_toks,
+         |    sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM tok LEFT JOIN vocab v USING (tk) GROUP BY doc_id)
+         |SELECT doc_id, cast(n_toks AS bigint) AS n_toks,
+         |  cast(n_oov AS bigint) AS n_oov,
+         |  cast(n_oov AS double) / cast(n_toks AS double) AS oov_rate
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     // identical synthesis + RE2-safe strip/decode patterns; replace
     // order matters and is identical on both sides

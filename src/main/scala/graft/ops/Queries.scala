@@ -1072,6 +1072,37 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** #55i INTERVAL-OVERLAP join ([[Relational.intervalJoin]]) — both
+    * sides are intervals: each lineitem's in-transit window
+    * [shipdate, shipdate + deterministic transit days] against 40
+    * synthetic overlapping promo
+    * windows; per window, how many shipments were in transit during it
+    * and their total quantity. The binned equi-join emits each
+    * overlapping pair exactly once (first-shared-bucket rule — no
+    * dedup shuffle); the oracle is the naive overlap theta-join, so
+    * the gate proves BOTH completeness and the exactly-once rule. */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val items = T(s, dir).lineitem
+      .where(col("l_orderkey") % 61 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        expr("datediff(l_shipdate, DATE'1970-01-01')").cast("long")
+          .as("s_lo"),
+        (expr("datediff(l_shipdate, DATE'1970-01-01')").cast("long") +
+          col("l_partkey") % 20 + lit(3)).as("s_hi"))
+    val base = expr("datediff(DATE'1992-01-01', DATE'1970-01-01')")
+      .cast("long")
+    val windows = s.range(40).select(col("id").as("wid"),
+      (base + col("id") * 80).as("w_lo"),
+      (base + col("id") * 80 + 45).as("w_hi"))
+    Relational.intervalJoin(items, windows,
+        "s_lo", "s_hi", "w_lo", "w_hi", bin = 64L)
+      .groupBy("wid")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy("wid")
+  }
+
   /** Exact interpolated percentiles per group (analytics staple).
     *
     * Sort-based, not the built-in `percentile` aggregate: that
@@ -1882,6 +1913,31 @@ object Queries {
           .cast("long").as("n_links"),
         length(col("clean")).cast("long").as("clean_len"),
         md5(col("clean")).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** #65i OOV rate against a TRAINED vocabulary — the tokenizer
+    * coverage metric: train a top-K=1000 frequency vocabulary over the
+    * corpus (count desc, token asc — a deterministic TOTAL order, so
+    * the rank-1000 boundary is engine-independent), then score every
+    * document's out-of-vocabulary token fraction. Scale shape: one
+    * token-keyed partial-agg count + TakeOrdered(K) for the vocab (a
+    * driver-sized artifact, like every trained tokenizer), then the
+    * corpus probes it via a BROADCAST left join — the token explode
+    * never shuffles; the only corpus-sized shuffle is the doc-keyed
+    * count. One IEEE division for the rate — portable. */
+  def qOovRate(s: SparkSession, dir: String): DataFrame = {
+    val tok = T(s, dir).documents
+      .select(col("doc_id"), explode(wsTokens(col("text"))).as("tk"))
+    val vocab = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tk")).limit(1000)
+      .select(col("tk"), lit(1).as("hit"))
+    tok.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_toks").cast("double"))
       .orderBy("doc_id")
   }
 

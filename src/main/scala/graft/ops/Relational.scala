@@ -57,6 +57,40 @@ object Relational {
       .drop("__bkt")
   }
 
+  /** Binned INTERVAL-OVERLAP equi-join — both sides are intervals and
+    * a pair matches when they overlap (`lo1 ≤ hi2 ∧ lo2 ≤ hi1`), the
+    * session-vs-maintenance-window / validity-vs-validity shape that
+    * [[rangeJoin]]'s point probe can't express.
+    *
+    * Same binning idea, both sides exploded to their covering buckets,
+    * plus the standard DEDUP-FREE emission rule: an overlapping pair
+    * co-occurs in every bucket of the overlap region, so emit it only
+    * in the FIRST bucket both occupy — `bkt = max(⌊lo1/bin⌋,
+    * ⌊lo2/bin⌋)`, which for overlapping intervals always lies in both
+    * cover sets (it is ≥ each side's start bucket by construction and
+    * ≤ each side's end bucket because overlap gives lo1 ≤ hi2 and
+    * lo2 ≤ hi1). Exactly-once without a `dropDuplicates` shuffle.
+    *
+    * Scale: both explodes are span/bin-linear, the join an equi-join
+    * on the bucket id — shuffle-partitioned, AQE-coalesced, skew
+    * exposed to the planner instead of hidden in a nested loop. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lo1: String, hi1: String, lo2: String, hi2: String,
+                   bin: Long): DataFrame = {
+    require(bin > 0, "bin width must be positive")
+    require(left.columns.toSet.intersect(right.columns.toSet).isEmpty,
+      "left and right must have disjoint column names")
+    def bkt(c: String) = floor(col(c).cast("long") / lit(bin))
+    val l = left.where(col(lo1) <= col(hi1)).withColumn("__bkt",
+      explode(sequence(bkt(lo1), bkt(hi1))))
+    val r = right.where(col(lo2) <= col(hi2)).withColumn("__bkt",
+      explode(sequence(bkt(lo2), bkt(hi2))))
+    l.join(r, Seq("__bkt"))
+      .where(col(lo1) <= col(hi2) && col(lo2) <= col(hi1) &&
+        col("__bkt") === greatest(bkt(lo1), bkt(lo2)))
+      .drop("__bkt")
+  }
+
   /** Changelog upsert (MERGE-style SCD-1): apply the latest state per
     * key from `changes` over `base`. The output keeps `base`'s schema
     * plus an `action` column; for every column present in BOTH inputs

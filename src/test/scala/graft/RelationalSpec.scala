@@ -136,6 +136,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalJoin == brute overlap join; exactly-once emission (#55i)") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map { i =>
+      val lo = rnd.nextInt(1000)
+      (i.toLong, lo.toLong, (lo + rnd.nextInt(60)).toLong)
+    }.toDF("lid", "a_lo", "a_hi")
+    val right = (1 to 120).map { j =>
+      val lo = rnd.nextInt(1000)
+      (j.toLong, lo.toLong, (lo + rnd.nextInt(200)).toLong)
+    }.toDF("rid", "b_lo", "b_hi")
+    val want = left.join(right,
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "degenerate brute reference")
+    // bin smaller / comparable / larger than the spans: answer and
+    // multiplicity must be invariant to the bucketing choice
+    for (bin <- Seq(1L, 7L, 64L, 5000L)) {
+      val rows = Relational.intervalJoin(left, right,
+          "a_lo", "a_hi", "b_lo", "b_hi", bin)
+        .select("lid", "rid").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.toSet.size,
+        s"bin=$bin emitted duplicates — first-shared-bucket rule broken")
+      assert(rows.toSet == want, s"bin=$bin wrong pair set")
+    }
+  }
+
   test("kcore: peeling == brute-force iterative deletion on random graphs (#57j)") {
     val rnd = new scala.util.Random(13)
     for (trial <- 0 until 3) {
