@@ -1408,6 +1408,22 @@ object Oracles {
         |  min(doc_id) AS keep_id
         |FROM c9 GROUP BY canon, host ORDER BY canon""".stripMargin,
 
+    // same rules restated as literal exact/ends_with predicates — an
+    // independent matching strategy from the suffix-chain equi-join
+    "q_domain_filter" ->
+      """WITH h AS (SELECT doc_id,
+        |    lang || '.' || source || '.example.com' AS host
+        |  FROM documents)
+        |SELECT host,
+        |  cast(CASE WHEN host = 'en.src3.example.com'
+        |    OR host = 'src7.example.com'
+        |    OR ends_with(host, '.src7.example.com')
+        |    OR host = 'src1.example.com'
+        |    OR ends_with(host, '.src1.example.com')
+        |    THEN 1 ELSE 0 END AS bigint) AS blocked,
+        |  cast(count(*) AS bigint) AS n_docs
+        |FROM h GROUP BY 1, 2 ORDER BY host""".stripMargin,
+
     // trained top-1000 vocab under the same (count desc, token asc)
     // total order, then per-doc OOV counts via the same left join
     "q_oov_rate" ->

@@ -1941,6 +1941,42 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** #66f DOMAIN-suffix blocklist filter — crawl curation by host
+    * policy: a rule blocks either an exact host or a whole domain
+    * subtree (`src7.example.com` blocks every subdomain). The
+    * suffix-CHAIN rewrite makes both one equality: each host explodes
+    * to its dot-suffix chain (`en.src7.example.com` →
+    * [`en.src7.example.com`, `src7.example.com`, `example.com`,
+    * `com`]) and a plain equi-join against the broadcast rule set
+    * covers exact AND subtree rules with no LIKE scan — the
+    * public-suffix-list matching shape. Evaluated once per DISTINCT
+    * host (the rule engine runs on the host domain, not the corpus),
+    * then one host-keyed join back onto per-host doc counts. Oracle
+    * restates the rules as literal ends_with predicates — two
+    * independent matching strategies must agree exactly. */
+  def qDomainFilter(s: SparkSession, dir: String): DataFrame = {
+    val host = concat(col("lang"), lit("."), col("source"),
+      lit(".example.com"))
+    val docs = T(s, dir).documents
+    val rules = s.createDataFrame(Seq(
+        Tuple1("en.src3.example.com"), Tuple1("src7.example.com"),
+        Tuple1("src1.example.com")))
+      .toDF("suffix").withColumn("hit", lit(1))
+    val verdict = docs.select(host.as("host")).distinct()
+      .withColumn("parts", split(col("host"), "\\."))
+      .withColumn("suffix", explode(expr(
+        "transform(sequence(0, size(parts) - 1), " +
+          "i -> array_join(slice(parts, i + 1, size(parts) - i), '.'))")))
+      .join(broadcast(rules), Seq("suffix"), "left")
+      .groupBy("host")
+      .agg(max(coalesce(col("hit"), lit(0))).cast("long").as("blocked"))
+    docs.select(host.as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n_docs"))
+      .join(verdict, Seq("host"))
+      .select("host", "blocked", "n_docs")
+      .orderBy("host")
+  }
+
   /** #65b vocabulary heavy-hitters: top-20 bigrams by frequency — the
     * n-gram statistics pass (tokenizer/vocab work). Partial-agg count
     * then TakeOrderedAndProject: the never-full-sort top-k shape.
