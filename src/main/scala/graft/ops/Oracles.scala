@@ -1408,6 +1408,95 @@ object Oracles {
         |  min(doc_id) AS keep_id
         |FROM c9 GROUP BY canon, host ORDER BY canon""".stripMargin,
 
+    // the composed web pipeline: synthesis + extraction + canon chain
+    // + policy predicate + two row_number dedups, assembled from the
+    // stage oracles verbatim
+    "q_pipeline_web" ->
+      s"""WITH syn AS (SELECT doc_id,
+         |    'HTTPS://WWW.' || source || '.Example.COM' ||
+         |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+         |    '/' || lang || '/Page/' || cast(doc_id % 50 AS varchar) ||
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |        '?utm_source=feed&id=' || cast(doc_id % 7 AS varchar)
+         |          || '&utm_campaign=br'
+         |      WHEN doc_id % 3 = 1 THEN
+         |        '?id=' || cast(doc_id % 7 AS varchar) || '&ref=home'
+         |      ELSE '/' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url,
+         |    '<!DOCTYPE html><html><head><title>' || source || ' #'
+         |      || cast(doc_id AS varchar) || '</title>'
+         |      || '<style>p{margin:0}</style><script>var x=1;</script>'
+         |      || '</head><body>'
+         |      || '<div class="nav"><a href="/home">Home</a> | '
+         |      || '<a href="/about">About</a></div>'
+         |      || '<h1>' || lang || '</h1><p>' || text || '</p>'
+         |      || CASE WHEN doc_id % 2 = 0
+         |           THEN '<footer>&copy; 2026 Example &amp; Co.</footer>'
+         |           ELSE '' END
+         |      || '</body></html>' AS html
+         |  FROM documents),
+         |ex AS (SELECT doc_id, url,
+         |    trim(regexp_replace(
+         |      replace(replace(replace(
+         |        regexp_replace(regexp_replace(regexp_replace(html,
+         |          '<script[^>]*>[^<]*</script>', ' ', 'g'),
+         |          '<style[^>]*>[^<]*</style>', ' ', 'g'),
+         |          '<[^>]*>', ' ', 'g'),
+         |        '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
+         |      '\\s+', ' ', 'g')) AS clean
+         |  FROM syn),
+         |c2 AS (SELECT doc_id, clean,
+         |    split_part(split_part(url, '#', 1), '//', 2) AS rest
+         |  FROM ex),
+         |c3 AS (SELECT doc_id, clean, rest,
+         |    split_part(rest, '/', 1) AS hostport FROM c2),
+         |c4 AS (SELECT doc_id, clean,
+         |    substr(rest, length(hostport) + 1) AS pathq,
+         |    lower(hostport) AS host0 FROM c3),
+         |c5 AS (SELECT doc_id, clean, pathq,
+         |    CASE WHEN substr(host0, length(host0) - 3) = ':443'
+         |      THEN substr(host0, 1, length(host0) - 4) ELSE host0 END
+         |      AS host1 FROM c4),
+         |c6 AS (SELECT doc_id, clean, pathq,
+         |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
+         |      ELSE host1 END AS host FROM c5),
+         |c7 AS (SELECT doc_id, clean, host,
+         |    split_part(pathq, '?', 1) AS p0,
+         |    CASE WHEN contains(pathq, '?')
+         |      THEN split_part(pathq, '?', 2) ELSE '' END AS qs FROM c6),
+         |c8 AS (SELECT doc_id, clean, host,
+         |    CASE WHEN rtrim(p0, '/') = '' THEN '/' ELSE rtrim(p0, '/') END
+         |      AS cpath,
+         |    list_sort(list_filter(string_split(qs, '&'),
+         |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS params
+         |  FROM c7),
+         |c9 AS (SELECT doc_id, clean, host,
+         |    'https://' || host || cpath ||
+         |    CASE WHEN len(params) > 0
+         |      THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+         |  FROM c8),
+         |al AS (SELECT * FROM c9 WHERE NOT (host = 'src7.example.com'
+         |  OR ends_with(host, '.src7.example.com')
+         |  OR host = 'src1.example.com'
+         |  OR ends_with(host, '.src1.example.com'))),
+         |uk AS (SELECT * FROM (SELECT al.*, row_number() OVER (
+         |    PARTITION BY canon ORDER BY doc_id) AS rn FROM al)
+         |  WHERE rn = 1),
+         |fk AS (SELECT * FROM (SELECT uk.*, row_number() OVER (
+         |    PARTITION BY md5(trim(regexp_replace(lower(clean),
+         |      '$WS+', ' ', 'g'))) ORDER BY doc_id) AS rn2 FROM uk)
+         |  WHERE rn2 = 1),
+         |a AS (SELECT host, cast(count(*) AS bigint) AS n_allowed,
+         |    cast(count(DISTINCT canon) AS bigint) AS n_urls
+         |  FROM al GROUP BY host),
+         |k AS (SELECT host, cast(count(*) AS bigint) AS n_kept,
+         |    cast(sum(length(clean)) AS bigint) AS sum_clean
+         |  FROM fk GROUP BY host)
+         |SELECT a.host, n_allowed, n_urls,
+         |  cast(coalesce(n_kept, 0) AS bigint) AS n_kept,
+         |  cast(coalesce(sum_clean, 0) AS bigint) AS sum_clean
+         |FROM a LEFT JOIN k USING (host) ORDER BY host""".stripMargin,
+
     // same rules restated as literal exact/ends_with predicates — an
     // independent matching strategy from the suffix-chain equi-join
     "q_domain_filter" ->

@@ -1853,9 +1853,13 @@ object Queries {
     * canonical key — scan-speed at any corpus size. Oracle replays the
     * identical synthesis and rules in DuckDB SQL; ASCII domain makes
     * lower/sort collation-identical. */
-  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Deterministic synthetic crawl URL — a closed-form function of
+    * (doc_id, source, lang) shared by every web-curation query so the
+    * graded pipeline and its stage operators see bit-identical
+    * inputs. */
+  private def synthUrl: Column = {
     val id = col("doc_id")
-    val synth = T(s, dir).documents.select(id, concat(
+    concat(
       lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
       when(id % 4 === 0, lit(":443")).otherwise(lit("")),
       lit("/"), col("lang"), lit("/Page/"), (id % 50).cast("string"),
@@ -1865,14 +1869,46 @@ object Queries {
           (id % 7).cast("string"), lit("&ref=home")))
         .otherwise(lit("/")),
       when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
-      .as("url"))
-    synth
+  }
+
+  /** Deterministic synthetic HTML page wrapping the doc's text —
+    * shared by [[qHtmlExtract]] and [[qPipelineWeb]]. */
+  private def synthHtml: Column = {
+    val id = col("doc_id")
+    concat(
+      lit("<!DOCTYPE html><html><head><title>"), col("source"),
+      lit(" #"), id.cast("string"), lit("</title>"),
+      lit("<style>p{margin:0}</style><script>var x=1;</script></head><body>"),
+      lit("<div class=\"nav\"><a href=\"/home\">Home</a> | " +
+        "<a href=\"/about\">About</a></div>"),
+      lit("<h1>"), col("lang"), lit("</h1><p>"), col("text"), lit("</p>"),
+      when(id % 2 === 0,
+        lit("<footer>&copy; 2026 Example &amp; Co.</footer>"))
+        .otherwise(lit("")),
+      lit("</body></html>"))
+  }
+
+  /** HTML → text extraction chain (strip script/style with contents,
+    * strip tags, decode entities, normalize whitespace) — RE2-safe,
+    * shared verbatim with the oracles. */
+  private def htmlClean(html: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(regexp_replace(html,
+      "<script[^>]*>[^<]*</script>", " "),
+      "<style[^>]*>[^<]*</style>", " "),
+      "<[^>]*>", " ")
+    val decoded = replace(replace(replace(stripped,
+      lit("&amp;"), lit("&")), lit("&copy;"), lit("(c)")),
+      lit("&nbsp;"), lit(" "))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"), synthUrl.as("url"))
       .withColumn("canon", canonicalizeUrl(col("url")))
       .withColumn("host", urlHost(col("url")))
       .groupBy("canon", "host")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("canon")
-  }
 
   /** #66e HTML boilerplate extraction — the text-extraction stage that
     * sits between the crawl and every other text operator: strip
@@ -1884,37 +1920,16 @@ object Queries {
     * extracted text is hash-gated end to end (clean_fp = md5 of the
     * final string). All patterns are RE2-safe and shared verbatim
     * with the oracle; per-row map, no shuffle — scan-speed. */
-  def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val html = concat(
-      lit("<!DOCTYPE html><html><head><title>"), col("source"),
-      lit(" #"), id.cast("string"), lit("</title>"),
-      lit("<style>p{margin:0}</style><script>var x=1;</script></head><body>"),
-      lit("<div class=\"nav\"><a href=\"/home\">Home</a> | " +
-        "<a href=\"/about\">About</a></div>"),
-      lit("<h1>"), col("lang"), lit("</h1><p>"), col("text"), lit("</p>"),
-      when(id % 2 === 0,
-        lit("<footer>&copy; 2026 Example &amp; Co.</footer>"))
-        .otherwise(lit("")),
-      lit("</body></html>"))
-    T(s, dir).documents.select(id, html.as("html"))
-      .withColumn("stripped", regexp_replace(regexp_replace(regexp_replace(
-        col("html"),
-        "<script[^>]*>[^<]*</script>", " "),
-        "<style[^>]*>[^<]*</style>", " "),
-        "<[^>]*>", " "))
-      .withColumn("decoded", expr(
-        "replace(replace(replace(stripped, '&amp;', '&'), " +
-          "'&copy;', '(c)'), '&nbsp;', ' ')"))
-      .withColumn("clean", trim(regexp_replace(col("decoded"), "\\s+", " ")))
-      .select(id,
+  def qHtmlExtract(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).documents.select(col("doc_id"), synthHtml.as("html"))
+      .withColumn("clean", htmlClean(col("html")))
+      .select(col("doc_id"),
         regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
         size(expr("regexp_extract_all(html, '<a [^>]*>', 0)"))
           .cast("long").as("n_links"),
         length(col("clean")).cast("long").as("clean_len"),
         md5(col("clean")).as("clean_fp"))
       .orderBy("doc_id")
-  }
 
   /** #65i OOV rate against a TRAINED vocabulary — the tokenizer
     * coverage metric: train a top-K=1000 frequency vocabulary over the
@@ -2962,6 +2977,52 @@ object Queries {
           .as("n_clustered"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("split")
+  }
+
+  /** #66g the composed WEB-curation pipeline — crawl → training corpus
+    * as ONE declarative plan, chaining the r6d stage operators on
+    * bit-identical shared column math: HTML text extraction
+    * ([[htmlClean]]), URL canonicalization
+    * ([[graft.text.TextFunctions.canonicalizeUrl]]/`urlHost`),
+    * domain-policy filter (src1/src7 subtrees blocked), URL-level
+    * dedup (min-doc_id per canonical URL — the recrawl collapse),
+    * then GLOBAL exact content dedup on the extracted text's
+    * fingerprint. Per-host funnel counts + kept content volume, all
+    * exact integer math. Scale shape: per-row codegen'd extraction and
+    * canonicalization, two keyed dedup windows (canon, fp), two
+    * host-keyed partial aggs, one host-keyed join — no stage
+    * materializes between them, Catalyst fuses the maps. */
+  def qPipelineWeb(s: SparkSession, dir: String): DataFrame = {
+    val allowed = T(s, dir).documents
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .withColumn("url", synthUrl)
+      .withColumn("clean", htmlClean(synthHtml))
+      .withColumn("canon", canonicalizeUrl(col("url")))
+      .withColumn("host", urlHost(col("url")))
+      .where(!(col("host") === "src7.example.com" ||
+        col("host").endsWith(".src7.example.com") ||
+        col("host") === "src1.example.com" ||
+        col("host").endsWith(".src1.example.com")))
+    val urlKept = allowed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("canon").orderBy("doc_id")))
+      .where(col("rn") === 1)
+    val kept = urlKept
+      .withColumn("fp", fingerprint(col("clean")))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .where(col("rn2") === 1)
+    val funnel = allowed.groupBy("host")
+      .agg(count(lit(1)).as("n_allowed"),
+        countDistinct("canon").as("n_urls"))
+    val out = kept.groupBy("host")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(length(col("clean")).cast("long")).as("sum_clean"))
+    funnel.join(out, Seq("host"), "left")
+      .select(col("host"), col("n_allowed"), col("n_urls"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_clean"), lit(0L)).as("sum_clean"))
+      .orderBy("host")
   }
 
   /** #56d the composed training-data pipeline as ONE declarative plan:

@@ -160,6 +160,14 @@ class ScaleSpec extends AnyFunSuite {
     assert(ud.contains("partial_count"), s"q_url_dedup lost partial agg:\n$ud")
     assert(!ud.contains("CartesianProduct"),
       s"q_url_dedup plan contains a cartesian:\n$ud")
+    // the composed web pipeline: keyed windows + keyed aggs only
+    val pw = graft.SparkEntry.queries("q_pipeline_web")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("CartesianProduct") &&
+           !pw.contains("BroadcastNestedLoopJoin"),
+      s"q_pipeline_web plan contains a cartesian:\n$pw")
+    assert(pw.contains("partial_count"),
+      s"q_pipeline_web lost partial agg:\n$pw")
   }
 
   test("pipeline operators keep partial aggregation and no cartesian") {
