@@ -2110,6 +2110,30 @@ object Oracles {
          |SELECT id AS doc_id, least(id, min(reach)) AS comp
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // inter-source matrix over the same exact J>=0.8 pair set,
+    // orientation normalized by least/greatest on the source labels
+    "q_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM i
+         |  JOIN s sa ON sa.doc_id = i.doc_a
+         |  JOIN s sb ON sb.doc_id = i.doc_b
+         |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
+         |j AS (SELECT least(da.source, db.source) AS src_a,
+         |    greatest(da.source, db.source) AS src_b
+         |  FROM p JOIN documents da ON da.doc_id = p.doc_a
+         |         JOIN documents db ON db.doc_id = p.doc_b)
+         |SELECT src_a, src_b, cast(count(*) AS bigint) AS n_pairs
+         |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // near-dup-aware split: same closure for group labels, singletons
     // fall back to their own doc_id, split = seeded-md5 bucket on the
     // GROUP label (cluster cohesion by construction)

@@ -2324,6 +2324,36 @@ object Queries {
       .orderBy("comp")
   }
 
+  /** #57o inter-SOURCE duplication matrix — the provenance analysis a
+    * mixture designer needs BEFORE assigning source weights (#56f):
+    * how much does each pair of sources near-duplicate each other?
+    * (Two heavily-overlapping sources double-count their shared
+    * content under independent weights.) Pairs from the exact J≥0.8
+    * join (complete by theorem), labelled with each side's source via
+    * two doc-keyed joins, orientation normalized with least/greatest
+    * so the matrix is upper-triangular regardless of pair id order;
+    * the diagonal (src_a = src_b) is the intra-source dup rate. */
+  def qSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val pairs = graft.dedup.Dedup.jaccardJoin(docs, 0.8)
+      .select("doc_a", "doc_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    // the pair frame is dup-cluster-sized (orders of magnitude below
+    // the corpus), so BROADCAST it and probe the corpus map-side: the
+    // corpus is never shuffled for its labels (measured 5.6× → 2.5×
+    // at 10×). If dup volume ever outgrew broadcast, drop the hints
+    // and these become plain doc-keyed joins.
+    val withA = src.select(col("doc_id").as("doc_a"), col("source").as("sa"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    src.select(col("doc_id").as("doc_b"), col("source").as("sb"))
+      .join(broadcast(withA.select(col("doc_b"), col("sa"))), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** #57g PAGERANK over the similarity graph
     * ([[graft.dedup.Dedup.pageRank]], K=8 iterations, Q=10^6 fixed
     * point): centrality ranks each dup cluster's most-connected member
