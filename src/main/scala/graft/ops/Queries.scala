@@ -3023,16 +3023,25 @@ object Queries {
     * host-keyed partial aggs, one host-keyed join — no stage
     * materializes between them, Catalyst fuses the maps. */
   def qPipelineWeb(s: SparkSession, dir: String): DataFrame = {
-    val allowed = T(s, dir).documents
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .withColumn("url", synthUrl)
-      .withColumn("clean", htmlClean(synthHtml))
+    // Eager'd: every downstream reference (policy filter, canon
+    // window, fingerprint, host aggs) would otherwise INLINE the full
+    // extraction+canonicalization expression tree — the optimizer's
+    // multiply-referenced-projection inlining (the qQuality note) here
+    // blows the generated processNext() past the JVM's 64 KB method
+    // limit and drops the whole stage to interpreted (observed in the
+    // r6d bench). Materializing the per-row stage once keeps each
+    // stage's codegen small AND evaluates the regex chain once.
+    val extracted = graft.core.Eager(T(s, dir).documents
+      .select(col("doc_id"), synthUrl.as("url"),
+        htmlClean(synthHtml).as("clean")))
+    val allowed = graft.core.Eager(extracted
       .withColumn("canon", canonicalizeUrl(col("url")))
       .withColumn("host", urlHost(col("url")))
       .where(!(col("host") === "src7.example.com" ||
         col("host").endsWith(".src7.example.com") ||
         col("host") === "src1.example.com" ||
         col("host").endsWith(".src1.example.com")))
+      .drop("url"))
     val urlKept = allowed
       .withColumn("rn", row_number().over(
         Window.partitionBy("canon").orderBy("doc_id")))
