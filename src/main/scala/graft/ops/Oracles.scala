@@ -1886,6 +1886,22 @@ object Oracles {
 
     // concat-and-chunk packing: "p#"-seeded per-lang order, CTX=512;
     // a doc straddles when its [start, end) span crosses a 512 multiple
+    // same bucket/rank/batch math; sum goes through bigint cast (the
+    // DuckDB hugeint-sum convention)
+    "q_length_batch" ->
+      """WITH b AS (SELECT doc_id, n_chars, n_chars // 256 AS bucket
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY bucket ORDER BY doc_id) AS rk FROM b),
+        |a AS (SELECT bucket, cast((rk - 1) // 32 AS bigint) AS batch_id,
+        |    count(*) AS n_docs, max(n_chars) AS max_len,
+        |    sum(n_chars) AS sum_len
+        |  FROM r GROUP BY 1, 2)
+        |SELECT bucket, batch_id, cast(n_docs AS bigint) AS n_docs,
+        |  max_len, cast(sum_len AS bigint) AS sum_len,
+        |  cast(max_len * n_docs - sum_len AS bigint) AS padding_waste
+        |FROM a ORDER BY bucket, batch_id""".stripMargin,
+
     "q_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len($TOKS) AS ntok,
          |    ('0x' || substr(md5('p#' || cast(doc_id AS varchar)), 1, 15))

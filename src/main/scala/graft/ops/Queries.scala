@@ -2884,6 +2884,30 @@ object Queries {
     * partial agg — the scale shape is identical to q_mixture's. A doc's
     * first/last sequence are start div CTX and (end-1) div CTX of its
     * half-open [start, end) token span in the concatenation. */
+  /** #56s LENGTH-bucketed batch assignment — the padding-efficiency
+    * counterpart of #56i's packing: dynamic-padding training batches
+    * waste `batch_size · max_len − Σ len` tokens per batch, so
+    * batching near-equal-length documents together minimizes the
+    * waste. Bucket = length div 256, deterministic within-bucket order
+    * by doc_id, batch = rank div 32; the padding_waste column
+    * quantifies the win with exact integer math. One keyed window per
+    * bucket (parallel across the length range — the q_pack per-stratum
+    * rank contract) + one partial agg. */
+  def qLengthBatch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    T(s, dir).documents.select(col("doc_id"), col("n_chars"))
+      .withColumn("bucket", expr("n_chars div 256"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("batch_id", expr("(rk - 1) div 32").cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        max("n_chars").as("max_len"),
+        sum("n_chars").as("sum_len"))
+      .withColumn("padding_waste",
+        col("max_len") * col("n_docs") - col("sum_len"))
+      .orderBy("bucket", "batch_id")
+  }
+
   def qPack(s: SparkSession, dir: String): DataFrame =
     packStats(T(s, dir).documents)
 
