@@ -81,10 +81,14 @@ case class StripAccents(child: Expression) extends UnaryExpression {
 }
 
 object StripAccents {
+  // compiled once per JVM, not per row — String.replaceAll would
+  // recompile the pattern on every invocation in both eval paths
+  private val Mn = java.util.regex.Pattern.compile("\\p{Mn}+")
+
   /** NFD + drop Mn (shared by interpreted and generated paths). */
   def strip(s: String): String =
-    java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-      .replaceAll("\\p{Mn}+", "")
+    Mn.matcher(java.text.Normalizer.normalize(
+      s, java.text.Normalizer.Form.NFD)).replaceAll("")
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -30,6 +30,48 @@ object Oracles {
   private def xsum(e: String) = s"cast(sum($e) AS double)"
   private val CNT = "cast(count(*) as bigint)"
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization, the DuckDB replay
+    * of [[graft.text.TextFunctions.pctNormalize]]: split on '%', decode
+    * a valid triplet whose octet is unreserved (ALPHA/DIGIT/-._~),
+    * uppercase the hex of any other valid triplet, pass a bare '%'
+    * through literally. */
+  private def pctSql(c: String): String = {
+    val hx = "('0x' || substr(p, 1, 2))::int"
+    s"""CASE WHEN len(string_split($c, '%')) <= 1 THEN $c
+       |  ELSE string_split($c, '%')[1] || array_to_string(
+       |    list_transform(string_split($c, '%')[2:], p ->
+       |      CASE WHEN regexp_matches(substr(p, 1, 2),
+       |          '^[0-9A-Fa-f]{2}$$')
+       |        THEN CASE WHEN ($hx BETWEEN 48 AND 57)
+       |            OR ($hx BETWEEN 65 AND 90)
+       |            OR ($hx BETWEEN 97 AND 122)
+       |            OR $hx IN (45, 46, 95, 126)
+       |          THEN chr($hx) || substr(p, 3)
+       |          ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3) END
+       |        ELSE '%' || p END), '')
+       |  END""".stripMargin
+  }
+
+  /** Shared synthesis of the deterministic crawl URL — the DuckDB
+    * replay of Queries.synthUrl, interpolated verbatim into both
+    * q_url_dedup and q_pipeline_web. */
+  private val synthUrlSql =
+    """CASE WHEN doc_id % 4 = 1 THEN 'HTTP://WWW.'
+      |      ELSE 'HTTPS://WWW.' END || source || '.Example.COM' ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ':443'
+      |      WHEN doc_id % 4 = 1 THEN ':80' ELSE '' END ||
+      |    '/' || lang || '/Page/' || cast(doc_id % 50 AS varchar) ||
+      |    CASE WHEN doc_id % 10 = 7 THEN '/%7Edir%2fsub' ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |        '?utm_source=feed&id=' || cast(doc_id % 7 AS varchar) ||
+      |        '&utm_campaign=br'
+      |      WHEN doc_id % 3 = 1 THEN
+      |        '?id=' || cast(doc_id % 7 AS varchar) ||
+      |        '&ref=h%6Fme&next=//cdn.example/a'
+      |      ELSE '/' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END"""
+      .stripMargin
+
   /** BM25 oracle (q_bm25): per-term scores share one template so the
     * operation order provably matches the Spark side's. */
   private lazy val bm25Sql: String = {
@@ -1362,67 +1404,60 @@ object Oracles {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     // identical synthesis + canonicalization rules; ASCII domain so
-    // lower()/list_sort collate identically across engines
+    // lower()/list_sort collate identically across engines. The parse
+    // is BOUNDED (substr after the first '//' / '?'), not split_part,
+    // so a second '//' or '?' inside the query survives intact.
     "q_url_dedup" ->
-      """WITH syn AS (SELECT doc_id,
-        |    'HTTPS://WWW.' || source || '.Example.COM' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
-        |    '/' || lang || '/Page/' || cast(doc_id % 50 AS varchar) ||
-        |    CASE WHEN doc_id % 3 = 0 THEN
-        |        '?utm_source=feed&id=' || cast(doc_id % 7 AS varchar)
-        |          || '&utm_campaign=br'
-        |      WHEN doc_id % 3 = 1 THEN
-        |        '?id=' || cast(doc_id % 7 AS varchar) || '&ref=home'
-        |      ELSE '/' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url
-        |  FROM documents),
-        |c2 AS (SELECT doc_id,
-        |    split_part(split_part(url, '#', 1), '//', 2) AS rest
-        |  FROM syn),
-        |c3 AS (SELECT doc_id, rest, split_part(rest, '/', 1) AS hostport
-        |  FROM c2),
-        |c4 AS (SELECT doc_id, substr(rest, length(hostport) + 1) AS pathq,
-        |    lower(hostport) AS host0 FROM c3),
-        |c5 AS (SELECT doc_id, pathq,
-        |    CASE WHEN substr(host0, length(host0) - 3) = ':443'
-        |      THEN substr(host0, 1, length(host0) - 4) ELSE host0 END
-        |      AS host1 FROM c4),
-        |c6 AS (SELECT doc_id, pathq,
-        |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
-        |      ELSE host1 END AS host FROM c5),
-        |c7 AS (SELECT doc_id, host, split_part(pathq, '?', 1) AS p0,
-        |    CASE WHEN contains(pathq, '?')
-        |      THEN split_part(pathq, '?', 2) ELSE '' END AS qs FROM c6),
-        |c8 AS (SELECT doc_id, host,
-        |    CASE WHEN rtrim(p0, '/') = '' THEN '/' ELSE rtrim(p0, '/') END
-        |      AS cpath,
-        |    list_sort(list_filter(string_split(qs, '&'),
-        |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS params
-        |  FROM c7),
-        |c9 AS (SELECT doc_id, host,
-        |    'https://' || host || cpath ||
-        |    CASE WHEN len(params) > 0
-        |      THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
-        |  FROM c8)
-        |SELECT canon, host, cast(count(*) AS bigint) AS n_docs,
-        |  min(doc_id) AS keep_id
-        |FROM c9 GROUP BY canon, host ORDER BY canon""".stripMargin,
+      s"""WITH syn AS (SELECT doc_id,
+         |    $synthUrlSql AS url
+         |  FROM documents),
+         |c1 AS (SELECT doc_id, split_part(url, '#', 1) AS base FROM syn),
+         |c2 AS (SELECT doc_id,
+         |    CASE WHEN instr(base, '//') > 0
+         |      THEN substr(base, instr(base, '//') + 2) ELSE base END
+         |      AS rest
+         |  FROM c1),
+         |c3 AS (SELECT doc_id, rest, split_part(rest, '/', 1) AS hostport
+         |  FROM c2),
+         |c4 AS (SELECT doc_id, substr(rest, length(hostport) + 1) AS pathq0,
+         |    lower(hostport) AS host0 FROM c3),
+         |c4b AS (SELECT doc_id, host0,
+         |    ${pctSql("pathq0")} AS pathq FROM c4),
+         |c5 AS (SELECT doc_id, pathq,
+         |    CASE WHEN substr(host0, length(host0) - 3) = ':443'
+         |      THEN substr(host0, 1, length(host0) - 4)
+         |      WHEN substr(host0, length(host0) - 2) = ':80'
+         |      THEN substr(host0, 1, length(host0) - 3)
+         |      ELSE host0 END
+         |      AS host1 FROM c4b),
+         |c6 AS (SELECT doc_id, pathq,
+         |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
+         |      ELSE host1 END AS host FROM c5),
+         |c7 AS (SELECT doc_id, host, split_part(pathq, '?', 1) AS p0,
+         |    CASE WHEN contains(pathq, '?')
+         |      THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END
+         |      AS qs FROM c6),
+         |c8 AS (SELECT doc_id, host,
+         |    CASE WHEN rtrim(p0, '/') = '' THEN '/' ELSE rtrim(p0, '/') END
+         |      AS cpath,
+         |    list_sort(list_filter(string_split(qs, '&'),
+         |      x -> x <> '' AND substr(x, 1, 4) <> 'utm_')) AS params
+         |  FROM c7),
+         |c9 AS (SELECT doc_id, host,
+         |    'https://' || host || cpath ||
+         |    CASE WHEN len(params) > 0
+         |      THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+         |  FROM c8)
+         |SELECT canon, host, cast(count(*) AS bigint) AS n_docs,
+         |  min(doc_id) AS keep_id
+         |FROM c9 GROUP BY canon, host ORDER BY canon""".stripMargin,
 
     // the composed web pipeline: synthesis + extraction + canon chain
     // + policy predicate + two row_number dedups, assembled from the
     // stage oracles verbatim
     "q_pipeline_web" ->
       s"""WITH syn AS (SELECT doc_id,
-         |    'HTTPS://WWW.' || source || '.Example.COM' ||
-         |    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
-         |    '/' || lang || '/Page/' || cast(doc_id % 50 AS varchar) ||
-         |    CASE WHEN doc_id % 3 = 0 THEN
-         |        '?utm_source=feed&id=' || cast(doc_id % 7 AS varchar)
-         |          || '&utm_campaign=br'
-         |      WHEN doc_id % 3 = 1 THEN
-         |        '?id=' || cast(doc_id % 7 AS varchar) || '&ref=home'
-         |      ELSE '/' END ||
-         |    CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END AS url,
+         |    $synthUrlSql AS url,
          |    '<!DOCTYPE html><html><head><title>' || source || ' #'
          |      || cast(doc_id AS varchar) || '</title>'
          |      || '<style>p{margin:0}</style><script>var x=1;</script>'
@@ -1445,25 +1480,35 @@ object Oracles {
          |        '&amp;', '&'), '&copy;', '(c)'), '&nbsp;', ' '),
          |      '\\s+', ' ', 'g')) AS clean
          |  FROM syn),
+         |c1 AS (SELECT doc_id, clean,
+         |    split_part(url, '#', 1) AS base FROM ex),
          |c2 AS (SELECT doc_id, clean,
-         |    split_part(split_part(url, '#', 1), '//', 2) AS rest
-         |  FROM ex),
+         |    CASE WHEN instr(base, '//') > 0
+         |      THEN substr(base, instr(base, '//') + 2) ELSE base END
+         |      AS rest
+         |  FROM c1),
          |c3 AS (SELECT doc_id, clean, rest,
          |    split_part(rest, '/', 1) AS hostport FROM c2),
          |c4 AS (SELECT doc_id, clean,
-         |    substr(rest, length(hostport) + 1) AS pathq,
+         |    substr(rest, length(hostport) + 1) AS pathq0,
          |    lower(hostport) AS host0 FROM c3),
+         |c4b AS (SELECT doc_id, clean, host0,
+         |    ${pctSql("pathq0")} AS pathq FROM c4),
          |c5 AS (SELECT doc_id, clean, pathq,
          |    CASE WHEN substr(host0, length(host0) - 3) = ':443'
-         |      THEN substr(host0, 1, length(host0) - 4) ELSE host0 END
-         |      AS host1 FROM c4),
+         |      THEN substr(host0, 1, length(host0) - 4)
+         |      WHEN substr(host0, length(host0) - 2) = ':80'
+         |      THEN substr(host0, 1, length(host0) - 3)
+         |      ELSE host0 END
+         |      AS host1 FROM c4b),
          |c6 AS (SELECT doc_id, clean, pathq,
          |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
          |      ELSE host1 END AS host FROM c5),
          |c7 AS (SELECT doc_id, clean, host,
          |    split_part(pathq, '?', 1) AS p0,
          |    CASE WHEN contains(pathq, '?')
-         |      THEN split_part(pathq, '?', 2) ELSE '' END AS qs FROM c6),
+         |      THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END
+         |      AS qs FROM c6),
          |c8 AS (SELECT doc_id, clean, host,
          |    CASE WHEN rtrim(p0, '/') = '' THEN '/' ELSE rtrim(p0, '/') END
          |      AS cpath,
@@ -1884,10 +1929,9 @@ object Oracles {
          |  cast(coalesce(kk.tokens_kept, 0) AS bigint) AS tokens_kept
          |FROM b LEFT JOIN kk USING (lang) ORDER BY lang""".stripMargin,
 
-    // concat-and-chunk packing: "p#"-seeded per-lang order, CTX=512;
-    // a doc straddles when its [start, end) span crosses a 512 multiple
-    // same bucket/rank/batch math; sum goes through bigint cast (the
-    // DuckDB hugeint-sum convention)
+    // length-bucketed batching: same bucket/rank/batch math as the
+    // Spark side; sum goes through bigint cast (the DuckDB hugeint-sum
+    // convention)
     "q_length_batch" ->
       """WITH b AS (SELECT doc_id, n_chars, n_chars // 256 AS bucket
         |  FROM documents),
@@ -1902,6 +1946,8 @@ object Oracles {
         |  cast(max_len * n_docs - sum_len AS bigint) AS padding_waste
         |FROM a ORDER BY bucket, batch_id""".stripMargin,
 
+    // concat-and-chunk packing: "p#"-seeded per-lang order, CTX=512;
+    // a doc straddles when its [start, end) span crosses a 512 multiple
     "q_pack" ->
       s"""WITH t AS (SELECT doc_id, lang, len($TOKS) AS ntok,
          |    ('0x' || substr(md5('p#' || cast(doc_id AS varchar)), 1, 15))

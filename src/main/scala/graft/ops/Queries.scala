@@ -1860,13 +1860,23 @@ object Queries {
   private def synthUrl: Column = {
     val id = col("doc_id")
     concat(
-      lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
-      when(id % 4 === 0, lit(":443")).otherwise(lit("")),
+      // the %4==1 arm is the http-origin default-port case the r6
+      // verdict flagged: http://host:80/ must collapse to
+      // https://host/… (not keep a spurious :80 origin)
+      when(id % 4 === 1, lit("HTTP://WWW.")).otherwise(lit("HTTPS://WWW.")),
+      col("source"), lit(".Example.COM"),
+      when(id % 4 === 0, lit(":443"))
+        .when(id % 4 === 1, lit(":80")).otherwise(lit("")),
       lit("/"), col("lang"), lit("/Page/"), (id % 50).cast("string"),
+      // percent edge set: %7E is unreserved (decodes to '~'), %2f is
+      // reserved (stays encoded, hex uppercased to %2F)
+      when(id % 10 === 7, lit("/%7Edir%2fsub")).otherwise(lit("")),
       when(id % 3 === 0, concat(lit("?utm_source=feed&id="),
         (id % 7).cast("string"), lit("&utm_campaign=br")))
+        // %6F decodes to 'o'; next=//cdn… puts a second '//' in the
+        // query, the truncation class the bounded parse exists for
         .when(id % 3 === 1, concat(lit("?id="),
-          (id % 7).cast("string"), lit("&ref=home")))
+          (id % 7).cast("string"), lit("&ref=h%6Fme&next=//cdn.example/a")))
         .otherwise(lit("/")),
       when(id % 5 === 0, lit("#section-2")).otherwise(lit("")))
   }
@@ -1902,13 +1912,15 @@ object Queries {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  def qUrlDedup(s: SparkSession, dir: String): DataFrame =
+  def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UrlCanon.register(s)
     T(s, dir).documents.select(col("doc_id"), synthUrl.as("url"))
       .withColumn("canon", canonicalizeUrl(col("url")))
       .withColumn("host", urlHost(col("url")))
       .groupBy("canon", "host")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("canon")
+  }
 
   /** #66e HTML boilerplate extraction — the text-extraction stage that
     * sits between the crawl and every other text operator: strip
@@ -3047,6 +3059,7 @@ object Queries {
     * host-keyed partial aggs, one host-keyed join — no stage
     * materializes between them, Catalyst fuses the maps. */
   def qPipelineWeb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.UrlCanon.register(s)
     // Eager'd: every downstream reference (policy filter, canon
     // window, fingerprint, host aggs) would otherwise INLINE the full
     // extraction+canonicalization expression tree — the optimizer's

@@ -130,40 +130,24 @@ object TextFunctions {
       least(meanTokenLen(c) / lit(8.0), lit(1.0)) * lit(0.1)
 
   /** Hostname of a URL after canonicalization (§2.5 #66d): lowercased,
-    * default :443 port stripped, leading `www.` stripped. */
-  def urlHost(url: Column): Column = {
-    val rest = split_part(split_part(url, lit("#"), lit(1)),
-      lit("//"), lit(2))
-    val host0 = lower(split_part(rest, lit("/"), lit(1)))
-    val host1 = when(
-      host0.substr(length(host0) - lit(3), lit(4)) === ":443",
-      host0.substr(lit(1), length(host0) - lit(4))).otherwise(host0)
-    when(host1.substr(lit(1), lit(4)) === "www.",
-      host1.substr(lit(5), length(host1))).otherwise(host1)
-  }
+    * default ports (:443 for the https canonical scheme, :80 for the
+    * http origin it upgrades) stripped, leading `www.` stripped. The
+    * full rule-set and the design rationale for the native-expression
+    * form live on [[graft.functions.UrlCanon]]. Resolves by name at
+    * analysis time — call `UrlCanon.register(spark)` first (the repo's
+    * native-expression idiom, same as nfc_normalize). */
+  def urlHost(url: Column): Column = call_function("url_host", url)
 
   /** URL canonicalization (§2.5 #66d) — the crawl-dedup key: fragment
-    * stripped, host per [[urlHost]], scheme normalized to https (the
-    * upgrade-canonical choice), trailing path slashes removed (bare
-    * host → "/"), utm_* tracking params dropped, remaining query
-    * params SORTED so parameter order never splits a canonical key.
-    * Pure string/array column math — zero regex, codegen'd,
+    * stripped, bounded `//` parse, host per [[urlHost]], scheme
+    * normalized to https, RFC 3986 §6.2.2 percent-encoding
+    * normalization (unreserved triplets decoded, others uppercased),
+    * trailing path slashes removed (bare host → "/"), utm_* tracking
+    * params dropped, remaining query params SORTED. One codegen'd
+    * Catalyst expression ([[graft.functions.UrlCanon]] has the rule
+    * list and why a composed-Column form is unusable here);
     * idempotent (canon(canon(u)) = canon(u), asserted in
     * QueriesSpec). */
-  def canonicalizeUrl(url: Column): Column = {
-    val base = split_part(url, lit("#"), lit(1))
-    val rest = split_part(base, lit("//"), lit(2))
-    val hostport = split_part(rest, lit("/"), lit(1))
-    val pathq = rest.substr(length(hostport) + lit(1), length(rest))
-    val p0 = split_part(pathq, lit("?"), lit(1))
-    val cpath = when(rtrim(p0, "/") === "", lit("/"))
-      .otherwise(rtrim(p0, "/"))
-    val qs = when(instr(pathq, "?") > 0,
-      split_part(pathq, lit("?"), lit(2))).otherwise(lit(""))
-    val params = array_sort(filter(split(qs, "&"),
-      x => x =!= "" && x.substr(lit(1), lit(4)) =!= "utm_"))
-    concat(lit("https://"), urlHost(url), cpath,
-      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
-        .otherwise(lit("")))
-  }
+  def canonicalizeUrl(url: Column): Column =
+    call_function("canonicalize_url", url)
 }

@@ -151,6 +151,7 @@ class QueriesSpec extends AnyFunSuite {
   test("canonicalizeUrl: handcrafted rules + idempotence") {
     import org.apache.spark.sql.functions._
     import graft.text.TextFunctions.{canonicalizeUrl, urlHost}
+    graft.functions.UrlCanon.register(spark)
     val cases = Seq(
       // every rule at once: scheme+host case, default port, www,
       // trailing slash, utm removal, param sort, fragment
@@ -164,7 +165,19 @@ class QueriesSpec extends AnyFunSuite {
       // utm-only query drops entirely; root path survives as "/"
       ("https://example.com/?utm_campaign=z", "https://example.com/"),
       // :8443 is NOT the default port and must survive
-      ("https://example.com:8443/x", "https://example.com:8443/x"))
+      ("https://example.com:8443/x", "https://example.com:8443/x"),
+      // http default port :80 collapses like :443 (r6 verdict edge)
+      ("http://Example.com:80/p", "https://example.com/p"),
+      // a second '//' in the query must survive the bounded parse —
+      // split_part(url,'//',2) would truncate at 'https:' (r6 advice)
+      ("https://example.com/r?next=https://other.com/x&a=1",
+        "https://example.com/r?a=1&next=https://other.com/x"),
+      // '//' inside the path is path content, not a scheme marker
+      ("https://example.com/a//b", "https://example.com/a//b"),
+      // %XX normalization: %7E (unreserved '~') decodes, %2f (reserved
+      // '/') stays encoded with uppercased hex, bare '%' passes through
+      ("https://example.com/%7Euser/%2fq?x=%6fk&y=100%",
+        "https://example.com/~user/%2Fq?x=ok&y=100%"))
     val df = spark.createDataFrame(cases).toDF("url", "want")
       .withColumn("got", canonicalizeUrl(col("url")))
     val bad = df.where(col("got") =!= col("want")).collect()
