@@ -137,7 +137,7 @@ object ScaleExperiment {
       "q_mad_outliers|q_null_semantics|q_twap|q_edit_join|q_image_dhash|" +
       "q_hof|q_ewma|q_window_distinct|q_partition_prune|q_bm25|" +
       "q_containment|q_semdedup|q_hll_merge|q_stream_join_full|q_variant|" +
-      "q_novelty|q_profile|q_dedup_incr|q_split_group|q_label_errors|q_normalize|q_moving_median|q_kanon|q_dedup_unicode|q_schema_evolution|q_quantile_norm|q_ohlc|q_fold_text|q_winsorize|q_er_cluster|q_dedup_keepbest|q_url_dedup|q_split_neardup|q_html_extract|q_oov_rate|q_interval_join|q_domain_filter|q_pipeline_web|q_source_overlap|q_length_batch").r
+      "q_novelty|q_profile|q_dedup_incr|q_split_group|q_label_errors|q_normalize|q_moving_median|q_kanon|q_dedup_unicode|q_schema_evolution|q_quantile_norm|q_ohlc|q_fold_text|q_winsorize|q_er_cluster|q_dedup_keepbest|q_url_dedup|q_split_neardup|q_html_extract|q_oov_rate|q_interval_join|q_domain_filter|q_pipeline_web|q_source_overlap|q_length_batch|q_graph_reuse").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -194,7 +194,52 @@ object ScaleExperiment {
     }
     skewExperiment(spark)
     hotStratumExperiment(spark)
+    graphReuseExperiment(spark)
     spark.stop()
+  }
+
+  /** Amortization of the build-once edge artifact (r6 verdict #1): the
+    * graph family — components, keep-best, integer PageRank, triangle
+    * listing, 2-core — measured (a) each consumer re-deriving the
+    * exact J≥0.8 pair set from the corpus (the per-query-independence
+    * grading shape) vs (b) ONE `Dedup.edgeTable` build + five reads of
+    * the parquet artifact. At 100 TB arm (a) is five full lake reads;
+    * the artifact turns four of them into reads of a pair-sized
+    * parquet file. */
+  private def graphReuseExperiment(spark: SparkSession): Unit = {
+    val docs = graft.tables.Tables(spark, srcSf).documents
+    val d = graft.dedup.Dedup
+    val R = graft.ops.Relational
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }
+    def sink(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def fresh() = d.jaccardJoin(docs, 0.8).select("doc_a", "doc_b")
+    val tIndep = timed {
+      sink(d.components(fresh()))
+      sink(d.keepBest(fresh(), docs))
+      sink(d.pageRank(fresh()))
+      sink(R.triangles(fresh(), "doc_a", "doc_b"))
+      sink(R.kcore(fresh(), "doc_a", "doc_b", 2, 8))
+    }
+    val path =
+      java.nio.file.Files.createTempDirectory("graft_edge_sx").toString
+    val tAmort = timed {
+      d.edgeTable(docs, 0.8, path)
+      def edges = spark.read.parquet(s"$path/edges")
+        .select("doc_a", "doc_b")
+      sink(d.components(edges))
+      sink(d.keepBest(edges, docs))
+      sink(d.pageRank(edges))
+      sink(R.triangles(edges, "doc_a", "doc_b"))
+      sink(R.kcore(edges, "doc_a", "doc_b", 2, 8))
+    }
+    println(f"graph_family_reuse  independent ${tIndep}%6.2fs  " +
+      f"artifact ${tAmort}%6.2fs  (${tIndep / tAmort}%4.1fx; 5 consumers, " +
+      "1 discovery vs 5)")
   }
 
   /** The straggler [[graft.ops.Queries.qQualityFilterApprox]] removes,

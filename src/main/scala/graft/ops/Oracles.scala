@@ -297,6 +297,85 @@ object Oracles {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q_graph_reuse oracle: ONE replay of the exact J >= 0.8 pair set,
+    * then the five graph analytics the Spark side amortizes over the
+    * parquet edge artifact — recursive-closure components, the
+    * keep-best window, the unrolled 8-step integer PageRank, the naive
+    * triangle closure, and the unrolled 8-round 2-core — rolled up per
+    * component. Every number is integer math, so the rollup hashes
+    * bit-for-bit against the composed Spark plan. */
+  private lazy val graphReuseSql: String = {
+    val prSteps = (1 to 8).map { i =>
+      s"""r$i AS (SELECT edd.dst AS doc_id,
+         |    150000 + (85 * sum(r${i - 1}.pr // edd.deg)) // 100 AS pr
+         |  FROM edd JOIN r${i - 1} ON r${i - 1}.doc_id = edd.src
+         |  GROUP BY edd.dst)""".stripMargin
+    }.mkString(",\n")
+    val coreSteps = (1 to 8).map { i =>
+      s"""cd$i AS MATERIALIZED (SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM ce${i - 1}
+         |    UNION ALL SELECT b FROM ce${i - 1}) GROUP BY 1),
+         |ck$i AS MATERIALIZED (SELECT v FROM cd$i WHERE deg >= 2),
+         |ce$i AS MATERIALIZED (SELECT a, b FROM ce${i - 1}
+         |  WHERE a IN (SELECT v FROM ck$i)
+         |    AND b IN (SELECT v FROM ck$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+       |s AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(1, len(toks) - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+       |  FROM t WHERE len(toks) >= 3),
+       |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+       |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    cast(count(*) as double) AS inter
+       |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |p AS (SELECT doc_a, doc_b FROM i
+       |  JOIN s sa ON sa.doc_id = i.doc_a
+       |  JOIN s sb ON sb.doc_id = i.doc_b
+       |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
+       |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p),
+       |ed AS (SELECT a AS src, b AS dst FROM e
+       |  UNION ALL SELECT b, a FROM e),
+       |rc AS (SELECT src AS id, dst AS reach FROM ed
+       |  UNION
+       |  SELECT rc.id, ed.dst FROM rc JOIN ed ON rc.reach = ed.src),
+       |lab AS (SELECT id AS doc_id, least(id, min(reach)) AS comp
+       |  FROM rc GROUP BY id),
+       |kx AS (SELECT comp, l.doc_id, d.n_chars,
+       |    row_number() OVER (PARTITION BY comp
+       |      ORDER BY d.n_chars DESC, l.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY comp) AS n_members
+       |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id),
+       |kb AS (SELECT comp, doc_id AS keep_id, n_chars AS keep_chars,
+       |    cast(n_members AS bigint) AS n_members FROM kx WHERE rk = 1),
+       |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY 1),
+       |edd AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       |r0 AS (SELECT src AS doc_id, cast(1000000 AS bigint) AS pr
+       |  FROM dg),
+       |$prSteps,
+       |prc AS (SELECT lab.comp, cast(sum(r8.pr) AS bigint) AS sum_pr
+       |  FROM r8 JOIN lab ON lab.doc_id = r8.doc_id GROUP BY 1),
+       |tr AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |trc AS (SELECT lab.comp, cast(count(*) AS bigint) AS n_tri
+       |  FROM tr JOIN lab ON lab.doc_id = tr.x GROUP BY 1),
+       |ce0 AS MATERIALIZED (SELECT a, b FROM e),
+       |$coreSteps,
+       |core AS (SELECT DISTINCT v FROM (
+       |  SELECT a AS v FROM ce8 UNION ALL SELECT b FROM ce8)),
+       |crc AS (SELECT lab.comp, cast(count(*) AS bigint) AS n_core2
+       |  FROM core JOIN lab ON lab.doc_id = core.v GROUP BY 1)
+       |SELECT kb.comp, kb.n_members, kb.keep_id, kb.keep_chars,
+       |  coalesce(trc.n_tri, 0) AS n_tri,
+       |  coalesce(crc.n_core2, 0) AS n_core2, prc.sum_pr
+       |FROM kb JOIN prc USING (comp)
+       |  LEFT JOIN trc USING (comp)
+       |  LEFT JOIN crc USING (comp)
+       |ORDER BY comp""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
     "q_each" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -954,6 +1033,39 @@ object Oracles {
          |WHERE p_retailprice > (
          |  SELECT ${d2("p_retailprice")} / $CNT FROM part)
          |ORDER BY p_partkey""".stripMargin,
+
+    // correlated EXISTS (Q4 shape): the SAME SQL text the Spark side
+    // runs — DuckDB decorrelates it its own way; results must agree
+    "q_exists_corr" ->
+      """SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_returnflag = 'R'
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // double-correlated EXISTS + NOT EXISTS self-join (Q21 shape)
+    "q_exists_double" ->
+      """SELECT s_name, cast(count(*) AS bigint) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q_case_agg" ->
       s"""SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
@@ -2662,6 +2774,11 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin,
 
     "q_kcore" -> kcoreSql,
+
+    // build-once/query-many artifact rollup: one pair-set replay, five
+    // analytics (components/keep-best/pagerank/triangles/2-core) — the
+    // same answers the standalone gates check, rolled up per component
+    "q_graph_reuse" -> graphReuseSql,
 
     // portable signed random projection: identical ±1 stream from the
     // md5 hex prefix, identical exact integer quantization (×2^16 is

@@ -940,6 +940,71 @@ object Queries {
       .orderBy("p_partkey")
   }
 
+  /** #50b TPC-H Q4 shape: correlated EXISTS with a predicate — the
+    * decorrelation pattern an analytics engine gets thrown daily, and
+    * the first of the two r6-verdict subquery asks. The EXISTS carries
+    * BOTH the key correlation (l_orderkey = o_orderkey) and a
+    * cross-table inequality (l_shipdate > o_orderdate + 30 days), so
+    * Catalyst's RewritePredicateSubquery must decorrelate a mixed
+    * equi+theta condition into ONE left-semi join — no per-row
+    * subquery execution (plan-asserted in QueriesSpec: the optimized
+    * plan contains LeftSemi and no surviving PlanExpression). Scale
+    * shape: semi join shuffles on the order key like any equi-join;
+    * the date predicate rides along as a join residual; aggregation is
+    * a partial-agg on the tiny priority domain. */
+  def qExistsCorr(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.orders.createOrReplaceTempView("graft_orders")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT o_orderpriority, cast(count(*) AS bigint) AS order_count
+      FROM graft_orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+        AND EXISTS (SELECT 1 FROM graft_lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_returnflag = 'R'
+                      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  }
+
+  /** #50c TPC-H Q21 shape: the double-correlated EXISTS + NOT-EXISTS
+    * SELF-join — the hardest everyday decorrelation pattern (the
+    * second r6-verdict subquery ask): suppliers who were the SOLE
+    * returned-lineitem supplier on a finished multi-supplier order
+    * (fault attribution). Both subqueries correlate to the SAME outer
+    * lineitem row on l_orderkey with a `<>` on l_suppkey; Catalyst
+    * must plan a left-semi AND a left-anti against two scans of
+    * lineitem keyed on the order key (plan-asserted in QueriesSpec).
+    * Scale: all joins equi on l_orderkey / s_suppkey / n_nationkey —
+    * the `<>` rides as residuals; nothing cartesian, supplier/nation
+    * broadcast-sized. */
+  def qExistsDouble(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.orders.createOrReplaceTempView("graft_orders")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.supplier.createOrReplaceTempView("graft_supplier")
+    t.nation.createOrReplaceTempView("graft_nation")
+    s.sql("""
+      SELECT s_name, cast(count(*) AS bigint) AS numwait
+      FROM graft_supplier, graft_lineitem l1, graft_orders, graft_nation
+      WHERE s_suppkey = l1.l_suppkey
+        AND o_orderkey = l1.l_orderkey
+        AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM graft_lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM graft_lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+        AND s_nationkey = n_nationkey
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name""")
+  }
+
   /** #51 TPC-H Q14 shape: conditional aggregation (promo revenue share). */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
@@ -2323,16 +2388,9 @@ object Queries {
     * keyed on comp — nothing corpus-quadratic. */
   def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir).documents
-    val comps = graft.dedup.Dedup.components(
-      graft.dedup.Dedup.jaccardJoin(docs, 0.8).select("doc_a", "doc_b"))
-    val w = Window.partitionBy("comp")
-    val wr = w.orderBy(col("n_chars").desc, col("doc_id"))
-    comps.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-      .withColumn("rk", row_number().over(wr))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .where(col("rk") === 1)
-      .select(col("comp"), col("doc_id").as("keep_id"),
-        col("n_chars").as("keep_chars"), col("n_members"))
+    graft.dedup.Dedup.keepBest(
+        graft.dedup.Dedup.jaccardJoin(docs, 0.8).select("doc_a", "doc_b"),
+        docs)
       .orderBy("comp")
   }
 
@@ -3684,6 +3742,57 @@ object Queries {
       graft.dedup.Dedup.jaccardJoin(T(s, dir).documents, 0.8),
       "doc_a", "doc_b", k = 2, rounds = 8)
       .orderBy("doc_id")
+
+  /** #57p BUILD-ONCE graph artifact, QUERY-MANY
+    * ([[graft.dedup.Dedup.edgeTable]]): the exact J≥0.8 pair set is
+    * derived ONCE, written as the parquet edge artifact, and FIVE
+    * graph consumers — components, keep-best, integer PageRank,
+    * triangle listing, 2-core — all read it back instead of each
+    * re-running discovery (the r6-verdict structural fix: the family
+    * burned ~19% of the bench, nine lake reads at 100 TB). Output is
+    * one row per near-dup component carrying every consumer's answer:
+    * membership count, the keep-best winner, the component's triangle
+    * and 2-core counts, and the exact integer PageRank mass — all
+    * integer math, so the whole rollup is hash-gated against a DuckDB
+    * replay that recomputes the same pair set and closes the same five
+    * analytics over it (bit-for-bit the same per-query answers the
+    * standalone gates check). GraphReuseSpec additionally asserts this
+    * rollup is IDENTICAL to composing the standalone operators, and
+    * ScaleExperiment measures the amortization. */
+  def qGraphReuse(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val docs = T(s, dir).documents
+    // deterministic per-input path; always rebuilt — the build cost is
+    // paid once inside this query, the five consumers then amortize it
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_edge_artifact_$tag"
+    d.edgeTable(docs, 0.8, path)
+    val edges = graft.core.Eager(
+      d.readEdgeTable(s, path).edges.select("doc_a", "doc_b"))
+    val comps = d.components(edges)
+    val keep = d.keepBestFrom(comps, docs)
+    val pr = d.pageRank(edges)
+    val tri = Relational.triangles(edges, "doc_a", "doc_b")
+    val core = Relational.kcore(edges, "doc_a", "doc_b", k = 2, rounds = 8)
+    val prC = pr.join(comps, "doc_id").groupBy("comp")
+      .agg(sum("pr").as("sum_pr"))
+    val triC = tri.join(comps.select(col("doc_id").as("a"), col("comp")),
+        Seq("a"))
+      .groupBy("comp").agg(count(lit(1)).as("n_tri"))
+    val coreC = core.join(comps, "doc_id").groupBy("comp")
+      .agg(count(lit(1)).as("n_core2"))
+    keep.join(prC, "comp")
+      .join(triC, Seq("comp"), "left")
+      .join(coreC, Seq("comp"), "left")
+      .select(col("comp"), col("n_members"), col("keep_id"),
+        col("keep_chars"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_core2"), lit(0L)).as("n_core2"),
+        col("sum_pr"))
+      .orderBy("comp")
+  }
 
   /** #62e PORTABLE signed random projection of the embedding corpus —
     * the JL/Hamming-sketch foundation under the ANN family, expressed

@@ -195,6 +195,25 @@ class QueriesSpec extends AnyFunSuite {
     assert(canon.count() == 0, "canonical keys are not a fixed point")
   }
 
+  test("correlated EXISTS decorrelates to semi/anti joins") {
+    // the r6-verdict ask: nothing in the optimized plans may execute a
+    // per-row subquery — RewritePredicateSubquery must leave pure
+    // semi/anti joins behind
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val q4 = optimized(graft.ops.Queries.qExistsCorr(spark, sf))
+    assert(q4.contains("LeftSemi"), s"Q4 shape lost its semi join:\n$q4")
+    assert(!q4.contains("exists#") || !q4.contains("Filter exists"),
+      "Q4 shape kept an unplanned EXISTS predicate")
+    val q21 = optimized(graft.ops.Queries.qExistsDouble(spark, sf))
+    assert(q21.contains("LeftSemi"), s"Q21 shape lost its semi join:\n$q21")
+    assert(q21.contains("LeftAnti"), s"Q21 shape lost its anti join:\n$q21")
+    // no surviving subquery expression in either optimized plan
+    for ((n, p) <- Seq("q4" -> q4, "q21" -> q21))
+      assert(!p.contains("ListQuery") && !p.contains("Exists("),
+        s"$n: subquery expression survived optimization:\n$p")
+  }
+
   test("q_split_neardup: no near-dup cluster straddles a split") {
     import org.apache.spark.sql.functions._
     val docs = graft.tables.Tables(spark, sf).documents
