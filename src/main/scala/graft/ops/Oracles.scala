@@ -2471,6 +2471,18 @@ object Oracles {
         |SELECT qid, cast(rank as bigint) AS rank, vid, cos FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
+    // streaming CDC merge: the chunked versioned-snapshot replay must
+    // equal ONE global per-key argmax under the total (tsec, event_id)
+    // order — the batch twin of last-writer-wins
+    "q_stream_upsert" ->
+      """WITH e AS (SELECT user_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS tsec,
+        |    event_id, event_type, value FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY tsec DESC, event_id DESC) AS rk FROM e)
+        |SELECT user_id, tsec, event_id, event_type, value
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+
     "q_stream_window" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, $CNT AS n,
          |  ${d4("value")} AS sv

@@ -3366,6 +3366,47 @@ object Queries {
       .orderBy("lang")
   }
 
+  /** #81 streaming CDC MERGE sink, replayed over a chunked changelog
+    * ([[graft.streaming.Streams.cdcMerge]] — the r6-verdict ask:
+    * `Relational.upsert` composed with the idempotent versioned-sink
+    * discipline). The events table becomes a 4-chunk time-ordered
+    * changelog (disjoint ascending tsec ranges — exactly what a
+    * micro-batched CDC feed delivers); each chunk MERGES into the
+    * parquet snapshot through the same function the
+    * `foreachBatch` sink executes per micro-batch, and the final
+    * snapshot is returned. Because chunk ranges ascend and the merge
+    * keeps last-writer-wins per key under the total (tsec, event_id)
+    * order, the chunked replay equals ONE global per-key argmax — the
+    * batch-twin oracle — bit-for-bit; StreamingSpec drives the same
+    * sink through a genuine MemoryStream query (incl. a
+    * restart-mid-stream gate) and asserts the identical snapshot.
+    * Scale: each merge is one changelog-keyed window + one full-outer
+    * merge on user_id — the q_upsert plan per micro-batch. */
+  def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.streaming.Streams
+    val ev = T(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+      col("event_type"), col("value"))
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val snap = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_$tag"
+    // fresh chain per run: stale versions would feed batch 0 a base
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snap))
+    // one tiny bounds row (the Queries.scala:2259 precedent) to cut
+    // the changelog into 4 disjoint ascending time ranges
+    val b = ev.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    for (i <- 0L until 4L) {
+      val (cLo, cHi) = (lo + span * i / 4, lo + span * (i + 1) / 4)
+      st.cdcMerge(snap, Seq("user_id"), Seq("tsec", "event_id"))(
+        ev.where(col("tsec") >= cLo && col("tsec") < cHi), i)
+    }
+    st.cdcSnapshot(s, snap)
+      .select("user_id", "tsec", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
   /** #62c embedding CLUSTERING as a first-class operator: every vector
     * assigned to its nearest trained centroid (the [[graft.sim
     * .Similarity.ivfAssign]] machinery — sampled spherical k-means,

@@ -234,6 +234,117 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  /** Stage the events table as a TIME-ORDERED 4-chunk changelog — one
+    * parquet file per disjoint ascending tsec range, written
+    * sequentially so file mtimes ascend and the file stream source
+    * delivers them in log order (the CDC feed contract: Kafka/LSN
+    * changelogs arrive offset-ordered; `cdcMerge`'s last-writer-wins
+    * documents that contract). Returns the changelog dir. */
+  private def stageChangelog(stage: java.nio.file.Path)
+      : java.nio.file.Path = {
+    import scala.jdk.CollectionConverters._
+    val evDir = stage.resolve("changelog")
+    java.nio.file.Files.createDirectories(evDir)
+    val ev = graft.tables.Tables(spark, replayDir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"), col("event_type"), col("value"))
+    val b = ev.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    for (i <- 0L until 4L) {
+      val (cLo, cHi) = (lo + span * i / 4, lo + span * (i + 1) / 4)
+      val tmp = stage.resolve(s"chunk$i")
+      ev.where(col("tsec") >= cLo && col("tsec") < cHi)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).next()
+      java.nio.file.Files.move(part,
+        evDir.resolve(f"chunk-$i%02d.parquet"))
+    }
+    evDir
+  }
+
+  private def cdcRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("user_id", "tsec", "event_id", "event_type", "value")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+
+  /** Global per-key argmax under (tsec, event_id) — the one-shot batch
+    * twin of the chunked merge chain. */
+  private def cdcBatchTwin(evDir: java.nio.file.Path) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy(col("tsec").desc, col("event_id").desc)
+    cdcRows(spark.read.parquet(evDir.toString)
+      .withColumn("rk", row_number().over(w)).where(col("rk") === 1))
+  }
+
+  test("CDC merge sink: streamed snapshot == one-shot batch twin (#81)") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdc")
+    val evDir = stageChangelog(stage)
+    val snap = stage.resolve("snap").toString
+    val schema = spark.read.parquet(evDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(evDir.toString)
+    val q = Streams.cdcMergeSink(src, Seq("user_id"),
+        Seq("tsec", "event_id"), snap)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val versions = new java.io.File(snap).listFiles()
+      .map(_.getName.stripPrefix("v=").toLong)
+    assert(versions.length >= 4,
+      s"expected >=4 micro-batch versions, got ${versions.toSeq}")
+    val batch = cdcBatchTwin(evDir)
+    val streamed = cdcRows(Streams.cdcSnapshot(spark, snap))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+    // replay idempotence (at-least-once re-delivery): re-applying the
+    // final batch id merges its original PREDECESSOR, never its own
+    // output — the snapshot must stay bit-identical even for a
+    // superset resend (whole changelog tagged with the last id)
+    Streams.cdcMerge(snap, Seq("user_id"), Seq("tsec", "event_id"))(
+      spark.read.parquet(evDir.toString), versions.max)
+    assert(cdcRows(Streams.cdcSnapshot(spark, snap)) == batch,
+      "replayed final batch changed the snapshot")
+  }
+
+  test("CDC merge sink: restart mid-stream resumes the version chain (#81)") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_cdcr")
+    val evDir = stageChangelog(stage)
+    import scala.jdk.CollectionConverters._
+    val parts = java.nio.file.Files.list(evDir).iterator().asScala
+      .toSeq.sortBy(_.getFileName.toString)
+    // hold back the last two chunks (they arrive while the query is down)
+    val held = parts.drop(2).map { p =>
+      val away = stage.resolve(p.getFileName.toString)
+      java.nio.file.Files.move(p, away); away
+    }
+    val snap = stage.resolve("snap").toString
+    val ckpt = stage.resolve("ckpt").toString
+    val schema = spark.read.parquet(evDir.toString).schema
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(evDir.toString)
+      val q = Streams.cdcMergeSink(src, Seq("user_id"),
+          Seq("tsec", "event_id"), snap)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run() // chunks 1-2, then the query stops
+    val midVersions = new java.io.File(snap).listFiles().length
+    held.foreach(p => java.nio.file.Files.move(p,
+      evDir.resolve(p.getFileName.toString)))
+    run() // restart from the same checkpoint over chunks 3-4
+    val endVersions = new java.io.File(snap).listFiles().length
+    assert(midVersions >= 1 && endVersions > midVersions,
+      s"version chain did not resume: $midVersions -> $endVersions")
+    assert(cdcRows(Streams.cdcSnapshot(spark, snap)) == cdcBatchTwin(evDir),
+      "post-restart snapshot != batch answer over everything")
+  }
+
   test("foreachBatch idempotent sink: no loss, replayed batch = no dups (#79)") {
     val stage = java.nio.file.Files.createTempDirectory("graft_fb")
     val evDir = stage.resolve("events.parquet")
