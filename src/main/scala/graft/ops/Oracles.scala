@@ -1671,18 +1671,27 @@ object Oracles {
         |FROM h GROUP BY 1, 2 ORDER BY host""".stripMargin,
 
     // trained top-1000 vocab under the same (count desc, token asc)
-    // total order, then per-doc OOV counts via the same left join
+    // total order, then per-doc OOV counts via the same left join;
+    // post-byte-fallback accounting: an OOV token costs its UTF-8
+    // byte count (octet_length), an in-vocab token stays 1
     "q_oov_rate" ->
       s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
          |cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY tk),
          |vocab AS (SELECT tk FROM cnt ORDER BY c DESC, tk LIMIT 1000),
          |per AS (SELECT doc_id, count(*) AS n_toks,
-         |    sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |    sum(CASE WHEN v.tk IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         |    sum(CASE WHEN v.tk IS NULL THEN strlen(tok.tk)
+         |      ELSE 0 END) AS n_fallback_bytes
          |  FROM tok LEFT JOIN vocab v USING (tk) GROUP BY doc_id)
          |SELECT doc_id, cast(n_toks AS bigint) AS n_toks,
          |  cast(n_oov AS bigint) AS n_oov,
-         |  cast(n_oov AS double) / cast(n_toks AS double) AS oov_rate
+         |  cast(n_fallback_bytes AS bigint) AS n_fallback_bytes,
+         |  cast(n_oov AS double) / cast(n_toks AS double) AS oov_rate,
+         |  cast(n_toks - n_oov + n_fallback_bytes AS bigint)
+         |    AS n_toks_post,
+         |  cast(n_toks - n_oov + n_fallback_bytes AS double)
+         |    / cast(n_toks AS double) AS expansion
          |FROM per ORDER BY doc_id""".stripMargin,
 
     // identical synthesis + RE2-safe strip/decode patterns; replace

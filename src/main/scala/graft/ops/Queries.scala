@@ -2027,9 +2027,21 @@ object Queries {
     tok.join(broadcast(vocab), Seq("tk"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_toks"),
-        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_oov"),
+        // post-byte-fallback accounting (r7): an OOV token costs its
+        // UTF-8 byte count under the <0xNN> fallback (Bpe.byteFallback
+        // — the GPT-2 trick that makes OOV impossible), an in-vocab
+        // token stays 1 — so the post-fallback OOV rate is 0 BY
+        // CONSTRUCTION and the price is sequence expansion, reported
+        // here exactly
+        sum(when(col("hit").isNull, octet_length(col("tk")).cast("long"))
+          .otherwise(0L)).as("n_fallback_bytes"))
       .withColumn("oov_rate",
         col("n_oov").cast("double") / col("n_toks").cast("double"))
+      .withColumn("n_toks_post",
+        col("n_toks") - col("n_oov") + col("n_fallback_bytes"))
+      .withColumn("expansion",
+        col("n_toks_post").cast("double") / col("n_toks").cast("double"))
       .orderBy("doc_id")
   }
 

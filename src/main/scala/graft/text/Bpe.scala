@@ -250,6 +250,60 @@ object Bpe {
     syms
   }
 
+  /** The 256 byte tokens `<0x00>`…`<0xFF>` — always in vocabulary, so
+    * byte-fallback encoding can never produce an OOV token (the GPT-2 /
+    * SentencePiece `byte_fallback` trick). */
+  val byteTokens: IndexedSeq[String] =
+    (0 until 256).map(i => f"<0x$i%02X>")
+
+  /** A symbol rendered as its UTF-8 byte tokens. */
+  def byteFallback(sym: String): IndexedSeq[String] =
+    sym.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => byteTokens(b & 0xff)).toIndexedSeq
+
+  /** The CLOSED vocabulary of a trained tokenizer: the training
+    * alphabet (distinct single characters of the pruned word table — a
+    * bounded set, collected like any trained artifact), every merge
+    * product, and the 256 byte tokens. [[encodeWordFallback]] emits
+    * only members of this set — the BpeSpec law. */
+  def vocabulary(docs: DataFrame, textCol: String, merges: Seq[Merge],
+                 minWordFreq: Long = 1L): Set[String] = {
+    val alpha = wordCounts(docs, textCol)
+      .where(col("freq") >= minWordFreq)
+      .select(explode(chars(col("w"))).as("c")).distinct()
+      .collect().map(_.getString(0)).toSet
+    alpha ++ merges.map(m => m.left + m.right) ++ byteTokens
+  }
+
+  /** [[encodeWord]] with byte fallback: any output symbol outside the
+    * trained vocabulary (necessarily a single UTF-16 code unit the
+    * training corpus never saw — merge products are vocabulary members
+    * by construction) is re-emitted as UTF-8 byte tokens. Fallback
+    * operates on MAXIMAL RUNS of out-of-vocab symbols, not symbol by
+    * symbol: a supplementary character (emoji) arrives as two
+    * surrogate code units, each malformed alone — concatenating the
+    * run first makes its UTF-8 encoding (and the byte-level
+    * round-trip, gated in BpeSpec) correct. Closed vocabulary in,
+    * closed vocabulary out: OOV becomes impossible, the price is
+    * sequence expansion on unseen characters (reported exactly by
+    * q_oov_rate's n_fallback_bytes/expansion columns). A no-op on any
+    * text drawn from the training alphabet — asserted in BpeSpec
+    * alongside the no-token-outside-vocab law. */
+  def encodeWordFallback(w: String, rankOf: Map[(String, String), Int],
+                         vocab: Set[String]): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    val run = new java.lang.StringBuilder
+    def flush(): Unit = if (run.length > 0) {
+      out ++= byteFallback(run.toString); run.setLength(0)
+    }
+    for (s <- encodeWord(w, rankOf)) {
+      if (vocab.contains(s)) { flush(); out += s }
+      else run.append(s)
+    }
+    flush()
+    out.result()
+  }
+
   /** Column encoder: pre-token string → trained subword array. */
   def encoderUdf(merges: Seq[Merge])
       : org.apache.spark.sql.expressions.UserDefinedFunction = {

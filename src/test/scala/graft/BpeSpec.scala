@@ -134,6 +134,39 @@ class BpeSpec extends AnyFunSuite {
       assert(Bpe.encodeWord(w, rankOf).mkString == w)
   }
 
+  test("byte fallback: no token outside vocab ∪ bytes; no-op in-alphabet") {
+    import spark.implicits._
+    val docs = spark.createDataset(tiny).toDF("text")
+    val merges = Bpe.train(docs, "text", numMerges = 12)
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val vocab = Bpe.vocabulary(docs, "text", merges)
+    // the law: every emitted token is a vocabulary member, for inputs
+    // WELL OUTSIDE the training alphabet (accents, CJK, emoji — multi-
+    // byte UTF-8 — plus unseen ASCII)
+    val alien = Seq("café", "日本語", "naïve",
+      "😀ok", "zzzqqq", "x́")
+    for (w <- alien; t <- Bpe.encodeWordFallback(w, rankOf, vocab))
+      assert(vocab.contains(t), s"token '$t' of '$w' outside vocabulary")
+    // byte round-trip: decoding the byte tokens recovers the input
+    def decode(toks: Seq[String]): String = {
+      val bytes = toks.flatMap { t =>
+        if (t.startsWith("<0x") && t.length == 6)
+          Seq(Integer.parseInt(t.substring(3, 5), 16).toByte)
+        else t.getBytes(java.nio.charset.StandardCharsets.UTF_8).toSeq
+      }
+      new String(bytes.toArray, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    for (w <- alien)
+      assert(decode(Bpe.encodeWordFallback(w, rankOf, vocab)) == w)
+    // in-alphabet inputs: fallback is a strict no-op vs plain encode
+    for (w <- tiny.flatMap(refPreTokens).toSet[String])
+      assert(Bpe.encodeWordFallback(w, rankOf, vocab) ==
+        Bpe.encodeWord(w, rankOf))
+    // plain encode CAN leak out-of-vocab single chars — the gap the
+    // fallback exists to close (sanity that the law isn't vacuous)
+    assert(Bpe.encodeWord("café", rankOf).exists(!vocab.contains(_)))
+  }
+
   test("q_tokens_bpe is deterministic and well-formed") {
     val a = ops.Queries.qTokensBpe(spark, sf).collect()
     val b = ops.Queries.qTokensBpe(spark, sf).collect()
