@@ -370,11 +370,10 @@ object Dedup {
     * [[minhashPairs]] there is no banding-miss probability: the
     * candidate superset is a theorem, so oracle equality is exact by
     * construction at any SF. */
-  def jaccardJoin(docs: DataFrame, tau: Double): DataFrame = {
-    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
-    graft.functions.SortedIntersectCount.register(docs.sparkSession)
-    val perDoc = graft.core.Eager(shingled(docs).select(col("doc_id"),
-      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shh")))
+  /** The prefix posting table of [[jaccardJoin]] over a prepared
+    * (doc_id, shh) frame: each doc posts only its (1−τ)·|sh|+1 RAREST
+    * shingles under the one global rarity order (df asc, hash asc). */
+  private def prefixPostings(perDoc: DataFrame, tau: Double): DataFrame = {
     val posting = perDoc.select(col("doc_id"), explode(col("shh")).as("g"))
     val dfTab = posting.groupBy("g").agg(count(lit(1)).as("df"))
     // per-doc shingles in global rarity order (df asc, hash asc)
@@ -382,10 +381,30 @@ object Dedup {
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("df"), col("g")))),
         s => s.getField("g")).as("ord"))
-    val pref = ordered.select(col("doc_id"),
+    ordered.select(col("doc_id"),
       explode(slice(col("ord"), lit(1),
         (size(col("ord")) - ceil(size(col("ord")) * tau) + 1).cast("int")))
         .as("g"))
+  }
+
+  /** [[prefixPostings]] from raw docs — exposed for the skew
+    * experiments (ScaleExperiment's boilerplate flood inspects max
+    * posting fanout directly) and for plan diagnosis; the graded join
+    * path is [[jaccardJoin]]. */
+  def jaccardPrefixPostings(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    prefixPostings(
+      graft.core.Eager(shingled(docs).select(col("doc_id"),
+        expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shh"))),
+      tau)
+  }
+
+  def jaccardJoin(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val perDoc = graft.core.Eager(shingled(docs).select(col("doc_id"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shh")))
+    val pref = prefixPostings(perDoc, tau)
     val cands = pref.select(col("g"), col("doc_id").as("doc_a"))
       .join(pref.select(col("g"), col("doc_id").as("doc_b")), "g")
       .where(col("doc_a") < col("doc_b"))

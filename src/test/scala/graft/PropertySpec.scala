@@ -292,4 +292,81 @@ class PropertySpec extends AnyFunSuite {
       }
     })
   }
+
+  /** The repo's integer-exact portability discipline (q_rand_proj's
+    * Q16 signed projection, q_dsir's Q20 weighted score, q_pagerank's
+    * Q=10^6 recurrence) rests on long arithmetic never wrapping. This
+    * sweep drives the folds to the overflow boundary and asserts the
+    * contract on each side of it: EXACT (BigInt-equal) within the
+    * documented headroom, and a RAISE — never a silent wrap — beyond
+    * it (Spark 4 ANSI arithmetic, the session default). */
+  test("quantized-integer folds: BigInt-exact in headroom, raise past it") {
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(7)
+    // q_rand_proj's Q16 fold shape: sum_i floor(v_i * 2^16) * s_i
+    def foldQ16(vs: Seq[Double], signs: Seq[Long]): Column =
+      aggregate(
+        zip_with(lit(vs.toArray), lit(signs.toArray),
+          (v, sg) => floor(v * lit(65536d)).cast("long") * sg),
+        lit(0L), (a, x) => a + x)
+    def flat(t: Throwable): String = {
+      val sb = new StringBuilder
+      var e = t
+      while (e != null) { sb ++= e.toString; e = e.getCause }
+      sb.toString
+    }
+    // headroom sweep: components up to ~2^31 — far above any real
+    // embedding, still ~2^16 of slack under the 64-term Q16 sum bound
+    // (64 * 2^47 = 2^53 << 2^63)
+    for (_ <- 1 to 20) {
+      val vs = Seq.fill(64)((rnd.nextDouble() - 0.5) * 4e9)
+      val signs = Seq.fill(64)(if (rnd.nextBoolean()) 1L else -1L)
+      val ref = vs.zip(signs).map { case (v, s) =>
+        BigInt(math.floor(v * 65536d).toLong) * s }.sum
+      assert(ref.isValidLong)
+      val got = spark.range(1).select(foldQ16(vs, signs).as("s"))
+        .head.getLong(0)
+      assert(got == ref.toLong, s"Q16 fold diverged from BigInt: $got $ref")
+    }
+    // boundary 1 — the quantizing CAST itself: v*2^16 past Long.Max
+    val castBoom = intercept[Throwable] {
+      spark.range(1)
+        .select(foldQ16(Seq.fill(64)(1.7e14), Seq.fill(64)(1L))).head()
+    }
+    assert(flat(castBoom).toLowerCase.contains("overflow"),
+      s"cast boundary did not raise an overflow: $castBoom")
+    // boundary 2 — the SUM: 64 valid 2^58 terms overflow the long add
+    val sumBoom = intercept[Throwable] {
+      spark.range(1)
+        .select(foldQ16(Seq.fill(64)(4.4e12), Seq.fill(64)(1L))).head()
+    }
+    assert(flat(sumBoom).toLowerCase.contains("overflow"),
+      s"sum boundary did not raise an overflow: $sumBoom")
+    // q_dsir's Q20 weighted-score shape: sum(c * wq) over buckets
+    import spark.implicits._
+    val inHead = (1 to 64).map(i =>
+      (1L << 21, (1L << 20) + i.toLong)) // c*wq ≈ 2^41, sum ≈ 2^47
+    val refD = inHead.map { case (c, w) => BigInt(c) * w }.sum
+    val gotD = inHead.toDF("c", "wq")
+      .agg(sum(col("c") * col("wq"))).head.getLong(0)
+    assert(refD.isValidLong && gotD == refD.toLong)
+    val dsirBoom = intercept[Throwable] {
+      Seq.fill(4)((1L << 62, 4L)).toDF("c", "wq")
+        .agg(sum(col("c") * col("wq"))).head()
+    }
+    assert(flat(dsirBoom).toLowerCase.contains("overflow"),
+      s"Q20 score boundary did not raise: $dsirBoom")
+    // q_pagerank's documented magnitude bound on an adversarial STAR
+    // graph (the max-skew degree case): every rank stays within
+    // [0.15*scale, ~scale*maxdeg] — iterations cannot creep toward the
+    // long boundary, the headroom is structural (2^63 / 10^6 ≈ 9e12
+    // aggregate degree before the discipline would need revisiting)
+    val n = 64
+    val star = (1 until n).map(i => (0L, i.toLong)).toDF("doc_a", "doc_b")
+    val pr = Dedup.pageRank(star, iters = 8, scale = 1000000L)
+    val mx = pr.agg(max("pr")).head.getLong(0)
+    val mn = pr.agg(min("pr")).head.getLong(0)
+    assert(mn >= 150000L && mx <= 1000000L * n,
+      s"pagerank magnitude left the documented band: [$mn, $mx]")
+  }
 }
