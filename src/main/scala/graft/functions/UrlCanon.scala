@@ -128,7 +128,36 @@ object UrlCanon {
       "canonicalize_url", exprs => CanonicalizeUrl(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "url_host", exprs => UrlHostExpr(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pct_normalize", exprs => PctNormalizeExpr(exprs(0)), "built-in")
   }
+}
+
+/** [[UrlCanon.pctNormalize]] (rule 4 alone) as a codegen'd unary
+  * expression — the standalone RFC 3986 §6.2.2 primitive for callers
+  * normalizing percent-encoding outside full URL canonicalization. */
+case class PctNormalizeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pct_normalize expects string, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(UrlCanon.pctNormalize(
+      s.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  graft.functions.UrlCanon.pctNormalize($c.toString()));"""
+        .stripMargin)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PctNormalizeExpr = copy(child = newChild)
 }
 
 /** [[UrlCanon.canonical]] as a codegen'd unary expression. */

@@ -190,6 +190,12 @@ class QueriesSpec extends AnyFunSuite {
       .select(urlHost(lit("HTTP://WWW.Ex.Org:443/p")).as("h"))
       .collect()(0).getString(0)
     assert(host == "ex.org", s"urlHost: $host")
+    // the standalone RFC 3986 primitive: unreserved decodes, reserved
+    // uppercases, bare % and short tails pass through
+    val pct = spark.range(1).select(
+      expr("pct_normalize('a%41b%2fc%zz%4')").as("p"))
+      .collect()(0).getString(0)
+    assert(pct == "aAb%2Fc%zz%4", s"pct_normalize: $pct")
     val canon = graft.ops.Queries.qUrlDedup(spark, sf)
       .where(canonicalizeUrl(col("canon")) =!= col("canon"))
     assert(canon.count() == 0, "canonical keys are not a fixed point")
