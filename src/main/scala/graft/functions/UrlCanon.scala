@@ -93,16 +93,30 @@ object UrlCanon {
     sb.toString
   }
 
-  /** Rules 1–3: canonical hostname. ASCII lowercase only — matching
-    * the oracle's `lower()` on the gated ASCII host domain (IDN hosts
-    * are out of scope for this rule-set and documented as such). */
+  /** Rules 1–3: canonical hostname. Lowercase (ROOT locale — matching
+    * the oracle's `lower()`; the hash-gated synthetic domain is ASCII
+    * by construction), then default-port and `www.` strip, then an
+    * internationalized host punycodes to its ASCII-compatible form
+    * (`java.net.IDN.toASCII` — the DNS wire form, so `münchen.example`
+    * and its `xn--mnchen-3ya.example` spelling collapse to one origin
+    * key). IDN is exercised by the handcrafted spec, not the oracle
+    * (DuckDB has no punycode builtin; the graded corpus stays ASCII,
+    * where the rule is a no-op). Malformed IDN input keeps its
+    * lowercased form rather than failing the whole canonicalization. */
   def host(url: String): String = {
     val hp = hostport(rest(url)).toLowerCase(java.util.Locale.ROOT)
     val h1 =
       if (hp.endsWith(":443")) hp.substring(0, hp.length - 4)
       else if (hp.endsWith(":80")) hp.substring(0, hp.length - 3)
       else hp
-    if (h1.startsWith("www.")) h1.substring(4) else h1
+    val h2 = if (h1.startsWith("www.")) h1.substring(4) else h1
+    var ascii = true
+    var i = 0
+    while (ascii && i < h2.length) { ascii = h2.charAt(i) < 128; i += 1 }
+    if (ascii) h2
+    else try java.net.IDN.toASCII(h2)
+      .toLowerCase(java.util.Locale.ROOT)
+    catch { case _: IllegalArgumentException => h2 }
   }
 
   /** The full canonical key (rules 1–7). */

@@ -177,7 +177,13 @@ class QueriesSpec extends AnyFunSuite {
       // %XX normalization: %7E (unreserved '~') decodes, %2f (reserved
       // '/') stays encoded with uppercased hex, bare '%' passes through
       ("https://example.com/%7Euser/%2fq?x=%6fk&y=100%",
-        "https://example.com/~user/%2Fq?x=ok&y=100%"))
+        "https://example.com/~user/%2Fq?x=ok&y=100%"),
+      // IDN host punycodes to the DNS wire form; both spellings of the
+      // origin collapse to one key
+      ("https://MÜNCHEN.example/p",
+        "https://xn--mnchen-3ya.example/p"),
+      ("https://xn--mnchen-3ya.example/p",
+        "https://xn--mnchen-3ya.example/p"))
     val df = spark.createDataFrame(cases).toDF("url", "want")
       .withColumn("got", canonicalizeUrl(col("url")))
     val bad = df.where(col("got") =!= col("want")).collect()
