@@ -376,6 +376,30 @@ object Oracles {
        |ORDER BY comp""".stripMargin
   }
 
+  /** SCD2 history over the events changelog — shared verbatim by
+    * q_scd2 (one-shot build) and q_scd2_incr (incremental fold, which
+    * must equal the one-shot result bit-for-bit). */
+  private lazy val scd2Sql: String =
+    """WITH ch AS (
+      |  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS tsec,
+      |    event_id, value FROM events),
+      |d AS (
+      |  SELECT *, lag(value) OVER w AS prev,
+      |    row_number() OVER w AS rn
+      |  FROM ch WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY tsec, event_id)),
+      |kept AS (
+      |  SELECT * FROM d
+      |  WHERE rn = 1 OR value IS DISTINCT FROM prev)
+      |SELECT user_id,
+      |  cast(row_number() OVER w AS bigint) AS version, value,
+      |  tsec AS valid_from,
+      |  lead(tsec) OVER w AS valid_to,
+      |  (lead(tsec) OVER w IS NULL) AS is_current
+      |FROM kept WINDOW w AS (PARTITION BY user_id
+      |  ORDER BY tsec, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
   val sql: Map[String, String] = Map(
     "q_each" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
@@ -2702,26 +2726,11 @@ object Oracles {
     // the lag, then version/interval windows over the SURVIVORS only —
     // the nested-CTE twin of the two-window Spark plan. Epochs floored
     // to whole seconds (the portable duration idiom).
-    "q_scd2" ->
-      """WITH ch AS (
-        |  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS tsec,
-        |    event_id, value FROM events),
-        |d AS (
-        |  SELECT *, lag(value) OVER w AS prev,
-        |    row_number() OVER w AS rn
-        |  FROM ch WINDOW w AS (PARTITION BY user_id
-        |    ORDER BY tsec, event_id)),
-        |kept AS (
-        |  SELECT * FROM d
-        |  WHERE rn = 1 OR value IS DISTINCT FROM prev)
-        |SELECT user_id,
-        |  cast(row_number() OVER w AS bigint) AS version, value,
-        |  tsec AS valid_from,
-        |  lead(tsec) OVER w AS valid_to,
-        |  (lead(tsec) OVER w IS NULL) AS is_current
-        |FROM kept WINDOW w AS (PARTITION BY user_id
-        |  ORDER BY tsec, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+    "q_scd2" -> scd2Sql,
+
+    // the incremental fold must equal the one-shot build bit-for-bit,
+    // so its oracle IS q_scd2's SQL
+    "q_scd2_incr" -> scd2Sql,
 
     // data-quality audit: same five scans, unioned scalar counts
     "q_dq_audit" ->

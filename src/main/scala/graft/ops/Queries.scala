@@ -3697,6 +3697,40 @@ object Queries {
       .orderBy("user_id", "version")
   }
 
+  /** #42e INCREMENTAL SCD2 maintenance ([[Relational.scd2Merge]] — the
+    * r7 dimension-history counterpart of the CDC snapshot sink): the
+    * events changelog arrives as 4 disjoint ascending time chunks;
+    * chunk 0 builds the history with [[Relational.scd2]], each later
+    * chunk MERGES in — closing superseded open versions, appending new
+    * ones, carrying the change-detection state across the boundary —
+    * without ever re-scanning history. The fold's result must equal
+    * the one-shot scd2 over the whole changelog BIT-FOR-BIT, so the
+    * oracle is exactly q_scd2's SQL. Scale: each merge's only
+    * history-sized op is one keyed join against the chunk-key-sized
+    * close set (broadcast) — re-derivation-free, like the edge
+    * artifact and the CDC snapshot. */
+  def qScd2Incr(s: SparkSession, dir: String): DataFrame = {
+    val ch = T(s, dir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"), col("value"))
+    val b = ch.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    def chunk(i: Long) = ch.where(
+      col("tsec") >= lo + span * i / 4 &&
+      col("tsec") < lo + span * (i + 1) / 4)
+    val key = Seq("user_id"); val ord = Seq("tsec", "event_id")
+    var hist = Relational.scd2(chunk(0), key, ord, "value")
+      .localCheckpoint() // fold discipline: one merge plan per step
+    for (i <- 1L until 4L)
+      hist = Relational.scd2Merge(hist, chunk(i), key, ord, "value")
+        .localCheckpoint()
+    hist
+      .select(col("user_id"), col("version"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** #38e data-quality AUDIT: the expectations/constraint-check pass a
     * pipeline runs before trusting a drop — row counts, null checks,
     * domain-range checks, duplicate-PK detection, and referential

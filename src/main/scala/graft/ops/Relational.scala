@@ -174,6 +174,68 @@ object Relational {
         col("valid_from"), col("valid_to"), col("is_current")): _*)
   }
 
+  /** INCREMENTAL SCD2 merge — the warehouse dimension-maintenance
+    * operator production actually runs: apply one log-ordered
+    * changelog CHUNK onto an existing [[scd2]] history instead of
+    * rebuilding it from the full changelog (at 100 TB a rebuild
+    * re-reads every change ever made to ingest a day's worth).
+    *
+    * Exactness contract: `scd2Merge(scd2(c₁), c₂, …) == scd2(c₁ ∪ c₂)`
+    * BIT-FOR-BIT, provided each key's chunk orders come after its
+    * history orders (the log-ordered CDC feed contract, as in
+    * [[graft.streaming.Streams.cdcMerge]]). The proof shape: scd2's
+    * change detection is a per-key linear scan, and the merge carries
+    * exactly the scan state across the chunk boundary — the open
+    * version's value (for the null-safe collapse of a no-change first
+    * chunk row) and its version counter. Asserted as a property in
+    * RelationalSpec over random chunkings incl. null-value
+    * transitions, and graded by q_scd2_incr against q_scd2's oracle.
+    *
+    * Scale shape: the carry-in state is one row per AFFECTED key
+    * (chunk-sized); the only history-sized operation is one keyed
+    * left join against that chunk-key-sized frame (broadcast-able) to
+    * close the superseded open versions — history is never window-
+    * scanned again. On a bucketed history table this is the classic
+    * MERGE: update the closed rows, append the new versions. */
+  def scd2Merge(hist: DataFrame, changes: DataFrame, key: Seq[String],
+                order: Seq[String], value: String): DataFrame = {
+    require(key.nonEmpty && order.nonEmpty, "scd2Merge needs key and order")
+    val cur = hist.where(col("is_current"))
+      .select(key.map(col) ++ Seq(col("version").as("__v0"),
+        col(value).as("__last"), lit(1).as("__has")): _*)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(order.map(col(_).asc): _*)
+    // change detection with the carried boundary state: the first
+    // chunk row of a NEW key always survives; of a KNOWN key only if
+    // its value differs (null-safe) from the open version's; later
+    // rows collapse against their immediate predecessor as in scd2
+    val survivors = changes.join(broadcast(cur), key, "left")
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .where(
+        (col("__rn") === 1 &&
+          (col("__has").isNull || !(col(value) <=> col("__last")))) ||
+        (col("__rn") > 1 && !(col(value) <=> col("__prev"))))
+    val newRows = survivors
+      .withColumn("version", coalesce(col("__v0"), lit(0L)) +
+        row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(order.head))
+      .withColumn("valid_to", lead(col(order.head), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(key.map(col) ++ Seq(col("version"), col(value),
+        col("valid_from"), col("valid_to"), col("is_current")): _*)
+    // close each affected key's superseded open version
+    val firstNew = newRows.groupBy(key.map(col): _*)
+      .agg(min("valid_from").as("__nf"))
+    val histUpd = hist.join(broadcast(firstNew), key, "left")
+      .withColumn("valid_to",
+        when(col("is_current") && col("__nf").isNotNull, col("__nf"))
+          .otherwise(col("valid_to")))
+      .withColumn("is_current", col("is_current") && col("__nf").isNull)
+      .drop("__nf")
+    histUpd.unionByName(newRows)
+  }
+
   /** Triangle listing on an undirected graph — the clustering primitive
     * (local clustering coefficients, community seeds, template-farm
     * detection on a similarity graph). Emits each triangle once as

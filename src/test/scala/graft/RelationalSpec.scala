@@ -120,6 +120,41 @@ class RelationalSpec extends AnyFunSuite {
     assert(current.map(_._1).distinct.length == current.length)
   }
 
+  test("scd2Merge: any chunking == one-shot scd2, incl. null values (#42e)") {
+    val rnd = new scala.util.Random(11)
+    // random changelog: 8 keys, ~60 rows, values drawn from a tiny
+    // domain INCLUDING null so no-change runs and null↔x transitions
+    // land on chunk boundaries
+    val rows = (0 until 60).map { i =>
+      val v: java.lang.Double =
+        rnd.nextInt(4) match { case 0 => null; case d => d.toDouble }
+      (rnd.nextInt(8).toLong, i.toLong * 10, i.toLong, v)
+    }
+    val ch = rows.toDF("user_id", "tsec", "event_id", "value")
+    val key = Seq("user_id"); val ord = Seq("tsec", "event_id")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "version", "value", "valid_from", "valid_to",
+        "is_current")
+      .orderBy("user_id", "version").collect().map(_.toSeq).toSeq
+    val oneShot = canon(Relational.scd2(ch, key, ord, "value"))
+    for (_ <- 1 to 5) {
+      // random ascending time cuts → 2..5 chunks (empty chunks legal)
+      val cuts = (600L +: Seq.fill(rnd.nextInt(4) + 1)(
+        rnd.nextInt(60).toLong * 10)).distinct.sorted
+      var hist = Relational.scd2(
+        ch.where(col("tsec") < cuts.head), key, ord, "value")
+      var prev = cuts.head
+      for (c <- cuts.tail :+ Long.MaxValue) {
+        hist = Relational.scd2Merge(hist,
+          ch.where(col("tsec") >= prev && col("tsec") < c),
+          key, ord, "value")
+        prev = c
+      }
+      assert(canon(hist) == oneShot,
+        s"chunked scd2Merge diverged for cuts $cuts")
+    }
+  }
+
   test("zorder: bijective on the masked domain; per-dimension monotone (#55h)") {
     val rnd = new scala.util.Random(5)
     val pts = Seq.fill(4000)((rnd.nextInt(1 << 12).toLong,
