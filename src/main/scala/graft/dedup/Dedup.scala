@@ -717,6 +717,33 @@ object Dedup {
     EdgeArtifact(spark.read.parquet(s"$path/edges"),
       spark.read.parquet(s"$path/degrees"))
 
+  /** INCREMENTAL artifact maintenance — [[edgeTable]] composed with
+    * [[incrementalPairs]], the day-2 story of the build-once graph:
+    * a fresh batch's pairs (batch×corpus via the stored minhash index
+    * + batch×batch) APPEND to the edge parquet, degrees recompute from
+    * the pair-sized edge table — the corpus is never re-read, never
+    * re-sketched. Because the banded candidate set provably restricts
+    * [[minhashPairs]] over the union (see [[incrementalPairs]]) and
+    * the exact verify computes the same J, the incremented artifact
+    * equals a full [[edgeTable]] rebuild wherever the banding is
+    * lossless — on the graded corpus: bit-for-bit (q_graph_incr's
+    * oracle is the full exact pair-set SQL; GraphReuseSpec asserts
+    * edges AND degrees equal the rebuild). Contracts inherited from
+    * [[incrementalPairs]]: `fresh` doc_ids disjoint from the index's,
+    * `idx` built over exactly the corpus the artifact covers. */
+  def edgeTableIncrement(path: String, idx: MinhashIndex,
+                         fresh: DataFrame, tau: Double = 0.8): DataFrame = {
+    incrementalPairs(idx, fresh, tau = tau)
+      .repartition(col("doc_a"))
+      .write.mode("append").parquet(s"$path/edges")
+    val e = fresh.sparkSession.read.parquet(s"$path/edges")
+    e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+      .repartition(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$path/degrees")
+    e
+  }
+
   /** Keep-best cluster dedup policy (#57n) over a near-dup pair frame:
     * components, then per component keep the LONGEST member (ties →
     * min doc_id). All comparisons integer (n_chars, doc_id), so the

@@ -2181,6 +2181,10 @@ object Oracles {
     // J >= 0.8 pair set — by theorem rather than by banding luck
     "q_jaccard_join" -> exactJaccardPairsSql,
 
+    // incremental artifact maintenance must equal the full rebuild:
+    // its oracle IS the full exact pair-set SQL
+    "q_graph_incr" -> exactJaccardPairsSql,
+
     // ExactSubstr span removal: k=8 windows duplicated across >= 2
     // docs, merged per doc (gaps-and-islands), covered tokens dropped,
     // remainder reassembled in order; fully-covered docs → ''

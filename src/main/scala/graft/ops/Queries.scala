@@ -3419,6 +3419,35 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** #57p' INCREMENTAL graph-artifact maintenance
+    * ([[graft.dedup.Dedup.edgeTableIncrement]]): the 100 TB day-2
+    * story of #57p's build-once artifact — the newest 20% of the
+    * corpus (the q_dedup_incr cut) arrives as a batch, its pairs come
+    * from the stored minhash index (batch×corpus probes + the batch
+    * self-join, exact-verified) and APPEND to the edge parquet;
+    * degrees recompute from the pair-sized edge table. The corpus is
+    * never re-read or re-sketched, yet the artifact must equal a full
+    * rebuild: the oracle is the full exact J≥0.8 pair-set SQL — the
+    * same gate q_jaccard_join carries — so any banding miss or
+    * double-counted pair fails the hash. */
+  def qGraphIncr(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val docs = T(s, dir).documents
+    val cut =
+      (docs.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val old = docs.where(col("doc_id") < cut)
+    val fresh = docs.where(col("doc_id") >= cut)
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir#incr".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_edge_incr_$tag"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    d.edgeTable(old, 0.8, path)
+    d.edgeTableIncrement(path, d.minhashIndex(old), fresh, 0.8)
+    d.readEdgeTable(s, path).edges.orderBy("doc_a", "doc_b")
+  }
+
   /** #62c embedding CLUSTERING as a first-class operator: every vector
     * assigned to its nearest trained centroid (the [[graft.sim
     * .Similarity.ivfAssign]] machinery — sampled spherical k-means,

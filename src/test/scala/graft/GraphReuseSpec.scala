@@ -44,6 +44,29 @@ class GraphReuseSpec extends AnyFunSuite {
     assert(rows(art.degrees.orderBy("doc_id")) == recount)
   }
 
+  test("edgeTableIncrement == full rebuild (edges AND degrees)") {
+    val docs = graft.tables.Tables(spark, sf).documents
+    val cut =
+      (docs.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
+    val incrPath = java.nio.file.Files
+      .createTempDirectory("graft_edge_incr").toString
+    Dedup.edgeTable(docs.where(col("doc_id") < cut), 0.8, incrPath)
+    Dedup.edgeTableIncrement(incrPath,
+      Dedup.minhashIndex(docs.where(col("doc_id") < cut)),
+      docs.where(col("doc_id") >= cut), 0.8)
+    val fullPath = java.nio.file.Files
+      .createTempDirectory("graft_edge_full").toString
+    Dedup.edgeTable(docs, 0.8, fullPath)
+    val inc = Dedup.readEdgeTable(spark, incrPath)
+    val full = Dedup.readEdgeTable(spark, fullPath)
+    assert(rows(inc.edges.orderBy("doc_a", "doc_b")) ==
+      rows(full.edges.orderBy("doc_a", "doc_b")),
+      "incremented edge set != rebuild")
+    assert(rows(inc.degrees.orderBy("doc_id")) ==
+      rows(full.degrees.orderBy("doc_id")),
+      "incremented degrees != rebuild")
+  }
+
   test("q_graph_reuse rollup == composing the standalone operators") {
     val docs = graft.tables.Tables(spark, sf).documents
     val reuse = rows(graft.ops.Queries.qGraphReuse(spark, sf))
