@@ -2730,6 +2730,48 @@ object Oracles {
     // the lag, then version/interval windows over the SURVIVORS only —
     // the nested-CTE twin of the two-window Spark plan. Epochs floored
     // to whole seconds (the portable duration idiom).
+    // per-dim standardization: same Q16 quantization, exact integer
+    // moments (hugeint — DuckDB's native exact sum), the identical
+    // two correctly-rounded IEEE ops for z
+    "q_embed_norm" ->
+      """WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+        |    generate_subscripts(embedding, 1) AS d0 FROM embeddings),
+        |q AS (SELECT vec_id, cast(d0 AS bigint) AS dim,
+        |    cast(floor(cast(v AS double) * 65536) AS bigint) AS q
+        |  FROM u),
+        |st AS (SELECT dim, cast(count(*) AS bigint) AS n,
+        |    sum(q) AS s, sum(q * q) AS s2 FROM q GROUP BY dim)
+        |SELECT vec_id, q.dim, q.q,
+        |  cast(st.n * q.q - st.s AS double) /
+        |    sqrt(cast(st.n * st.s2 - st.s * st.s AS double)) AS z
+        |FROM q JOIN st USING (dim)
+        |WHERE vec_id < 5
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    // snapshot diff: identical B-synthesis, full join on the key,
+    // null-safe fingerprint compare, newer-side-wins source label
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, source, md5(text) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+        |      ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, source,
+        |    md5(text || ' [new]') AS fp
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |j AS (SELECT coalesce(b.source, a.source) AS source,
+        |    CASE WHEN a.doc_id IS NULL THEN 'added'
+        |      WHEN b.doc_id IS NULL THEN 'removed'
+        |      WHEN a.fp IS DISTINCT FROM b.fp THEN 'changed'
+        |      ELSE 'unchanged' END AS status
+        |  FROM a FULL JOIN b ON a.doc_id = b.doc_id)
+        |SELECT source, status, cast(count(*) AS bigint) AS n_docs
+        |FROM j GROUP BY source, status
+        |ORDER BY source, status""".stripMargin,
+
     "q_scd2" -> scd2Sql,
 
     // the incremental fold must equal the one-shot build bit-for-bit,

@@ -3448,6 +3448,69 @@ object Queries {
     d.readEdgeTable(s, path).edges.orderBy("doc_a", "doc_b")
   }
 
+  /** #42f corpus SNAPSHOT DIFF ([[Relational.snapshotDiff]]): the
+    * between-versions ingest audit — what changed since the corpus
+    * snapshot the last model trained on? Snapshot B derives
+    * deterministically from the documents table (doc_id%17 rows
+    * removed, %13 rows revised, %7 rows re-added under shifted ids —
+    * the q_multimodal synthesis trick), both sides fingerprint with
+    * md5(text), and one full-outer keyed join classifies every doc_id
+    * as added/removed/changed/unchanged; per-(source, status) counts
+    * are the audit report. Scale: the join is THE cost — keyed on
+    * doc_id, shuffle-free when snapshots land bucketed; everything
+    * after is a partial agg on a tiny domain. */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val snapA = docs.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"))
+    val snapB = docs.where(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), col("source"),
+        md5(when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text"))).as("fp"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("source"),
+          md5(concat(col("text"), lit(" [new]"))).as("fp")))
+    Relational.snapshotDiff(snapA, snapB, Seq("doc_id"), "fp")
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  /** #62f per-dimension embedding STANDARDIZATION — the z-score
+    * preprocessing ANN/clustering pipelines run before cosine math
+    * when dimensions carry different scales. Hash-gateable despite
+    * float inputs via the repo's quantized-integer discipline
+    * (q_rand_proj's Q16): each component quantizes EXACTLY to
+    * q = floor(v·2^16) (exponent shift + floor — exact in doubles),
+    * per-dimension moments are then exact integer sums, and
+    * z = (n·q − S) / sqrt(n·Q − S²) is computed from exact integers
+    * with precisely two correctly-rounded IEEE ops (the big radicand
+    * goes through decimal so the n·Q product can't overflow a long) —
+    * bit-identical in any engine. Output: the full normalization of
+    * the first 5 vectors (320 rows), each z a function of the WHOLE
+    * corpus's per-dim stats — the gate covers the global moments, not
+    * just the spot rows. Scale: one posexplode + one 64-row partial
+    * agg broadcast back — scan-speed, no corpus-sized shuffle. */
+  def qEmbedNorm(s: SparkSession, dir: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 0)
+    val q = T(s, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d0", "v")))
+      .select(col("vec_id"), (col("d0") + 1).cast("long").as("dim"),
+        floor(col("v").cast("double") * lit(65536d)).cast("long").as("q"))
+    val st = q.groupBy("dim").agg(count(lit(1)).as("n"),
+      sum("q").as("s"), sum(col("q") * col("q")).as("s2"))
+    q.join(broadcast(st), "dim")
+      .withColumn("z",
+        (col("n") * col("q") - col("s")).cast("double") /
+          sqrt((col("n").cast(dec) * col("s2").cast(dec) -
+            col("s").cast(dec) * col("s").cast(dec)).cast("double")))
+      .where(col("vec_id") < 5)
+      .select("vec_id", "dim", "q", "z")
+      .orderBy("vec_id", "dim")
+  }
+
   /** #62c embedding CLUSTERING as a first-class operator: every vector
     * assigned to its nearest trained centroid (the [[graft.sim
     * .Similarity.ivfAssign]] machinery — sampled spherical k-means,

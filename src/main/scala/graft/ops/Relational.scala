@@ -236,6 +236,40 @@ object Relational {
     histUpd.unionByName(newRows)
   }
 
+  /** Snapshot DIFF — the data-lake ingest audit: classify every key
+    * across two corpus snapshots as `added` / `removed` / `changed` /
+    * `unchanged` by comparing a content fingerprint column `fp`
+    * (null-safe, so a null fingerprint is a value, not a wildcard).
+    * Non-key columns are carried through with the NEWER side winning
+    * (`removed` rows keep their old values — nothing else exists).
+    *
+    * Scale shape: ONE full-outer hash join keyed on `key` — with both
+    * snapshots bucketed on the key (how snapshots land at 100 TB) the
+    * join is shuffle-free; downstream status aggregation is a tiny
+    * partial agg. This is the audit a pipeline runs between corpus
+    * versions before retraining: how much actually changed, where. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: Seq[String],
+                   fp: String): DataFrame = {
+    require(key.nonEmpty, "snapshotDiff needs a key")
+    require(a.columns.contains(fp) && b.columns.contains(fp),
+      s"both snapshots must carry the fingerprint column '$fp'")
+    val rest = a.columns.filterNot(key.contains)
+      .filter(b.columns.contains)
+    val ra = a.select(key.map(col) ++
+      rest.map(n => col(n).as(s"__a_$n")) :+ lit(1).as("__ina"): _*)
+    val rb = b.select(key.map(col) ++
+      rest.map(n => col(n).as(s"__b_$n")) :+ lit(1).as("__inb"): _*)
+    ra.join(rb, key, "full_outer")
+      .withColumn("status",
+        when(col("__ina").isNull, lit("added"))
+          .when(col("__inb").isNull, lit("removed"))
+          .when(!(col(s"__a_$fp") <=> col(s"__b_$fp")), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .select(key.map(col) ++ rest.map(n =>
+        coalesce(col(s"__b_$n"), col(s"__a_$n")).as(n)) :+
+        col("status"): _*)
+  }
+
   /** Triangle listing on an undirected graph — the clustering primitive
     * (local clustering coefficients, community seeds, template-farm
     * detection on a similarity graph). Emits each triangle once as
