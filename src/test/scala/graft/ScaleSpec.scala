@@ -314,6 +314,46 @@ class ScaleSpec extends AnyFunSuite {
       s"components result plan contains a cartesian:\n$ccPlan")
   }
 
+  test("runtime bloom-filter join pruning injects on the fact side (§5)") {
+    // the 100 TB lever the other pruning gates don't cover: a
+    // SELECTIVE dim filter propagates to the fact scan as a runtime
+    // bloom filter (InjectRuntimeFilter), so fact rows that can never
+    // join are dropped at the scan instead of shuffled. Thresholds are
+    // sized for production data; pull them down to demonstrate the
+    // plan shape on test-scale input.
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = graft.tables.Tables(spark, sf)
+      val dim = t.customer.where(col("c_nationkey") === 3)
+      val joined = t.orders.join(dim,
+        col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n$plan")
+      // the filter must sit on the FACT (orders) side
+      val idx = plan.indexOf("might_contain")
+      assert(plan.indexOf("o_custkey", idx) >= 0,
+        "bloom filter not applied to the fact key")
+      // and it must not change the answer
+      val n = joined.count()
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      assert(n == t.orders.join(dim,
+        col("o_custkey") === col("c_custkey")).count())
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("bucketed-on-key join plans without a shuffle exchange") {
     val t = graft.tables.Tables(spark, sf)
     val base = java.nio.file.Files.createTempDirectory("graft_bkt")
