@@ -594,24 +594,44 @@ object Dedup {
     * banding: any pair within distance 3 shares at least one exact
     * 15-bit chunk (pigeonhole), so the banded join is lossless for the
     * threshold while staying bucket-local. */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
-    val sh = simhashed(docs)
-    val chunked0 = sh.select(col("doc_id"), col("simhash"),
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame =
+    hammingPairs(simhashed(docs)
+      .select(col("doc_id"), col("simhash").as("h")), maxDist, bits = 60)
+
+  /** Near-dup pairs with Hamming distance ≤ `maxDist` over ANY integer
+    * hash column, via (maxDist+1)-chunk pigeonhole banding: a pair
+    * within the threshold differs in ≤ maxDist bits, so at least one
+    * of the maxDist+1 disjoint chunks matches EXACTLY — the banded
+    * equi-join is a lossless candidate generator while staying
+    * bucket-local (never all-pairs). `hashed` carries (doc_id, h);
+    * `bits` is the hash width (chunk width = bits/(maxDist+1), floor —
+    * leftover high bits simply join every band, still lossless since
+    * the covered low chunks already pigeonhole). Shared by the simhash
+    * text path ([[simhashPairs]], 60-bit) and the perceptual-dHash
+    * image path (q_image_neardup, 64-bit). */
+  def hammingPairs(hashed: DataFrame, maxDist: Int,
+                   bits: Int): DataFrame = {
+    val chunks = maxDist + 1
+    val width = bits / chunks
+    require(width >= 1, s"too many chunks for $bits bits")
+    val mask = (1L << width) - 1
+    val chunked0 = hashed.select(col("doc_id"), col("h"),
         explode(expr(
-          """transform(sequence(0, 3), c -> named_struct('chunk', c,
-            |  'val', shiftright(simhash, c * 15) & 32767))""".stripMargin))
-          .as("ck"))
-      .select(col("doc_id"), col("simhash"),
+          s"""transform(sequence(0, ${chunks - 1}), c ->
+             |  named_struct('chunk', c,
+             |    'val', shiftright(h, c * $width) & $mask))"""
+            .stripMargin)).as("ck"))
+      .select(col("doc_id"), col("h"),
         col("ck.chunk").as("chunk"), col("ck.val").as("val"))
     val cached = graft.core.Eager(chunked0)
     val a = cached.select(col("chunk"), col("val"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+      col("doc_id").as("doc_a"), col("h").as("h_a"))
     val b = cached.select(col("chunk"), col("val"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+      col("doc_id").as("doc_b"), col("h").as("h_b"))
     a.join(b, Seq("chunk", "val")).where(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("dist",
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long"))
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
       .where(col("dist") <= maxDist)
       .select("doc_a", "doc_b", "dist")
   }

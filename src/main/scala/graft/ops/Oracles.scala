@@ -376,6 +376,44 @@ object Oracles {
        |ORDER BY comp""".stripMargin
   }
 
+  /** The closed-form dHash derivation — DuckDB recomputes the real
+    * PNG path's hash from the synthetic pixel formula (decode →
+    * integer grayscale → 9×8 block means → 64 gradient bits); shared
+    * by q_image_dhash (per-doc hash gate) and q_image_neardup (brute
+    * pair join over the same hashes). Ends in `dh(doc_id, w, h,
+    * dhash)`. */
+  private lazy val dhashCte: String = {
+    def mean(i: Int, j: Int): String = {
+      val x0 = s"(($i * w) // 9)"; val x1 = s"((${i + 1} * w) // 9)"
+      val y0 = s"(($j * h) // 8)"; val y1 = s"((${j + 1} * h) // 8)"
+      s"""(list_sum(flatten(list_transform(range($x0, $x1), x ->
+         | list_transform(range($y0, $y1), y ->
+         |  (299 * ((x*7 + y*11 + d*3) % 256)
+         |   + 587 * ((x*5 + y*3 + d*7) % 256)
+         |   + 114 * ((x*13 + y + d) % 256)) // 1000))))
+         | // (($x1 - $x0) * ($y1 - $y0)))""".stripMargin
+    }
+    val meanCols = (for (i <- 0 to 8; j <- 0 to 7)
+      yield s"  ${mean(i, j)} AS m_${i}_$j").mkString(",\n")
+    val bits = (for (j <- 0 to 7; i <- 0 to 7) yield {
+      // DuckDB raises on 1::BIGINT << 63; the sign bit is the
+      // two's-complement minimum, emitted as a literal (and last in
+      // the chain, so partial sums stay in range)
+      val v = if (j * 8 + i == 63) "(-9223372036854775807 - 1)"
+        else s"(1::BIGINT << ${j * 8 + i})"
+      s"(CASE WHEN m_${i}_$j > m_${i + 1}_$j THEN $v ELSE 0 END)"
+    }).mkString(" + ")
+    s"""WITH dims AS (
+       |  SELECT doc_id, 16 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
+       |    doc_id % 251 AS d
+       |  FROM documents),
+       |m AS (SELECT doc_id, w, h,
+       |$meanCols
+       |  FROM dims),
+       |dh AS (SELECT doc_id, w, h, cast($bits as bigint) AS dhash
+       |  FROM m)""".stripMargin
+  }
+
   /** SCD2 history over the events changelog — shared verbatim by
     * q_scd2 (one-shot build) and q_scd2_incr (incremental fold, which
     * must equal the one-shot result bit-for-bit). */
@@ -814,39 +852,21 @@ object Oracles {
     // closed-form pixel content (PNG lossless) — 72 block means as
     // generated columns, then the 64-bit gradient sum with the sign
     // bit emitted last so partial sums stay in BIGINT range
-    "q_image_dhash" -> {
-      def mean(i: Int, j: Int): String = {
-        val x0 = s"(($i * w) // 9)"; val x1 = s"((${i + 1} * w) // 9)"
-        val y0 = s"(($j * h) // 8)"; val y1 = s"((${j + 1} * h) // 8)"
-        s"""(list_sum(flatten(list_transform(range($x0, $x1), x ->
-           | list_transform(range($y0, $y1), y ->
-           |  (299 * ((x*7 + y*11 + d*3) % 256)
-           |   + 587 * ((x*5 + y*3 + d*7) % 256)
-           |   + 114 * ((x*13 + y + d) % 256)) // 1000))))
-           | // (($x1 - $x0) * ($y1 - $y0)))""".stripMargin
-      }
-      val meanCols = (for (i <- 0 to 8; j <- 0 to 7)
-        yield s"  ${mean(i, j)} AS m_${i}_$j").mkString(",\n")
-      val bits = (for (j <- 0 to 7; i <- 0 to 7) yield {
-        // DuckDB raises on 1::BIGINT << 63; the sign bit is the
-        // two's-complement minimum, emitted as a literal (and last in
-        // the chain, so partial sums stay in range)
-        val v = if (j * 8 + i == 63) "(-9223372036854775807 - 1)"
-          else s"(1::BIGINT << ${j * 8 + i})"
-        s"(CASE WHEN m_${i}_$j > m_${i + 1}_$j THEN $v ELSE 0 END)"
-      }).mkString(" + ")
-      s"""WITH dims AS (
-         |  SELECT doc_id, 16 + doc_id % 13 AS w, 16 + doc_id % 11 AS h,
-         |    doc_id % 251 AS d
-         |  FROM documents),
-         |m AS (SELECT doc_id, w, h,
-         |$meanCols
-         |  FROM dims)
+    "q_image_dhash" ->
+      s"""$dhashCte
          |SELECT doc_id, cast(w as bigint) AS width,
-         |  cast(h as bigint) AS height,
-         |  cast($bits as bigint) AS dhash
-         |FROM m ORDER BY doc_id""".stripMargin
-    },
+         |  cast(h as bigint) AS height, dhash
+         |FROM dh ORDER BY doc_id""".stripMargin,
+
+    // perceptual image near-dup pairs: the banding's completeness is
+    // checked against a brute quadratic join over the same dhash CTE
+    "q_image_neardup" ->
+      s"""$dhashCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  cast(bit_count(xor(a.dhash, b.dhash)) AS bigint) AS dist
+         |FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // edit-distance join: brute all-pairs levenshtein over the same
     // distinct-value domain — the prefilter's completeness is what the

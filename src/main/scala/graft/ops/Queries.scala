@@ -655,6 +655,26 @@ object Queries {
         T(s, dir).documents.repartition(col("doc_id"))))
       .orderBy("doc_id")
 
+  /** #67g perceptual IMAGE near-dup pairs — the LAION-style image
+    * dedup JOIN, composing two gated pieces: the real-PNG dHash
+    * (#67f) feeds the generic pigeonhole Hamming banding
+    * ([[graft.dedup.Dedup.hammingPairs]] — the simhash machinery
+    * generalized to any hash width; 4×16-bit chunks are lossless for
+    * dist ≤ 3 by pigeonhole, so candidates stay bucket-local, never
+    * all-pairs). Every emitted pair is exact integer math end to end
+    * (decode → dHash → XOR popcount), so the DuckDB oracle re-derives
+    * the same pairs from the closed-form pixel content with a brute
+    * quadratic join — completeness of the banding is what the hash
+    * gate checks. */
+  def qImageNeardup(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.hammingPairs(
+        graft.mm.Multimodal.dhashImage(
+          graft.mm.Multimodal.packImage(
+            T(s, dir).documents.repartition(col("doc_id"))))
+          .select(col("doc_id"), col("dhash").as("h")),
+        maxDist = 3, bits = 64)
+      .orderBy("doc_a", "doc_b")
+
   /** #57k EDIT-DISTANCE similarity join over part names through
     * [[Relational.editDistanceJoin]] — field-level near-dup (entity
     * resolution), where the shingle/Jaccard family is blind to
