@@ -15,8 +15,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (a bounded parse — `split_part(url,'//',2)` would truncate any
   *     URL whose path/query contains another `//`: redirect params,
   *     protocol-relative refs, `/a//b` paths); no `//` → whole string;
-  *  3. host lowercased, default ports `:443`/`:80` stripped, leading
-  *     `www.` stripped;
+  *  3. userinfo (`user:pass@`) stripped from the authority, host
+  *     lowercased, default ports `:443`/`:80` stripped, leading
+  *     `www.` stripped, IDN hosts punycoded;
   *  4. percent-encoding normalized per RFC 3986 §6.2.2: a `%XX`
   *     triplet whose octet is UNRESERVED (ALPHA / DIGIT / `-._~`)
   *     decodes to the bare character, any other valid triplet keeps
@@ -104,7 +105,12 @@ object UrlCanon {
     * where the rule is a no-op). Malformed IDN input keeps its
     * lowercased form rather than failing the whole canonicalization. */
   def host(url: String): String = {
-    val hp = hostport(rest(url)).toLowerCase(java.util.Locale.ROOT)
+    val hp0 = hostport(rest(url))
+    // strip userinfo (user:pass@host — RFC 3986 authority): identity
+    // must never split the origin key, and crawl URLs carry it
+    val at = hp0.lastIndexOf('@')
+    val hp = (if (at >= 0) hp0.substring(at + 1) else hp0)
+      .toLowerCase(java.util.Locale.ROOT)
     val h1 =
       if (hp.endsWith(":443")) hp.substring(0, hp.length - 4)
       else if (hp.endsWith(":80")) hp.substring(0, hp.length - 3)

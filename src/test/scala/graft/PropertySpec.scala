@@ -293,6 +293,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  /** canonicalizeUrl is a TOTAL idempotent function of arbitrary
+    * strings — a crawl-dedup key must never throw or oscillate on the
+    * garbage a real crawl feeds it. Driver-side on the shared static
+    * rule body (the same code both eval paths call), plus the
+    * standalone percent-normalization law. */
+  test("UrlCanon: total + idempotent on arbitrary strings") {
+    check("urlcanon-total", Prop.forAll { (s0: String) =>
+      // salt in URL-ish structure so '%', '//', '#', '?' arms all fire
+      val s = s0 + "%4a//x#f?a=%zz&utm_x=1"
+      val once = graft.functions.UrlCanon.canonical(s)
+      val host = graft.functions.UrlCanon.host(s)
+      graft.functions.UrlCanon.canonical(once) == once &&
+        once.startsWith("https://") && host != null
+    })
+    check("pct-idempotent", Prop.forAll { (s: String) =>
+      val p = graft.functions.UrlCanon.pctNormalize(s)
+      graft.functions.UrlCanon.pctNormalize(p) == p
+    })
+  }
+
   /** The repo's integer-exact portability discipline (q_rand_proj's
     * Q16 signed projection, q_dsir's Q20 weighted score, q_pagerank's
     * Q=10^6 recurrence) rests on long arithmetic never wrapping. This

@@ -183,7 +183,10 @@ class QueriesSpec extends AnyFunSuite {
       ("https://MÜNCHEN.example/p",
         "https://xn--mnchen-3ya.example/p"),
       ("https://xn--mnchen-3ya.example/p",
-        "https://xn--mnchen-3ya.example/p"))
+        "https://xn--mnchen-3ya.example/p"),
+      // userinfo never splits the origin key (RFC 3986 authority)
+      ("https://User:Pw@Example.com:443/x?b=1",
+        "https://example.com/x?b=1"))
     val df = spark.createDataFrame(cases).toDF("url", "want")
       .withColumn("got", canonicalizeUrl(col("url")))
     val bad = df.where(col("got") =!= col("want")).collect()
