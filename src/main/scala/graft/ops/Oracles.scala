@@ -2792,6 +2792,47 @@ object Oracles {
         |FROM j GROUP BY source, status
         |ORDER BY source, status""".stripMargin,
 
+    // interval coalesce: identical gaps-and-islands window math
+    "q_interval_coalesce" ->
+      """WITH iv AS (SELECT user_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS lo,
+        |    cast(floor(epoch(ts)) AS bigint) + 300 AS hi, event_id
+        |  FROM events),
+        |d AS (SELECT *, max(hi) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |g AS (SELECT *, sum(CASE WHEN pm IS NULL OR lo > pm
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi, event_id) AS island FROM d),
+        |i AS (SELECT user_id, island, min(lo) AS island_lo,
+        |    max(hi) AS island_hi, count(*) AS n_members
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, cast(count(*) AS bigint) AS n_islands,
+        |  cast(sum(n_members) AS bigint) AS n_events,
+        |  cast(max(island_hi - island_lo) AS bigint) AS max_span,
+        |  min(island_lo) AS first_lo, max(island_hi) AS last_hi
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // vocabulary overlap: exact token-set Jaccard per source pair —
+    // integer counts, one correctly-rounded division
+    "q_vocab_overlap" ->
+      s"""WITH x AS (SELECT source, unnest($TOKS) AS tk FROM documents),
+         |t AS (SELECT DISTINCT source, tk FROM x),
+         |sz AS (SELECT source, count(*) AS nv FROM t GROUP BY source),
+         |i AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    count(*) AS n_inter
+         |  FROM t a JOIN t b ON a.tk = b.tk AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, cast(sa.nv AS bigint) AS nv_a,
+         |  cast(sb.nv AS bigint) AS nv_b,
+         |  cast(n_inter AS bigint) AS n_inter,
+         |  cast(n_inter AS double)
+         |    / cast(sa.nv + sb.nv - n_inter AS double) AS jaccard
+         |FROM i JOIN sz sa ON sa.source = i.src_a
+         |       JOIN sz sb ON sb.source = i.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     "q_scd2" -> scd2Sql,
 
     // the incremental fold must equal the one-shot build bit-for-bit,

@@ -688,6 +688,61 @@ object Queries {
       .select(col("a").as("name_a"), col("b").as("name_b"), col("d"))
       .orderBy("name_a", "name_b")
 
+  /** #53f INTERVAL COALESCE ([[Relational.coalesceIntervals]] — the
+    * gaps-and-islands primitive first-class): each event opens a
+    * 300-second activity interval; per user, transitively-overlapping
+    * intervals merge into activity islands (the explicit-span cousin
+    * of #54's gap-based sessionization). Island boundaries are pure
+    * integer comparisons — engine-exact — and the summary keeps
+    * per-user island count plus the longest island's exact span.
+    * Scale: ONE keyed window pass + two partial aggs. */
+  def qIntervalCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val iv = T(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("lo"),
+      (unix_timestamp(col("ts")) + 300L).as("hi"),
+      col("event_id"))
+    Relational.coalesceIntervals(iv, Seq("user_id"), "lo", "hi",
+        tiebreak = Seq("event_id"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("n_members")).as("n_events"),
+        max(col("island_hi") - col("island_lo")).as("max_span"),
+        min("island_lo").as("first_lo"), max("island_hi").as("last_hi"))
+      .orderBy("user_id")
+  }
+
+  /** #65k inter-source VOCABULARY overlap matrix — the corpus-level
+    * similarity report a mixture designer reads next to #57o's
+    * document-level dup matrix: exact token-set Jaccard between every
+    * source pair. Distinct (source, token) postings self-join on the
+    * token key (posting length bounded by the SOURCE COUNT, not the
+    * corpus — the fanout-free regime by construction), per-source
+    * distinct counts broadcast back, J = inter/(na+nb−inter) from
+    * exact integers with one correctly-rounded division. Scale: one
+    * token-keyed distinct + one token-keyed join; nothing pairwise in
+    * the corpus dimension. */
+  def qVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val toks = T(s, dir).documents
+      .select(col("source"), explode(wsTokens(col("text"))).as("tk"))
+      .distinct()
+    val sizes = toks.groupBy("source").agg(count(lit(1)).as("nv"))
+    val inter = toks.select(col("source").as("src_a"), col("tk"))
+      .join(toks.select(col("source").as("src_b"), col("tk")), "tk")
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("src_a"),
+        col("nv").as("nv_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"),
+        col("nv").as("nv_b"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("nv_a"), col("nv_b"),
+        col("n_inter"),
+        (col("n_inter").cast("double") /
+          (col("nv_a") + col("nv_b") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** #53c TIME-WEIGHTED average (TWAP) per user — the finance/sensor
     * aggregation where sampling is irregular: each observation is
     * weighted by how long it was current (lead(ts) − ts; the open-

@@ -236,6 +236,35 @@ object Relational {
     histUpd.unionByName(newRows)
   }
 
+  /** COALESCE OVERLAPPING INTERVALS per key — the gaps-and-islands
+    * primitive as a first-class operator (policy periods, sensor
+    * uptime, session stitching over explicit spans): merge every
+    * group of transitively-overlapping-or-touching `[lo, hi)`
+    * intervals into one island, reporting its span and member count.
+    * An interval starts a new island iff its `lo` lies strictly past
+    * the running max `hi` of everything before it under the
+    * (lo, hi, tiebreak…) order — one keyed window pass, one partial
+    * agg; the same machinery [[graft.dedup.Dedup.substringDedup]]
+    * uses internally for duplicated-span merging, exposed and gated
+    * on its own. All integer comparisons, so island boundaries are
+    * engine-exact. Scale: one hash shuffle on `key`, parallelism =
+    * key cardinality (the keyed-window contract). */
+  def coalesceIntervals(df: DataFrame, key: Seq[String], lo: String,
+                        hi: String, tiebreak: Seq[String] = Nil)
+      : DataFrame = {
+    require(key.nonEmpty, "coalesceIntervals needs a key")
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy((Seq(lo, hi) ++ tiebreak).map(col(_).asc): _*)
+    df.withColumn("__pm", max(col(hi)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__island", sum(when(col("__pm").isNull ||
+        col(lo) > col("__pm"), 1).otherwise(0)).over(w))
+      .groupBy(key.map(col) :+ col("__island"): _*)
+      .agg(min(col(lo)).as("island_lo"), max(col(hi)).as("island_hi"),
+        count(lit(1)).as("n_members"))
+      .drop("__island")
+  }
+
   /** Snapshot DIFF — the data-lake ingest audit: classify every key
     * across two corpus snapshots as `added` / `removed` / `changed` /
     * `unchanged` by comparing a content fingerprint column `fp`

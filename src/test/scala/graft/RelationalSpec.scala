@@ -261,4 +261,43 @@ class RelationalSpec extends AnyFunSuite {
       assert(got == brute, s"trial $trial: ${got.size} vs ${brute.size}")
     }
   }
+
+  test("coalesceIntervals == brute transitive-overlap merge; touching merges (#53f)") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val rows = (0 until 120).map { i =>
+        val k = rnd.nextInt(4).toLong
+        val lo = rnd.nextInt(50).toLong
+        (k, lo, lo + 1 + rnd.nextInt(8), i.toLong)
+      }
+      val got = Relational.coalesceIntervals(
+          rows.toDF("k", "lo", "hi", "id"), Seq("k"), "lo", "hi",
+          tiebreak = Seq("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // brute: per key, sort by lo and sweep, merging when lo <= running hi
+      // (touching intervals merge: island breaks only on a strict gap)
+      val brute = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.sortBy(r => (r._2, r._3, r._4))
+        val islands = sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case (acc, (_, lo, hi, _)) => acc match {
+            case (ilo, ihi, n) :: rest if lo <= ihi =>
+              (ilo, ihi max hi, n + 1) :: rest
+            case _ => (lo, hi, 1L) :: acc
+          }
+        }
+        islands.map { case (lo, hi, n) => (k, lo, hi, n) }
+      }.toSet
+      assert(got == brute, s"trial $trial: ${got.size} vs ${brute.size}")
+    }
+    // handcrafted edges: touching [0,5)+[5,9) merge; containment absorbs
+    val hand = Seq((1L, 0L, 5L, 1L), (1L, 5L, 9L, 2L), (1L, 1L, 3L, 3L),
+      (1L, 20L, 30L, 4L), (1L, 22L, 25L, 5L))
+      .toDF("k", "lo", "hi", "id")
+    val got = Relational.coalesceIntervals(hand, Seq("k"), "lo", "hi",
+        tiebreak = Seq("id"))
+      .orderBy("island_lo")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 9L, 3L), (20L, 30L, 2L)))
+  }
 }
