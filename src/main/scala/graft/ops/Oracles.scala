@@ -1163,6 +1163,65 @@ object Oracles {
         |FROM c WHERE date_diff('day', cohort_day, day) <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin,
 
+    // Markov transitions: identical lead + row-normalization math
+    "q_markov" ->
+      """WITH tr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*) AS n FROM tr
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, cast(n AS bigint) AS n,
+        |  cast(n AS double) / cast(sum(n) OVER
+        |    (PARTITION BY from_type) AS double) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // last-touch attribution: two aligned IGNORE NULLS windows replay
+    // the (touch ts, touch type) pair; raw-timestamp lookback compare
+    "q_attribution" ->
+      s"""WITH t AS (SELECT *,
+         |    last_value(CASE WHEN event_type IN ('click', 'view')
+         |        THEN ts END IGNORE NULLS) OVER w AS lt_ts,
+         |    last_value(CASE WHEN event_type IN ('click', 'view')
+         |        THEN event_type END IGNORE NULLS) OVER w AS lt_type
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT CASE WHEN lt_ts IS NULL
+         |    OR lt_ts < ts - INTERVAL 3600 SECOND THEN 'direct'
+         |    ELSE lt_type END AS channel,
+         |  $CNT AS n_purchases, ${d4("value")} AS sv
+         |FROM t WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // sequence-pattern count: two leads over the same total order
+    "q_pattern" ->
+      """WITH l AS (SELECT user_id, ts, event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(ts, 2) OVER w AS ts2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, cast(count(*) AS bigint) AS n_matches
+        |FROM l WHERE event_type = 'view' AND t1 = 'click'
+        |  AND t2 = 'purchase' AND ts2 <= ts + INTERVAL 86400 SECOND
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // weighted median: identical pre-agg + cumulative threshold math
+    "q_weighted_median" ->
+      """WITH g AS (SELECT l_returnflag AS flag,
+        |    cast(l_extendedprice AS DECIMAL(12,2)) AS price,
+        |    sum(cast(l_quantity AS bigint)) AS wsum
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT flag, price,
+        |    sum(wsum) OVER (PARTITION BY flag ORDER BY price) AS cum,
+        |    sum(wsum) OVER (PARTITION BY flag) AS tot
+        |  FROM g)
+        |SELECT flag, cast(min(price) AS double) AS wmedian,
+        |  cast(max(tot) AS bigint) AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+
     "q_funnel" ->
       """SELECT cast(count(*) as bigint) AS n_signup,
         |  cast(count(CASE WHEN pmin > smin THEN 1 END) as bigint)

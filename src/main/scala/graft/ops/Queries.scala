@@ -1159,6 +1159,109 @@ object Queries {
       .orderBy("cohort_day", "offset")
   }
 
+  /** #55k MARKOV transition matrix over the event stream — the
+    * user-behavior model every product-analytics stack derives:
+    * (from, to) counts of CONSECUTIVE event pairs per user under the
+    * total (ts, event_id) order, then row-normalized transition
+    * probabilities. Counts are exact integers; the probability is
+    * ONE correctly-rounded division by the from-row total (a window
+    * sum over the tiny |types|² count table). Scale: one keyed window
+    * pass (the lead), one partial agg to |types|² rows — the
+    * shuffle-heavy part collapses to nothing. */
+  def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val counts = T(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy("from_type")))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double"))
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** #55l LAST-TOUCH ATTRIBUTION — the marketing-analytics staple:
+    * each purchase credited to the same user's most recent preceding
+    * click/view within a 3600-second lookback, else 'direct'. The
+    * touch is `last(…, ignoreNulls)` over the unbounded-preceding
+    * frame of the total (ts, event_id) order — two aligned windows
+    * (touch ts + touch type go non-null on exactly the same rows, so
+    * no struct plumbing), ONE keyed shuffle. The lookback compares
+    * raw timestamps (microsecond-exact, no epoch truncation). Value
+    * routes through decimal so the per-channel sums are
+    * order-insensitive. */
+  def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val touch = col("event_type").isin("click", "view")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(s, dir).events
+      .withColumn("lt_ts",
+        last(when(touch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("lt_type",
+        last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("value"),
+        when(col("lt_ts").isNull ||
+          col("lt_ts") < col("ts") - expr("INTERVAL 3600 SECONDS"),
+          lit("direct")).otherwise(col("lt_type")).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value"), D4).as("sv"))
+      .orderBy("channel")
+  }
+
+  /** #55m SEQUENCE-PATTERN match count (MATCH_RECOGNIZE-lite): per
+    * user, occurrences of the CONTIGUOUS view→click→purchase run
+    * completing within a day — the "clean conversion path"
+    * detector (the synthetic stream's per-user event spacing is
+    * hours, so a minutes-scale span would never fire). Two leads over one keyed window (a fixed pattern of
+    * length k needs k−1 leads, all sharing the single (user_id)
+    * shuffle + sort); matches are exact row triples under the total
+    * (ts, event_id) order, so the count is engine-exact. */
+  def qPattern(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts"), 2).over(w))
+      .where(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase" &&
+        col("ts2") <= col("ts") + expr("INTERVAL 86400 SECONDS"))
+      .groupBy("user_id").agg(count(lit(1)).as("n_matches"))
+      .orderBy("user_id")
+  }
+
+  /** #55n exact WEIGHTED MEDIAN per group — the robust center the
+    * plain median can't give when rows carry mass (quantity-weighted
+    * price, population-weighted rate): smallest price whose
+    * cumulative quantity reaches half the group's total. Pre-agg to
+    * (flag, price) first (bounds the window input by DISTINCT price
+    * count, not row count), then one cumulative-sum window over the
+    * price order and a threshold pick — all integer/decimal exact,
+    * both engines replay the identical math. The same shape extends
+    * to any weighted quantile by changing the 2·cum ≥ tot threshold. */
+  def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val g = T(s, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(P2).as("price"))
+      .agg(sum(col("l_quantity").cast("long")).as("wsum"))
+    g.withColumn("cum",
+        sum(col("wsum")).over(
+          Window.partitionBy("flag").orderBy("price")))
+      .withColumn("tot", sum(col("wsum")).over(Window.partitionBy("flag")))
+      .where(col("cum") * 2 >= col("tot"))
+      .groupBy("flag")
+      .agg(min(col("price")).cast("double").as("wmedian"),
+        max(col("tot")).as("total_weight"))
+      .orderBy("flag")
+  }
+
   /** As-of join: each purchase event paired with the same user's most
     * recent prior-or-equal signup (classic event-enrichment), through
     * the general [[Relational.asofJoin]] API — union + running window,
