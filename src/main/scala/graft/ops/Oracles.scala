@@ -1059,6 +1059,26 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // chi2 contingency cells: full grid incl. zero cells; d2 squared
+    // in exact bigint before the single cast-and-divide (see #38j)
+    "q_chi2" ->
+      """WITH c AS (SELECT source, lang, count(*) AS obs
+        |  FROM documents GROUP BY 1, 2),
+        |grid AS (SELECT s.source, l.lang,
+        |    coalesce(c.obs, 0) AS obs
+        |  FROM (SELECT DISTINCT source FROM c) s
+        |  CROSS JOIN (SELECT DISTINCT lang FROM c) l
+        |  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+        |t AS (SELECT *,
+        |    sum(obs) OVER (PARTITION BY source) AS rt,
+        |    sum(obs) OVER (PARTITION BY lang) AS ct,
+        |    sum(obs) OVER () AS n FROM grid)
+        |SELECT source, lang, cast(obs AS bigint) AS obs,
+        |  cast(rt * ct AS double) / cast(n AS double) AS expected,
+        |  cast((obs * n - rt * ct) * (obs * n - rt * ct) AS double)
+        |    / cast(n * rt * ct AS double) AS contribution
+        |FROM t ORDER BY source, lang""".stripMargin,
+
     "q_rank_family" ->
       """SELECT o_orderkey, o_orderstatus,
         |  cast(rnk as bigint) AS rnk, cast(drnk as bigint) AS drnk,

@@ -987,6 +987,46 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** #38j χ² CONTINGENCY cells (source × lang independence — the
+    * "is my corpus mix confounded" audit): the FULL cell grid
+    * (broadcast cross of the two tiny dimension frames, so
+    * zero-observation cells contribute their expected mass too), with
+    * per-cell observed, expected and χ² contribution. Both derived
+    * columns are ONE division of exact integers — expected = rt·ct/N
+    * and contribution = (o·N − rt·ct)²/(N·rt·ct), the algebraic form
+    * that clears the (o−e)²/e denominators — so each is a single
+    * correctly-rounded double, engine-exact. Totals are window sums
+    * over the |sources|×|langs| count table (post-agg, always tiny;
+    * the global-frame window is one partition of that tiny table, not
+    * of the data). The squared deviation d² is computed in EXACT
+    * bigint arithmetic before the single cast-and-divide (pow() would
+    * round d to double first — an engine-dependent extra rounding).
+    * Headroom: d ≤ N², so bigint holds d² for N ≤ ~55k cells-rows and
+    * decimal(38) to N ≈ 1.8B; past that the textbook (o−e)²/e double
+    * form takes over (per the overflow-property discipline). */
+  def qChi2(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).documents
+      .groupBy("source", "lang").agg(count(lit(1)).as("obs"))
+    val full = c.select("source").distinct()
+      .crossJoin(broadcast(c.select("lang").distinct()))
+      .join(c, Seq("source", "lang"), "left")
+      .na.fill(0L, Seq("obs"))
+    full
+      .withColumn("rt", sum(col("obs")).over(Window.partitionBy("source")))
+      .withColumn("ct", sum(col("obs")).over(Window.partitionBy("lang")))
+      .withColumn("n", sum(col("obs")).over(Window.partitionBy()))
+      .select(col("source"), col("lang"), col("obs"),
+        ((col("rt") * col("ct")).cast("double") / col("n").cast("double"))
+          .as("expected"),
+        {
+          val d = col("obs") * col("n") - col("rt") * col("ct")
+          ((d * d).cast("double") /
+            (col("n") * col("rt") * col("ct")).cast("double"))
+            .as("contribution")
+        })
+      .orderBy("source", "lang")
+  }
+
   /** #47b the ranking-function family beyond row_number: rank /
     * dense_rank / percent_rank / ntile over one keyed window — all
     * per-group sort-based, hash-partitioned on the key. percent_rank
