@@ -685,6 +685,48 @@ object Dedup {
     out
   }
 
+  /** Multi-source BFS hop levels — "how far is everything from this
+    * seed set" over the similarity graph (contamination blast-radius,
+    * crawl-frontier depth, influence horizon): every node reachable
+    * from `seeds` labeled with its EXACT minimum hop distance, seeds
+    * at hop 0, nodes beyond `maxHops` (or unreachable) omitted.
+    *
+    * Classic frontier expansion: each round joins ONLY the frontier
+    * (the nodes first reached last round — at 100 TB that frame is
+    * frontier-sized, never graph-sized) against the edge list, then
+    * anti-joins the visited set so every node is assigned exactly
+    * once, at its first (= minimum) hop. Distance is
+    * order-independent, so the result is engine-exact and
+    * hash-gateable. `localCheckpoint` per round truncates the
+    * iterative lineage (the [[pageRank]] discipline); the loop exits
+    * early on an empty frontier — one cheap driver action per round
+    * on a frontier-sized frame. Rounds needed = seed-set
+    * eccentricity; near-dup clusters are shallow, so the default
+    * bound is generous. */
+  def bfs(pairs: DataFrame, seeds: DataFrame, maxHops: Int = 8)
+      : DataFrame = {
+    val edges = graft.core.Eager(pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    var visited = seeds.select(col("doc_id")).distinct()
+      .withColumn("hop", lit(0L)).localCheckpoint()
+    var frontier = visited
+    var hop = 1L
+    while (hop <= maxHops && !frontier.isEmpty) {
+      val next = frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
+        .withColumn("hop", lit(hop)).localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      hop += 1
+    }
+    edges.unpersist()
+    visited
+  }
+
   /** The materialized similarity-graph artifact: `edges` is the exact
     * J ≥ τ pair set (doc_a < doc_b, with j), `degrees` the per-node
     * undirected degree. Both are plain DataFrames read back from the

@@ -2420,6 +2420,34 @@ object Oracles {
          |SELECT id AS doc_id, least(id, min(reach)) AS comp
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
 
+    // BFS hop levels over the same exact J>=0.8 pair set: hop-capped
+    // recursive closure, UNION-deduped (id, hop) rows, min(hop) = the
+    // exact BFS distance; cap 8 matches Dedup.bfs maxHops
+    "q_bfs" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |s AS (SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(toks) - 1),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+         |  FROM t WHERE len(toks) >= 3),
+         |u AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    cast(count(*) as double) AS inter
+         |  FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |p AS (SELECT doc_a, doc_b FROM i
+         |  JOIN s sa ON sa.doc_id = i.doc_a
+         |  JOIN s sb ON sb.doc_id = i.doc_b
+         |  WHERE inter / (len(sa.sh) + len(sb.sh) - inter) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |r AS (SELECT doc_id AS id, 0 AS hop FROM documents
+         |    WHERE doc_id % 23 = 0
+         |  UNION
+         |  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.id
+         |  WHERE r.hop < 8)
+         |SELECT id AS doc_id, cast(min(hop) AS bigint) AS hop
+         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
     // inter-source matrix over the same exact J>=0.8 pair set,
     // orientation normalized by least/greatest on the source labels
     "q_source_overlap" ->

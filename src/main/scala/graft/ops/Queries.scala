@@ -2603,6 +2603,25 @@ object Queries {
         graft.dedup.Dedup.minhashPairs(T(s, dir).documents))
       .orderBy("doc_id")
 
+  /** #57q multi-source BFS hop levels ([[graft.dedup.Dedup.bfs]]) —
+    * the contamination blast-radius question over the similarity
+    * graph: from the doc_id ≡ 0 (mod 23) seed set, the exact minimum
+    * hop distance of every reachable doc over the exact J≥0.8 pair
+    * set ([[graft.dedup.Dedup.jaccardJoin]], complete by theorem, so
+    * the gate carries no banding-miss exposure). Distance is
+    * order-independent → engine-exact; the oracle replays the
+    * inverted-index pair set and a hop-capped recursive closure whose
+    * UNION dedup makes each (id, hop) row appear once. Scale: each
+    * round joins only the FRONTIER against the edge list (frontier-
+    * sized, never graph-sized), lineage truncated per round. */
+  def qBfs(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir).documents
+    val d = graft.dedup.Dedup
+    d.bfs(d.jaccardJoin(docs, 0.8),
+        docs.where(col("doc_id") % 23 === 0).select("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** #57n CLUSTER dedup with a KEEP-BEST policy — the production
     * selection rule: inside each near-dup cluster keep the LONGEST
     * member (the longest near-duplicate usually carries the most

@@ -345,4 +345,35 @@ class DedupSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("no convergence"))
   }
+
+  test("bfs == brute-force hop levels on random graphs; early-exit and cap (#57q)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val es = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextInt(100) < 4 + trial * 3
+      } yield (a.toLong, b.toLong))
+      val seeds = (0 until n).filter(_ % 11 == 0).map(_.toLong)
+      val cap = if (trial == 1) 2 else 8 // trial 1 exercises the hop cap
+      val got = graft.dedup.Dedup.bfs(es.toDF("doc_a", "doc_b"),
+          seeds.toDF("doc_id"), maxHops = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // brute: Dijkstra-free BFS over the adjacency map
+      val adj = (es ++ es.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+      var dist = seeds.map(_ -> 0L).toMap
+      var frontier = seeds.toSet
+      var h = 1L
+      while (h <= cap && frontier.nonEmpty) {
+        val next = frontier.flatMap(u => adj.getOrElse(u, Nil))
+          .filterNot(dist.contains)
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+        h += 1
+      }
+      assert(got == dist, s"trial $trial: ${got.size} vs ${dist.size}")
+    }
+  }
 }
