@@ -1280,6 +1280,27 @@ object Oracles {
         |WHERE l.l_orderkey % 97 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // naive quadratic radius theta-join over the same exact integer
+    // coordinates: gates the 3x3 grid rewrite's completeness and
+    // exactly-once pair emission (see #55q)
+    "q_geo_join" ->
+      """WITH p AS (SELECT c_custkey AS id,
+        |    cast(cast(c_acctbal AS DECIMAL(12,2)) * 100 AS bigint) AS x,
+        |    (c_custkey * 7919) % 1000000 AS y
+        |  FROM customer),
+        |pr AS (SELECT a.id AS id_a,
+        |    (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) AS dist2
+        |  FROM p a JOIN p b ON a.id < b.id
+        |    AND b.x BETWEEN a.x - 10000 AND a.x + 10000
+        |    AND b.y BETWEEN a.y - 10000 AND a.y + 10000
+        |  WHERE (a.x - b.x) * (a.x - b.x)
+        |      + (a.y - b.y) * (a.y - b.y) <= 100000000)
+        |SELECT id_a AS c_custkey, cast(count(*) AS bigint) AS n_neighbors,
+        |  cast(min(dist2) AS bigint) AS min_d2,
+        |  cast(sum(dist2) AS bigint) AS sum_d2
+        |FROM pr GROUP BY 1 ORDER BY c_custkey""".stripMargin,
+
     // naive overlap theta-join twin: gates both completeness and the
     // first-shared-bucket exactly-once rule of the binned plan
     "q_interval_join" ->

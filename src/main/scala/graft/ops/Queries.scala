@@ -1355,6 +1355,27 @@ object Queries {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** #55q GRID spatial radius self-join ([[Relational.gridJoin]]) —
+    * the 2-D neighbor primitive on a derived customer plane: x =
+    * account balance in EXACT cents (decimal-scaled, never a double
+    * product), y = a deterministic uniform spread of the key
+    * (custkey·7919 mod 10⁶), all pairs within $100 Euclidean. The
+    * oracle is the naive quadratic θ-join over the same integer
+    * coordinates, so the gate proves the 3×3-neighborhood rewrite's
+    * COMPLETENESS and its exactly-once pair emission; dist² stays in
+    * exact bigint on both engines. Per-customer rollup keeps the
+    * graded result output-stable. */
+  def qGeoJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = T(s, dir).customer.select(col("c_custkey"),
+      (col("c_acctbal").cast(P2) * 100).cast("long").as("x"),
+      (col("c_custkey") * 7919 % 1000000L).as("y"))
+    Relational.gridJoin(pts, "c_custkey", "x", "y", radius = 10000L)
+      .groupBy(col("id_a").as("c_custkey"))
+      .agg(count(lit(1)).as("n_neighbors"), min(col("dist2")).as("min_d2"),
+        sum(col("dist2")).as("sum_d2"))
+      .orderBy("c_custkey")
+  }
+
   /** #55i INTERVAL-OVERLAP join ([[Relational.intervalJoin]]) — both
     * sides are intervals: each lineitem's in-transit window
     * [shipdate, shipdate + deterministic transit days] against 40

@@ -10,6 +10,61 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** GRID-bucketed spatial RADIUS self-join: all unordered point
+    * pairs within Euclidean distance `radius` — the 2-D sibling of
+    * [[rangeJoin]]'s 1-D binning and the geo/embedding-plane
+    * neighbor primitive (store-proximity, sensor clustering,
+    * 2-D-projected embedding neighborhoods). Spark can only plan the
+    * raw θ-predicate as a cartesian; the grid rewrite makes it an
+    * equi-join.
+    *
+    * Shape (the published uniform-grid spatial-join decomposition):
+    * space is tiled into `radius`-sized cells, so any pair within
+    * `radius` sits at most one cell apart in each dimension. One side
+    * replicates each point to its 3×3 cell neighborhood, the other
+    * keys each point to its home cell; the θ-join becomes ONE hash
+    * equi-join on the cell id + the exact integer residual
+    * dx² + dy² ≤ r². Each unordered pair meets EXACTLY once: in the
+    * higher id's home cell (the `id_a < id_b` filter keeps that
+    * orientation), so no dedup pass. Cell ids use exact integer
+    * floor-division (a double quotient could mis-bucket boundary
+    * coordinates).
+    *
+    * Scale: both sides shuffle-partition on the cell id — fully
+    * parallel; the 9× replication is the fixed price of never
+    * building a cartesian; per-cell occupancy (data density × r²)
+    * bounds the residual work and AQE splits hot cells. Coordinates
+    * are caller-scaled integers (cents, micro-degrees): the residual
+    * is then EXACT bigint math, so the pair set is engine-portable.
+    * Headroom: dx² + dy² needs |coord| ≲ 2^31 — scale accordingly. */
+  def gridJoin(pts: DataFrame, id: String, x: String, y: String,
+               radius: Long): DataFrame = {
+    require(radius > 0, "gridJoin needs a positive radius")
+    // exact floor division (SQL % follows the dividend's sign)
+    def fdiv(c: org.apache.spark.sql.Column, d: Long) =
+      ((c - (((c % d) + d) % d)) / d).cast("long")
+    val p = pts.select(col(id).as("id"), col(x).cast("long").as("px"),
+        col(y).cast("long").as("py"))
+      .withColumn("cx", fdiv(col("px"), radius))
+      .withColumn("cy", fdiv(col("py"), radius))
+    val reps = p.select(col("id").as("id_a"), col("px").as("xa"),
+        col("py").as("ya"), explode(array(
+          (for { dx <- -1 to 1; dy <- -1 to 1 } yield
+            struct((col("cx") + dx).as("ncx"), (col("cy") + dy).as("ncy"))
+          ): _*)).as("c"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("c.ncx").as("cx"), col("c.ncy").as("cy"))
+    val home = p.select(col("id").as("id_b"), col("px").as("xb"),
+      col("py").as("yb"), col("cx"), col("cy"))
+    val d2 = (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+      (col("ya") - col("yb")) * (col("ya") - col("yb"))
+    reps.join(home, Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist2", d2)
+      .where(col("dist2") <= radius * radius)
+      .select(col("id_a"), col("id_b"), col("dist2"))
+  }
+
   /** Binned RANGE join: pair every `points` row with every `intervals`
     * row whose `[lo, hi]` contains the point (both bounds inclusive) —
     * the interval-containment θ-join Spark itself can only plan as

@@ -300,4 +300,35 @@ class RelationalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((0L, 9L, 3L), (20L, 30L, 2L)))
   }
+
+  test("gridJoin == brute radius pairs incl. boundary dist and negatives (#55q)") {
+    val rnd = new scala.util.Random(23)
+    val r = 10L
+    // negative coords exercise the exact floor-division cell math;
+    // planted pair at EXACTLY distance r (boundary inclusive) and one
+    // just past it
+    val pts = (0 until 200).map { i =>
+      (i.toLong, (rnd.nextInt(200) - 100).toLong,
+        (rnd.nextInt(200) - 100).toLong)
+    } ++ Seq((200L, 500L, 500L), (201L, 506L, 508L), // dist2=100 == r²
+             (202L, 500L, 511L))                     // dist2=121 > r²
+    val got = Relational.gridJoin(pts.toDF("id", "x", "y"),
+        "id", "x", "y", radius = r)
+      .collect().map(rr => (rr.getLong(0), rr.getLong(1), rr.getLong(2)))
+      .toSet
+    val brute = (for {
+      a <- pts; b <- pts if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+    assert(got == brute, s"${got.size} vs ${brute.size}")
+    assert(brute.contains((200L, 201L, 100L)) &&
+      !brute.exists(p => p._1 == 200L && p._2 == 202L))
+    // the 100 TB claim: the grid rewrite must plan as a hash equi-join
+    val plan = Relational.gridJoin(pts.toDF("id", "x", "y"),
+      "id", "x", "y", radius = r).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+           !plan.contains("BroadcastNestedLoopJoin"),
+      s"gridJoin plan contains a cartesian:\n$plan")
+  }
 }
