@@ -1059,6 +1059,17 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // deterministic mode: explicit (count desc, value asc) tie-break
+    // rather than the engine's unspecified built-in mode()
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag AS flag,
+        |    cast(l_quantity AS bigint) AS qty, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY flag
+        |    ORDER BY n DESC, qty ASC) AS rk FROM c)
+        |SELECT flag, qty AS mode_qty, cast(n AS bigint) AS mode_n
+        |FROM r WHERE rk = 1 ORDER BY flag""".stripMargin,
+
     // chi2 contingency cells: full grid incl. zero cells; d2 squared
     // in exact bigint before the single cast-and-divide (see #38j)
     "q_chi2" ->
@@ -1279,6 +1290,22 @@ object Oracles {
         |    AND l.l_shipdate + (l.l_orderkey % 30 + 1) * INTERVAL 1 DAY
         |WHERE l.l_orderkey % 97 = 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // native WITH RECURSIVE replay of the parent-following walk:
+    // independent first-class implementation of the same traversal
+    "q_hierarchy" ->
+      """WITH RECURSIVE n AS (SELECT c_custkey AS id,
+        |    CASE WHEN c_custkey > 0 THEN c_custkey // 7 END AS pid,
+        |    cast(cast(c_acctbal AS DECIMAL(12,2)) * 100 AS bigint) AS w
+        |  FROM customer),
+        |r AS (SELECT id, pid AS cur, 0 AS depth, id AS root_id,
+        |    w AS path_sum FROM n
+        |  UNION ALL
+        |  SELECT r.id, p.pid, r.depth + 1, p.id, r.path_sum + p.w
+        |  FROM r JOIN n p ON p.id = r.cur)
+        |SELECT id, cast(depth AS bigint) AS depth, root_id,
+        |  cast(path_sum AS bigint) AS path_sum
+        |FROM r WHERE cur IS NULL ORDER BY id""".stripMargin,
 
     // naive quadratic radius theta-join over the same exact integer
     // coordinates: gates the 3x3 grid rewrite's completeness and
@@ -1947,6 +1974,24 @@ object Oracles {
          |  cast(length(new_text) AS bigint) AS new_n_chars,
          |  md5(new_text) AS new_fp
          |FROM a ORDER BY doc_id""".stripMargin,
+
+    // within-doc segment dedup: first-occurrence keep via the same
+    // (doc, seg) min-index rule, ordered rebuild fingerprinted
+    "q_line_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS toks FROM documents),
+         |seg AS (SELECT doc_id,
+         |    unnest(range(0, (len(toks) + 9) // 10)) AS i,
+         |    unnest(list_transform(range(0, (len(toks) + 9) // 10),
+         |      i -> array_to_string(toks[i*10+1:i*10+10], ' '))) AS seg
+         |  FROM t WHERE len(toks) >= 1),
+         |f AS (SELECT *, min(i) OVER (PARTITION BY doc_id, seg) AS min_i
+         |  FROM seg)
+         |SELECT doc_id, cast(count(*) AS bigint) AS n_segs,
+         |  cast(sum(CASE WHEN i = min_i THEN 1 ELSE 0 END) AS bigint)
+         |    AS n_kept,
+         |  md5(coalesce(string_agg(CASE WHEN i = min_i THEN seg END,
+         |    ' ' ORDER BY i), '')) AS new_fp
+         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // W=40 / S=30 token windows; (max(n-40,0)+29)//30 + 1 starts, the
     // final window may be short; chunk content pinned via md5

@@ -987,6 +987,25 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** #38k deterministic MODE per group — the most-frequent value with
+    * an EXPLICIT tie-break (count desc, value asc): SQL engines'
+    * built-in `mode()` leaves ties unspecified, which is exactly the
+    * kind of nondeterminism a portable pipeline can't ship; a total
+    * rank order makes the winner engine-exact. One partial agg to
+    * (group, value) counts + one tiny window over the distinct-value
+    * table. */
+  def qMode(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).lineitem
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("flag")
+      .orderBy(col("n").desc, col("qty").asc)
+    c.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("flag"), col("qty").as("mode_qty"), col("n").as("mode_n"))
+      .orderBy("flag")
+  }
+
   /** #38j χ² CONTINGENCY cells (source × lang independence — the
     * "is my corpus mix confounded" audit): the FULL cell grid
     * (broadcast cross of the two tiny dimension frames, so
@@ -1353,6 +1372,24 @@ object Queries {
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("sum_price"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** #55r HIERARCHY resolution ([[Relational.hierarchy]]) — the
+    * recursive-CTE class on a derived customer tree (node k's parent
+    * is k div 7, node 0 the root; height ≈ log₇ N, so the walk is a
+    * handful of rounds at ANY scale): every node's exact depth, root,
+    * and path-accumulated balance in cents. The oracle is DuckDB's
+    * native WITH RECURSIVE — an independent first-class
+    * implementation of the same traversal — so the iterative
+    * parent-following contract (depth counting, root attribution,
+    * path accumulation) is cross-checked engine-to-engine. */
+  def qHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val nodes = T(s, dir).customer.select(
+      col("c_custkey").as("id"),
+      when(col("c_custkey") > 0, expr("c_custkey div 7")).as("pid"),
+      (col("c_acctbal").cast(P2) * 100).cast("long").as("cents"))
+    Relational.hierarchy(nodes, "id", "pid", "cents")
+      .orderBy("id")
   }
 
   /** #55q GRID spatial radius self-join ([[Relational.gridJoin]]) —
@@ -2407,6 +2444,40 @@ object Queries {
     * drop out only by the explicit quality stage, never silently. */
   def qSegmentDedup(s: SparkSession, dir: String): DataFrame =
     segmentDedup(T(s, dir).documents)
+
+  /** #57r WITHIN-document segment dedup — the in-doc boilerplate trim
+    * (#57c drops segments duplicated ACROSS docs; this drops repeats
+    * INSIDE one doc — nav menus, chorus lines, scraper stutter): keep
+    * each distinct 10-token segment's FIRST occurrence, reassemble in
+    * original order, fingerprint the result. First-occurrence = i ==
+    * min(i) over the (doc, seg) window — deterministic, so the
+    * rebuilt text is engine-exact and the md5 gate holds. Scale:
+    * everything is doc_id-keyed (repartition once, window + ordered
+    * rebuild share the shuffle); no cross-doc state at all, so this
+    * runs scan-speed per partition at any corpus size. */
+  def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = graft.dedup.Dedup
+    val segArr = expr(
+      """transform(sequence(0, (size(toks) + 9) div 10 - 1),
+        |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)
+    val segs = T(s, dir).documents
+      .repartition(col("doc_id"))
+      .selectExpr("doc_id", s"${d.toksExpr} AS toks")
+      .where(size(col("toks")) >= 1)
+      .select(col("doc_id"), posexplode(segArr).as(Seq("i", "seg")))
+    val firstI = Window.partitionBy("doc_id", "seg")
+    segs
+      .withColumn("min_i", min(col("i")).over(firstI))
+      .withColumn("keep", col("i") === col("min_i"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("i").as("i"), col("seg").as("s"))))),
+          x => x.getField("s")), " ")).as("new_fp"))
+      .orderBy("doc_id")
+  }
 
   /** [[qSegmentDedup]]'s body over any (doc_id, text) frame — split out
     * so the property spec can drive it with random corpora. */

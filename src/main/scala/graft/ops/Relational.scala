@@ -10,6 +10,49 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** HIERARCHY traversal — the recursive-CTE query class Spark has no
+    * native answer for (BOM explosion, org charts, category trees):
+    * every node resolved to its root with exact depth and
+    * path-accumulated weight. `pid` is null for roots. Iterative
+    * parent-following: each round joins only the still-ACTIVE rows
+    * (nodes whose walk hasn't reached a root — at scale that frame
+    * shrinks geometrically for balanced trees) against the parent
+    * table, lineage truncated per round. Rounds needed = tree height,
+    * never node count. All arithmetic is integer-exact, so (depth,
+    * root_id, path_sum) are engine-portable. Contract: orphans (pid
+    * pointing at no node) and walks past `maxDepth` (incl. cycles)
+    * are DROPPED — the inner join and the round bound are the
+    * detection mechanism; diff against the input to audit them. */
+  def hierarchy(nodes: DataFrame, id: String, pid: String,
+                weight: String, maxDepth: Int = 32): DataFrame = {
+    val base = nodes.select(col(id).as("id"), col(pid).as("pid"),
+      col(weight).cast("long").as("w"))
+    val parents = base.select(col("id").as("p_id"),
+      col("pid").as("p_pid"), col("w").as("p_w"))
+    var done = base.where(col("pid").isNull)
+      .select(col("id"), lit(0L).as("depth"), col("id").as("root_id"),
+        col("w").as("path_sum")).localCheckpoint()
+    var active = base.where(col("pid").isNotNull)
+      .select(col("id"), col("pid").as("cur"), lit(0L).as("depth"),
+        col("w").as("path_sum")).localCheckpoint()
+    var i = 0
+    while (i < maxDepth && !active.isEmpty) {
+      val stepped = active
+        .join(parents, active("cur") === parents("p_id"))
+        .select(col("id"), col("p_pid").as("cur"),
+          (col("depth") + 1L).as("depth"),
+          (col("path_sum") + col("p_w")).as("path_sum"),
+          col("p_id"))
+      done = done.unionByName(stepped.where(col("cur").isNull)
+        .select(col("id"), col("depth"), col("p_id").as("root_id"),
+          col("path_sum"))).localCheckpoint()
+      active = stepped.where(col("cur").isNotNull)
+        .select("id", "cur", "depth", "path_sum").localCheckpoint()
+      i += 1
+    }
+    done
+  }
+
   /** GRID-bucketed spatial RADIUS self-join: all unordered point
     * pairs within Euclidean distance `radius` — the 2-D sibling of
     * [[rangeJoin]]'s 1-D binning and the geo/embedding-plane

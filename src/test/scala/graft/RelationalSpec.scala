@@ -301,6 +301,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 9L, 3L), (20L, 30L, 2L)))
   }
 
+  test("hierarchy: forest roots, depth/path accumulation, orphans and cycles dropped (#55r)") {
+    // forest: two roots (1, 2); chain 1<-10<-100; 2<-20; orphan 30
+    // points at missing 99; cycle 40<->41 never resolves
+    val nodes = Seq(
+      (1L, None, 5L), (2L, None, 7L),
+      (10L, Some(1L), 11L), (100L, Some(10L), 13L),
+      (20L, Some(2L), 17L),
+      (30L, Some(99L), 19L),
+      (40L, Some(41L), 23L), (41L, Some(40L), 29L))
+      .toDF("id", "pid", "w")
+    val got = Relational.hierarchy(nodes, "id", "pid", "w", maxDepth = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got == Set(
+      (1L, 0L, 1L, 5L), (2L, 0L, 2L, 7L),
+      (10L, 1L, 1L, 16L), (100L, 2L, 1L, 29L),
+      (20L, 1L, 2L, 24L)))
+  }
+
   test("gridJoin == brute radius pairs incl. boundary dist and negatives (#55q)") {
     val rnd = new scala.util.Random(23)
     val r = 10L
