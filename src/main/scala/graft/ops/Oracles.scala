@@ -1059,6 +1059,45 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // key-skew audit: exact rank-weighted mass under the total
+    // (count, key) order; share + gini from exact integers
+    "q_skew_report" ->
+      """WITH c AS (SELECT event_type AS typ, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, cast(row_number() OVER (PARTITION BY typ
+        |    ORDER BY cnt ASC, user_id ASC) AS bigint) AS rk FROM c),
+        |g AS (SELECT typ, count(*) AS n_keys, sum(cnt) AS n_rows,
+        |    max(cnt) AS max_cnt, sum(rk * cnt) AS s_rank
+        |  FROM r GROUP BY typ)
+        |SELECT typ, cast(n_keys AS bigint) AS n_keys,
+        |  cast(n_rows AS bigint) AS n_rows,
+        |  cast(max_cnt AS bigint) AS max_cnt,
+        |  cast(max_cnt AS double) / cast(n_rows AS double) AS top_share,
+        |  cast(s_rank * 2 AS double) / cast(n_keys * n_rows AS double)
+        |    - cast(n_keys + 1 AS double) / cast(n_keys AS double) AS gini
+        |FROM g ORDER BY typ""".stripMargin,
+
+    // lag-k autocorrelation: exact-bigint sums, double r, round(9)
+    // per the q_corr conversion-independence discipline
+    "q_autocorr" ->
+      """WITH c AS (SELECT event_type AS typ, date_trunc('hour', ts) AS h,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |l AS (SELECT typ, x, lag(x, 1) OVER w AS l1,
+        |    lag(x, 2) OVER w AS l2, lag(x, 3) OVER w AS l3
+        |  FROM c WINDOW w AS (PARTITION BY typ ORDER BY h)),
+        |st AS (SELECT typ, 1 AS lg, x AS xa, l1 AS xb FROM l
+        |  UNION ALL SELECT typ, 2, x, l2 FROM l
+        |  UNION ALL SELECT typ, 3, x, l3 FROM l),
+        |g AS (SELECT typ, lg, count(*) AS n, sum(xa) AS sx,
+        |    sum(xb) AS sy, sum(xa * xb) AS sxy, sum(xa * xa) AS sxx,
+        |    sum(xb * xb) AS syy
+        |  FROM st WHERE xb IS NOT NULL GROUP BY 1, 2)
+        |SELECT typ, cast(lg AS bigint) AS lg, cast(n AS bigint) AS n,
+        |  round(cast(n * sxy - sx * sy AS double)
+        |    / sqrt(cast(n * sxx - sx * sx AS double)
+        |         * cast(n * syy - sy * sy AS double)), 9) AS r
+        |FROM g ORDER BY typ, lg""".stripMargin,
+
     // deterministic mode: explicit (count desc, value asc) tie-break
     // rather than the engine's unspecified built-in mode()
     "q_mode" ->

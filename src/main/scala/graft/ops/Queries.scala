@@ -987,6 +987,81 @@ object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** #53g lag-k AUTOCORRELATION of the hourly event-count series per
+    * type — the seasonality probe (daily rhythm shows up as high
+    * lag-24, bursts as high lag-1): Pearson r between the series and
+    * its k-lagged self for k = 1..3, over the observed-hour order.
+    * All five sums are EXACT bigints (counts of counts — no decimal
+    * needed), the r formula is the n·sxy − sx·sy form evaluated in
+    * double from those exact integers, and the result rounds to 9
+    * digits per the q_corr conversion-independence discipline. The
+    * three lags stack from ONE window pass (k leads cost one sort),
+    * then partial-agg to |types|×3 rows. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).events
+      .groupBy(col("event_type").as("typ"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy("typ").orderBy("h")
+    val lagged = c.select(col("typ"), col("x"),
+      lag(col("x"), 1).over(w).as("l1"),
+      lag(col("x"), 2).over(w).as("l2"),
+      lag(col("x"), 3).over(w).as("l3"))
+    val stacked = lagged.select(col("typ"), explode(array(
+        struct(lit(1L).as("lg"), col("x").as("xa"), col("l1").as("xb")),
+        struct(lit(2L).as("lg"), col("x").as("xa"), col("l2").as("xb")),
+        struct(lit(3L).as("lg"), col("x").as("xa"), col("l3").as("xb"))))
+        .as("s"))
+      .select(col("typ"), col("s.lg").as("lg"), col("s.xa").as("xa"),
+        col("s.xb").as("xb"))
+      .where(col("xb").isNotNull)
+    val g = stacked.groupBy("typ", "lg").agg(count(lit(1)).as("n"),
+      sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+      sum(col("xa") * col("xb")).as("sxy"),
+      sum(col("xa") * col("xa")).as("sxx"),
+      sum(col("xb") * col("xb")).as("syy"))
+    g.select(col("typ"), col("lg"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 9).as("r"))
+      .orderBy("typ", "lg")
+  }
+
+  /** #38l KEY-SKEW audit — the know-your-shuffle-before-you-join
+    * report every 100 TB operator decision should start from: per
+    * event type, the user_id key distribution's cardinality, total
+    * mass, heaviest key, its share, and the GINI coefficient
+    * (0 = uniform, →1 = one key owns the partition; the number that
+    * says "salt this join"). Σ rank·count is an exact bigint under
+    * the total (count, key) order; the share and Gini evaluate in
+    * double from exact integers only (every cast and division
+    * correctly rounded → engine-deterministic without any rounding
+    * fence). One keyed partial agg + one window over the per-key
+    * count table. */
+  def qSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).events
+      .groupBy(col("event_type").as("typ"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("typ")
+      .orderBy(col("cnt").asc, col("user_id").asc)
+    c.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("typ")
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"),
+        sum(col("rk") * col("cnt")).as("s_rank"))
+      .select(col("typ"), col("n_keys"), col("n_rows"), col("max_cnt"),
+        (col("max_cnt").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"),
+        ((col("s_rank") * 2).cast("double") /
+          (col("n_keys") * col("n_rows")).cast("double") -
+          (col("n_keys") + 1).cast("double") /
+            col("n_keys").cast("double")).as("gini"))
+      .orderBy("typ")
+  }
+
   /** #38k deterministic MODE per group — the most-frequent value with
     * an EXPLICIT tie-break (count desc, value asc): SQL engines'
     * built-in `mode()` leaves ties unspecified, which is exactly the
