@@ -1059,6 +1059,46 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // equi-depth deciles: ntile over the same TOTAL order (a price
+    // tie alone would make bucket membership engine-dependent)
+    "q_equidepth" ->
+      """SELECT cast(decile AS bigint) AS decile,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(min(cast(l_extendedprice AS DECIMAL(12,2))) AS double)
+        |    AS lo,
+        |  cast(max(cast(l_extendedprice AS DECIMAL(12,2))) AS double)
+        |    AS hi,
+        |  cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS double)
+        |    AS total
+        |FROM (SELECT l_extendedprice, ntile(10) OVER (ORDER BY
+        |    l_extendedprice, l_orderkey, l_linenumber) AS decile
+        |  FROM lineitem) x
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // eventually-follows with absence: two forward IGNORE NULLS
+    // windows; purchase-before-error is explicit lexicographic
+    // (ts, event_id) comparison on both engines
+    "q_pattern_absence" ->
+      """WITH t AS (SELECT *,
+        |    first_value(CASE WHEN event_type = 'purchase' THEN ts END
+        |      IGNORE NULLS) OVER w AS np_ts,
+        |    first_value(CASE WHEN event_type = 'purchase'
+        |      THEN event_id END IGNORE NULLS) OVER w AS np_id,
+        |    first_value(CASE WHEN event_type = 'error' THEN ts END
+        |      IGNORE NULLS) OVER w AS ne_ts,
+        |    first_value(CASE WHEN event_type = 'error'
+        |      THEN event_id END IGNORE NULLS) OVER w AS ne_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT user_id,
+        |  cast(count(*) AS bigint) AS n_clean_conversions
+        |FROM t WHERE event_type = 'view' AND np_ts IS NOT NULL
+        |  AND np_ts <= ts + INTERVAL 86400 SECOND
+        |  AND (ne_ts IS NULL OR np_ts < ne_ts
+        |    OR (np_ts = ne_ts AND np_id < ne_id))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // key-skew audit: exact rank-weighted mass under the total
     // (count, key) order; share + gini from exact integers
     "q_skew_report" ->

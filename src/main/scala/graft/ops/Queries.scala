@@ -1030,6 +1030,58 @@ object Queries {
       .orderBy("typ", "lg")
   }
 
+  /** #38m EQUI-DEPTH decile analysis — the "value by customer decile"
+    * BI staple (equi-WIDTH histograms exist at #55d; this buckets by
+    * RANK so every bucket carries the same row count): ntile(10) over
+    * the total (price, orderkey, linenumber) order — a tie on price
+    * alone would make bucket membership engine-dependent — then
+    * per-decile min/max/count and a decimal-exact sum. One global
+    * sort (the ntile semantics) + partial agg; at scale the same
+    * report usually runs on approx quantile BOUNDARIES instead
+    * (#55c'), trading the total sort for a sketch — this is the exact
+    * form that gates it. */
+  def qEquidepth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
+      col("l_linenumber"))
+    T(s, dir).lineitem
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice").cast(P2)).cast("double").as("lo"),
+        max(col("l_extendedprice").cast(P2)).cast("double").as("hi"),
+        dsum(col("l_extendedprice")).as("total"))
+      .orderBy("decile")
+  }
+
+  /** #55s EVENTUALLY-FOLLOWS with ABSENCE (process mining's
+    * "A … B without C between"): views that convert to a purchase
+    * within a day with NO error event in between — the pattern class
+    * #55m's contiguous form can't express. Per user total order, two
+    * forward-looking `first(…, ignoreNulls)` windows give each view
+    * its NEXT purchase and NEXT error position; the match condition
+    * is pure integer/timestamp comparison (purchase strictly before
+    * any error, within the horizon), so the count is engine-exact.
+    * Still ONE keyed shuffle + sort shared by both windows. */
+  def qPatternAbsence(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val nextOf = (t: String, c: String) =>
+      first(when(col("event_type") === t, col(c)), ignoreNulls = true)
+        .over(w)
+    T(s, dir).events
+      .withColumn("np_ts", nextOf("purchase", "ts"))
+      .withColumn("np_id", nextOf("purchase", "event_id"))
+      .withColumn("ne_ts", nextOf("error", "ts"))
+      .withColumn("ne_id", nextOf("error", "event_id"))
+      .where(col("event_type") === "view" && col("np_ts").isNotNull &&
+        col("np_ts") <= col("ts") + expr("INTERVAL 86400 SECONDS") &&
+        (col("ne_ts").isNull || col("np_ts") < col("ne_ts") ||
+          (col("np_ts") === col("ne_ts") && col("np_id") < col("ne_id"))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clean_conversions"))
+      .orderBy("user_id")
+  }
+
   /** #38l KEY-SKEW audit — the know-your-shuffle-before-you-join
     * report every 100 TB operator decision should start from: per
     * event type, the user_id key distribution's cardinality, total
