@@ -1059,6 +1059,39 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // pairwise series correlation over the FULL hour grid (absent
+    // hours are true zeros), exact sums + round(9)
+    "q_series_corr" ->
+      """WITH c AS (SELECT event_type AS typ, date_trunc('hour', ts) AS h,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |fl AS (SELECT g.h, g.typ, coalesce(c.x, 0) AS x
+        |  FROM (SELECT h.h, t.typ
+        |    FROM (SELECT DISTINCT h FROM c) h
+        |    CROSS JOIN (SELECT DISTINCT typ FROM c) t) g
+        |  LEFT JOIN c ON c.h = g.h AND c.typ = g.typ),
+        |j AS (SELECT a.typ AS ta, b.typ AS tb, a.x AS xa, b.x AS xb
+        |  FROM fl a JOIN fl b ON a.h = b.h AND a.typ < b.typ),
+        |g AS (SELECT ta, tb, count(*) AS n, sum(xa) AS sx,
+        |    sum(xb) AS sy, sum(xa * xb) AS sxy, sum(xa * xa) AS sxx,
+        |    sum(xb * xb) AS syy FROM j GROUP BY 1, 2)
+        |SELECT ta, tb, cast(n AS bigint) AS n,
+        |  round(cast(n * sxy - sx * sy AS double)
+        |    / sqrt(cast(n * sxx - sx * sx AS double)
+        |         * cast(n * syy - sy * sy AS double)), 9) AS r
+        |FROM g ORDER BY ta, tb""".stripMargin,
+
+    // period-over-period: decimal revenue, EXACT decimal delta before
+    // the double cast, one division for the percent
+    "q_pop" ->
+      """WITH d AS (SELECT cast(o_orderdate AS DATE) AS day,
+        |    sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT *, lag(rev) OVER (ORDER BY day) AS prev FROM d)
+        |SELECT day, cast(rev AS double) AS revenue,
+        |  cast(rev - prev AS double) AS delta,
+        |  cast(rev - prev AS double) / cast(prev AS double) AS pct_change
+        |FROM l ORDER BY day""".stripMargin,
+
     // equi-depth deciles: ntile over the same TOTAL order (a price
     // tie alone would make bucket membership engine-dependent)
     "q_equidepth" ->

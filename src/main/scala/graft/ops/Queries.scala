@@ -1030,21 +1030,76 @@ object Queries {
       .orderBy("typ", "lg")
   }
 
+  /** #53h pairwise SERIES correlation — "which metrics move together"
+    * across the per-type hourly count series: Pearson r for every
+    * type pair over the FULL hour grid (absent hours are true zeros —
+    * a broadcast cross of the tiny distinct frames gap-fills them, so
+    * correlation isn't computed on a both-present subsample). The
+    * self-join keys on the hour (posting length = |types|, never data
+    * volume); sums are exact bigints and r follows the #53g
+    * round(9) discipline. */
+  def qSeriesCorr(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).events
+      .groupBy(col("event_type").as("typ"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val full = c.select("h").distinct()
+      .crossJoin(broadcast(c.select("typ").distinct()))
+      .join(c, Seq("h", "typ"), "left").na.fill(0L, Seq("x"))
+    val j = full.select(col("h"), col("typ").as("ta"), col("x").as("xa"))
+      .join(full.select(col("h"), col("typ").as("tb"), col("x").as("xb")),
+        "h")
+      .where(col("ta") < col("tb"))
+    j.groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n"), sum(col("xa")).as("sx"),
+        sum(col("xb")).as("sy"), sum(col("xa") * col("xb")).as("sxy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"))
+      .select(col("ta"), col("tb"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast("double")), 9).as("r"))
+      .orderBy("ta", "tb")
+  }
+
+  /** #53i PERIOD-over-PERIOD report — the daily-revenue BI readout
+    * with day-over-day delta and percent change: revenue sums through
+    * decimal (order-insensitive), the delta is an EXACT decimal
+    * subtraction before the final double cast, and the percent is one
+    * division of values exactly representable in double at any sane
+    * revenue magnitude. One date-keyed partial agg + one tiny window
+    * over the per-day table; first day's delta/pct are null by
+    * contract. */
+  def qPop(s: SparkSession, dir: String): DataFrame = {
+    val daily = T(s, dir).orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(D2)).as("rev"))
+    val w = Window.orderBy("day")
+    daily.withColumn("prev", lag(col("rev"), 1).over(w))
+      .select(col("day"), col("rev").cast("double").as("revenue"),
+        (col("rev") - col("prev")).cast("double").as("delta"),
+        ((col("rev") - col("prev")).cast("double") /
+          col("prev").cast("double")).as("pct_change"))
+      .orderBy("day")
+  }
+
   /** #38m EQUI-DEPTH decile analysis — the "value by customer decile"
     * BI staple (equi-WIDTH histograms exist at #55d; this buckets by
     * RANK so every bucket carries the same row count): ntile(10) over
     * the total (price, orderkey, linenumber) order — a tie on price
     * alone would make bucket membership engine-dependent — then
-    * per-decile min/max/count and a decimal-exact sum. One global
-    * sort (the ntile semantics) + partial agg; at scale the same
-    * report usually runs on approx quantile BOUNDARIES instead
-    * (#55c'), trading the total sort for a sketch — this is the exact
-    * form that gates it. */
+    * per-decile min/max/count and a decimal-exact sum. Runs through
+    * [[Relational.ntileExact]] — a bare ntile window is a
+    * single-partition funnel (measured 8.9× at 10×); the parallel
+    * global-rank form measures ~linear while the oracle replays the
+    * BUILT-IN ntile, so the gate proves the rewrite bucket-for-bucket. */
   def qEquidepth(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(col("l_extendedprice"), col("l_orderkey"),
-      col("l_linenumber"))
-    T(s, dir).lineitem
-      .withColumn("decile", ntile(10).over(w).cast("long"))
+    Relational.ntileExact(T(s, dir).lineitem,
+        Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 10)
+      .withColumnRenamed("bucket", "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n"),
         min(col("l_extendedprice").cast(P2)).cast("double").as("lo"),

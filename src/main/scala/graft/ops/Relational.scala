@@ -10,6 +10,54 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Scalable EXACT ntile — the equal-depth bucket assignment without
+    * the single-task trap: a bare `ntile(k) OVER (ORDER BY …)` window
+    * funnels EVERY row through one partition (measured 8.9× at 10× on
+    * this box — the 100 TB killer shape). This computes the identical
+    * bucket ids from a PARALLEL global rank: range-repartition on the
+    * total order (Spark's distributed sort primitive), per-partition
+    * `row_number` windows (each partition-local), plus driver-side
+    * prefix offsets over the per-partition counts — a `partitions`-row
+    * collect, bounded by cluster width, never data. Bucket from rank
+    * replays ntile's exact remainder rule (the first n mod k buckets
+    * get the extra row) in pure integer arithmetic.
+    *
+    * `order` must be a TOTAL order (ties would make both this and the
+    * built-in ntile engine-dependent). Returns the input plus a
+    * `bucket` column. */
+  def ntileExact(df: DataFrame, order: Seq[String], k: Int,
+                 partitions: Int = 32): DataFrame = {
+    require(k > 0 && partitions > 0)
+    val oc = order.map(col)
+    val sorted = graft.core.Eager(
+      df.repartitionByRange(partitions, oc: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val cnts = sorted.groupBy("__pid").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = cnts.map(_._2).sum
+    val offs = cnts.foldLeft((List.empty[(Int, Long)], 0L)) {
+      case ((acc, cum), (pid, cnt)) => ((pid, cum) :: acc, cum + cnt)
+    }._1.reverse
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offs.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(oc.map(_.asc): _*)
+    val q = n / k
+    val rem = n % k
+    val rank = row_number().over(w).cast("long") + col("__off")
+    sorted.join(offDf, "__pid")
+      .withColumn("__rank", rank)
+      // ntile remainder rule: bucket b <= rem holds q+1 rows, the
+      // rest hold q; `div` keeps the ceil-division in exact integers
+      // (Column `/` is double division — a 2^53 hazard)
+      .withColumn("bucket", expr(
+        s"CASE WHEN __rank <= ${rem * (q + 1)} " +
+        s"THEN (__rank + $q) div ${q + 1} " +
+        s"ELSE $rem + (__rank - ${rem * (q + 1)} + ${(q max 1L) - 1}) " +
+        s"div ${q max 1L} END"))
+      .drop("__pid", "__off", "__rank")
+  }
+
   /** HIERARCHY traversal — the recursive-CTE query class Spark has no
     * native answer for (BOM explosion, org charts, category trees):
     * every node resolved to its root with exact depth and

@@ -301,6 +301,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 9L, 3L), (20L, 30L, 2L)))
   }
 
+  test("ntileExact == built-in ntile incl. remainder and n<k cases (#38m)") {
+    val rnd = new scala.util.Random(31)
+    // 1003 % 10 = 3 exercises the remainder rule; 7 rows < k=10
+    // exercises the q=0 branch
+    for ((n, k) <- Seq((1003, 10), (1000, 7), (7, 10), (64, 64))) {
+      val rows = (0 until n).map(i => (rnd.nextInt(50).toLong, i.toLong))
+      val df = rows.toDF("v", "id")
+      val got = Relational.ntileExact(df, Seq("v", "id"), k, partitions = 5)
+        .select("v", "id", "bucket")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      val want = df.withColumn("b", ntile(k).over(
+          Window.orderBy(col("v"), col("id"))).cast("long"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
   test("hierarchy: forest roots, depth/path accumulation, orphans and cycles dropped (#55r)") {
     // forest: two roots (1, 2); chain 1<-10<-100; 2<-20; orphan 30
     // points at missing 99; cycle 40<->41 never resolves
