@@ -1059,6 +1059,44 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // referential-integrity audit: NOT EXISTS per relationship against
+    // the mid-load parent snapshot (every 11th key missing); the
+    // customer->nation arm runs complete and must be zero
+    "q_ri_audit" ->
+      """WITH
+        |o1 AS (SELECT l_orderkey AS k FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey % 11 <> 0 AND o.o_orderkey = l.l_orderkey)),
+        |o2 AS (SELECT l_partkey AS k FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM part p
+        |    WHERE p.p_partkey % 11 <> 0 AND p.p_partkey = l.l_partkey)),
+        |o3 AS (SELECT l_suppkey AS k FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |    WHERE s.s_suppkey % 11 <> 0 AND s.s_suppkey = l.l_suppkey)),
+        |o4 AS (SELECT o_custkey AS k FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey % 11 <> 0 AND c.c_custkey = o.o_custkey)),
+        |o5 AS (SELECT c_nationkey AS k FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |    WHERE n.n_nationkey = c.c_nationkey))
+        |SELECT 'lineitem->orders' AS rel,
+        |  (SELECT cast(count(*) AS bigint) FROM o1) AS n_orphans,
+        |  (SELECT cast(count(DISTINCT k) AS bigint) FROM o1)
+        |    AS n_orphan_keys
+        |UNION ALL SELECT 'lineitem->part',
+        |  (SELECT cast(count(*) AS bigint) FROM o2),
+        |  (SELECT cast(count(DISTINCT k) AS bigint) FROM o2)
+        |UNION ALL SELECT 'lineitem->supplier',
+        |  (SELECT cast(count(*) AS bigint) FROM o3),
+        |  (SELECT cast(count(DISTINCT k) AS bigint) FROM o3)
+        |UNION ALL SELECT 'orders->customer',
+        |  (SELECT cast(count(*) AS bigint) FROM o4),
+        |  (SELECT cast(count(DISTINCT k) AS bigint) FROM o4)
+        |UNION ALL SELECT 'customer->nation',
+        |  (SELECT cast(count(*) AS bigint) FROM o5),
+        |  (SELECT cast(count(DISTINCT k) AS bigint) FROM o5)
+        |ORDER BY rel""".stripMargin,
+
     // pairwise series correlation over the FULL hour grid (absent
     // hours are true zeros), exact sums + round(9)
     "q_series_corr" ->

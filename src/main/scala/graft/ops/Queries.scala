@@ -1086,6 +1086,43 @@ object Queries {
       .orderBy("day")
   }
 
+  /** #38n REFERENTIAL-INTEGRITY audit — the ingest-time orphan report
+    * across the star schema (the "late-arriving dimension" check
+    * every warehouse load runs): per FK relationship, child rows
+    * whose key misses the loaded parent snapshot. Four relationships
+    * audit against a parent snapshot missing every 11th key (the
+    * mid-load state — deterministic nonzero orphans so the gate
+    * exercises the counting, not just zeros); the fifth runs against
+    * the complete dimension and must report exactly zero (the clean
+    * case). Each relationship is ONE left-anti join (broadcast for
+    * dim-sized parents, hash for fact-sized) + a 1-row agg; the
+    * report is their tiny union. */
+  def qRiAudit(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    def audit(rel: String, child: DataFrame, ck: String,
+              parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val p0 = parent.select(col(pk).as(ck)).distinct()
+      val p = if (bcast) broadcast(p0) else p0
+      child.select(col(ck))
+        .join(p, Seq(ck), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"),
+          countDistinct(col(ck)).as("n_orphan_keys"))
+        .select(lit(rel).as("rel"), col("n_orphans"), col("n_orphan_keys"))
+    }
+    def loaded(df: DataFrame, k: String) = df.where(col(k) % 11 =!= 0)
+    audit("lineitem->orders", t.lineitem, "l_orderkey",
+        loaded(t.orders, "o_orderkey"), "o_orderkey", bcast = false)
+      .unionByName(audit("lineitem->part", t.lineitem, "l_partkey",
+        loaded(t.part, "p_partkey"), "p_partkey", bcast = true))
+      .unionByName(audit("lineitem->supplier", t.lineitem, "l_suppkey",
+        loaded(t.supplier, "s_suppkey"), "s_suppkey", bcast = true))
+      .unionByName(audit("orders->customer", t.orders, "o_custkey",
+        loaded(t.customer, "c_custkey"), "c_custkey", bcast = true))
+      .unionByName(audit("customer->nation", t.customer, "c_nationkey",
+        t.nation, "n_nationkey", bcast = true))
+      .orderBy("rel")
+  }
+
   /** #38m EQUI-DEPTH decile analysis — the "value by customer decile"
     * BI staple (equi-WIDTH histograms exist at #55d; this buckets by
     * RANK so every bucket carries the same row count): ntile(10) over
