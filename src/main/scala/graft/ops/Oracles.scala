@@ -1170,6 +1170,27 @@ object Oracles {
         |    OR (np_ts = ne_ts AND np_id < ne_id))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // runs-vs-median: exact lower-median order statistic, equal
+    // values excluded, lag-comparison run count — all integer
+    "q_runs" ->
+      """WITH c AS (SELECT event_type AS typ, date_trunc('hour', ts) AS h,
+        |    count(*) AS x FROM events GROUP BY 1, 2),
+        |m AS (SELECT typ, x AS med FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY typ ORDER BY x, h) AS rk,
+        |    count(*) OVER (PARTITION BY typ) AS n FROM c) t
+        |  WHERE rk = (n + 1) // 2),
+        |sg AS (SELECT c.typ, c.h, m.med,
+        |    CASE WHEN c.x > m.med THEN 1 ELSE 0 END AS above
+        |  FROM c JOIN m ON m.typ = c.typ WHERE c.x <> m.med),
+        |l AS (SELECT *, lag(above) OVER (PARTITION BY typ ORDER BY h)
+        |    AS prev FROM sg)
+        |SELECT typ, cast(any_value(med) AS bigint) AS med,
+        |  cast(sum(above) AS bigint) AS n_above,
+        |  cast(sum(1 - above) AS bigint) AS n_below,
+        |  cast(sum(CASE WHEN prev IS NULL OR prev <> above
+        |    THEN 1 ELSE 0 END) AS bigint) AS n_runs
+        |FROM l GROUP BY typ ORDER BY typ""".stripMargin,
+
     // key-skew audit: exact rank-weighted mass under the total
     // (count, key) order; share + gini from exact integers
     "q_skew_report" ->
@@ -1537,6 +1558,29 @@ object Oracles {
         |  quantile_cont(o_totalprice, 0.9) AS p90,
         |  cast(count(*) as bigint) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // boxplot: native quantile_cont quartiles (the q_percentile
+    // cross-implementation gate), then the same broadcast second pass
+    // for Tukey whiskers and the outlier count
+    "q_boxplot" ->
+      """WITH q AS (SELECT o_orderstatus,
+        |    quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.5) AS med,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1)
+        |SELECT b.o_orderstatus, any_value(q1) AS q1, any_value(med) AS med,
+        |  any_value(q3) AS q3,
+        |  min(CASE WHEN o_totalprice >= q1 - 1.5 * (q3 - q1)
+        |    THEN o_totalprice END) AS lo_whisker,
+        |  max(CASE WHEN o_totalprice <= q3 + 1.5 * (q3 - q1)
+        |    THEN o_totalprice END) AS hi_whisker,
+        |  cast(sum(CASE WHEN o_totalprice < q1 - 1.5 * (q3 - q1)
+        |    OR o_totalprice > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_outliers,
+        |  cast(count(*) AS bigint) AS n
+        |FROM orders b JOIN q USING (o_orderstatus)
+        |WHERE o_totalprice IS NOT NULL
+        |GROUP BY b.o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q_histogram" ->
       """SELECT cast(floor(o_totalprice / 50000) as bigint) AS bucket,
@@ -2635,6 +2679,24 @@ object Oracles {
          |  SELECT r.id, e.dst FROM r JOIN e ON r.reach = e.src)
          |SELECT id AS doc_id, least(id, min(reach)) AS comp
          |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // corpus report: same six aggregates, tall (metric, value) shape
+    "q_corpus_report" ->
+      s"""WITH a AS (SELECT cast(count(*) AS bigint) AS n_docs,
+         |    cast(sum(len($TOKS)) AS bigint) AS n_tokens,
+         |    cast(sum(n_chars) AS bigint) AS n_chars,
+         |    cast(count(DISTINCT lang) AS bigint) AS n_langs,
+         |    cast(count(DISTINCT source) AS bigint) AS n_sources,
+         |    cast(count(*) - count(DISTINCT md5(text)) AS bigint)
+         |      AS n_exact_dups
+         |  FROM documents)
+         |SELECT 'n_chars' AS metric, n_chars AS value FROM a
+         |UNION ALL SELECT 'n_docs', n_docs FROM a
+         |UNION ALL SELECT 'n_exact_dups', n_exact_dups FROM a
+         |UNION ALL SELECT 'n_langs', n_langs FROM a
+         |UNION ALL SELECT 'n_sources', n_sources FROM a
+         |UNION ALL SELECT 'n_tokens', n_tokens FROM a
+         |ORDER BY metric""".stripMargin,
 
     // BFS hop levels over the same exact J>=0.8 pair set: hop-capped
     // recursive closure, UNION-deduped (id, hop) rows, min(hop) = the

@@ -1030,6 +1030,41 @@ object Queries {
       .orderBy("typ", "lg")
   }
 
+  /** #53j runs-vs-median RANDOMNESS probe (Wald–Wolfowitz shape) —
+    * "is this series trending or noise": per type, the hourly count
+    * series' runs of above/below-median values (few long runs =
+    * trending/regime-switching, many short runs = noise). The median
+    * is the EXACT lower median of the counts (order statistic at
+    * ⌈n/2⌉ under the total (count, hour) order — integer, no
+    * interpolation), equal-to-median hours are excluded per the
+    * classic test, and the run count is a lag comparison — every step
+    * pure integer, engine-exact. Two keyed window passes (rank for
+    * the median, lag for the runs) + a partial agg. */
+  def qRuns(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).events
+      .groupBy(col("event_type").as("typ"),
+        date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+    val byTyp = Window.partitionBy("typ")
+    val med = c
+      .withColumn("rk", row_number().over(byTyp.orderBy("x", "h")))
+      .withColumn("n", count(lit(1)).over(byTyp))
+      .where(col("rk") === expr("(n + 1) div 2"))
+      .select(col("typ"), col("x").as("med"))
+    val signed = c.join(broadcast(med), "typ")
+      .where(col("x") =!= col("med"))
+      .withColumn("above", (col("x") > col("med")).cast("long"))
+      .withColumn("prev",
+        lag(col("above"), 1).over(byTyp.orderBy("h")))
+    signed.groupBy("typ")
+      .agg(first(col("med")).as("med"),
+        sum(col("above")).as("n_above"),
+        sum(lit(1L) - col("above")).as("n_below"),
+        (sum(when(col("prev").isNull ||
+          col("prev") =!= col("above"), 1L).otherwise(0L))).as("n_runs"))
+      .orderBy("typ")
+  }
+
   /** #53h pairwise SERIES correlation — "which metrics move together"
     * across the per-type hourly count series: Pearson r for every
     * type pair over the FULL hour grid (absent hours are true zeros —
@@ -1706,6 +1741,48 @@ object Queries {
     base.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
       .join(pct, Seq("o_orderstatus"), "left")
       .select(col("o_orderstatus"), col("p50"), col("p90"), col("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** #55c'' BOXPLOT (five-number + Tukey fences) per group — the
+    * distribution readout dashboards draw: interpolated q1/median/q3
+    * via #55c's rank-contribution rewrite (one keyed window), then
+    * the tiny quartile table broadcasts back for the second pass that
+    * Tukey whiskers need (lower whisker = smallest value inside
+    * q1 − 1.5·IQR — a data value, not the fence itself — so it can't
+    * come out of the first aggregation alone). All arithmetic is
+    * IEEE-deterministic double math replayed identically by the
+    * oracle; the outlier count is then integer-exact. */
+  def qBoxplot(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir).orders
+      .select(col("o_orderstatus"), col("o_totalprice"))
+      .where(col("o_totalprice").isNotNull)
+    val byStatus = Window.partitionBy("o_orderstatus")
+    val w = byStatus.orderBy("o_totalprice")
+    def contrib(p: Double): Column = {
+      val pos = lit(p) * (col("nv") - lit(1)).cast("double")
+      val v = col("o_totalprice")
+      when(floor(pos) === ceil(pos) && col("i") === floor(pos), v)
+        .when(col("i") === floor(pos), v * (ceil(pos) - pos))
+        .when(col("i") === ceil(pos), v * (pos - floor(pos)))
+    }
+    val quart = base
+      .withColumn("i", row_number().over(w).cast("double") - 1)
+      .withColumn("nv", count(lit(1)).over(byStatus))
+      .groupBy("o_orderstatus")
+      .agg(sum(contrib(0.25)).as("q1"), sum(contrib(0.5)).as("med"),
+        sum(contrib(0.75)).as("q3"))
+    val loB = col("q1") - lit(1.5) * (col("q3") - col("q1"))
+    val hiB = col("q3") + lit(1.5) * (col("q3") - col("q1"))
+    val v = col("o_totalprice")
+    base.join(broadcast(quart), Seq("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(first(col("q1")).as("q1"), first(col("med")).as("med"),
+        first(col("q3")).as("q3"),
+        min(when(v >= loB, v)).as("lo_whisker"),
+        max(when(v <= hiB, v)).as("hi_whisker"),
+        sum(when(v < loB || v > hiB, 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
   }
 
@@ -2913,6 +2990,36 @@ object Queries {
     graft.dedup.Dedup.components(
         graft.dedup.Dedup.minhashPairs(T(s, dir).documents))
       .orderBy("doc_id")
+
+  /** #65l one-call CORPUS REPORT — the dataset-card numbers in a
+    * single pass: doc/token/char totals, language and source
+    * cardinalities, and the exact-duplicate count (docs beyond the
+    * first per full-text md5). ONE aggregation over the corpus
+    * produces a 1-row frame; the (metric, value) long format is a
+    * driver-free unpivot of that row. The tall shape is the point:
+    * downstream tooling diffs two corpus versions by joining on
+    * metric. */
+  def qCorpusReport(s: SparkSession, dir: String): DataFrame = {
+    val one = T(s, dir).documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(wsTokens(col("text"))).cast("long")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      (count(lit(1)) - countDistinct(md5(col("text"))))
+        .as("n_exact_dups"))
+    one.select(explode(array(
+        struct(lit("n_chars").as("metric"), col("n_chars").as("value")),
+        struct(lit("n_docs").as("metric"), col("n_docs").as("value")),
+        struct(lit("n_exact_dups").as("metric"),
+          col("n_exact_dups").as("value")),
+        struct(lit("n_langs").as("metric"), col("n_langs").as("value")),
+        struct(lit("n_sources").as("metric"), col("n_sources").as("value")),
+        struct(lit("n_tokens").as("metric"), col("n_tokens").as("value"))))
+        .as("m"))
+      .select(col("m.metric").as("metric"), col("m.value").as("value"))
+      .orderBy("metric")
+  }
 
   /** #57q multi-source BFS hop levels ([[graft.dedup.Dedup.bfs]]) —
     * the contamination blast-radius question over the similarity
