@@ -1170,6 +1170,32 @@ object Oracles {
         |    OR (np_ts = ne_ts AND np_id < ne_id))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // CUSUM via the window identity s = r - min(0, running_min r):
+    // decimal-exact running sums, no sequential fold
+    "q_cusum" ->
+      """WITH b AS (SELECT user_id, ts, event_id,
+        |    sum(cast(value AS DECIMAL(18,4)) - cast(12.00 AS DECIMAL(18,4)))
+        |      OVER w AS r
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |c AS (SELECT *, r - least(cast(0 AS DECIMAL(18,4)),
+        |    min(r) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM b),
+        |a AS (SELECT user_id, cast(count(*) AS bigint) AS n,
+        |    cast(sum(CASE WHEN s > 50.00 THEN 1 ELSE 0 END) AS bigint)
+        |      AS n_alarms,
+        |    round(cast(max(s) AS double), 4) AS peak_cusum
+        |  FROM c GROUP BY user_id),
+        |f AS (SELECT user_id, round(cast(s AS double), 4) AS final_cusum
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM c) t
+        |  WHERE rn = 1)
+        |SELECT a.user_id, n, n_alarms, peak_cusum, final_cusum
+        |FROM a JOIN f ON f.user_id = a.user_id
+        |ORDER BY a.user_id""".stripMargin,
+
     // runs-vs-median: exact lower-median order statistic, equal
     // values excluded, lag-comparison run count — all integer
     "q_runs" ->

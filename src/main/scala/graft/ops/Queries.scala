@@ -1030,6 +1030,40 @@ object Queries {
       .orderBy("typ", "lg")
   }
 
+  /** #53k CUSUM drift detection — the classic change-point monitor,
+    * WITHOUT the fold it textbook-needs: the clamped recurrence
+    * s_i = max(0, s_{i−1} + x_i − k) equals r_i − min(0, min_{j≤i} r_j)
+    * over the UNclamped running sum r — so the whole monitor is two
+    * stacked window aggregates on one keyed sort, fully declarative
+    * and partial-agg friendly instead of a sequential state machine.
+    * Drift k and alarm threshold h are decimals, the running sums are
+    * decimal-exact, so s and the alarm count are engine-exact;
+    * the reported doubles take the q_corr round(4) fence (the two
+    * engines' decimal→double conversions differ by 1 ulp). Per user:
+    * observation count, final and peak CUSUM, alarms (s > h). */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val k = lit("12.00").cast(D4)
+    val h = lit("50.00").cast(D4)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = T(s, dir).events
+      .withColumn("r",
+        sum(col("value").cast(D4) - k).over(run))
+      .withColumn("s",
+        col("r") - least(lit(0).cast(D4), min(col("r")).over(run)))
+    val agg = cusum.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("s") > h, 1L).otherwise(0L)).as("n_alarms"),
+        round(max(col("s")).cast("double"), 4).as("peak_cusum"))
+    val fin = cusum
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select(col("user_id"),
+        round(col("s").cast("double"), 4).as("final_cusum"))
+    agg.join(fin, "user_id").orderBy("user_id")
+  }
+
   /** #53j runs-vs-median RANDOMNESS probe (Wald–Wolfowitz shape) —
     * "is this series trending or noise": per type, the hourly count
     * series' runs of above/below-median values (few long runs =
