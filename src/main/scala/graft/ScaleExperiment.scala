@@ -140,7 +140,8 @@ object ScaleExperiment {
       "q_novelty|q_profile|q_dedup_incr|q_split_group|q_label_errors|q_normalize|q_moving_median|q_kanon|q_dedup_unicode|q_schema_evolution|q_quantile_norm|q_ohlc|q_fold_text|q_winsorize|q_er_cluster|q_dedup_keepbest|q_url_dedup|q_split_neardup|q_html_extract|q_oov_rate|q_interval_join|q_domain_filter|q_pipeline_web|q_source_overlap|q_length_batch|q_graph_reuse|q_graph_incr|q_scd2_incr|q_stream_upsert|q_snapshot_diff|q_embed_norm|q_image_neardup|q_exists_corr|q_exists_double|" +
       "q_interval_coalesce|q_vocab_overlap|q_markov|q_attribution|q_pattern|" +
       "q_weighted_median|q_chi2|q_bfs|q_line_dedup|q_mode|q_autocorr|q_skew_report|" +
-      "q_equidepth|q_pattern_absence|q_series_corr|q_pop").r
+      "q_equidepth|q_pattern_absence|q_series_corr|q_pop|" +
+      "q_ri_audit|q_boxplot|q_runs|q_corpus_report|q_cusum").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
