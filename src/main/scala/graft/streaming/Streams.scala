@@ -299,6 +299,41 @@ object Streams {
         EwmaOut(user, st.n, st.last, st.ewma)
     }
 
+  case class CusumState(n: Long, alarms: Long, peak4: Long, s4: Long)
+  case class CusumOut(user_id: Long, n: Long, n_alarms: Long,
+                      peak4: Long, final4: Long)
+
+  /** Streaming CUSUM (#53k's stateful twin): the batch form is the
+    * reflection window identity (full-history windows — not a
+    * streaming shape); ON a stream the textbook fold IS the right
+    * shape, and per-key state is one record. State runs in Q4 FIXED
+    * POINT (the inputs are 2-decimal money, drift/threshold are
+    * decimals), so the stream's integers are exactly the batch
+    * decimal path's scaled values — StreamingSpec gates the replay
+    * integer-equal to q_cusum across chunked micro-batches. */
+  def cusumStream(ds: Dataset[EvV], k4: Long = 120000L,
+                  h4: Long = 500000L)(implicit
+      ke: Encoder[Long], se: Encoder[CusumState],
+      oe: Encoder[CusumOut]): Dataset[CusumOut] =
+    ds.groupByKey(_.user_id).mapGroupsWithState(
+      GroupStateTimeout.NoTimeout()) {
+      (user: Long, it: Iterator[EvV],
+       state: org.apache.spark.sql.streaming.GroupState[CusumState]) =>
+        val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = state.getOption.getOrElse(CusumState(0L, 0L, 0L, 0L))
+        evs.foreach { e =>
+          // double→Q4 via round: 2dp inputs are exact in Q4, matching
+          // the batch cast(value AS DECIMAL(18,4))
+          val v4 = math.round(e.value * 10000.0)
+          val s = math.max(0L, st.s4 + v4 - k4)
+          st = CusumState(st.n + 1L,
+            st.alarms + (if (s > h4) 1L else 0L),
+            math.max(st.peak4, s), s)
+        }
+        state.update(st)
+        CusumOut(user, st.n, st.alarms, st.peak4, st.s4)
+    }
+
   /** Streaming sessionization — the stateful twin of q_sessionize
     * (30-min-gap islands) as `flatMapGroupsWithState`. A session closes
     * when a later event arrives past the gap; the closed session is

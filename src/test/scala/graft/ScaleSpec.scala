@@ -170,6 +170,41 @@ class ScaleSpec extends AnyFunSuite {
       s"q_pipeline_web lost partial agg:\n$pw")
   }
 
+  test("r7 wave-3 plans: joins cartesian-free; aggs stay partial") {
+    // the event/warehouse/graph additions: every join must plan as a
+    // hash/broadcast equi-join (gridJoin's 3×3 rewrite, the RI anti
+    // joins, BFS's frontier joins, hierarchy's parent-following,
+    // vocab's token-keyed self-join — none may degenerate).
+    // q_series_corr / q_chi2 are excluded by design: their hour×type /
+    // source×lang gap-fill grid IS an intentional broadcast cross of
+    // two tiny DISTINCT dimension frames (bounded by cardinality, not
+    // data) — the same contract as q_cross.
+    for (q <- Seq("q_geo_join", "q_ri_audit", "q_bfs", "q_hierarchy",
+                  "q_vocab_overlap", "q_boxplot")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+             !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a cartesian:\n$plan")
+    }
+    // the window-family additions partial-aggregate their final rollup
+    for (q <- Seq("q_markov", "q_skew_report", "q_cusum")) {
+      val plan = graft.SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("partial_count") ||
+             plan.contains("partial_sum"),
+        s"$q lost partial aggregation:\n$plan")
+    }
+    // equidepth must NOT carry a single-partition window: the ntile
+    // rewrite's whole point (range repartition, windows keyed by pid)
+    val eq = graft.SparkEntry.queries("q_equidepth")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(eq.contains("Exchange rangepartitioning"),
+      s"q_equidepth lost the parallel range sort:\n$eq")
+    assert(!eq.contains("Exchange SinglePartition, ENSURE_REQUIREMENTS"),
+      s"q_equidepth funnels through one partition:\n$eq")
+  }
+
   test("pipeline operators keep partial aggregation and no cartesian") {
     // q_split / q_pipeline_e2e are pure column math + keyed aggs: the
     // count must be map-side partial and nothing may cross-product

@@ -115,6 +115,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("cusumStream replay == q_cusum batch window identity (#53k)") {
+    import spark.implicits._
+    val q = Streams.cusumStream(
+        Streams.eventsStream(spark, replayDir)
+          .select("user_id", "ts", "event_id", "value").as[Streams.EvV])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cusum_replay").start()
+    q.processAllAvailable()
+    q.stop()
+    // latest per-user update carries the full-history state; compare in
+    // the Q4 integer domain (the batch doubles are round(·,4) of exact
+    // decimals, so ×10⁴ + round recovers the exact integers)
+    val streamed = spark.table("cusum_replay").groupBy("user_id")
+      .agg(max(struct(col("n"), col("n_alarms"), col("peak4"),
+        col("final4"))).as("last"))
+      .collect().map { r =>
+        val l = r.getStruct(1)
+        (r.getLong(0), l.getLong(0), l.getLong(1), l.getLong(2),
+          l.getLong(3))
+      }.toSet
+    val batch = graft.ops.Queries.qCusum(spark, replayDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 10000.0),
+        math.round(r.getDouble(4) * 10000.0))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("transformWithState fold == mapGroupsWithState fold (#70d)") {
     // the v2 processor API requires the RocksDB store
     import spark.implicits._
