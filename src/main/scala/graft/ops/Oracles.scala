@@ -1059,6 +1059,42 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // exact set-intersection matrix: same bitmask rollup; pairs with
+    // zero joint users drop on both sides (inner semantics)
+    "q_type_overlap" ->
+      """WITH m AS (SELECT user_id, bit_or(CASE event_type
+        |      WHEN 'click' THEN 1 WHEN 'error' THEN 2
+        |      WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |      WHEN 'view' THEN 16 ELSE 0 END) AS mask
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT mask, count(*) AS n FROM m GROUP BY mask),
+        |p(type_a, type_b, need) AS (VALUES
+        |  ('click','error',3), ('click','purchase',5),
+        |  ('click','signup',9), ('click','view',17),
+        |  ('error','purchase',6), ('error','signup',10),
+        |  ('error','view',18), ('purchase','signup',12),
+        |  ('purchase','view',20), ('signup','view',24))
+        |SELECT type_a, type_b, cast(sum(n) AS bigint) AS n_both
+        |FROM p JOIN c ON (c.mask & p.need) = p.need
+        |GROUP BY 1, 2 ORDER BY type_a, type_b""".stripMargin,
+
+    // DAU/WAU/MAU: the same explode-contribution construction (each
+    // active day contributes to the following k days)
+    "q_active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day
+        |  FROM events),
+        |w AS (SELECT day, count(*) AS c FROM (
+        |  SELECT DISTINCT user_id, day + cast(t.range AS integer) AS day
+        |  FROM act CROSS JOIN range(7) t) x GROUP BY day),
+        |mm AS (SELECT day, count(*) AS c FROM (
+        |  SELECT DISTINCT user_id, day + cast(t.range AS integer) AS day
+        |  FROM act CROSS JOIN range(28) t) x GROUP BY day),
+        |d AS (SELECT day, count(*) AS dau FROM act GROUP BY day)
+        |SELECT d.day, cast(d.dau AS bigint) AS dau,
+        |  cast(w.c AS bigint) AS wau, cast(mm.c AS bigint) AS mau
+        |FROM d JOIN w USING (day) JOIN mm USING (day)
+        |ORDER BY day""".stripMargin,
+
     // referential-integrity audit: NOT EXISTS per relationship against
     // the mid-load parent snapshot (every 11th key missing); the
     // customer->nation arm runs complete and must be zero

@@ -1155,6 +1155,59 @@ object Queries {
       .orderBy("day")
   }
 
+  /** #38o exact SET-INTERSECTION matrix via BITMASK rollup — "how
+    * many distinct users did BOTH A and B": the question HLL
+    * intersections answer approximately, answered EXACTLY in one
+    * pass when the set family is small: per user, OR the event types
+    * into a bitmask (≤ 2^|types| values), roll up to mask counts
+    * (tiny), then every pairwise intersection is a sum over masks
+    * containing both bits — no per-pair passes over the data, no
+    * sketch error. The broadcast cross at the end is the |types|²
+    * pair frame against the ≤32-row mask table. */
+  def qTypeOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val bit = types.zipWithIndex
+      .map { case (t, i) =>
+        when(col("event_type") === t, lit(1L << i)).otherwise(0L) }
+      .reduce(_.bitwiseOR(_))
+    val masks = T(s, dir).events
+      .groupBy("user_id").agg(bit_or(bit).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_users"))
+    val pairs = types.zipWithIndex.flatMap { case (a, i) =>
+      types.zipWithIndex.collect { case (b, j) if i < j =>
+        (a, b, (1L << i) | (1L << j)) }
+    }.toDF("type_a", "type_b", "need")
+    pairs.crossJoin(broadcast(masks))
+      .where(col("mask").bitwiseAND(col("need")) === col("need"))
+      .groupBy("type_a", "type_b")
+      .agg(sum(col("n_users")).as("n_both"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** #38p rolling ACTIVE-USERS (DAU/WAU/MAU) — the growth-analytics
+    * staple that defeats plain windows (rolling COUNT DISTINCT is not
+    * prefix-decomposable): each (user, active-day) pair CONTRIBUTES
+    * to the following k days, so "distinct users in the trailing k
+    * days of d" = distinct (user, d) after exploding each active day
+    * to d..d+k−1 — a bounded ×k row factor (the scalable exact form;
+    * the sketch path is windowed HLL), then one distinct + count per
+    * day. Day arithmetic is integer-exact; the report keeps only days
+    * with any activity (absent days have DAU 0 by construction). */
+  def qActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val act = T(s, dir).events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    def rolling(k: Int) = act
+      .select(col("user_id"), explode(expr(
+        s"sequence(day, date_add(day, ${k - 1}))")).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as(s"au$k"))
+    act.groupBy("day").agg(count(lit(1)).as("dau"))
+      .join(rolling(7).withColumnRenamed("au7", "wau"), Seq("day"))
+      .join(rolling(28).withColumnRenamed("au28", "mau"), Seq("day"))
+      .orderBy("day")
+  }
+
   /** #38n REFERENTIAL-INTEGRITY audit — the ingest-time orphan report
     * across the star schema (the "late-arriving dimension" check
     * every warehouse load runs): per FK relationship, child rows
