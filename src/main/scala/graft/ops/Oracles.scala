@@ -1486,6 +1486,25 @@ object Oracles {
         |FROM c WHERE cum * 2 >= tot
         |GROUP BY flag ORDER BY flag""".stripMargin,
 
+    // time-to-convert: same first-signup/first-purchase contract,
+    // exact integer order statistics under the total (d, user) order
+    "q_funnel_time" ->
+      """WITH conv AS (SELECT user_id,
+        |    date_diff('second', smin, pmin) AS d
+        |  FROM (SELECT user_id,
+        |      min(CASE WHEN event_type = 'signup' THEN ts END) AS smin,
+        |      min(CASE WHEN event_type = 'purchase' THEN ts END) AS pmin
+        |    FROM events GROUP BY user_id) x
+        |  WHERE smin IS NOT NULL AND pmin > smin),
+        |r AS (SELECT d,
+        |    cast(row_number() OVER (ORDER BY d, user_id) AS bigint) AS rk,
+        |    count(*) OVER () AS n FROM conv)
+        |SELECT cast(count(*) AS bigint) AS n_converted,
+        |  max(CASE WHEN rk = (n + 1) // 2 THEN d END) AS median_s,
+        |  max(CASE WHEN rk = (9 * n + 9) // 10 THEN d END) AS p90_s,
+        |  max(d) AS max_s
+        |FROM r""".stripMargin,
+
     "q_funnel" ->
       """SELECT cast(count(*) as bigint) AS n_signup,
         |  cast(count(CASE WHEN pmin > smin THEN 1 END) as bigint)

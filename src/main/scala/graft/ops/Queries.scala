@@ -1535,6 +1535,37 @@ object Queries {
       .agg(count(lit(1)).as("n_signup"),
         count(when(col("pmin") > col("smin"), lit(1))).as("n_converted"))
 
+  /** #55t TIME-TO-CONVERT distribution — the funnel's companion
+    * question ("how LONG from signup to purchase"): per converting
+    * user (first purchase after first signup, #55's contract), the
+    * signup→purchase delay in whole seconds, then EXACT order
+    * statistics (lower median, ceil-0.9 percentile, max) under the
+    * total (delay, user) order — integer rank selection, no
+    * interpolation, engine-exact. The ranked frame is ONE ROW PER
+    * CONVERTING USER (user-cardinality-sized, the q_kanon bounded
+    * contract), so the global window is over an aggregate, never the
+    * event stream. */
+  def qFunnelTime(s: SparkSession, dir: String): DataFrame = {
+    val conv = T(s, dir).events
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("smin"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("pmin"))
+      .where(col("smin").isNotNull && col("pmin") > col("smin"))
+      .select(col("user_id"),
+        (unix_timestamp(col("pmin")) - unix_timestamp(col("smin")))
+          .as("d"))
+    val w = Window.orderBy("d", "user_id")
+    conv
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .agg(count(lit(1)).as("n_converted"),
+        max(when(col("rk") === expr("(n + 1) div 2"), col("d")))
+          .as("median_s"),
+        max(when(col("rk") === expr("(9 * n + 9) div 10"), col("d")))
+          .as("p90_s"),
+        max(col("d")).as("max_s"))
+  }
+
   /** #55g COHORT RETENTION — the canonical event-analytics matrix:
     * users cohorted by first-activity day, each (cohort_day, offset)
     * cell counting the distinct users active `offset` days after

@@ -42,6 +42,13 @@ class GraphReuseSpec extends AnyFunSuite {
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
       .orderBy("doc_id"))
     assert(rows(art.degrees.orderBy("doc_id")) == recount)
+    // bfs is the sixth artifact consumer: hop levels off the stored
+    // edges == hop levels off a fresh discovery pass (#57q)
+    val seeds = docs.where(col("doc_id") % 23 === 0).select("doc_id")
+    val fromArt = rows(Dedup.bfs(art.edges, seeds).orderBy("doc_id"))
+    val fresh = rows(Dedup.bfs(Dedup.jaccardJoin(docs, 0.8), seeds)
+      .orderBy("doc_id"))
+    assert(fromArt == fresh, "bfs(artifact) != bfs(fresh discovery)")
   }
 
   test("edgeTableIncrement == full rebuild (edges AND degrees)") {
