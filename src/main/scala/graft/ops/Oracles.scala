@@ -1059,6 +1059,29 @@ object Oracles {
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
 
+    // top-N + other: identical total-order rank + relabel + re-agg
+    "q_top_other" ->
+      """WITH b AS (SELECT o_orderstatus AS status,
+        |    o_orderpriority AS prio,
+        |    sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY status
+        |    ORDER BY rev DESC, prio ASC) AS rk FROM b)
+        |SELECT status,
+        |  CASE WHEN rk <= 2 THEN prio ELSE 'other' END AS bucket,
+        |  cast(sum(n) AS bigint) AS n,
+        |  cast(sum(rev) AS double) AS rev
+        |FROM r GROUP BY 1, 2 ORDER BY status, bucket""".stripMargin,
+
+    // 2-D histogram: integer-exact band x month grid
+    "q_hist2d" ->
+      """SELECT cast(floor(o_totalprice / 50000) AS bigint) AS band,
+        |  cast(month(cast(o_orderdate AS DATE)) AS bigint) AS mon,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS double) AS rev
+        |FROM orders GROUP BY 1, 2 ORDER BY band, mon""".stripMargin,
+
     // exact set-intersection matrix: same bitmask rollup; pairs with
     // zero joint users drop on both sides (inner semantics)
     "q_type_overlap" ->

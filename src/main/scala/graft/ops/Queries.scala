@@ -1155,6 +1155,39 @@ object Queries {
       .orderBy("day")
   }
 
+  /** #38q TOP-N + OTHER rollup — the dashboard contract ("show the
+    * top 2, fold the tail into 'other'") done exactly: rank the
+    * (group, key) aggregate under a TOTAL order (revenue desc, key
+    * asc — a revenue tie alone would make membership
+    * engine-dependent), relabel past-N keys, re-aggregate. Both
+    * windows run over the tiny post-agg frame; revenue stays decimal
+    * end to end. */
+  def qTopOther(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir).orders
+      .groupBy(col("o_orderstatus").as("status"),
+        col("o_orderpriority").as("prio"))
+      .agg(sum(col("o_totalprice").cast(D2)).as("rev"),
+        count(lit(1)).as("n"))
+    val w = Window.partitionBy("status")
+      .orderBy(col("rev").desc, col("prio").asc)
+    base.withColumn("rk", row_number().over(w))
+      .withColumn("bucket",
+        when(col("rk") <= 2, col("prio")).otherwise(lit("other")))
+      .groupBy("status", "bucket")
+      .agg(sum(col("n")).as("n"), sum(col("rev")).cast("double").as("rev"))
+      .orderBy("status", "bucket")
+  }
+
+  /** #38r 2-D HISTOGRAM (heatmap feed): counts + decimal revenue on
+    * the price-band × order-month grid — both bucket functions
+    * integer-exact, one partial agg, grid-sized output. */
+  def qHist2d(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).orders
+      .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("band"),
+        month(col("o_orderdate")).cast("long").as("mon"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .orderBy("band", "mon")
+
   /** #38o exact SET-INTERSECTION matrix via BITMASK rollup — "how
     * many distinct users did BOTH A and B": the question HLL
     * intersections answer approximately, answered EXACTLY in one
