@@ -1346,6 +1346,48 @@ object Oracles {
         |    / cast(n * rt * ct AS double) AS contribution
         |FROM t ORDER BY source, lang""".stripMargin,
 
+    // OLS regression: same exact decimal sums as q_corr, closed-form
+    // estimators, round(9)
+    "q_regression" ->
+      """SELECT l_returnflag, n,
+        |  round(sxy2 / sxx2, 9) AS slope,
+        |  round(sy / cast(n AS double)
+        |    - (sxy2 / sxx2) * (sx / cast(n AS double)), 9) AS intercept,
+        |  round((sxy2 * sxy2) / (sxx2 * syy2), 9) AS r2
+        |FROM (
+        |  SELECT *, sxy - sx * sy / cast(n AS double) AS sxy2,
+        |    sxx - sx * sx / cast(n AS double) AS sxx2,
+        |    syy - sy * sy / cast(n AS double) AS syy2
+        |  FROM (
+        |    SELECT l_returnflag, cast(count(*) as bigint) AS n,
+        |      cast(sum(cast(l_quantity AS DECIMAL(12,2))) as double) AS sx,
+        |      cast(sum(cast(l_extendedprice AS DECIMAL(12,2))) as double)
+        |        AS sy,
+        |      cast(sum(cast(l_quantity AS DECIMAL(12,2))
+        |        * cast(l_extendedprice AS DECIMAL(12,2))) as double) AS sxy,
+        |      cast(sum(cast(l_quantity AS DECIMAL(12,2))
+        |        * cast(l_quantity AS DECIMAL(12,2))) as double) AS sxx,
+        |      cast(sum(cast(l_extendedprice AS DECIMAL(12,2))
+        |        * cast(l_extendedprice AS DECIMAL(12,2))) as double) AS syy
+        |    FROM lineitem GROUP BY 1) a) b
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // top behavior paths: two leads over the same total order,
+    // top-10 under the total (count desc, path asc) rank
+    "q_path_summary" ->
+      """WITH l AS (SELECT event_type AS e0,
+        |    lead(event_type, 1) OVER w AS e1,
+        |    lead(event_type, 2) OVER w AS e2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |p AS (SELECT e0 || '>' || e1 || '>' || e2 AS path,
+        |    count(*) AS n
+        |  FROM l WHERE e1 IS NOT NULL AND e2 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER
+        |    (ORDER BY n DESC, path ASC) AS rk FROM p)
+        |SELECT cast(rk AS bigint) AS rk, path, cast(n AS bigint) AS n
+        |FROM r WHERE rk <= 10 ORDER BY rk""".stripMargin,
+
     "q_rank_family" ->
       """SELECT o_orderkey, o_orderstatus,
         |  cast(rnk as bigint) AS rnk, cast(drnk as bigint) AS drnk,

@@ -612,6 +612,33 @@ object Queries {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
+  /** #38s per-group OLS REGRESSION (slope / intercept / R²) — the
+    * quantity→price trend line, closing the #38c stats family: the
+    * same five exact decimal sums, the closed-form n·Σxy − Σx·Σy
+    * estimators, and the round(9) conversion-independence fence.
+    * Nothing iterative — one partial agg per group. */
+  def qRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast(P2)
+    val y = col("l_extendedprice").cast(P2)
+    val nD = col("n").cast("double")
+    val sxy = col("sxy") - col("sx") * col("sy") / nD
+    val sxx = col("sxx") - col("sx") * col("sx") / nD
+    val syy = col("syy") - col("sy") * col("sy") / nD
+    T(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        round(sxy / sxx, 9).as("slope"),
+        round(col("sy") / nD - (sxy / sxx) * (col("sx") / nD), 9)
+          .as("intercept"),
+        round((sxy * sxy) / (sxx * syy), 9).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   /** #38d 3σ OUTLIER detection per group — the classic data-quality
     * scan, with the [[qStats]] exactness discipline: per-type mean and
     * stddev come from decimal-exact moments, get rounded well inside
@@ -1567,6 +1594,31 @@ object Queries {
       .filter(col("smin").isNotNull)
       .agg(count(lit(1)).as("n_signup"),
         count(when(col("pmin") > col("smin"), lit(1))).as("n_converted"))
+
+  /** #55u top behavior PATHS — "what do users actually do": the
+    * most common length-3 consecutive event-type sequences across all
+    * users (the product-analytics flow diagram's data): two leads
+    * over the per-user total order (one keyed sort), a count per
+    * distinct path, top-10 under the total (count desc, path asc)
+    * order. Path strings are bounded (|types|³ distinct), so the
+    * rank window runs over a tiny aggregate. */
+  def qPathSummary(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val paths = T(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("e0"))
+      .withColumn("e1", lead(col("e0"), 1).over(w))
+      .withColumn("e2", lead(col("e0"), 2).over(w))
+      .where(col("e1").isNotNull && col("e2").isNotNull)
+      .select(concat_ws(">", col("e0"), col("e1"), col("e2")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    paths
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("n").desc, col("path").asc)))
+      .where(col("rk") <= 10)
+      .select(col("rk").cast("long").as("rk"), col("path"), col("n"))
+      .orderBy("rk")
+  }
 
   /** #55t TIME-TO-CONVERT distribution — the funnel's companion
     * question ("how LONG from signup to purchase"): per converting
