@@ -337,6 +337,16 @@ class RelationalSpec extends AnyFunSuite {
       (1L, 0L, 1L, 5L), (2L, 0L, 2L, 7L),
       (10L, 1L, 1L, 16L), (100L, 2L, 1L, 29L),
       (20L, 1L, 2L, 24L)))
+    // maxDepth boundary: a chain of depth exactly maxDepth resolves;
+    // one deeper is dropped (the cycle-bound contract)
+    val chain = (0L to 5L).map(i =>
+      (i, if (i == 0) None else Some(i - 1), 1L)).toDF("id", "pid", "w")
+    val d4 = Relational.hierarchy(chain, "id", "pid", "w", maxDepth = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(d4 == Set(0L, 1L, 2L, 3L, 4L)) // node 5 needs 5 steps
+    val d5 = Relational.hierarchy(chain, "id", "pid", "w", maxDepth = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(d5(5L) == 5L && d5.size == 6)
   }
 
   test("gridJoin == brute radius pairs incl. boundary dist and negatives (#55q)") {
