@@ -142,7 +142,8 @@ object ScaleExperiment {
       "q_weighted_median|q_chi2|q_bfs|q_line_dedup|q_mode|q_autocorr|q_skew_report|" +
       "q_equidepth|q_pattern_absence|q_series_corr|q_pop|" +
       "q_ri_audit|q_boxplot|q_runs|q_corpus_report|q_cusum|q_type_overlap|q_active_users|" +
-      "q_funnel_time|q_top_other|q_hist2d|q_regression|q_path_summary").r
+      "q_funnel_time|q_top_other|q_hist2d|q_regression|q_path_summary|" +
+      "q_interval_gaps|q_peak_concurrency").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

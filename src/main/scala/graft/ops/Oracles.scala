@@ -1492,6 +1492,48 @@ object Oracles {
         |FROM c WHERE date_diff('day', cohort_day, day) <= 7
         |GROUP BY 1, 2 ORDER BY cohort_day, "offset"""".stripMargin,
 
+    // interval gaps: the coalesce CTE chain + one lag over islands
+    "q_interval_gaps" ->
+      """WITH iv AS (SELECT user_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS lo,
+        |    cast(floor(epoch(ts)) AS bigint) + 300 AS hi, event_id
+        |  FROM events),
+        |d AS (SELECT *, max(hi) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |g AS (SELECT *, sum(CASE WHEN pm IS NULL OR lo > pm
+        |    THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |    ORDER BY lo, hi, event_id) AS island FROM d),
+        |i AS (SELECT user_id, island, min(lo) AS island_lo,
+        |    max(hi) AS island_hi FROM g GROUP BY 1, 2),
+        |l AS (SELECT user_id, island_lo,
+        |    lag(island_hi) OVER (PARTITION BY user_id
+        |      ORDER BY island_lo) AS prev_hi FROM i)
+        |SELECT user_id, cast(count(*) AS bigint) AS n_gaps,
+        |  cast(max(island_lo - prev_hi) AS bigint) AS max_gap_s,
+        |  cast(sum(island_lo - prev_hi) AS bigint) AS total_gap_s
+        |FROM l WHERE prev_hi IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // peak concurrency: the same +1/-1 sweep under the total
+    // (t, delta, event_id) order (closes before opens at an instant)
+    "q_peak_concurrency" ->
+      """WITH ev AS (SELECT user_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS lo,
+        |    cast(floor(epoch(ts)) AS bigint) + 300 AS hi, event_id
+        |  FROM events),
+        |pts AS (SELECT user_id, lo AS t, 1 AS delta, event_id FROM ev
+        |  UNION ALL
+        |  SELECT user_id, hi, -1, event_id FROM ev),
+        |r AS (SELECT user_id, sum(delta) OVER (PARTITION BY user_id
+        |    ORDER BY t, delta, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM pts)
+        |SELECT user_id, cast(max(open) AS bigint) AS peak_concurrent,
+        |  cast(count(*) AS bigint) AS n_points
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     // Markov transitions: identical lead + row-normalization math
     "q_markov" ->
       """WITH tr AS (SELECT event_type AS from_type,

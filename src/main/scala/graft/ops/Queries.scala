@@ -1675,6 +1675,56 @@ object Queries {
       .orderBy("cohort_day", "offset")
   }
 
+  /** #53f' interval GAPS (the downtime report, #53f's complement):
+    * after coalescing each user's activity intervals into islands,
+    * the gaps BETWEEN consecutive islands — when was each user dark,
+    * for how long, out of how many offline stretches. One lag window
+    * over the island table (already tiny — islands, not events);
+    * every boundary integer-exact. */
+  def qIntervalGaps(s: SparkSession, dir: String): DataFrame = {
+    val iv = T(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("lo"),
+      (unix_timestamp(col("ts")) + 300L).as("hi"),
+      col("event_id"))
+    val islands = Relational.coalesceIntervals(iv, Seq("user_id"),
+      "lo", "hi", tiebreak = Seq("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("island_lo")
+    islands
+      .withColumn("prev_hi", lag(col("island_hi"), 1).over(w))
+      .where(col("prev_hi").isNotNull)
+      .select(col("user_id"),
+        (col("island_lo") - col("prev_hi")).as("gap_s"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), max(col("gap_s")).as("max_gap_s"),
+        sum(col("gap_s")).as("total_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** #53l PEAK CONCURRENCY — "how many intervals were open at once,
+    * at worst" (max concurrent sessions, the capacity-planning
+    * number): the classic sweep — +1 at each open, −1 at each close,
+    * running sum under the total (time, delta, event_id) order
+    * (closes sort BEFORE opens at the same instant via delta asc, so
+    * a [a,b) interval touching another's open does not double-count),
+    * then a per-user max. ONE keyed window over 2×|events| rows. */
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("lo"),
+      (unix_timestamp(col("ts")) + 300L).as("hi"), col("event_id"))
+    val pts = ev.select(col("user_id"), col("lo").as("t"),
+        lit(1L).as("delta"), col("event_id"))
+      .unionByName(ev.select(col("user_id"), col("hi").as("t"),
+        lit(-1L).as("delta"), col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts.withColumn("open", sum(col("delta")).over(w))
+      .groupBy("user_id")
+      .agg(max(col("open")).as("peak_concurrent"),
+        count(lit(1)).as("n_points"))
+      .orderBy("user_id")
+  }
+
   /** #55k MARKOV transition matrix over the event stream — the
     * user-behavior model every product-analytics stack derives:
     * (from, to) counts of CONSECUTIVE event pairs per user under the
