@@ -379,4 +379,25 @@ class RelationalSpec extends AnyFunSuite {
            !plan.contains("BroadcastNestedLoopJoin"),
       s"gridJoin plan contains a cartesian:\n$plan")
   }
+
+  test("gridJoin: complete across radii and cell geometries (#55q)") {
+    // radius 1 (every neighbor cell-adjacent), a radius bigger than
+    // the point cloud (all pairs), and a mid radius; plus a
+    // co-located cluster (one cell holds many points)
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 80).map { i =>
+      (i.toLong, (rnd.nextInt(60) - 30).toLong, (rnd.nextInt(60) - 30).toLong)
+    } ++ (80 until 90).map(i => (i.toLong, 7L, -3L)) // co-located
+    for (r <- Seq(1L, 9L, 200L)) {
+      val got = Relational.gridJoin(pts.toDF("id", "x", "y"),
+          "id", "x", "y", radius = r)
+        .collect().map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+      val brute = (for {
+        a <- pts; b <- pts if a._1 < b._1
+        d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+        if d2 <= r * r
+      } yield (a._1, b._1)).toSet
+      assert(got == brute, s"radius $r: ${got.size} vs ${brute.size}")
+    }
+  }
 }
