@@ -782,9 +782,9 @@ object Dedup {
   /** INCREMENTAL artifact maintenance — [[edgeTable]] composed with
     * [[incrementalPairs]], the day-2 story of the build-once graph:
     * a fresh batch's pairs (batch×corpus via the stored minhash index
-    * + batch×batch) APPEND to the edge parquet, degrees recompute from
-    * the pair-sized edge table — the corpus is never re-read, never
-    * re-sketched. Because the banded candidate set provably restricts
+    * + batch×batch) merge into the edge parquet via a deduped staged
+    * swap, degrees recompute from the pair-sized edge table — the
+    * corpus is never re-read, never re-sketched. Because the banded candidate set provably restricts
     * [[minhashPairs]] over the union (see [[incrementalPairs]]) and
     * the exact verify computes the same J, the incremented artifact
     * equals a full [[edgeTable]] rebuild wherever the banding is
@@ -795,14 +795,40 @@ object Dedup {
     * `idx` built over exactly the corpus the artifact covers. */
   def edgeTableIncrement(path: String, idx: MinhashIndex,
                          fresh: DataFrame, tau: Double = 0.8): DataFrame = {
-    incrementalPairs(idx, fresh, tau = tau)
+    // IDEMPOTENT apply (r7 verdict nit: a bare `append` would
+    // double-write every pair if a failed batch retried). The union is
+    // deduped on the pair key — a REPLAYED increment recomputes the
+    // same (doc_a, doc_b, j) rows and the distinct collapses them, so
+    // applying one increment twice leaves edges and degrees
+    // bit-identical (GraphReuseSpec arm). Staged-write-then-rename
+    // publishes each artifact whole (the cdcMerge discipline): the old
+    // edges are still readable while the union materializes into the
+    // stage dir, and the swap is one FS metadata op. Cost: one rewrite
+    // of the PAIR-sized artifact per batch — pairs are orders of
+    // magnitude fewer than documents, so this is changelog-economy,
+    // not a corpus pass.
+    val spark = fresh.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    def swap(stage: String, dest: String): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(stage)
+      val dp = new org.apache.hadoop.fs.Path(dest)
+      val fs = dp.getFileSystem(conf)
+      if (fs.exists(dp)) fs.delete(dp, true)
+      if (!fs.rename(sp, dp))
+        throw new java.io.IOException(s"publish of $dest failed")
+    }
+    spark.read.parquet(s"$path/edges")
+      .unionByName(incrementalPairs(idx, fresh, tau = tau))
+      .dropDuplicates("doc_a", "doc_b")
       .repartition(col("doc_a"))
-      .write.mode("append").parquet(s"$path/edges")
-    val e = fresh.sparkSession.read.parquet(s"$path/edges")
+      .write.mode("overwrite").parquet(s"$path/edges_stage")
+    swap(s"$path/edges_stage", s"$path/edges")
+    val e = spark.read.parquet(s"$path/edges")
     e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
       .repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/degrees")
+      .write.mode("overwrite").parquet(s"$path/degrees_stage")
+    swap(s"$path/degrees_stage", s"$path/degrees")
     e
   }
 

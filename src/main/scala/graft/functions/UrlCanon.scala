@@ -55,9 +55,17 @@ object UrlCanon {
     if (i >= 0) b.substring(i + 2) else b
   }
 
+  /** Authority ends at the first of `/` or `?` — a URL with a query
+    * but no path (`https://example.com?a=1`) must not fold the query
+    * into the host (r7 advice: utm-stripping and param sorting never
+    * ran on such URLs, and `host?q` vs `host/?q` got different keys). */
   private def hostport(r: String): String = {
+    var e = r.length
     val slash = r.indexOf('/')
-    if (slash >= 0) r.substring(0, slash) else r
+    if (slash >= 0) e = slash
+    val q = r.indexOf('?')
+    if (q >= 0 && q < e) e = q
+    r.substring(0, e)
   }
 
   private def hexVal(c: Char): Int =
@@ -115,7 +123,11 @@ object UrlCanon {
       if (hp.endsWith(":443")) hp.substring(0, hp.length - 4)
       else if (hp.endsWith(":80")) hp.substring(0, hp.length - 3)
       else hp
-    val h2 = if (h1.startsWith("www.")) h1.substring(4) else h1
+    // strip 'www.' in a LOOP: www.www.example.com must reach the same
+    // key in one pass as in two (the canon∘canon == canon law — r7
+    // advice found the single strip violated it on stacked prefixes)
+    var h2 = h1
+    while (h2.startsWith("www.")) h2 = h2.substring(4)
     var ascii = true
     var i = 0
     while (ascii && i < h2.length) { ascii = h2.charAt(i) < 128; i += 1 }

@@ -2082,7 +2082,8 @@ object Oracles {
          |      THEN substr(base, instr(base, '//') + 2) ELSE base END
          |      AS rest
          |  FROM c1),
-         |c3 AS (SELECT doc_id, rest, split_part(rest, '/', 1) AS hostport
+         |c3 AS (SELECT doc_id, rest,
+         |    regexp_extract(rest, '^[^/?]*') AS hostport
          |  FROM c2),
          |c4 AS (SELECT doc_id, substr(rest, length(hostport) + 1) AS pathq0,
          |    lower(hostport) AS host0 FROM c3),
@@ -2096,8 +2097,7 @@ object Oracles {
          |      ELSE host0 END
          |      AS host1 FROM c4b),
          |c6 AS (SELECT doc_id, pathq,
-         |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
-         |      ELSE host1 END AS host FROM c5),
+         |    regexp_replace(host1, '^(www\\.)+', '') AS host FROM c5),
          |c7 AS (SELECT doc_id, host, split_part(pathq, '?', 1) AS p0,
          |    CASE WHEN contains(pathq, '?')
          |      THEN substr(pathq, instr(pathq, '?') + 1) ELSE '' END
@@ -2153,7 +2153,7 @@ object Oracles {
          |      AS rest
          |  FROM c1),
          |c3 AS (SELECT doc_id, clean, rest,
-         |    split_part(rest, '/', 1) AS hostport FROM c2),
+         |    regexp_extract(rest, '^[^/?]*') AS hostport FROM c2),
          |c4 AS (SELECT doc_id, clean,
          |    substr(rest, length(hostport) + 1) AS pathq0,
          |    lower(hostport) AS host0 FROM c3),
@@ -2167,8 +2167,7 @@ object Oracles {
          |      ELSE host0 END
          |      AS host1 FROM c4b),
          |c6 AS (SELECT doc_id, clean, pathq,
-         |    CASE WHEN substr(host1, 1, 4) = 'www.' THEN substr(host1, 5)
-         |      ELSE host1 END AS host FROM c5),
+         |    regexp_replace(host1, '^(www\\.)+', '') AS host FROM c5),
          |c7 AS (SELECT doc_id, clean, host,
          |    split_part(pathq, '?', 1) AS p0,
          |    CASE WHEN contains(pathq, '?')
@@ -3101,9 +3100,11 @@ object Oracles {
         |SELECT qid, cast(rank as bigint) AS rank, vid, cos FROM r
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
 
-    // streaming CDC merge: the chunked versioned-snapshot replay must
-    // equal ONE global per-key argmax under the total (tsec, event_id)
-    // order — the batch twin of last-writer-wins
+    // streaming CDC merge with TOMBSTONES: the chunked versioned-
+    // snapshot replay must equal ONE global per-key argmax under the
+    // total (tsec, event_id) order, then DROP keys whose winning row
+    // is a delete op (event_id ≡ 3 mod 10 — the synthesized Debezium
+    // 'D' code) — the batch twin of last-writer-wins + MERGE DELETE
     "q_stream_upsert" ->
       """WITH e AS (SELECT user_id,
         |    cast(floor(epoch(ts)) AS bigint) AS tsec,
@@ -3111,7 +3112,8 @@ object Oracles {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY tsec DESC, event_id DESC) AS rk FROM e)
         |SELECT user_id, tsec, event_id, event_type, value
-        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+        |FROM r WHERE rk = 1 AND event_id % 10 <> 3
+        |ORDER BY user_id""".stripMargin,
 
     "q_stream_window" ->
       s"""SELECT date_trunc('hour', ts) AS hour, event_type, $CNT AS n,

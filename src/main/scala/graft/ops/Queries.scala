@@ -4304,14 +4304,22 @@ object Queries {
     * merge on user_id — the q_upsert plan per micro-batch. */
   def qStreamUpsert(s: SparkSession, dir: String): DataFrame = {
     val st = graft.streaming.Streams
+    // Debezium-style op codes synthesized deterministically: every
+    // event_id ≡ 3 (mod 10) is a DELETE tombstone for its user's key,
+    // everything else an upsert — so the r8 delete arm exercises both
+    // "delete then later re-insert" (key survives with the later row)
+    // and "delete last" (key absent from the final snapshot). The
+    // oracle replays the same law: global argmax per key, then drop
+    // keys whose winning row is a tombstone.
     val ev = T(s, dir).events.select(col("user_id"),
       unix_timestamp(col("ts")).as("tsec"), col("event_id"),
-      col("event_type"), col("value"))
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val snap = s"${System.getProperty("java.io.tmpdir")}/graft_cdc_$tag"
-    // fresh chain per run: stale versions would feed batch 0 a base
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snap))
+      col("event_type"), col("value"),
+      when(pmod(col("event_id"), lit(10)) === 3, lit("D"))
+        .otherwise(lit("U")).as("op"))
+    // per-run nonce dir (r7 advice: a fixed md5-of-dir path raced
+    // concurrent sessions over the same sf dir)
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_cdc_").toString
     // one tiny bounds row (the Queries.scala:2259 precedent) to cut
     // the changelog into 4 disjoint ascending time ranges
     val b = ev.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
@@ -4319,7 +4327,8 @@ object Queries {
     val span = hi - lo + 1
     for (i <- 0L until 4L) {
       val (cLo, cHi) = (lo + span * i / 4, lo + span * (i + 1) / 4)
-      st.cdcMerge(snap, Seq("user_id"), Seq("tsec", "event_id"))(
+      st.cdcMerge(snap, Seq("user_id"), Seq("tsec", "event_id"),
+        op = Some("op"))(
         ev.where(col("tsec") >= cLo && col("tsec") < cHi), i)
     }
     st.cdcSnapshot(s, snap)
@@ -4345,12 +4354,10 @@ object Queries {
       (docs.agg(max("doc_id")).head().getLong(0) + 1L) * 4L / 5L
     val old = docs.where(col("doc_id") < cut)
     val fresh = docs.where(col("doc_id") >= cut)
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir#incr".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(12)
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_edge_incr_$tag"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    // per-run nonce dir (r7 advice: a fixed md5-of-dir path raced
+    // concurrent sessions over the same sf dir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_edge_incr_").toString
     d.edgeTable(old, 0.8, path)
     d.edgeTableIncrement(path, d.minhashIndex(old), fresh, 0.8)
     d.readEdgeTable(s, path).edges.orderBy("doc_a", "doc_b")
@@ -4849,12 +4856,11 @@ object Queries {
   def qGraphReuse(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
     val docs = T(s, dir).documents
-    // deterministic per-input path; always rebuilt — the build cost is
-    // paid once inside this query, the five consumers then amortize it
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_edge_artifact_$tag"
+    // per-run nonce path (r7 advice: a fixed md5-of-dir path raced
+    // concurrent sessions); always rebuilt — the build cost is paid
+    // once inside this query, the five consumers then amortize it
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_edge_artifact_").toString
     d.edgeTable(docs, 0.8, path)
     val edges = graft.core.Eager(
       d.readEdgeTable(s, path).edges.select("doc_a", "doc_b"))

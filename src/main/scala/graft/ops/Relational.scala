@@ -254,24 +254,43 @@ object Relational {
     * e.g. a row_number()==1 window over arrival order; doing it here
     * would hide the caller's choice of "latest").
     *
+    * TOMBSTONES (`opCol`): real changelogs (Debezium-style I/U/D op
+    * codes) carry DELETES — GDPR erasure, order cancellation,
+    * retraction. When `opCol` names an op column on `changes`, a
+    * change row whose op is `"D"` REMOVES its key from the output
+    * (the `MERGE INTO … WHEN MATCHED AND op = 'D' THEN DELETE` arm of
+    * the production MERGE this operator mirrors; a delete for an
+    * absent key is a no-op, and the op column itself never lands in
+    * the output). Any other op value upserts as above. Default `None`
+    * keeps the r6 insert/update/keep-only behavior.
+    *
     * Scale: one full-outer hash equi-join on `key` — a single shuffle
     * of both sides, partitioned for downstream writes keyed the same
-    * way. A small changelog broadcast-joins automatically under AQE;
-    * this is the canonical incremental-snapshot maintenance shape (the
+    * way (deletes ride the same join as a filter, not a second pass).
+    * A small changelog broadcast-joins automatically under AQE; this
+    * is the canonical incremental-snapshot maintenance shape (the
     * nightly "apply the day's changes to the 100 TB snapshot" job,
     * where the alternative CDC formats — MERGE INTO in Delta/Iceberg —
     * lower to exactly this plan). */
-  def upsert(base: DataFrame, changes: DataFrame, key: Seq[String])
-      : DataFrame = {
+  def upsert(base: DataFrame, changes: DataFrame, key: Seq[String],
+             opCol: Option[String] = None): DataFrame = {
     require(key.nonEmpty, "upsert needs at least one key column")
     require(key.forall(base.columns.contains) &&
       key.forall(changes.columns.contains),
       s"both sides must contain key columns $key")
+    require(opCol.forall(changes.columns.contains),
+      s"changes must contain the op column $opCol")
     val common = base.columns.filterNot(key.contains)
       .filter(changes.columns.contains)
+      .filterNot(opCol.contains)
+    val del = opCol.map(c => (col(c) === "D").as("__del")).toSeq
     val c = changes.select(key.map(col) ++
-      common.map(n => col(n).as(s"__c_$n")) :+ lit(1).as("__c"): _*)
-    base.withColumn("__b", lit(1)).join(c, key, "full_outer")
+      common.map(n => col(n).as(s"__c_$n")) ++ del :+ lit(1).as("__c"): _*)
+    val merged = base.withColumn("__b", lit(1)).join(c, key, "full_outer")
+    val dropDeleted =
+      if (opCol.isDefined) merged.where(!coalesce(col("__del"), lit(false)))
+      else merged
+    dropDeleted
       .select(key.map(col) ++
         base.columns.filterNot(key.contains).toSeq.map { n =>
           if (common.contains(n)) coalesce(col(s"__c_$n"), col(n)).as(n)
@@ -440,8 +459,12 @@ object Relational {
           .when(col("__inb").isNull, lit("removed"))
           .when(!(col(s"__a_$fp") <=> col(s"__b_$fp")), lit("changed"))
           .otherwise(lit("unchanged")))
+      // newer side wins by PRESENCE, not by non-nullness: a legitimate
+      // NULL in the newer snapshot must not resurrect the old value
+      // (r7 advice — coalesce here silently violated the docstring)
       .select(key.map(col) ++ rest.map(n =>
-        coalesce(col(s"__b_$n"), col(s"__a_$n")).as(n)) :+
+        when(col("__inb").isNotNull, col(s"__b_$n"))
+          .otherwise(col(s"__a_$n")).as(n)) :+
         col("status"): _*)
   }
 

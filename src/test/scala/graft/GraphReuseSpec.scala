@@ -72,6 +72,20 @@ class GraphReuseSpec extends AnyFunSuite {
     assert(rows(inc.degrees.orderBy("doc_id")) ==
       rows(full.degrees.orderBy("doc_id")),
       "incremented degrees != rebuild")
+    // r8 idempotence arm (the r7 verdict nit): a failed-batch RETRY
+    // re-applies the same increment — the deduped staged swap must
+    // leave edges AND degrees bit-identical, where the old bare
+    // append would have double-written every pair
+    Dedup.edgeTableIncrement(incrPath,
+      Dedup.minhashIndex(docs.where(col("doc_id") < cut)),
+      docs.where(col("doc_id") >= cut), 0.8)
+    val replayed = Dedup.readEdgeTable(spark, incrPath)
+    assert(rows(replayed.edges.orderBy("doc_a", "doc_b")) ==
+      rows(full.edges.orderBy("doc_a", "doc_b")),
+      "replayed increment changed the edge set")
+    assert(rows(replayed.degrees.orderBy("doc_id")) ==
+      rows(full.degrees.orderBy("doc_id")),
+      "replayed increment changed the degrees")
   }
 
   test("q_graph_reuse rollup == composing the standalone operators") {

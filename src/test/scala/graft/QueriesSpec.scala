@@ -186,7 +186,17 @@ class QueriesSpec extends AnyFunSuite {
         "https://xn--mnchen-3ya.example/p"),
       // userinfo never splits the origin key (RFC 3986 authority)
       ("https://User:Pw@Example.com:443/x?b=1",
-        "https://example.com/x?b=1"))
+        "https://example.com/x?b=1"),
+      // query with NO path: the authority ends at '?', so the query
+      // still gets utm-stripping + sorting, and host?q == host/?q
+      // (r7 advice — the query used to fold into the host)
+      ("https://example.com?b=2&utm_x=1&a=1",
+        "https://example.com/?a=1&b=2"),
+      ("https://example.com/?b=2&utm_x=1&a=1",
+        "https://example.com/?a=1&b=2"),
+      // stacked www. prefixes strip in a loop — one pass reaches the
+      // fixed point (r7 advice: single strip broke canon∘canon==canon)
+      ("https://www.www.Example.com/p", "https://example.com/p"))
     val df = spark.createDataFrame(cases).toDF("url", "want")
       .withColumn("got", canonicalizeUrl(col("url")))
     val bad = df.where(col("got") =!= col("want")).collect()

@@ -38,6 +38,38 @@ class RelationalSpec extends AnyFunSuite {
       (4L, None, Some(40.0), "insert")))
   }
 
+  test("upsert: 'D' op removes the key; absent-key delete no-op (#42c r8)") {
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "bal")
+    val changes = Seq((2L, 0.0, "D"), (3L, 99.0, "U"), (4L, 40.0, "I"),
+      (9L, 0.0, "D")).toDF("k", "bal", "op")
+    val got = Relational.upsert(base, changes, Seq("k"), Some("op"))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    // k2 deleted, k9 delete is a no-op (absent), op column never lands
+    assert(got.toSeq == Seq((1L, 10.0, "keep"), (3L, 99.0, "update"),
+      (4L, 40.0, "insert")))
+    // default None: byte-identical to the r6 behavior — every change
+    // row upserts, so the would-be tombstones land as plain writes
+    val plain = Relational.upsert(base, changes.drop("op"), Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(plain.toSeq == Seq((1L, 10.0), (2L, 0.0), (3L, 99.0),
+      (4L, 40.0), (9L, 0.0)))
+  }
+
+  test("snapshotDiff: newer-side NULL wins by presence, not coalesce (r7 advice)") {
+    val a = Seq((1L, "x", Some("old")), (2L, "y", Some("keep")))
+      .toDF("k", "fp", "note")
+    val b = Seq((1L, "x2", None: Option[String]), (2L, "y", Some("keep")))
+      .toDF("k", "fp", "note")
+    val got = Relational.snapshotDiff(a, b, Seq("k"), "fp")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), r.getString(3)))
+    // k1 changed AND its carried note is the newer side's legitimate
+    // NULL — the old value must NOT resurrect
+    assert(got.toSeq == Seq((1L, None, "changed"),
+      (2L, Some("keep"), "unchanged")))
+  }
+
   test("scd2: collapses no-change runs; half-open contiguous intervals (#42d)") {
     val ch = Seq(
       (1L, 10L, 1L, 5.0), (1L, 20L, 2L, 5.0), // no-change collapsed
