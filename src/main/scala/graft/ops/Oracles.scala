@@ -1440,6 +1440,106 @@ object Oracles {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
+    // Q2 shape: correlated scalar MIN with its own join chain — the
+    // SAME SQL text the Spark side runs; DuckDB decorrelates its own way
+    "q_corr_min" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, lineitem, supplier, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        |  AND p_size <= 5
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey
+        |      AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+
+    // Q11 shape: HAVING vs a global scalar over the same relation
+    "q_having_global" ->
+      s"""SELECT l_partkey, cast(sum($REV) AS double) AS value
+         |FROM lineitem, supplier, nation
+         |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+         |  AND n_name = 'NATION_7'
+         |GROUP BY l_partkey
+         |HAVING sum($REV) > (
+         |  SELECT 0.001 * sum(cast(l2.l_extendedprice AS DECIMAL(12,2)) *
+         |                     cast(1 - l2.l_discount AS DECIMAL(6,2)))
+         |  FROM lineitem l2, supplier s2, nation n2
+         |  WHERE l2.l_suppkey = s2.s_suppkey
+         |    AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_7')
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    // Q15 shape: aggregate view consumed twice + global MAX equality
+    "q_view_max" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no, sum($REV) AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name,
+         |       cast(total_revenue AS double) AS total_revenue
+         |FROM supplier, revenue
+         |WHERE s_suppkey = supplier_no
+         |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    // Q18 shape: IN over a grouped-HAVING subquery
+    "q_in_grouped" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       cast(sum(l_quantity) AS double) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    // Q20 shape: nested IN chain + correlated scalar in the HAVING
+    "q_in_chain" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT lo.l_suppkey FROM lineitem lo
+        |    WHERE lo.l_partkey IN (SELECT p_partkey FROM part
+        |                           WHERE p_name LIKE 'red%')
+        |      AND lo.l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND lo.l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY lo.l_suppkey, lo.l_partkey
+        |    HAVING sum(lo.l_quantity) > 0.3 * (
+        |      SELECT sum(l2.l_quantity) FROM lineitem l2
+        |      WHERE l2.l_partkey = lo.l_partkey
+        |        AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        |  AND s_nationkey = n_nationkey
+        |ORDER BY s_name""".stripMargin,
+
+    // Q22 shape: NOT EXISTS + global scalar AVG + substring bucketing
+    "q_anti_global" ->
+      """SELECT cntrycode, cast(count(*) AS bigint) AS numcust,
+        |       cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS double)
+        |         AS totacctbal
+        |FROM (
+        |  SELECT substr(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey
+        |  FROM customer
+        |  WHERE substr(c_name, 18, 1) IN ('0','2','4','6','8')
+        |    AND c_acctbal > (
+        |      SELECT cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS double)
+        |             / cast(count(*) AS bigint)
+        |      FROM customer
+        |      WHERE c_acctbal > 0
+        |        AND substr(c_name, 18, 1) IN ('0','2','4','6','8'))
+        |) cc
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
+
     "q_case_agg" ->
       s"""SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
          |    THEN $REV END) AS double)

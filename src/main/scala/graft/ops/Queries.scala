@@ -1540,6 +1540,200 @@ object Queries {
       ORDER BY numwait DESC, s_name""")
   }
 
+  /** #50d TPC-H Q2 shape: correlated scalar MIN whose subquery carries
+    * its OWN join chain — for each part, the cheapest line shipped by a
+    * same-region supplier, where "cheapest" is defined by a correlated
+    * `min()` over a four-table subquery. Catalyst must pull the scalar
+    * subquery up into a per-part aggregate join (no per-row execution —
+    * plan-asserted: no surviving ScalarSubquery in the optimized plan).
+    * Scale shape: the decorrelated form is two scans of
+    * lineitem⋈supplier⋈nation⋈region both keyed on l_partkey — the min
+    * side is a partial-agg'd shuffle on the part key, region/nation/
+    * supplier broadcast-sized; equality on the min rides as a join
+    * residual. The double equality is exact: `min` picks an existing
+    * l_extendedprice, no arithmetic. */
+  def qCorrMin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.part.createOrReplaceTempView("graft_part")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.supplier.createOrReplaceTempView("graft_supplier")
+    t.nation.createOrReplaceTempView("graft_nation")
+    t.region.createOrReplaceTempView("graft_region")
+    s.sql("""
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+      FROM graft_part, graft_lineitem, graft_supplier, graft_nation,
+           graft_region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND p_size <= 5
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND l_extendedprice = (
+          SELECT min(l2.l_extendedprice)
+          FROM graft_lineitem l2, graft_supplier s2, graft_nation n2,
+               graft_region r2
+          WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""")
+  }
+
+  /** #50e TPC-H Q11 shape: HAVING against an UNCORRELATED scalar over
+    * the same grouped relation — per-part revenue from one nation's
+    * suppliers, kept only where it exceeds a fraction of that nation's
+    * total. Catalyst plans the global sum as a one-row subquery joined
+    * (broadcast) under the HAVING filter; the group side is one shuffle
+    * on l_partkey with partial aggregation. Revenue routes through
+    * DECIMAL on both engines, and the 0.001 fraction multiplies a
+    * decimal, so the HAVING comparison is exact — no double-order
+    * ambiguity at any scale. */
+  def qHavingGlobal(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.supplier.createOrReplaceTempView("graft_supplier")
+    t.nation.createOrReplaceTempView("graft_nation")
+    val rev = "cast(l_extendedprice AS DECIMAL(12,2)) * " +
+      "cast(1 - l_discount AS DECIMAL(6,2))"
+    val rev2 = "cast(l2.l_extendedprice AS DECIMAL(12,2)) * " +
+      "cast(1 - l2.l_discount AS DECIMAL(6,2))"
+    s.sql(s"""
+      SELECT l_partkey, cast(sum($rev) AS double) AS value
+      FROM graft_lineitem, graft_supplier, graft_nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7'
+      GROUP BY l_partkey
+      HAVING sum($rev) > (
+        SELECT 0.001 * sum($rev2)
+        FROM graft_lineitem l2, graft_supplier s2, graft_nation n2
+        WHERE l2.l_suppkey = s2.s_suppkey
+          AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_7')
+      ORDER BY value DESC, l_partkey""")
+  }
+
+  /** #50f TPC-H Q15 shape: aggregate-over-view + global MAX — a revenue
+    * view (per-supplier quarterly revenue) consumed twice, once as the
+    * join input and once under a scalar `max()`. Catalyst dedups the CTE
+    * or replays the 2-scan plan; either way the max side collapses to a
+    * one-row broadcast and the equality rides as a filter — no per-row
+    * subquery (plan-asserted). The revenue stays DECIMAL through the
+    * max/equality and is cast to double only in the output, so the
+    * tie-detection is exact on both engines. */
+  def qViewMax(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.supplier.createOrReplaceTempView("graft_supplier")
+    s.sql("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(cast(l_extendedprice AS DECIMAL(12,2)) *
+                   cast(1 - l_discount AS DECIMAL(6,2))) AS total_revenue
+        FROM graft_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, cast(total_revenue AS double) AS total_revenue
+      FROM graft_supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")
+  }
+
+  /** #50g TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-
+    * quantity orders) — the IN must decorrelate to a left-semi join
+    * against an aggregated relation, not a per-row membership probe
+    * (plan-asserted: LeftSemi present, no ListQuery survives). Scale
+    * shape: the HAVING side is one partial-agg'd shuffle of lineitem on
+    * l_orderkey; the semi join and the outer join reuse the same order
+    * key, so AQE can chain them without an extra exchange; quantity
+    * sums are integral doubles (exact below 2^53). */
+  def qInGrouped(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.customer.createOrReplaceTempView("graft_customer")
+    t.orders.createOrReplaceTempView("graft_orders")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             cast(sum(l_quantity) AS double) AS total_qty
+      FROM graft_customer, graft_orders, graft_lineitem
+      WHERE o_orderkey IN (
+          SELECT l_orderkey FROM graft_lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderkey""")
+  }
+
+  /** #50h TPC-H Q20 shape: nested IN chain + correlated scalar in the
+    * HAVING — suppliers who shipped more than 30% of a red part's
+    * windowed volume. Three subquery layers: an IN over parts, a
+    * grouped subquery per (supplier, part), and a scalar sum correlated
+    * on the GROUP BY column. Catalyst must decorrelate the scalar into
+    * a per-part aggregate join under the HAVING and the outer IN into a
+    * semi join (plan-asserted: LeftSemi, no surviving subquery exprs).
+    * Scale: both lineitem passes shuffle on l_partkey; the part IN is a
+    * broadcast semi; quantities integral → the 0.3× comparison is one
+    * deterministic IEEE multiply on exact sums. */
+  def qInChain(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.supplier.createOrReplaceTempView("graft_supplier")
+    t.nation.createOrReplaceTempView("graft_nation")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.part.createOrReplaceTempView("graft_part")
+    s.sql("""
+      SELECT s_name, s_acctbal
+      FROM graft_supplier, graft_nation
+      WHERE s_suppkey IN (
+          SELECT lo.l_suppkey FROM graft_lineitem lo
+          WHERE lo.l_partkey IN (SELECT p_partkey FROM graft_part
+                                 WHERE p_name LIKE 'red%')
+            AND lo.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND lo.l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY lo.l_suppkey, lo.l_partkey
+          HAVING sum(lo.l_quantity) > 0.3 * (
+            SELECT sum(l2.l_quantity) FROM graft_lineitem l2
+            WHERE l2.l_partkey = lo.l_partkey
+              AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+        AND s_nationkey = n_nationkey
+      ORDER BY s_name""")
+  }
+
+  /** #50i TPC-H Q22 shape: NOT EXISTS + global scalar AVG + substring
+    * bucketing — dormant rich customers by name-code. The three Q22
+    * ingredients survive adaptation: a substring-derived code filtered
+    * by an IN list, a scalar subquery computing a global average over
+    * the SAME filtered domain, and a correlated NOT EXISTS (customers
+    * with no order since 2000 — every synth customer has SOME order, so
+    * the date predicate is what makes the anti join non-trivial).
+    * Catalyst: scalar agg → one-row broadcast; NOT EXISTS → left-anti
+    * on o_custkey with the date pushed into the scan (plan-asserted).
+    * The average divides an exact decimal sum by an exact count in ONE
+    * double division — deterministic IEEE, bit-equal across engines. */
+  def qAntiGlobal(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.customer.createOrReplaceTempView("graft_customer")
+    t.orders.createOrReplaceTempView("graft_orders")
+    s.sql("""
+      SELECT cntrycode, cast(count(*) AS bigint) AS numcust,
+             cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS double)
+               AS totacctbal
+      FROM (
+        SELECT substr(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey
+        FROM graft_customer
+        WHERE substr(c_name, 18, 1) IN ('0','2','4','6','8')
+          AND c_acctbal > (
+            SELECT cast(sum(cast(c_acctbal AS DECIMAL(18,2))) AS double)
+                   / cast(count(*) AS bigint)
+            FROM graft_customer
+            WHERE c_acctbal > 0
+              AND substr(c_name, 18, 1) IN ('0','2','4','6','8'))
+      ) cc
+      WHERE NOT EXISTS (SELECT 1 FROM graft_orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01')
+      GROUP BY cntrycode ORDER BY cntrycode""")
+  }
+
   /** #51 TPC-H Q14 shape: conditional aggregation (promo revenue share). */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
