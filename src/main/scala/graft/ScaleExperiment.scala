@@ -419,6 +419,14 @@ object ScaleExperiment {
       val (tSalt, cSalt) =
         timed(graft.ops.Scale.saltedJoin(big(10000000L), dim, "k", 32))
       require(cPlain == cSalt, s"salted join diverged: $cPlain vs $cSalt")
+      // the AUTO path (r8-verdict ask #3): detection sample included
+      // in the measured time — it must still reproduce the salted win
+      val (tAuto, cAuto) =
+        timed(graft.ops.Relational.skewJoin(big(10000000L), dim, "k", 32))
+      require(cPlain == cAuto, s"auto skew join diverged: $cPlain vs $cAuto")
+      println(f"skew_auto_join     plain ${tPlain}%5.2fs  auto   " +
+        f"${tAuto}%5.2fs  speedup ${tPlain / tAuto}%4.1fx  " +
+        s"(detection sample included)")
       println(f"skew_salted_join   plain ${tPlain}%5.2fs  salted " +
         f"${tSalt}%5.2fs  speedup ${tPlain / tSalt}%4.1fx  " +
         s"(10M rows, 50%% on one key, 100k dim, checksum ok)")

@@ -1440,6 +1440,89 @@ object Oracles {
         |GROUP BY s_name
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
+    // FFD packing replayed EXACTLY as a recursive CTE: same decreasing
+    // rank order, same first-fit rule, bin loads carried as a list —
+    // the hash gate proves the bin-level law, not summary plausibility
+    "q_pack_bestfit" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang, len($TOKS) AS ntok FROM documents),
+         |items AS (
+         |  SELECT lang, doc_id, ntok,
+         |    cast(row_number() OVER (PARTITION BY lang
+         |      ORDER BY ntok DESC, doc_id) AS bigint) AS grn
+         |  FROM t WHERE ntok BETWEEN 1 AND 512),
+         |sharded AS (
+         |  SELECT lang, (grn - 1) // 4096 AS shard,
+         |    ((grn - 1) % 4096) + 1 AS rn, doc_id, ntok
+         |  FROM items),
+         |pack AS (
+         |  SELECT lang, shard, cast(0 AS bigint) AS rn,
+         |         cast([] AS BIGINT[]) AS loads, cast(0 AS bigint) AS ptok
+         |  FROM (SELECT DISTINCT lang, shard FROM sharded)
+         |  UNION ALL
+         |  SELECT i.lang, i.shard, i.rn,
+         |    CASE WHEN idx IS NULL OR idx = 0
+         |         THEN list_append(p.loads, i.ntok)
+         |         ELSE list_slice(p.loads, 1, idx-1)
+         |              || [p.loads[idx] + i.ntok]
+         |              || list_slice(p.loads, idx+1, len(p.loads)) END,
+         |    p.ptok + i.ntok
+         |  FROM pack p
+         |  JOIN sharded i ON i.lang = p.lang AND i.shard = p.shard
+         |                AND i.rn = p.rn + 1,
+         |  LATERAL (SELECT list_position(
+         |    list_transform(p.loads, x -> x + i.ntok <= 512), true)
+         |    AS idx) l),
+         |final AS (
+         |  SELECT p.lang, p.shard, p.rn AS n_docs,
+         |         cast(len(p.loads) AS bigint) AS n_bins, p.ptok
+         |  FROM pack p
+         |  JOIN (SELECT lang, shard, max(rn) mr FROM pack
+         |        GROUP BY lang, shard) m
+         |    ON p.lang = m.lang AND p.shard = m.shard AND p.rn = m.mr),
+         |ffd AS (
+         |  SELECT lang, cast(sum(n_docs) AS bigint) AS n_docs,
+         |         cast(sum(n_bins) AS bigint) AS n_bins,
+         |         cast(sum(ptok) AS bigint) AS packed_tokens,
+         |         cast(sum(n_bins) * 512 - sum(ptok) AS bigint)
+         |           AS ffd_waste
+         |  FROM final GROUP BY lang),
+         |oversize AS (
+         |  SELECT lang, cast(count(*) AS bigint) AS n_oversize
+         |  FROM t WHERE ntok > 512 GROUP BY lang),
+         |concat_pack AS (
+         |  SELECT lang,
+         |    cast((sum(ntok) + 511) // 512 * 512 - sum(ntok) AS bigint)
+         |      AS concat_waste
+         |  FROM t WHERE ntok >= 1 GROUP BY lang)
+         |SELECT f.lang, f.n_docs,
+         |  coalesce(o.n_oversize, 0) AS n_oversize,
+         |  f.n_bins, f.packed_tokens, f.ffd_waste, c.concat_waste,
+         |  f.ffd_waste - c.concat_waste AS waste_delta
+         |FROM ffd f
+         |LEFT JOIN oversize o ON f.lang = o.lang
+         |LEFT JOIN concat_pack c ON f.lang = c.lang
+         |ORDER BY f.lang""".stripMargin,
+
+    // the auto-salted skew join must equal the plain join: the oracle
+    // joins without any salting knowledge
+    "q_skew_join" ->
+      """SELECT c_mktsegment, cast(count(*) AS bigint) AS n,
+        |       cast(sum(cast(value AS DECIMAL(18,4))) AS double) AS sv
+        |FROM (SELECT CASE WHEN event_id % 2 = 0 THEN 0
+        |             ELSE user_id END AS c_custkey, value
+        |      FROM events) f
+        |JOIN customer USING (c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // compaction rewrite preserves content EXACTLY: the oracle is the
+    // original table itself
+    "q_compact" ->
+      """SELECT * FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  l_quantity, l_extendedprice, l_discount, l_tax,
+        |  l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
     // Q2 shape: correlated scalar MIN with its own join chain — the
     // SAME SQL text the Spark side runs; DuckDB decorrelates its own way
     "q_corr_min" ->

@@ -272,6 +272,49 @@ object Relational {
     * nightly "apply the day's changes to the 100 TB snapshot" job,
     * where the alternative CDC formats — MERGE INTO in Delta/Iceberg —
     * lower to exactly this plan). */
+  /** AUTO skew-salted inner equi-join (r8-verdict ask #3): derive the
+    * hot keys from a seeded sample of the big side, then join the hot
+    * slice salted and the rest plain — the composition of
+    * q_skew_report's statistics with the salting mechanic
+    * ScaleExperiment measures (2.3× on the 50 %-hot-key regime).
+    *
+    * Detection: one `sampleFrac` scan of `big`; any key holding more
+    * than `hotShare` of the sampled rows is "hot" (at most
+    * ⌈1/hotShare⌉ keys can qualify, so the driver collect is bounded
+    * by CONTRACT, never data-sized). Keys below the sample's
+    * resolution can't be hot enough to straggle a task.
+    *
+    * Plan: `big` splits into a hot slice (salted across `salts`
+    * buckets, dim rows for those few keys replicated ×salts — tiny by
+    * construction) and the remainder (plain shuffled join); the union
+    * of the two joins equals the plain join EXACTLY (RelationalSpec
+    * equality gate — salting is a physical rewrite, not semantics).
+    * With no hot key the plain join is returned untouched. Inner join
+    * only: the hot/rest split drops null keys exactly as the inner
+    * join itself would. */
+  def skewJoin(big: DataFrame, dim: DataFrame, key: String,
+               salts: Int = 32, hotShare: Double = 0.05,
+               sampleFrac: Double = 0.01): DataFrame = {
+    require(salts > 1, "salts must be > 1")
+    require(hotShare > 0 && hotShare <= 1, "hotShare in (0, 1]")
+    // one pass: per-key sample counts + the sample total via a rollup
+    val cnts = big.select(col(key)).sample(withReplacement = false,
+        sampleFrac, seed = 42)
+      .groupBy(col(key)).count().collect()
+    val total = cnts.map(_.getLong(1)).sum.toDouble
+    val hot = cnts.filter(_.getLong(1) > hotShare * total)
+      .map(_.get(0)).toSeq
+    if (hot.isEmpty || total == 0) big.join(dim, key)
+    else {
+      val isHot = col(key).isInCollection(hot)
+      val salted = graft.ops.Scale.saltedJoin(
+        big.where(isHot), dim.where(isHot), key, salts)
+      // `!isHot` is NULL for null keys → filtered, matching inner-join
+      // null semantics on both slices
+      big.where(!isHot).join(dim, key).unionByName(salted)
+    }
+  }
+
   def upsert(base: DataFrame, changes: DataFrame, key: Seq[String],
              opCol: Option[String] = None): DataFrame = {
     require(key.nonEmpty, "upsert needs at least one key column")

@@ -250,6 +250,57 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("FFD packing: matches driver simulation; waste <= next-fit (random)") {
+    import spark.implicits._
+    // driver-side FFD replay + the ordering claims behind q_pack_bestfit:
+    // bins respect the cap, every in-range doc packs exactly once, the
+    // bin count can't beat the volume lower bound, and first-fit over
+    // the decreasing order never wastes more than next-fit (closing
+    // bins early can only lose capacity)
+    check("ffd", Prop.forAll { (ns0: List[Int]) =>
+      val ns = ns0.map(n => math.abs(n % 700) + 1).take(30)
+      ns.isEmpty || {
+        val docs = ns.zipWithIndex.map { case (n, i) =>
+          (i.toLong, if (i % 2 == 0) "aa" else "bb",
+            (1 to n).map(k => s"w$k").mkString(" ")) }
+        val got = graft.ops.Queries.packBestFitStats(
+            docs.toDF("doc_id", "lang", "text"))
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+             r.getLong(5))).toMap
+        docs.groupBy(_._2).forall { case (lang, ds) =>
+          val sizes = ds.map(d => (d._3.split(" ").length, d._1))
+          val in = sizes.filter(_._1 <= 512).sortBy { case (n, id) => (-n, id) }
+          val over = sizes.count(_._1 > 512)
+          // driver FFD
+          val loads = scala.collection.mutable.ArrayBuffer.empty[Int]
+          in.foreach { case (n, _) =>
+            val i = loads.indexWhere(_ + n <= 512)
+            if (i < 0) loads += n else loads(i) += n
+          }
+          // driver next-fit-decreasing (same order, last bin only)
+          var nfBins = 0; var last = 512
+          in.foreach { case (n, _) =>
+            if (last + n <= 512) last += n else { nfBins += 1; last = n }
+          }
+          val vol = in.map(_._1.toLong).sum
+          if (in.isEmpty) !got.contains(lang) // no packable docs → no row
+          else {
+            val (gotDocs, gotOver, gotBins, gotTok, gotWaste) =
+              got.getOrElse(lang, (0L, 0L, 0L, 0L, 0L))
+            val wantWaste = loads.length.toLong * 512 - vol
+            loads.forall(_ <= 512) &&
+              gotDocs == in.size.toLong && gotOver == over.toLong &&
+              gotBins == loads.length.toLong && gotTok == vol &&
+              gotWaste == wantWaste &&
+              gotBins >= (vol + 511) / 512 &&
+              gotWaste <= nfBins.toLong * 512 - vol
+          }
+        }
+      }
+    })
+  }
+
   test("segment dedup: per-doc drop counts match recomputation (random)") {
     import spark.implicits._
     // small vocab ("a".."e") forces genuine cross-doc segment clashes;

@@ -119,6 +119,37 @@ class RelationalSpec extends AnyFunSuite {
     assert(got == brute, s"${got.size} vs ${brute.size}")
   }
 
+  test("skewJoin == plain join on skewed and uniform keys (#55w)") {
+    import org.apache.spark.sql.functions._
+    // 50% of fact rows on one hot key; dim has payloads for all keys
+    val fact = spark.range(20000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 500L).as("k"),
+      (col("id") % 97).as("v"))
+    val dim = spark.range(500).select(col("id").as("k"),
+      md5(col("id").cast("string")).as("p"))
+    val plain = fact.join(dim, "k")
+    val auto = Relational.skewJoin(fact, dim, "k", salts = 8)
+    assert(auto.count() == plain.count(), "skewJoin changed cardinality")
+    assert(auto.exceptAll(plain).isEmpty && plain.exceptAll(auto).isEmpty,
+      "skewJoin diverged from the plain join")
+    // the hot key was detected: the auto plan is the two-slice union
+    assert(auto.queryExecution.optimizedPlan.toString.contains("Union"),
+      "auto path did not split the hot slice")
+    // uniform keys: no hot key → the plain single-join plan untouched
+    val uni = spark.range(20000).select((col("id") % 500L).as("k"),
+      col("id").as("v"))
+    val autoUni = Relational.skewJoin(uni, dim, "k", salts = 8)
+    assert(!autoUni.queryExecution.optimizedPlan.toString.contains("Union"),
+      "uniform keys should not trigger salting")
+    assert(autoUni.exceptAll(uni.join(dim, "k")).isEmpty,
+      "uniform-path result diverged")
+    // null fact keys drop on both paths (inner-join semantics)
+    val withNull = fact.unionByName(spark.range(1).select(
+      lit(null).cast("long").as("k"), lit(0L).as("v")))
+    assert(Relational.skewJoin(withNull, dim, "k", salts = 8).count()
+      == plain.count(), "null keys must drop exactly like inner join")
+  }
+
   test("upsert laws: idempotent; empty changes = all-keep (#42c)") {
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
     val ch = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "bal")

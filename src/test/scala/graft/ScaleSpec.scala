@@ -443,6 +443,57 @@ class ScaleSpec extends AnyFunSuite {
     assert(needZ <= 6, s"z layout should prune most files, needed $needZ")
   }
 
+  test("compact: collapses small files to target size, keeps content, z-layout prunes") {
+    // the OPTIMIZE mechanics behind q_compact (r8-verdict ask #2):
+    // 1. file count drops to ~bytes/target; 2. nothing is lost or
+    // duplicated; 3. the z-order variant leaves per-file min/max tight
+    // on BOTH clustering dimensions (the pruning signal parquet
+    // row-group skipping and lakehouse file skipping consult)
+    val t = graft.tables.Tables(spark, sf)
+    val base = java.nio.file.Files.createTempDirectory("graft_cpt")
+    val frag = base.resolve("frag").toString
+    t.orders.repartition(40).write.parquet(frag)
+    val nFrag = new java.io.File(frag).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFrag == 40, s"fragmentation setup wrote $nFrag files")
+
+    // plain compaction: tiny table + generous target → exactly 1 file
+    val plain = base.resolve("plain").toString
+    val st1 = graft.ops.Scale.compact(spark, frag, plain, targetMB = 64)
+    assert(st1.filesBefore == 40 && st1.filesAfter == 1,
+      s"expected 40 -> 1 files, got $st1")
+    // content equality both directions (no loss, no duplication)
+    val orig = t.orders
+    val comp = spark.read.parquet(plain)
+    assert(comp.count() == orig.count(), "row count changed")
+    assert(comp.exceptAll(orig).isEmpty && orig.exceptAll(comp).isEmpty,
+      "compaction changed table content")
+
+    // z-ordered compaction into multiple files: each output file must
+    // cover a narrow band of BOTH dimensions — assert real pruning on
+    // the second dim (a 1-D sort could only ever give the first)
+    import org.apache.spark.sql.functions._
+    val zdest = base.resolve("zopt").toString
+    // target = bytes/8 → ~8 z-clustered output files on the tiny table
+    val stz = graft.ops.Scale.compact(spark, frag, zdest,
+      targetMB = st1.bytesBefore / 8.0 / 1024 / 1024,
+      zorder = Some((pmod(col("o_custkey"), lit(4096)),
+                     pmod(col("o_orderkey"), lit(4096)))))
+    assert(stz.filesAfter > 2, s"z-compact produced too few files: $stz")
+    val stats = spark.read.parquet(zdest)
+      .select(input_file_name().as("f"),
+        pmod(col("o_orderkey"), lit(4096)).as("y"))
+      .groupBy("f").agg(min("y").as("ymin")).collect()
+    val needLowY = stats.count(_.getAs[Long]("ymin") < 1024L)
+    assert(needLowY < stats.length,
+      s"z-compacted layout has no y-dimension locality " +
+        s"(${stats.length} files, all intersect low y)")
+    def rm(f: java.io.File): Unit = {
+      val k = f.listFiles(); if (k != null) k.foreach(rm); f.delete(): Unit
+    }
+    rm(base.toFile)
+  }
+
   test("join strategy hints steer the physical join (§5 knobs)") {
     // the per-join override for when the optimizer's default is wrong
     // at scale (stats-blind equal-size joins, broadcast-budget edges):
