@@ -301,7 +301,7 @@ object ScaleExperiment {
       java.nio.file.Files.createTempDirectory("graft_edge_sx").toString
     val tAmort = timed {
       d.edgeTable(docs, 0.8, path)
-      def edges = spark.read.parquet(s"$path/edges")
+      def edges = d.readEdgeTable(spark, path).edges
         .select("doc_a", "doc_b")
       sink(d.components(edges))
       sink(d.keepBest(edges, docs))

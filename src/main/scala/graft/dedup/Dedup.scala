@@ -761,23 +761,65 @@ object Dedup {
     * five consumers of one artifact, hash-equal to a DuckDB replay
     * that recomputes the same pair set), and measured in
     * ScaleExperiment (family total with vs without the artifact). */
-  def edgeTable(docs: DataFrame, tau: Double, path: String): DataFrame = {
-    jaccardJoin(docs, tau)
-      .repartition(col("doc_a"))
-      .write.mode("overwrite").parquet(s"$path/edges")
-    val e = docs.sparkSession.read.parquet(s"$path/edges")
+  /** Committed versions of the edge artifact at `path` — VERSIONED
+    * MANIFEST-COMMIT layout (r8-verdict ask #4): each build/increment
+    * writes `path/v=<n>/{edges,degrees}` and then atomically PUTs a
+    * commit marker; readers only count marked versions, so a torn
+    * writer (crash between the two tables, object-store copy caught
+    * mid-flight) is invisible instead of serving mismatched halves. */
+  private def edgeVersions(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=")
+        && fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
+             graft.streaming.Streams.CommitMarker)))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** Write edges+degrees as `path/v=<id>`, commit with the marker,
+    * then drop committed versions older than the newest two (the
+    * retention discipline the CDC chain uses — the head plus the
+    * replay base). Returns the committed edges frame. */
+  private def publishEdgeVersion(edges: DataFrame, path: String,
+                                 id: Long): DataFrame = {
+    val spark = edges.sparkSession
+    val vdir = s"$path/v=$id"
+    edges.repartition(col("doc_a"))
+      .write.mode("overwrite").parquet(s"$vdir/edges")
+    val e = spark.read.parquet(s"$vdir/edges")
     e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("deg"))
       .repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/degrees")
+      .write.mode("overwrite").parquet(s"$vdir/degrees")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$vdir/${graft.streaming.Streams.CommitMarker}"), true).close()
+    edgeVersions(spark, path).sorted.dropRight(2).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true)
+    }
     e
   }
 
-  /** Read back the artifact [[edgeTable]] wrote. */
+  def edgeTable(docs: DataFrame, tau: Double, path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val next = edgeVersions(spark, path).maxOption.getOrElse(-1L) + 1
+    publishEdgeVersion(jaccardJoin(docs, tau), path, next)
+  }
+
+  /** Read back the newest COMMITTED artifact version — an unmarked
+    * (torn) `v=<n>` dir is never served. */
   def readEdgeTable(spark: org.apache.spark.sql.SparkSession,
-                    path: String): EdgeArtifact =
-    EdgeArtifact(spark.read.parquet(s"$path/edges"),
-      spark.read.parquet(s"$path/degrees"))
+                    path: String): EdgeArtifact = {
+    val vs = edgeVersions(spark, path)
+    require(vs.nonEmpty, s"no committed edge-artifact version under $path")
+    val vdir = s"$path/v=${vs.max}"
+    EdgeArtifact(spark.read.parquet(s"$vdir/edges"),
+      spark.read.parquet(s"$vdir/degrees"))
+  }
 
   /** INCREMENTAL artifact maintenance — [[edgeTable]] composed with
     * [[incrementalPairs]], the day-2 story of the build-once graph:
@@ -800,36 +842,23 @@ object Dedup {
     // deduped on the pair key — a REPLAYED increment recomputes the
     // same (doc_a, doc_b, j) rows and the distinct collapses them, so
     // applying one increment twice leaves edges and degrees
-    // bit-identical (GraphReuseSpec arm). Staged-write-then-rename
-    // publishes each artifact whole (the cdcMerge discipline): the old
-    // edges are still readable while the union materializes into the
-    // stage dir, and the swap is one FS metadata op. Cost: one rewrite
-    // of the PAIR-sized artifact per batch — pairs are orders of
-    // magnitude fewer than documents, so this is changelog-economy,
-    // not a corpus pass.
+    // bit-identical (GraphReuseSpec arm; the replay lands as a new
+    // version with identical content). The increment reads the newest
+    // COMMITTED version and publishes its union as the next version
+    // under the manifest-commit discipline — the old version stays
+    // readable for the whole rewrite, and a crash between the edges
+    // and degrees writes leaves an unmarked dir no reader ever sees.
+    // Cost: one rewrite of the PAIR-sized artifact per batch — pairs
+    // are orders of magnitude fewer than documents, so this is
+    // changelog-economy, not a corpus pass.
     val spark = fresh.sparkSession
-    val conf = spark.sessionState.newHadoopConf()
-    def swap(stage: String, dest: String): Unit = {
-      val sp = new org.apache.hadoop.fs.Path(stage)
-      val dp = new org.apache.hadoop.fs.Path(dest)
-      val fs = dp.getFileSystem(conf)
-      if (fs.exists(dp)) fs.delete(dp, true)
-      if (!fs.rename(sp, dp))
-        throw new java.io.IOException(s"publish of $dest failed")
-    }
-    spark.read.parquet(s"$path/edges")
+    val vs = edgeVersions(spark, path)
+    require(vs.nonEmpty,
+      s"edgeTableIncrement needs a committed artifact under $path")
+    val merged = spark.read.parquet(s"$path/v=${vs.max}/edges")
       .unionByName(incrementalPairs(idx, fresh, tau = tau))
       .dropDuplicates("doc_a", "doc_b")
-      .repartition(col("doc_a"))
-      .write.mode("overwrite").parquet(s"$path/edges_stage")
-    swap(s"$path/edges_stage", s"$path/edges")
-    val e = spark.read.parquet(s"$path/edges")
-    e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-      .repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$path/degrees_stage")
-    swap(s"$path/degrees_stage", s"$path/degrees")
-    e
+    publishEdgeVersion(merged, path, vs.max + 1)
   }
 
   /** Keep-best cluster dedup policy (#57n) over a near-dup pair frame:

@@ -1544,16 +1544,17 @@ object Oracles {
     // Q11 shape: HAVING vs a global scalar over the same relation
     "q_having_global" ->
       s"""SELECT l_partkey, cast(sum($REV) AS double) AS value
-         |FROM lineitem, supplier, nation
+         |FROM lineitem, supplier, nation, region
          |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-         |  AND n_name = 'NATION_7'
+         |  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
          |GROUP BY l_partkey
          |HAVING sum($REV) > (
          |  SELECT 0.001 * sum(cast(l2.l_extendedprice AS DECIMAL(12,2)) *
          |                     cast(1 - l2.l_discount AS DECIMAL(6,2)))
-         |  FROM lineitem l2, supplier s2, nation n2
+         |  FROM lineitem l2, supplier s2, nation n2, region r2
          |  WHERE l2.l_suppkey = s2.s_suppkey
-         |    AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_7')
+         |    AND s2.s_nationkey = n2.n_nationkey
+         |    AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
          |ORDER BY value DESC, l_partkey""".stripMargin,
 
     // Q15 shape: aggregate view consumed twice + global MAX equality

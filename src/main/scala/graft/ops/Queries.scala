@@ -1608,21 +1608,26 @@ object Queries {
     t.lineitem.createOrReplaceTempView("graft_lineitem")
     t.supplier.createOrReplaceTempView("graft_supplier")
     t.nation.createOrReplaceTempView("graft_nation")
+    t.region.createOrReplaceTempView("graft_region")
     val rev = "cast(l_extendedprice AS DECIMAL(12,2)) * " +
       "cast(1 - l_discount AS DECIMAL(6,2))"
     val rev2 = "cast(l2.l_extendedprice AS DECIMAL(12,2)) * " +
       "cast(1 - l2.l_discount AS DECIMAL(6,2))"
+    // region-scoped (not one nation): every region has suppliers at
+    // every graded sf, so the shape is non-degenerate even at sf0.001
     s.sql(s"""
       SELECT l_partkey, cast(sum($rev) AS double) AS value
-      FROM graft_lineitem, graft_supplier, graft_nation
+      FROM graft_lineitem, graft_supplier, graft_nation, graft_region
       WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        AND n_name = 'NATION_7'
+        AND n_regionkey = r_regionkey AND r_name = 'ASIA'
       GROUP BY l_partkey
       HAVING sum($rev) > (
         SELECT 0.001 * sum($rev2)
-        FROM graft_lineitem l2, graft_supplier s2, graft_nation n2
+        FROM graft_lineitem l2, graft_supplier s2, graft_nation n2,
+             graft_region r2
         WHERE l2.l_suppkey = s2.s_suppkey
-          AND s2.s_nationkey = n2.n_nationkey AND n2.n_name = 'NATION_7')
+          AND s2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'ASIA')
       ORDER BY value DESC, l_partkey""")
   }
 

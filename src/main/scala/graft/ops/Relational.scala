@@ -237,41 +237,6 @@ object Relational {
       .drop("__bkt")
   }
 
-  /** Changelog upsert (MERGE-style SCD-1): apply the latest state per
-    * key from `changes` over `base`. The output keeps `base`'s schema
-    * plus an `action` column; for every column present in BOTH inputs
-    * (other than the key) the change value wins when non-null — the
-    * MERGE convention that a null change field means "no change", which
-    * also gives insert rows their changed columns and keep rows their
-    * base columns with one `coalesce` per column.
-    *
-    * `action` ∈ insert (key only in `changes`), update (both), keep
-    * (key only in `base`). Base-only columns ride through; change-only
-    * columns are dropped (the output contract is the base table's
-    * shape — project the change beforehand to add columns).
-    *
-    * Contract: `changes` must be unique per `key` (dedupe upstream —
-    * e.g. a row_number()==1 window over arrival order; doing it here
-    * would hide the caller's choice of "latest").
-    *
-    * TOMBSTONES (`opCol`): real changelogs (Debezium-style I/U/D op
-    * codes) carry DELETES — GDPR erasure, order cancellation,
-    * retraction. When `opCol` names an op column on `changes`, a
-    * change row whose op is `"D"` REMOVES its key from the output
-    * (the `MERGE INTO … WHEN MATCHED AND op = 'D' THEN DELETE` arm of
-    * the production MERGE this operator mirrors; a delete for an
-    * absent key is a no-op, and the op column itself never lands in
-    * the output). Any other op value upserts as above. Default `None`
-    * keeps the r6 insert/update/keep-only behavior.
-    *
-    * Scale: one full-outer hash equi-join on `key` — a single shuffle
-    * of both sides, partitioned for downstream writes keyed the same
-    * way (deletes ride the same join as a filter, not a second pass).
-    * A small changelog broadcast-joins automatically under AQE; this
-    * is the canonical incremental-snapshot maintenance shape (the
-    * nightly "apply the day's changes to the 100 TB snapshot" job,
-    * where the alternative CDC formats — MERGE INTO in Delta/Iceberg —
-    * lower to exactly this plan). */
   /** AUTO skew-salted inner equi-join (r8-verdict ask #3): derive the
     * hot keys from a seeded sample of the big side, then join the hot
     * slice salted and the rest plain — the composition of
@@ -315,8 +280,48 @@ object Relational {
     }
   }
 
+
+  /** Changelog upsert (MERGE-style SCD-1): apply the latest state per
+    * key from `changes` over `base`. The output keeps `base`'s schema
+    * plus an `action` column; for every column present in BOTH inputs
+    * (other than the key) the change value wins when non-null — the
+    * MERGE convention that a null change field means "no change", which
+    * also gives insert rows their changed columns and keep rows their
+    * base columns with one `coalesce` per column.
+    *
+    * `action` ∈ insert (key only in `changes`), update (both), keep
+    * (key only in `base`). Base-only columns ride through; change-only
+    * columns are dropped (the output contract is the base table's
+    * shape — project the change beforehand to add columns).
+    *
+    * Contract: `changes` must be unique per `key` (dedupe upstream —
+    * e.g. a row_number()==1 window over arrival order; doing it here
+    * would hide the caller's choice of "latest").
+    *
+    * TOMBSTONES (`opCol`): real changelogs (Debezium-style I/U/D op
+    * codes) carry DELETES — GDPR erasure, order cancellation,
+    * retraction. When `opCol` names an op column on `changes`, a
+    * change row whose op equals `deleteOp` (case-insensitive;
+    * default `"D"`, so Debezium's lowercase `'d'` matches while its
+    * `'c'`/`'u'`/`'r'` upsert codes do not) REMOVES its key from the
+    * output
+    * (the `MERGE INTO … WHEN MATCHED AND op = 'D' THEN DELETE` arm of
+    * the production MERGE this operator mirrors; a delete for an
+    * absent key is a no-op, and the op column itself never lands in
+    * the output). Any other op value upserts as above. Default `None`
+    * keeps the r6 insert/update/keep-only behavior.
+    *
+    * Scale: one full-outer hash equi-join on `key` — a single shuffle
+    * of both sides, partitioned for downstream writes keyed the same
+    * way (deletes ride the same join as a filter, not a second pass).
+    * A small changelog broadcast-joins automatically under AQE; this
+    * is the canonical incremental-snapshot maintenance shape (the
+    * nightly "apply the day's changes to the 100 TB snapshot" job,
+    * where the alternative CDC formats — MERGE INTO in Delta/Iceberg —
+    * lower to exactly this plan). */
   def upsert(base: DataFrame, changes: DataFrame, key: Seq[String],
-             opCol: Option[String] = None): DataFrame = {
+             opCol: Option[String] = None,
+             deleteOp: String = "D"): DataFrame = {
     require(key.nonEmpty, "upsert needs at least one key column")
     require(key.forall(base.columns.contains) &&
       key.forall(changes.columns.contains),
@@ -326,7 +331,11 @@ object Relational {
     val common = base.columns.filterNot(key.contains)
       .filter(changes.columns.contains)
       .filterNot(opCol.contains)
-    val del = opCol.map(c => (col(c) === "D").as("__del")).toSeq
+    // case-insensitive (r8 advice): real Debezium emits lowercase
+    // 'd' (with 'c'/'u'/'r' for upserts); any feed with a different
+    // marker passes it via deleteOp
+    val del = opCol.map(c =>
+      (upper(col(c)) === deleteOp.toUpperCase).as("__del")).toSeq
     val c = changes.select(key.map(col) ++
       common.map(n => col(n).as(s"__c_$n")) ++ del :+ lit(1).as("__c"): _*)
     val merged = base.withColumn("__b", lit(1)).join(c, key, "full_outer")

@@ -49,6 +49,12 @@ class GraphReuseSpec extends AnyFunSuite {
     val fresh = rows(Dedup.bfs(Dedup.jaccardJoin(docs, 0.8), seeds)
       .orderBy("doc_id"))
     assert(fromArt == fresh, "bfs(artifact) != bfs(fresh discovery)")
+    // r9 (r8-verdict ask #4): MANIFEST COMMIT — an unmarked (torn)
+    // version dir, even with a higher id, is invisible to readers
+    assert(new java.io.File(path, "v=7").mkdirs())
+    val still = rows(Dedup.readEdgeTable(spark, path).edges
+      .orderBy("doc_a", "doc_b"))
+    assert(still == direct, "torn artifact version served to a reader")
   }
 
   test("edgeTableIncrement == full rebuild (edges AND degrees)") {
