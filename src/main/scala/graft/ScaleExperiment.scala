@@ -143,7 +143,10 @@ object ScaleExperiment {
       "q_equidepth|q_pattern_absence|q_series_corr|q_pop|" +
       "q_ri_audit|q_boxplot|q_runs|q_corpus_report|q_cusum|q_type_overlap|q_active_users|" +
       "q_funnel_time|q_top_other|q_hist2d|q_regression|q_path_summary|" +
-      "q_interval_gaps|q_peak_concurrency").r
+      "q_interval_gaps|q_peak_concurrency|" +
+      "q_corr_min|q_having_global|q_view_max|q_in_grouped|q_in_chain|" +
+      "q_anti_global|q_compact|q_skew_join|q_pack_bestfit|" +
+      "q_not_in|q_scalar_avg|q_disjunct").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -1624,6 +1624,48 @@ object Oracles {
         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin,
 
+    // Q16 shape: NOT IN blocklist + COUNT(DISTINCT) — same text
+    "q_not_in" ->
+      """SELECT p_brand, p_type, p_size,
+        |       cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+        |FROM part, lineitem
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#23'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 2000)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q17 shape: correlated scalar AVG over the same fact table
+    "q_scalar_avg" ->
+      """SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS double)
+        |         / 7.0 AS avg_yearly,
+        |       cast(count(*) AS bigint) AS n
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand = 'Brand#23'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // Q19 shape: the RAW disjunctive text with the equi-key inside each
+    // disjunct — DuckDB must factor the common key out of the OR itself;
+    // graft states the factored single-equi-join form. Same query.
+    "q_disjunct" ->
+      s"""SELECT cast(sum($REV) AS double) AS revenue,
+         |       cast(count(*) AS bigint) AS n
+         |FROM lineitem, part
+         |WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+         |         AND p_size BETWEEN 1 AND 5
+         |         AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+         |         AND p_size BETWEEN 1 AND 10
+         |         AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+         |         AND p_size BETWEEN 1 AND 15
+         |         AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
     "q_case_agg" ->
       s"""SELECT 100.0 * cast(sum(CASE WHEN p_type = 'PROMO'
          |    THEN $REV END) AS double)

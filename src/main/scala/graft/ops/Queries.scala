@@ -1755,6 +1755,100 @@ object Queries {
       GROUP BY cntrycode ORDER BY cntrycode""")
   }
 
+  /** #50j TPC-H Q16 shape: NOT IN + COUNT(DISTINCT) — per (brand, type,
+    * size) bucket, how many DISTINCT suppliers ship it, excluding a
+    * blocklisted supplier set expressed as `NOT IN (subquery)`. The Q16
+    * mechanics under test: NOT IN carries three-valued-logic semantics
+    * (ANY null in the list empties the result), so Catalyst must either
+    * PROVE both key sides non-null and degrade to a plain anti join —
+    * what happens here, both keys are required parquet fields — or keep
+    * the null-aware anti form; a naive equality anti join on nullable
+    * keys would silently return wrong rows (QueriesSpec carries the
+    * nullable-poisoning arm proving the engine honors the contract).
+    * The distinct count must go through the two-level partial-agg
+    * plan, never a per-group set collect. Scale: supplier is broadcast-
+    * sized (the anti side), the distinct-agg shuffles once on the group
+    * keys + l_suppkey; counts are exact integers. The blocklist
+    * predicate (s_acctbal < 2000 — the "complaints" stand-in, testdata
+    * has no s_comment) excludes ~25% of suppliers at every graded sf. */
+  def qNotIn(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.part.createOrReplaceTempView("graft_part")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    t.supplier.createOrReplaceTempView("graft_supplier")
+    s.sql("""
+      SELECT p_brand, p_type, p_size,
+             cast(count(DISTINCT l_suppkey) AS bigint) AS supplier_cnt
+      FROM graft_part, graft_lineitem
+      WHERE p_partkey = l_partkey
+        AND p_brand <> 'Brand#23'
+        AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM graft_supplier WHERE s_acctbal < 2000)
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  }
+
+  /** #50k TPC-H Q17 shape: correlated scalar AVG against the SAME fact
+    * table being joined — small-quantity lines for one brand, where
+    * "small" is per-part (l_quantity < 0.2 × that part's average).
+    * The self-referencing aggregate join: Catalyst must decorrelate the
+    * scalar avg into a per-part aggregate of a SECOND lineitem scan and
+    * join it back on l_partkey (plan-asserted: no correlated scalar
+    * survives) — executed naively this is one avg query per outer row,
+    * the canonical 100 TB death. Scale: both lineitem passes shuffle on
+    * l_partkey with partial agg; part is broadcast-sized after its
+    * brand filter. l_quantity is integral doubles, so sum and count are
+    * exact and the avg + the 0.2× threshold are two deterministic IEEE
+    * ops — bit-equal across engines; the final sum routes DECIMAL. */
+  def qScalarAvg(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.part.createOrReplaceTempView("graft_part")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT cast(sum(cast(l_extendedprice AS DECIMAL(18,2))) AS double)
+               / 7.0 AS avg_yearly,
+             cast(count(*) AS bigint) AS n
+      FROM graft_lineitem, graft_part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#23'
+        AND l_quantity < 0.2 * (
+          SELECT avg(l2.l_quantity) FROM graft_lineitem l2
+          WHERE l2.l_partkey = p_partkey)""")
+  }
+
+  /** #50l TPC-H Q19 shape: DISJUNCTIVE join predicates (OR-of-ANDs) —
+    * revenue from three (brand, size-range, quantity-range) channels.
+    * The Q19 lesson: the raw TPC-H text buries the equi-key inside each
+    * disjunct (`(p_partkey = l_partkey AND brand…) OR (p_partkey =
+    * l_partkey AND …)`), and an optimizer that can't factor the common
+    * key out of the OR is forced into a nested-loop join. The graft
+    * side states the factored form directly — ONE hash equi-join on
+    * the part key with the disjunction as a residual filter — and the
+    * plan gate (QueriesSpec) asserts no BNLJ/cartesian survives AND
+    * that CNF extraction pushed the derived single-side prefilters
+    * (p_size ≤ 15, the l_quantity envelope) into both scans, so at
+    * 100 TB the join sees only candidate rows. The oracle runs the RAW
+    * disjunctive text — DuckDB factors it independently — proving the
+    * two forms are the same query. Revenue stays DECIMAL-exact. */
+  def qDisjunct(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.part.createOrReplaceTempView("graft_part")
+    t.lineitem.createOrReplaceTempView("graft_lineitem")
+    s.sql("""
+      SELECT cast(sum(cast(l_extendedprice AS DECIMAL(12,2)) *
+                      cast(1 - l_discount AS DECIMAL(6,2))) AS double)
+               AS revenue,
+             cast(count(*) AS bigint) AS n
+      FROM graft_lineitem JOIN graft_part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+  }
+
   /** #51 TPC-H Q14 shape: conditional aggregation (promo revenue share). */
   def qCaseAgg(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
@@ -5028,6 +5122,66 @@ object Queries {
     Relational.upsert(T(s, dir).customer, latest, Seq("c_custkey"))
       .select("c_custkey", "c_name", "c_acctbal", "action")
       .orderBy("c_custkey")
+  }
+
+  /** #42g multi-clause MERGE INTO through [[Relational.mergeInto]]:
+    * the full lakehouse MERGE statement — conditional DELETE, UPDATE
+    * SET, and INSERT VALUES clauses referencing both sides — as ONE
+    * full-outer join (same plan shape as the SCD-1 upsert; the clauses
+    * are column expressions inside the join's projection). Customer
+    * snapshot (custkeys ∤ 7, so source-only keys exercise the INSERT
+    * arm) merged with a per-customer order rollup: whales (spent >
+    * 3.7M, ~top decile) DELETE; frequent buyers (n ≥ 12) UPDATE
+    * balance := spent and segment := 'VIP'; unmatched rollups INSERT
+    * only when n ≥ 8 (conditional insert), unlisted columns NULL.
+    * Money stays DECIMAL through the rollup and converts to double
+    * once; the oracle replays the clause algebra as CASE arms over the
+    * same full join. */
+  def qMergeMulti(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val target = t.customer.where(col("c_custkey") % 7 =!= 0)
+    val source = t.orders.groupBy(col("o_custkey").as("c_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spent"),
+           count(lit(1)).as("n"))
+    Relational.mergeInto(target, source, Seq("c_custkey"),
+      whenMatchedDelete = Some(expr("s.spent > 3700000")),
+      whenMatchedUpdate = Some((expr("s.n >= 12"), Map(
+        "c_acctbal" -> expr("cast(s.spent AS double)"),
+        "c_mktsegment" -> lit("VIP")))),
+      whenNotMatchedInsert = Some((expr("s.n >= 8"), Map(
+        "c_acctbal" -> expr("cast(s.spent AS double)"),
+        "c_mktsegment" -> lit("NEW")))))
+      .orderBy("c_custkey")
+  }
+
+  /** #42h incremental JOIN-view maintenance through
+    * [[Relational.deltaJoin]]: the IVM algebra ΔJ = ΔA⋈(B∪ΔB) ∪ A⋈ΔB
+    * for an orders⋈customer view growing by an orders append (H2-1997
+    * onward) AND a customer append (custkeys ≡ 0 mod 10) at once. The
+    * stored view (base⋈base) is UNIONed with the delta — never
+    * recomputed (RelationalSpec asserts the delta plan contains
+    * exactly its two joins) — then rolled up per (status, segment):
+    * the gate proves the incremental algebra reconstitutes the full
+    * join bit-for-bit, since the oracle just joins the whole tables.
+    * At 100 TB the increment does delta-sized work: ΔA broadcasts
+    * against B, and a bucketed view makes the append shuffle-free. */
+  def qIncrJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val cust = t.customer.withColumnRenamed("c_custkey", "o_custkey")
+    val cut = ts("1997-07-01")
+    val aBase = t.orders.where(col("o_orderdate") < cut)
+    val aDelta = t.orders.where(col("o_orderdate") >= cut)
+    val bBase = cust.where(col("o_custkey") % 10 =!= 0)
+    val bDelta = cust.where(col("o_custkey") % 10 === 0)
+    val view = aBase.join(bBase, "o_custkey")
+    val delta = Relational.deltaJoin(aBase, aDelta, bBase, bDelta,
+      Seq("o_custkey"))
+    view.unionByName(delta)
+      .groupBy(col("o_orderstatus"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+             .as("total"))
+      .orderBy("o_orderstatus", "c_mktsegment")
   }
 
   /** #42d SCD TYPE-2 history build through [[Relational.scd2]]: the

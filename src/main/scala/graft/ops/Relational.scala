@@ -259,17 +259,24 @@ object Relational {
     * join itself would. */
   def skewJoin(big: DataFrame, dim: DataFrame, key: String,
                salts: Int = 32, hotShare: Double = 0.05,
-               sampleFrac: Double = 0.01): DataFrame = {
+               sampleFrac: Double = 0.01,
+               hotKeys: Option[Seq[Any]] = None): DataFrame = {
     require(salts > 1, "salts must be > 1")
     require(hotShare > 0 && hotShare <= 1, "hotShare in (0, 1]")
-    // one pass: per-key sample counts + the sample total via a rollup
-    val cnts = big.select(col(key)).sample(withReplacement = false,
-        sampleFrac, seed = 42)
-      .groupBy(col(key)).count().collect()
-    val total = cnts.map(_.getLong(1)).sum.toDouble
-    val hot = cnts.filter(_.getLong(1) > hotShare * total)
-      .map(_.get(0)).toSeq
-    if (hot.isEmpty || total == 0) big.join(dim, key)
+    // detection is one scan of `big` (ScaleExperiment: the auto path
+    // keeps 1.4x of the salted mechanic's 2.2x on the 50%-hot regime —
+    // the delta IS this scan). Recurring jobs pass `hotKeys` from a
+    // prior run / q_skew_report and skip it entirely.
+    val hot = hotKeys.getOrElse {
+      val cnts = big.select(col(key)).sample(withReplacement = false,
+          sampleFrac, seed = 42)
+        .groupBy(col(key)).count().collect()
+      val total = cnts.map(_.getLong(1)).sum.toDouble
+      if (total == 0) Seq.empty
+      else cnts.filter(_.getLong(1) > hotShare * total)
+        .map(_.get(0)).toSeq
+    }
+    if (hot.isEmpty) big.join(dim, key)
     else {
       val isHot = col(key).isInCollection(hot)
       val salted = graft.ops.Scale.saltedJoin(
@@ -351,6 +358,115 @@ object Relational {
         when(col("__b").isNull, lit("insert"))
           .when(col("__c").isNull, lit("keep"))
           .otherwise(lit("update")).as("action"): _*)
+  }
+
+  /** Multi-clause MERGE INTO — the general form [[upsert]] is the
+    * latest-state special case of: standard SQL/lakehouse MERGE
+    * semantics (the public Delta/Iceberg `MERGE INTO` statement
+    * lowered to one DataFrame plan), with conditional clauses that may
+    * reference BOTH sides:
+    *
+    *   - WHEN MATCHED AND `whenMatchedDelete` THEN DELETE (first, as
+    *     in SQL clause order)
+    *   - WHEN MATCHED AND `whenMatchedUpdate._1` THEN UPDATE SET
+    *     (`whenMatchedUpdate._2`: target column → expression)
+    *   - WHEN MATCHED (neither fires) → target row unchanged
+    *   - WHEN NOT MATCHED [by target] AND `whenNotMatchedInsert._1`
+    *     THEN INSERT (`._2` values; unlisted target columns → NULL)
+    *   - target rows with no source match ride through unchanged
+    *
+    * Clause conditions and SET/VALUES expressions address the two
+    * sides as `t.<col>` / `s.<col>` (the frames are aliased; use
+    * `expr("s.spent > 100")`-style columns). Output = target schema +
+    * `action` ∈ update/keep/insert (deletes are gone — count them as
+    * target.count − merged.where(action≠insert).count).
+    *
+    * Contract: `source` unique per `key` (SQL MERGE raises on
+    * duplicate matches; dedupe upstream), `key` columns present under
+    * the same names on both sides.
+    *
+    * Scale: ONE full-outer hash equi-join on `key` — identical plan
+    * shape to [[upsert]]: a single shuffle of both sides (broadcast
+    * under AQE when the changelog is small), every clause a column
+    * expression inside the join's projection, no second pass. This is
+    * the nightly lakehouse merge over a bucketed 100 TB snapshot. */
+  def mergeInto(target: DataFrame, source: DataFrame, key: Seq[String],
+                whenMatchedDelete: Option[org.apache.spark.sql.Column] = None,
+                whenMatchedUpdate:
+                  Option[(org.apache.spark.sql.Column,
+                          Map[String, org.apache.spark.sql.Column])] = None,
+                whenNotMatchedInsert:
+                  Option[(org.apache.spark.sql.Column,
+                          Map[String, org.apache.spark.sql.Column])] = None)
+      : DataFrame = {
+    require(key.nonEmpty, "mergeInto needs at least one key column")
+    require(key.forall(target.columns.contains) &&
+      key.forall(source.columns.contains),
+      s"both sides must carry key columns $key under the same names")
+    for ((_, sets) <- whenMatchedUpdate; c <- sets.keys)
+      require(target.columns.contains(c), s"UPDATE SET of unknown column $c")
+    for ((_, sets) <- whenNotMatchedInsert; c <- sets.keys)
+      require(target.columns.contains(c), s"INSERT of unknown column $c")
+    val t = target.withColumn("__t", lit(1)).alias("t")
+    val s = source.withColumn("__s", lit(1)).alias("s")
+    val joinCond = key.map(k => col(s"t.$k") <=> col(s"s.$k"))
+      .reduce(_ && _)
+    val j = t.join(s, joinCond, "full_outer")
+    val matched = col("t.__t").isNotNull && col("s.__s").isNotNull
+    val tOnly = col("s.__s").isNull
+    val sOnly = col("t.__t").isNull
+    val doDelete = whenMatchedDelete
+      .map(c => matched && coalesce(c, lit(false)))
+      .getOrElse(lit(false))
+    val doUpdate = whenMatchedUpdate
+      .map { case (c, _) => matched && !doDelete && coalesce(c, lit(false)) }
+      .getOrElse(lit(false))
+    val doInsert = whenNotMatchedInsert
+      .map { case (c, _) => sOnly && coalesce(c, lit(false)) }
+      .getOrElse(lit(false))
+    val updSet = whenMatchedUpdate.map(_._2).getOrElse(Map.empty)
+    val insSet = whenNotMatchedInsert.map(_._2).getOrElse(Map.empty)
+    j.where(!doDelete && (!sOnly || doInsert))
+      .select(key.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++
+        target.columns.filterNot(key.contains).toSeq.map { n =>
+          // explicit conditional chain, NOT coalesce: an UPDATE that
+          // SETs a column to NULL must stick, and inserted rows take
+          // their VALUES entry (or a typed NULL when unlisted)
+          val dt = target.schema(n).dataType
+          val insVal = insSet.getOrElse(n, lit(null)).cast(dt)
+          val start = when(doInsert, insVal)
+          updSet.get(n).map(e => start.when(doUpdate, e.cast(dt)))
+            .getOrElse(start)
+            .otherwise(col(s"t.$n")).as(n)
+        } :+
+        when(sOnly, lit("insert"))
+          .when(doUpdate, lit("update"))
+          .otherwise(lit("keep")).as("action"): _*)
+  }
+
+  /** Incremental JOIN-view maintenance (delta join) — the IVM algebra
+    * for an equi-join view J = A ⋈ B when both inputs grow by append
+    * batches ΔA, ΔB:
+    *
+    *   ΔJ  =  ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    *
+    * (each new pair has a ΔA row, a ΔB row, or both; the ΔA term takes
+    * the full new B so ΔA×ΔB pairs are counted exactly once). Returns
+    * ΔJ — the caller appends it to the stored J. The base-base join
+    * A ⋈ B is NEVER recomputed (RelationalSpec asserts exactly two
+    * joins in the optimized plan), which is the whole point: on a
+    * 100 TB view a day's increment does delta-sized work — ΔA is
+    * broadcast against B (AQE picks it when Δ is small), and when the
+    * stored view and B are bucketed on the key the append lands
+    * shuffle-free. Inner-join, append-only inputs (updates/deletes
+    * compose with [[mergeInto]] upstream); columns = key ∪ A-cols ∪
+    * B-cols like the plain join. */
+  def deltaJoin(aBase: DataFrame, aDelta: DataFrame,
+                bBase: DataFrame, bDelta: DataFrame,
+                key: Seq[String]): DataFrame = {
+    require(key.nonEmpty, "deltaJoin needs join key columns")
+    aDelta.join(bBase.unionByName(bDelta), key)
+      .unionByName(aBase.join(bDelta, key))
   }
 
   /** SCD Type-2 history build from a changelog: collapse consecutive

@@ -279,6 +279,63 @@ class QueriesSpec extends AnyFunSuite {
         s"${plans(i)._1}: no aggregate join in plan:\n${plans(i)._2}")
   }
 
+  test("r9 decorrelation completions: Q16/Q17/Q19 shapes plan to joins") {
+    import graft.ops.Queries
+    def optimized(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    val corrScalar = """scalar-subquery#\d+ \[[^\]]""".r
+    val plans = Seq(
+      "q16_not_in" -> optimized(Queries.qNotIn(spark, sf)),
+      "q17_scalar_avg" -> optimized(Queries.qScalarAvg(spark, sf)),
+      "q19_disjunct" -> optimized(Queries.qDisjunct(spark, sf)))
+    for ((n, p) <- plans)
+      assert(!p.contains("ListQuery") && !p.contains("Exists(") &&
+             corrScalar.findFirstIn(p).isEmpty,
+        s"$n: per-row subquery expression survived optimization:\n$p")
+    // Q16: the NOT IN must become an anti join (null-aware or — as
+    // here, with required parquet keys — the proven-non-null plain form)
+    assert(plans(0)._2.contains("LeftAnti"),
+      s"q16 lost its anti join:\n${plans(0)._2}")
+    // Q17: the correlated avg must appear as an aggregate join
+    assert(plans(1)._2.contains("Aggregate") && plans(1)._2.contains("Join"),
+      s"q17: no aggregate join:\n${plans(1)._2}")
+    // Q19: the disjunction must ride ONE hash equi-join, never a
+    // nested-loop, and CNF extraction must push the derived single-side
+    // envelopes into both scans
+    val q19 = graft.ops.Queries.qDisjunct(spark, sf)
+    val phys = q19.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+           !phys.contains("BroadcastNestedLoopJoin"),
+      s"q19 fell off the equi-join path:\n$phys")
+    val pushed = q19.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(pushed.contains("GreaterThanOrEqual(l_quantity,1.0)"),
+      s"q19: quantity envelope not pushed to the lineitem scan:\n$pushed")
+    assert(pushed.contains("EqualTo(p_brand,Brand#12)"),
+      s"q19: brand/size disjunction not pushed to the part scan:\n$pushed")
+  }
+
+  test("NOT IN three-valued logic: a NULL in the list empties the result") {
+    // the contract behind q_not_in's anti join: NOT IN is not NOT EXISTS.
+    // With a NULL in the subquery output, `x NOT IN (...)` is never TRUE
+    // (x = NULL is UNKNOWN), so the whole result must be empty — an
+    // engine that planned a plain equality anti join over nullable keys
+    // would wrongly keep rows. Spark must honor this when it CANNOT
+    // prove non-nullness.
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("k").createOrReplaceTempView("probe_side")
+    Seq(Some(2L), None).toDF("b").createOrReplaceTempView("block_side")
+    val poisoned = spark.sql(
+      "SELECT k FROM probe_side WHERE k NOT IN (SELECT b FROM block_side)")
+    assert(poisoned.count() == 0,
+      "NOT IN with a NULL in the list must yield zero rows")
+    // and without the NULL the same query keeps the non-blocked keys
+    val clean = spark.sql(
+      "SELECT k FROM probe_side WHERE k NOT IN " +
+      "(SELECT b FROM block_side WHERE b IS NOT NULL)")
+    assert(clean.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
   test("q_split_neardup: no near-dup cluster straddles a split") {
     import org.apache.spark.sql.functions._
     val docs = graft.tables.Tables(spark, sf).documents
