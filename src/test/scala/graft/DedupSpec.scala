@@ -376,4 +376,51 @@ class DedupSpec extends AnyFunSuite {
       assert(got == dist, s"trial $trial: ${got.size} vs ${dist.size}")
     }
   }
+
+  test("cdcChunks: roundtrip, driver replay, content-anchored boundaries (#57s)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcdefgh "
+    def randText(n: Int) =
+      (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val texts = (0 until 30).map(i =>
+      (i.toLong, randText(40 + rnd.nextInt(400)), s"s${i % 3}")) ++
+      Seq((100L, "tiny", "s0"), (101L, "", "s0"),          // n < window
+          (102L, "exactly8", "s0"))                        // n == window
+    val df = texts.toDF("doc_id", "text", "source")
+    val got = Dedup.cdcChunks(df).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+      .groupBy(_._1).map { case (k, v) => (k, v.map(_._2).toSeq) }
+    // driver replay of the same polynomial rule
+    def chunksOf(t: String): Seq[String] = {
+      val pows = (0 until 8).map(j => math.pow(31.0, j).toLong)
+      val codes = t.map(_.toLong)
+      val bnd = (8 to t.length).filter { i =>
+        i < t.length &&
+        (0 until 8).map(j => codes(i - 1 - j) * pows(j)).sum % 64 == 0
+      }
+      if (t.isEmpty) Seq.empty
+      else {
+        val cuts = 0 +: bnd :+ t.length
+        cuts.sliding(2).map { case Seq(a, b) => t.substring(a, b) }.toSeq
+      }
+    }
+    for ((id, t, _) <- texts) {
+      val exp = chunksOf(t)
+      val g = got.getOrElse(id, Seq.empty)
+      assert(g == exp, s"doc $id: $g vs $exp")
+      assert(g.mkString == t, s"doc $id: chunks must concat to the text")
+    }
+    // content-anchoring: inserting one char changes only the cut(s)
+    // around the edit — every boundary far past the edit point just
+    // shifts by one (same CONTENT cut), and chunks fully past it are
+    // identical strings; a fixed-size chunker would rewrite them all
+    val base = randText(600)
+    val edited = base.substring(0, 300) + "X" + base.substring(300)
+    val cb = chunksOf(base).drop(1)
+    val ce = chunksOf(edited).drop(1)
+    val commonTail = cb.reverse.zip(ce.reverse).takeWhile(p => p._1 == p._2)
+    assert(commonTail.nonEmpty,
+      "an edit must leave the far-downstream chunks byte-identical")
+  }
 }

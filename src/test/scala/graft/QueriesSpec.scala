@@ -315,6 +315,47 @@ class QueriesSpec extends AnyFunSuite {
       s"q19: brand/size disjunction not pushed to the part scan:\n$pushed")
   }
 
+  test("session_window builtin == manual >-gap islands (#54c)") {
+    // the engine's session merge rule: TOUCHING windows merge — an
+    // event EXACTLY gap later still extends the session; only a
+    // strictly-greater gap splits (verified by the synthetic arms
+    // below). Re-derive islands under strict > at microsecond
+    // precision and demand row-for-row equality with the builtin.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val gapUs = unix_micros(col("ts")) -
+      unix_micros(lag(col("ts"), 1).over(byUser))
+    val manual = graft.tables.Tables(spark, sf).events
+      .withColumn("nf",
+        when(gapUs.isNull || gapUs > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("nf")).over(run))
+      .groupBy("user_id", "sid")
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "session_start", "n_events")
+    val builtin = graft.ops.Queries.qSessionWindow(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .sorted.toSeq
+    assert(canon(builtin) == canon(manual),
+      "session_window drifted from the >=-gap island derivation")
+    // synthetic boundary arms: an EXACT-1800s gap merges (touching
+    // windows), 1800s + 1ms splits
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def sessions(t1: java.sql.Timestamp): Long =
+      Seq((1L, t0), (1L, t1)).toDF("user_id", "ts")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .count().count()
+    assert(sessions(new java.sql.Timestamp(t0.getTime + 1800 * 1000L)) == 1,
+      "exact-gap event must extend the session (touching merge)")
+    assert(sessions(new java.sql.Timestamp(t0.getTime + 1800 * 1000L + 1)) == 2,
+      "past-gap event must open a new session")
+  }
+
   test("NOT IN three-valued logic: a NULL in the list empties the result") {
     // the contract behind q_not_in's anti join: NOT IN is not NOT EXISTS.
     // With a NULL in the subquery output, `x NOT IN (...)` is never TRUE

@@ -56,6 +56,67 @@ class RelationalSpec extends AnyFunSuite {
       (4L, 40.0), (9L, 0.0)))
   }
 
+  test("mergeInto: clause order, NULL-set sticks, conditional insert (#42g)") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (4L, "d", 40.0)).toDF("k", "name", "bal")
+    val source = Seq((2L, 99.0), (3L, 99.0), (4L, -1.0), (5L, 50.0),
+      (6L, -1.0)).toDF("k", "x")
+    val got = Relational.mergeInto(target, source, Seq("k"),
+      // DELETE fires first even when the update cond also holds (k=3)
+      whenMatchedDelete = Some(expr("s.x < 0 OR t.k = 3")),
+      whenMatchedUpdate = Some((expr("s.x > 0"), Map(
+        "bal" -> expr("t.bal + s.x"),
+        // UPDATE SET to NULL must stick (not fall back to base)
+        "name" -> expr("cast(null AS string)")))),
+      whenNotMatchedInsert = Some((expr("s.x > 0"), Map(
+        "bal" -> expr("s.x")))))
+      .orderBy("k")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)),
+        Option(r.get(2)), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, Some("a"), Some(10.0), "keep"),     // target-only rides through
+      (2L, None, Some(119.0), "update"),       // SET bal=t.bal+s.x, name=NULL
+      // k=3 deleted (delete precedes update), k=4 deleted (x<0)
+      (5L, None, Some(50.0), "insert")),       // unlisted name -> NULL
+      s"got ${got.toSeq}")                     // k=6 fails the insert cond
+    // no clauses at all: pure full-outer audit — every target row keeps,
+    // every source-only row is dropped (no insert clause)
+    val none = Relational.mergeInto(target, source, Seq("k"))
+      .orderBy("k").collect()
+    assert(none.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L) &&
+      none.forall(_.getString(3) == "keep"))
+  }
+
+  test("deltaJoin: delta algebra == full recompute; base-base never rejoined (#42h)") {
+    val rnd = new scala.util.Random(7)
+    val a = (1 to 400).map(i => (rnd.nextInt(40).toLong, i))
+      .toDF("k", "av")
+    val b = (1 to 120).map(i => (rnd.nextInt(40).toLong, s"b$i"))
+      .toDF("k", "bv")
+    // random 70/30 splits of both sides
+    val Array(aBase, aDelta) = a.randomSplit(Array(0.7, 0.3), seed = 1)
+    val Array(bBase, bDelta) = b.randomSplit(Array(0.7, 0.3), seed = 2)
+    val full = a.join(b, "k")
+    val incr = aBase.join(bBase, Seq("k"))
+      .unionByName(Relational.deltaJoin(aBase, aDelta, bBase, bDelta,
+        Seq("k")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "av", "bv").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .sorted.toSeq
+    assert(canon(incr) == canon(full), "delta algebra lost or dup'd pairs")
+    // the delta plan must contain EXACTLY two joins (dA join (B u dB),
+    // A join dB) — a third would mean the base-base join was recomputed
+    val dPlan = Relational.deltaJoin(aBase, aDelta, bBase, bDelta,
+      Seq("k")).queryExecution.optimizedPlan.toString
+    assert("Join Inner".r.findAllIn(dPlan).size == 2,
+      s"delta join count drifted:\n$dPlan")
+    // empty deltas -> empty increment (and no work)
+    val empty = Relational.deltaJoin(aBase, aDelta.limit(0), bBase,
+      bDelta.limit(0), Seq("k"))
+    assert(empty.count() == 0)
+  }
+
   test("snapshotDiff: newer-side NULL wins by presence, not coalesce (r7 advice)") {
     val a = Seq((1L, "x", Some("old")), (2L, "y", Some("keep")))
       .toDF("k", "fp", "note")
