@@ -148,7 +148,8 @@ object ScaleExperiment {
       "q_anti_global|q_compact|q_skew_join|q_pack_bestfit|" +
       "q_not_in|q_scalar_avg|q_disjunct|" +
       "q_merge_multi|q_incr_join|q_session_window|" +
-      "q_pit_join|q_join_size_est|q_cdc_chunk").r
+      "q_pit_join|q_join_size_est|q_cdc_chunk|" +
+      "q_asof_fwd|q_stream_scd2|q_linkage").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

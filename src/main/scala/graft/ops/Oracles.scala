@@ -1917,6 +1917,55 @@ object Oracles {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY p.event_id""".stripMargin,
 
+    // record linkage: identical deterministic dirty-twin synthesis,
+    // blocking join on the normalized name prefix, integer agreement
+    // scores — both engines replay the same rules exactly
+    "q_linkage" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS a_id, c_name, c_acctbal, c_mktsegment,
+        |    lower(substr(c_name, 1, 17)) AS blk
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey + 1000000 AS b_id,
+        |    CASE WHEN c_custkey % 13 = 0 THEN upper(c_name)
+        |         ELSE c_name END AS b_name,
+        |    CASE WHEN c_custkey % 11 = 0 THEN c_acctbal + 100.0
+        |         WHEN c_custkey % 7 = 0 THEN c_acctbal + 0.25
+        |         ELSE c_acctbal END AS b_acctbal,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS b_mktsegment
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |cand AS (
+        |  SELECT a.*, b.*
+        |  FROM a JOIN b ON a.blk = lower(substr(b.b_name, 1, 17))),
+        |scored AS (
+        |  SELECT a_id, b_id,
+        |    (CASE WHEN c_name = b_name THEN 2 ELSE 0 END
+        |     + CASE WHEN abs(c_acctbal - b_acctbal) <= 0.5 THEN 1
+        |            ELSE 0 END
+        |     + CASE WHEN c_mktsegment = b_mktsegment THEN 1
+        |            ELSE 0 END) AS score
+        |  FROM cand)
+        |SELECT a_id, b_id, score FROM scored
+        |WHERE score >= 2 ORDER BY a_id, b_id""".stripMargin,
+
+    // forward as-of with tolerance: windowed argmin over the range-
+    // filtered pair set (DuckDB's native ASOF is backward-only)
+    "q_asof_fwd" ->
+      """WITH s AS (SELECT event_id, user_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS tsec
+        |  FROM events WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, cast(floor(epoch(ts)) AS bigint) AS tsec
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT s.event_id, p.tsec AS pt,
+        |    row_number() OVER (PARTITION BY s.event_id
+        |      ORDER BY p.tsec) AS rn
+        |  FROM s JOIN p ON s.user_id = p.user_id
+        |    AND p.tsec >= s.tsec AND p.tsec <= s.tsec + 259200)
+        |SELECT s.event_id, s.user_id, c.pt - s.tsec AS wait_s
+        |FROM s LEFT JOIN c ON s.event_id = c.event_id AND c.rn = 1
+        |ORDER BY s.event_id""".stripMargin,
+
     // the plain interval-containment θ-join (DuckDB plans it as an
     // IEJoin); the Spark side answers through the binning rewrite —
     // equality of the two IS the gate
@@ -3782,6 +3831,11 @@ object Oracles {
     // the incremental fold must equal the one-shot build bit-for-bit,
     // so its oracle IS q_scd2's SQL
     "q_scd2_incr" -> scd2Sql,
+
+    // the streaming SCD2 sink's 4-chunk version chain must equal the
+    // one-shot history — q_scd2's SQL verbatim (the q_scd2_incr
+    // restriction theorem through the manifest-commit chain)
+    "q_stream_scd2" -> scd2Sql,
 
     // data-quality audit: same five scans, unioned scalar counts
     "q_dq_audit" ->

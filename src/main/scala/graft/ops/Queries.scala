@@ -1936,6 +1936,48 @@ object Queries {
         countDistinct(col("chunk_md5")).as("uniq_chunks"))
       .orderBy("source")
 
+  /** #55x RECORD LINKAGE with blocking — probabilistic-style entity
+    * resolution across two records-of-the-same-world tables (the
+    * Fellegi–Sunter shape with integer agreement weights): a "dirty"
+    * twin of customer is synthesized deterministically (portable
+    * modulus rules, the q_snapshot_diff convention — %17 dropped,
+    * %13 names case-mangled, %11 balances shifted out of tolerance,
+    * %7 within it, %5 segments wiped), then candidate pairs come from
+    * a BLOCKING equi-join on the case-normalized 17-char name prefix
+    * (~10-record blocks: the scale story — candidates are
+    * block-bounded, never |A|×|B|; a cartesian scorer dies at 100 TB)
+    * and score exact-name +2, balance-within-0.5 +1, segment +1,
+    * link at ≥ 2. False positives from close neighbors are PART OF
+    * the contract (linkage is probabilistic; the gate is exact
+    * because both engines replay identical deterministic rules).
+    * All comparisons exact-integer or IEEE-exact (+0.25/+100 are
+    * exact binary increments). */
+  def qLinkage(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).customer
+    val a = c.select(col("c_custkey").as("a_id"), col("c_name"),
+      col("c_acctbal"), col("c_mktsegment"))
+    val b = c.where(pmod(col("c_custkey"), lit(17)) =!= 0)
+      .select((col("c_custkey") + 1000000L).as("b_id"),
+        when(pmod(col("c_custkey"), lit(13)) === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("b_name"),
+        when(pmod(col("c_custkey"), lit(11)) === 0, col("c_acctbal") + 100.0)
+          .when(pmod(col("c_custkey"), lit(7)) === 0, col("c_acctbal") + 0.25)
+          .otherwise(col("c_acctbal")).as("b_acctbal"),
+        when(pmod(col("c_custkey"), lit(5)) === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("b_mktsegment"))
+    val cand = a.withColumn("blk", lower(substring(col("c_name"), 1, 17)))
+      .join(b.withColumn("blk", lower(substring(col("b_name"), 1, 17))),
+        "blk")
+    cand.withColumn("score",
+        when(col("c_name") === col("b_name"), 2).otherwise(0) +
+        when(abs(col("c_acctbal") - col("b_acctbal")) <= 0.5, 1)
+          .otherwise(0) +
+        when(col("c_mktsegment") === col("b_mktsegment"), 1).otherwise(0))
+      .where(col("score") >= 2)
+      .select(col("a_id"), col("b_id"), col("score"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** #55 funnel: signup → later purchase conversion. */
   def qFunnel(s: SparkSession, dir: String): DataFrame =
     T(s, dir).events
@@ -2196,6 +2238,31 @@ object Queries {
       .select(col("event_id"), col("user_id"),
         (unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")))
           .as("since_signup_s"))
+      .orderBy("event_id")
+  }
+
+  /** #55d' FORWARD as-of join with TOLERANCE: each signup matched to
+    * the same user's FIRST purchase at-or-after it, but only within
+    * 72 h (the pandas `merge_asof(direction='forward', tolerance=…)`
+    * contract — SLA response matching, signup→activation windows).
+    * Same union + ONE keyed running window as the backward form (the
+    * frame flips to FOLLOWING with a running `min`); the tolerance is
+    * a post-pick column expression, so the plan shape — one shuffle
+    * on user_id, no range join — is unchanged. Epoch-second integer
+    * math throughout; the oracle replays forward-pick + bound as a
+    * windowed argmin over the range-filtered pair set. */
+  def qAsofFwd(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("tsec"))
+    val signups = e.filter(col("event_type") === "signup")
+      .select("event_id", "user_id", "tsec")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "tsec")
+    Relational.asofJoin(signups, purchases, Seq("user_id"), "tsec",
+        direction = "forward", tolerance = Some(259200L))
+      .select(col("event_id"), col("user_id"),
+        (col("asof_tsec") - col("tsec")).as("wait_s"))
       .orderBy("event_id")
   }
 
@@ -4760,6 +4827,39 @@ object Queries {
     cleanupAfter(st.cdcSnapshot(s, snap)
       .select("user_id", "tsec", "event_id", "event_type", "value"), snap)
       .orderBy("user_id")
+  }
+
+  /** #81b streaming SCD2 sink ([[graft.streaming.Streams
+    * .scd2MergeStream]]): the events changelog cut into 4 disjoint
+    * ascending time ranges and folded into a PERSISTENT versioned
+    * dimension history — each chunk one [[Relational.scd2Merge]]
+    * under the manifest-commit chain (batch id merges its committed
+    * predecessor, overwrites v=id: replay-idempotent). The final
+    * history must equal the ONE-SHOT scd2 of the whole changelog
+    * bit-for-bit (the q_scd2_incr restriction theorem, now through
+    * the streaming sink's version chain), so the oracle is q_scd2's
+    * SQL verbatim. StreamingSpec drives the same sink through a
+    * genuine throttled file stream and asserts the identical
+    * history + torn-version invisibility. */
+  def qStreamScd2(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.streaming.Streams
+    val ch = T(s, dir).events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
+        col("event_id"), col("value"))
+    val hist = java.nio.file.Files
+      .createTempDirectory("graft_scd2_stream_").toString
+    val b = ch.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val span = hi - lo + 1
+    for (i <- 0L until 4L) {
+      val (cLo, cHi) = (lo + span * i / 4, lo + span * (i + 1) / 4)
+      st.scd2MergeStream(hist, Seq("user_id"), Seq("tsec", "event_id"),
+        "value")(ch.where(col("tsec") >= cLo && col("tsec") < cHi), i)
+    }
+    cleanupAfter(st.cdcSnapshot(s, hist), hist)
+      .select(col("user_id"), col("version"), col("value"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("user_id", "version")
   }
 
   /** #57p' INCREMENTAL graph-artifact maintenance

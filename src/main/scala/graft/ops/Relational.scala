@@ -783,12 +783,13 @@ object Relational {
       .distinct()
   }
 
-  /** Backward as-of join: attach to every `left` row the `right` row
-    * with the greatest `order` value that is `<=` the left row's
-    * `order`, within the same equality `key` (the pandas
-    * `merge_asof` / kdb `aj` / DuckDB `ASOF JOIN` contract, equality
-    * inclusive). Left rows with no such right row keep null matched
-    * columns (left-outer preserving).
+  /** As-of join: attach to every `left` row the `right` row with the
+    * greatest `order` value `<=` the left row's (backward, default) or
+    * the smallest `>=` it (forward), within the same equality `key` —
+    * the pandas `merge_asof` / kdb `aj` / DuckDB `ASOF JOIN` contract,
+    * equality inclusive, optionally distance-bounded (`tolerance`).
+    * Left rows with no such right row keep null matched columns
+    * (left-outer preserving).
     *
     * Shape: tag-and-union + one running window — NOT a range join.
     * Both inputs are projected onto a common schema (right-only
@@ -823,11 +824,31 @@ object Relational {
     *                  right column except `key` and `order`)
     * @param prefix    prefix for attached columns; the matched
     *                  `order` value itself arrives as `prefix+order`
+    * @param direction `"backward"` (default: greatest right `order`
+    *                  ≤ left's — the history lookup) or `"forward"`
+    *                  (smallest right `order` ≥ left's — "next event
+    *                  after": SLA response matching, next-restock,
+    *                  signup→first-purchase). Forward flips the frame
+    *                  to CURRENT ROW → UNBOUNDED FOLLOWING with a
+    *                  running `min`, and equal-`order` right rows sort
+    *                  AFTER left rows so equality stays inclusive —
+    *                  same single keyed window, no range join.
+    * @param tolerance max allowed |matched − left| `order` distance
+    *                  (pandas `merge_asof(tolerance=…)`): a match
+    *                  farther than this is nulled out AFTER the window
+    *                  pick — one column expression, the plan shape is
+    *                  unchanged. Requires a NUMERIC `order` column
+    *                  (epoch seconds/millis — the repo's portable
+    *                  duration idiom).
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: Seq[String],
                order: String, rightCols: Seq[String] = Nil,
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     require(key.nonEmpty, "asofJoin needs at least one equality key")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     require((key :+ order).forall(leftCols.contains),
       s"left side must contain $key and $order")
@@ -845,13 +866,28 @@ object Relational {
         if (key.contains(c) || c == order) col(c)
         else lit(null).cast(left.schema(c).dataType).as(c)
       } :+ payload.as("__asof") :+ lit(0).as("__side"): _*)
-    val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col(order).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide)
-      .withColumn("__m", max(col("__asof")).over(w))
+    val forward = direction == "forward"
+    // ties: the right row must land INSIDE the left row's frame —
+    // before it (backward, preceding frame) or after it (forward,
+    // following frame) — so equality stays inclusive either way
+    val base = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(order).asc,
+        if (forward) col("__side").desc else col("__side").asc)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow,
+        Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = if (forward) min(col("__asof")) else max(col("__asof"))
+    val matched = lSide.unionByName(rSide)
+      .withColumn("__m", pick.over(w))
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++
+    val bounded = tolerance match {
+      case None => matched
+      case Some(t) => matched.withColumn("__m",
+        when(abs(col("__m").getField(order) - col(order)) <= t,
+          col("__m")))
+    }
+    bounded.select(leftCols.map(col) ++
         (col("__m").getField(order).as(prefix + order) +:
           vals.map(v => col("__m").getField(v).as(prefix + v))): _*)
   }

@@ -306,6 +306,59 @@ object Streams {
     drop
   }
 
+  /** Streaming SCD2 sink (#81b): the CDC-feed → DIMENSION-HISTORY
+    * composition — each micro-batch is the next log-ordered changelog
+    * chunk, applied onto the persistent history via
+    * [[graft.ops.Relational.scd2Merge]] (carry-in state = one row per
+    * affected key; history never window-scanned) under the SAME
+    * versioned manifest-commit discipline as [[cdcMerge]]: batch `id`
+    * always merges the latest committed version `< id` and overwrites
+    * `v=id`, so at-least-once replay rewrites the version identically
+    * — exactly-once history state on a plain parquet chain, torn
+    * writers invisible to readers. The warehouse "stream Debezium
+    * into the customer dimension with full history" job. Contract:
+    * batches must partition the changelog in ascending `order` ranges
+    * (the log-ordered CDC feed; same contract as [[cdcMerge]]'s
+    * last-writer-wins). Read back with [[cdcSnapshot]] /
+    * [[cdcSnapshotAsOf]]; retire with [[cdcRetain]]. */
+  def scd2MergeStream(histDir: String, key: Seq[String],
+                      order: Seq[String], value: String)
+                     (batch: DataFrame, id: Long): Unit = {
+    val s = batch.sparkSession
+    val prev = cdcVersions(s, histDir).filter(_ < id)
+    prunedWatermark(s, histDir).foreach { wm =>
+      require(id > wm,
+        s"batch $id is at or below the retention watermark $wm")
+      require(prev.nonEmpty,
+        s"batch $id has no committed predecessor but retention has " +
+          s"pruned up to v=$wm — refusing to merge from an empty base")
+    }
+    val histSchema = StructType(
+      key.map(k => batch.schema(k)) ++ Seq(
+        StructField("version", LongType),
+        batch.schema(value),
+        StructField("valid_from", batch.schema(order.head).dataType),
+        StructField("valid_to", batch.schema(order.head).dataType),
+        StructField("is_current", BooleanType)))
+    val base = prev.maxOption match {
+      case Some(v) => s.read.parquet(s"$histDir/v=$v")
+      case None => s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), histSchema)
+    }
+    publishVersion(
+      graft.ops.Relational.scd2Merge(base, batch, key, order, value),
+      histDir, id)
+  }
+
+  /** [[scd2MergeStream]] as a `foreachBatch` starter. */
+  def scd2MergeSink(changes: DataFrame, key: Seq[String],
+                    order: Seq[String], value: String, histDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        scd2MergeStream(histDir, key, order, value)(batch.toDF(), id)
+    }
+
   /** Stream-static enrichment: events against a broadcast dimension. */
   def enrich(events: DataFrame, customer: DataFrame): DataFrame =
     events.join(broadcast(customer),

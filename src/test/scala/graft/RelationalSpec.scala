@@ -117,6 +117,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("asofJoin forward/tolerance == brute force incl. ties (#55d')") {
+    val rnd = new scala.util.Random(23)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(8).toLong, rnd.nextInt(100).toLong))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(100).toLong, s"v$i"))
+    val lDf = left.toDF("id", "k", "t")
+    val rDf = right.toDF("k", "t", "v")
+    for (dir <- Seq("backward", "forward"); tol <- Seq(None, Some(7L))) {
+      val got = Relational.asofJoin(lDf, rDf, Seq("k"), "t",
+          direction = dir, tolerance = tol)
+        .collect().map(r => (r.getLong(0), Option(r.get(3))
+          .map(_.asInstanceOf[Long]))).toMap
+      for ((id, k, t) <- left) {
+        val cands = right.filter(r => r._1 == k &&
+          (if (dir == "backward") r._2 <= t else r._2 >= t) &&
+          tol.forall(x => math.abs(r._2 - t) <= x))
+        val exp =
+          if (cands.isEmpty) None
+          else Some(if (dir == "backward") cands.map(_._2).max
+                    else cands.map(_._2).min)
+        assert(got(id) == exp, s"$dir tol=$tol id=$id k=$k t=$t")
+      }
+    }
+    // equal-order right rows stay visible in BOTH directions
+    val l1 = Seq((1L, 1L, 50L)).toDF("id", "k", "t")
+    val r1 = Seq((1L, 50L, "x")).toDF("k", "t", "v")
+    for (dir <- Seq("backward", "forward"))
+      assert(Relational.asofJoin(l1, r1, Seq("k"), "t", direction = dir)
+        .collect()(0).getString(4) == "x", s"$dir equality-inclusive")
+  }
+
   test("snapshotDiff: newer-side NULL wins by presence, not coalesce (r7 advice)") {
     val a = Seq((1L, "x", Some("old")), (2L, "y", Some("keep")))
       .toDF("k", "fp", "note")

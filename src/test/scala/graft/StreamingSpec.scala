@@ -336,6 +336,54 @@ class StreamingSpec extends AnyFunSuite {
       "replayed final batch changed the snapshot")
   }
 
+  test("SCD2 sink: streamed history == one-shot scd2; torn version invisible (#81b)") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_scd2s")
+    val evDir = stageChangelog(stage)
+    val hist = stage.resolve("hist").toString
+    val schema = spark.read.parquet(evDir.toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(evDir.toString)
+    val q = Streams.scd2MergeSink(src, Seq("user_id"),
+        Seq("tsec", "event_id"), "value", hist)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    def histRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "version", "value", "valid_from", "valid_to",
+        "is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), r.getLong(3), Option(r.get(4)),
+        r.getBoolean(5))).sortBy(t => (t._1, t._2)).toSeq
+    val oneShot = histRows(graft.ops.Relational.scd2(
+      spark.read.parquet(evDir.toString), Seq("user_id"),
+      Seq("tsec", "event_id"), "value"))
+    val streamed = histRows(Streams.cdcSnapshot(spark, hist))
+    assert(streamed.nonEmpty && streamed == oneShot,
+      s"streamed=${streamed.size} oneShot=${oneShot.size}")
+    // at-least-once replay of the final batch id: bit-identical history
+    val versions = new java.io.File(hist).listFiles()
+      .filter(_.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+    assert(versions.length >= 4, s"expected >=4 versions: ${versions.toSeq}")
+    // exact re-delivery of the SAME batch (the at-least-once case the
+    // log-ordered contract supports; unlike upsert, a superset resend
+    // would violate scd2's ordered-chunk contract)
+    Streams.scd2MergeStream(hist, Seq("user_id"),
+      Seq("tsec", "event_id"), "value")(
+      spark.read.parquet(evDir.resolve(f"chunk-${versions.max}%02d.parquet")
+        .toString), versions.max)
+    assert(histRows(Streams.cdcSnapshot(spark, hist)) == oneShot,
+      "replayed final batch changed the history")
+    // a torn (unmarked) version dir must be invisible to readers
+    val torn = new java.io.File(hist, s"v=${versions.max + 1}")
+    assert(torn.mkdirs())
+    spark.range(1).write.mode("overwrite")
+      .parquet(new java.io.File(torn, "junk").toString)
+    assert(histRows(Streams.cdcSnapshot(spark, hist)) == oneShot,
+      "unmarked version dir leaked into the read")
+  }
+
   test("CDC merge sink: restart mid-stream resumes the version chain (#81)") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cdcr")
     val evDir = stageChangelog(stage)
