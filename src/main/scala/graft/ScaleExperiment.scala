@@ -149,7 +149,9 @@ object ScaleExperiment {
       "q_not_in|q_scalar_avg|q_disjunct|" +
       "q_merge_multi|q_incr_join|q_session_window|" +
       "q_pit_join|q_join_size_est|q_cdc_chunk|" +
-      "q_asof_fwd|q_stream_scd2|q_linkage").r
+      "q_asof_fwd|q_stream_scd2|q_linkage|" +
+      "q_jw_linkage|q_bucket_join|q_cdc_changes|" +
+      "q_rfm|q_drift_psi|q_benford|q_abtest|q_cdc_feed").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

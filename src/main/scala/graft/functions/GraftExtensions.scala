@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_count_in"),
       new ExpressionInfo(classOf[ArrayCountIn].getName, "array_count_in"),
       (exprs: Seq[Expression]) => ArrayCountIn(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "jaro_winkler"),
+      (exprs: Seq[Expression]) => JaroWinklerSim(exprs(0), exprs(1))))
   }
 }

@@ -30,6 +30,44 @@ object Oracles {
   private def xsum(e: String) = s"cast(sum($e) AS double)"
   private val CNT = "cast(count(*) as bigint)"
 
+  /** q_cdc_feed's oracle, generated: the four chunk-boundary states
+    * (global per-key argmax under (tsec, event_id), tombstone winners
+    * dropped — the q_stream_upsert law), then the three consecutive
+    * diffs unioned with the producing version stamped on each row.
+    * State rows are uniquely identified by event_id, so U ⟺ the
+    * winning event_id changed. */
+  private def cdcFeedSql: String = {
+    def st(v: Int): String = {
+      val bound =
+        if (v == 3) ""
+        else s", b WHERE e.tsec < b.lo + (b.span * ${v + 1}) // 4"
+      s"s$v AS (SELECT user_id, event_id, value FROM (\n" +
+        "    SELECT e.user_id, e.tsec, e.event_id, e.value,\n" +
+        "      row_number() OVER (PARTITION BY e.user_id\n" +
+        "        ORDER BY e.tsec DESC, e.event_id DESC) AS rk\n" +
+        s"    FROM e$bound)\n" +
+        "  WHERE rk = 1 AND event_id % 10 <> 3)"
+    }
+    def diff(v: Int): String =
+      s"SELECT cast($v AS bigint) AS version,\n" +
+        "  coalesce(a.user_id, c.user_id) AS user_id,\n" +
+        "  CASE WHEN a.user_id IS NULL THEN 'I'\n" +
+        "       WHEN c.user_id IS NULL THEN 'D' ELSE 'U' END AS op,\n" +
+        "  a.event_id AS old_event_id, c.event_id AS new_event_id,\n" +
+        "  c.value AS new_value\n" +
+        s"FROM s${v - 1} a FULL JOIN s$v c ON a.user_id = c.user_id\n" +
+        "WHERE a.user_id IS NULL OR c.user_id IS NULL\n" +
+        "   OR a.event_id <> c.event_id"
+    "WITH e AS (SELECT user_id,\n" +
+      "    cast(floor(epoch(ts)) AS bigint) AS tsec,\n" +
+      "    event_id, value FROM events),\n" +
+      "b AS (SELECT min(tsec) AS lo,\n" +
+      "    max(tsec) - min(tsec) + 1 AS span FROM e),\n" +
+      (0 to 3).map(st).mkString(",\n") + "\n" +
+      (1 to 3).map(diff).mkString("\nUNION ALL\n") + "\n" +
+      "ORDER BY version, user_id"
+  }
+
   /** RFC 3986 §6.2.2 percent-encoding normalization, the DuckDB replay
     * of [[graft.text.TextFunctions.pctNormalize]]: split on '%', decode
     * a valid triplet whose octet is unreserved (ALPHA/DIGIT/-._~),
@@ -677,6 +715,122 @@ object Oracles {
          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // Benford first-digit audit: leading digit via the decimal's
+    // string form (no float digit extraction), counts exact, only the
+    // expected share / chi2 term touches log10, rounded 6 dp
+    "q_benford" ->
+      """WITH d AS (SELECT cast(substr(cast(cast(o_totalprice
+        |    AS DECIMAL(18,2)) AS varchar), 1, 1) AS bigint) AS digit
+        |  FROM orders),
+        |t AS (SELECT cast(count(*) AS double) AS total FROM d)
+        |SELECT digit, cast(count(*) AS bigint) AS n,
+        |  round(cast(count(*) AS double) / total, 6) AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS expected,
+        |  round(pow(cast(count(*) AS double)
+        |      - total * log10(1.0 + 1.0 / digit), 2)
+        |    / (total * log10(1.0 + 1.0 / digit)), 6) AS chi2_contrib
+        |FROM d, t GROUP BY digit, total ORDER BY digit""".stripMargin,
+
+    // A/B two-proportion z: same user-grained conversion aggregate,
+    // identical double formula order, rounded 6 dp (sqrt is IEEE
+    // correctly-rounded in both engines)
+    "q_abtest" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN count(CASE WHEN event_type = 'purchase'
+        |        THEN 1 END) >= 14 THEN 1 ELSE 0 END AS conv,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT
+        |    cast(count(CASE WHEN variant = 0 THEN 1 END) AS bigint)
+        |      AS n_a,
+        |    cast(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END)
+        |      AS bigint) AS conv_a,
+        |    cast(count(CASE WHEN variant = 1 THEN 1 END) AS bigint)
+        |      AS n_b,
+        |    cast(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END)
+        |      AS bigint) AS conv_b
+        |  FROM u),
+        |p AS (SELECT *,
+        |    cast(conv_a AS double) / cast(n_a AS double) AS pa,
+        |    cast(conv_b AS double) / cast(n_b AS double) AS pb,
+        |    (cast(conv_a AS double) + cast(conv_b AS double))
+        |      / (cast(n_a AS double) + cast(n_b AS double)) AS pool
+        |  FROM a)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  CASE WHEN conv_a = 0 THEN NULL
+        |    ELSE round(pb / pa - 1.0, 6) END AS lift,
+        |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |    THEN NULL
+        |    ELSE round((pa - pb) / sqrt(pool * (1.0 - pool)
+        |      * (1.0 / cast(n_a AS double)
+        |        + 1.0 / cast(n_b AS double))), 6) END AS z
+        |FROM p""".stripMargin,
+
+    // per-version change feed: all four chunk states, three pairwise
+    // diffs unioned with the producing version stamped on each row
+    "q_cdc_feed" -> cdcFeedSql,
+
+    // RFM segmentation: ntileExact is spec'd + hash-gated equal to the
+    // built-in ntile, so the oracle uses DuckDB's native ntile over
+    // the identical (metric, custkey) total orders
+    "q_rfm" ->
+      s"""WITH base AS (SELECT o_custkey AS cust,
+         |    max(o_orderdate) AS rec, $CNT AS freq,
+         |    ${d2("o_totalprice")} AS mon
+         |  FROM orders GROUP BY 1),
+         |sc AS (SELECT mon,
+         |    ntile(5) OVER (ORDER BY rec, cust) AS r_score,
+         |    ntile(5) OVER (ORDER BY freq, cust) AS f_score,
+         |    ntile(5) OVER (ORDER BY mon, cust) AS m_score
+         |  FROM base)
+         |SELECT cast(r_score AS bigint) AS r_score,
+         |  cast(f_score AS bigint) AS f_score,
+         |  cast(m_score AS bigint) AS m_score,
+         |  $CNT AS n_cust, ${d2("mon")} AS sum_mon
+         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // PSI drift: baseline deciles via native ntile (== ntileExact),
+    // both periods binned by the same exact-decimal cutpoint rule,
+    // ln rounded to 6 dp on both sides
+    "q_drift_psi" ->
+      """WITH o AS (SELECT cast(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    o_orderkey AS k,
+        |    cast(floor(epoch(o_orderdate)) AS bigint) AS d
+        |  FROM orders),
+        |bo AS (SELECT (min(d) + max(d)) // 2 AS mid FROM o),
+        |base AS (SELECT p, k FROM o, bo WHERE d < mid),
+        |cur AS (SELECT p, k FROM o, bo WHERE d >= mid),
+        |nt AS (SELECT p, ntile(10) OVER (ORDER BY p, k) AS b FROM base),
+        |cuts AS (SELECT max(p) AS c FROM nt WHERE b <= 9 GROUP BY b),
+        |bb AS (SELECT base.k, 1 + count(cuts.c) AS bin
+        |  FROM base LEFT JOIN cuts ON base.p > cuts.c GROUP BY base.k),
+        |cb AS (SELECT cur.k, 1 + count(cuts.c) AS bin
+        |  FROM cur LEFT JOIN cuts ON cur.p > cuts.c GROUP BY cur.k),
+        |pb AS (SELECT bin, count(*) AS base_n FROM bb GROUP BY bin),
+        |qb AS (SELECT bin, count(*) AS cur_n FROM cb GROUP BY bin),
+        |nn AS (SELECT (SELECT count(*) FROM base) AS nb,
+        |    (SELECT count(*) FROM cur) AS nc)
+        |SELECT coalesce(pb.bin, qb.bin) AS bin,
+        |  coalesce(base_n, 0) AS base_n, coalesce(cur_n, 0) AS cur_n,
+        |  CASE WHEN coalesce(base_n, 0) = 0 OR coalesce(cur_n, 0) = 0
+        |    THEN NULL
+        |    ELSE round((cast(base_n AS double) / nb
+        |        - cast(cur_n AS double) / nc)
+        |      * ln((cast(base_n AS double) / nb)
+        |        / (cast(cur_n AS double) / nc)), 6) END AS contrib
+        |FROM pb FULL JOIN qb ON pb.bin = qb.bin, nn
+        |ORDER BY bin""".stripMargin,
+
+    // bucketed join: the oracle is the SAME join over the unbucketed
+    // parquet — the gate proves bucketing changed the plan, not the
+    // answer (the no-Exchange claim is BucketJoinSpec's)
+    "q_bucket_join" ->
+      s"""SELECT o_orderstatus, ${d2("l_extendedprice")} AS rev,
+         |  $CNT AS n
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q3_join" ->
       s"""SELECT o_orderkey, ${xsum(REV)} AS revenue, o_orderdate
@@ -1948,6 +2102,32 @@ object Oracles {
         |  FROM cand)
         |SELECT a_id, b_id, score FROM scored
         |WHERE score >= 2 ORDER BY a_id, b_id""".stripMargin,
+
+    // fuzzy linkage: identical deterministic character corruption,
+    // blocking on the corruption-invariant 16-char prefix, DuckDB's
+    // native jaro_winkler_similarity (bit-compatible with the Spark
+    // expression on ASCII — JaroWinklerSpec pins probed values),
+    // rounded to 4 dp so rank order survives last-ulp drift
+    "q_jw_linkage" ->
+      """WITH a AS (SELECT c_custkey AS a_id, c_name AS a_name,
+        |    substr(c_name, 1, 16) AS blk FROM customer),
+        |b AS (SELECT c_custkey + 2000000 AS b_id,
+        |    CASE WHEN c_custkey % 7 = 0 THEN
+        |        substr(c_name, 1, length(c_name) - 2)
+        |        || substr(c_name, length(c_name), 1)
+        |        || substr(c_name, length(c_name) - 1, 1)
+        |      WHEN c_custkey % 5 = 0 THEN
+        |        substr(c_name, 1, length(c_name) - 1) || 'X'
+        |      WHEN c_custkey % 3 = 0 THEN c_name || 'Q'
+        |      ELSE c_name END AS b_name
+        |  FROM customer WHERE c_custkey % 17 <> 0),
+        |cand AS (SELECT b.b_id, a.a_id,
+        |    round(jaro_winkler_similarity(a.a_name, b.b_name), 4) AS sim
+        |  FROM b JOIN a ON substr(b.b_name, 1, 16) = a.blk),
+        |best AS (SELECT b_id, a_id, sim, row_number() OVER
+        |    (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn FROM cand)
+        |SELECT b_id, a_id, sim FROM best WHERE rn = 1 AND sim >= 0.9
+        |ORDER BY b_id""".stripMargin,
 
     // forward as-of with tolerance: windowed argmin over the range-
     // filtered pair set (DuckDB's native ASOF is backward-only)
@@ -3443,6 +3623,37 @@ object Oracles {
         |    ORDER BY tsec DESC, event_id DESC) AS rk FROM e)
         |SELECT user_id, tsec, event_id, event_type, value
         |FROM r WHERE rk = 1 AND event_id % 10 <> 3
+        |ORDER BY user_id""".stripMargin,
+
+    // change data feed v1 → v3: both version states recomputed as
+    // global per-key argmaxes over the identical integer chunk
+    // arithmetic (v1 = chunks 0-1: tsec < lo + 2·span/4; v3 = all),
+    // tombstone winners dropped, then full-outer diffed — winning
+    // rows are uniquely identified by event_id, so U ⟺ it changed
+    "q_cdc_changes" ->
+      """WITH e AS (SELECT user_id,
+        |    cast(floor(epoch(ts)) AS bigint) AS tsec,
+        |    event_id, value FROM events),
+        |b AS (SELECT min(tsec) AS lo,
+        |    max(tsec) - min(tsec) + 1 AS span FROM e),
+        |s1 AS (SELECT user_id, event_id FROM (
+        |    SELECT e.user_id, e.event_id, row_number() OVER (
+        |      PARTITION BY e.user_id ORDER BY e.tsec DESC,
+        |        e.event_id DESC) AS rk
+        |    FROM e, b WHERE e.tsec < b.lo + (b.span * 2) // 4)
+        |  WHERE rk = 1 AND event_id % 10 <> 3),
+        |s3 AS (SELECT user_id, event_id, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tsec DESC, event_id DESC) AS rk FROM e)
+        |  WHERE rk = 1 AND event_id % 10 <> 3)
+        |SELECT coalesce(s1.user_id, s3.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'I'
+        |       WHEN s3.user_id IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  s1.event_id AS old_event_id, s3.event_id AS new_event_id,
+        |  s3.value AS new_value
+        |FROM s1 FULL JOIN s3 ON s1.user_id = s3.user_id
+        |WHERE s1.user_id IS NULL OR s3.user_id IS NULL
+        |   OR s1.event_id <> s3.event_id
         |ORDER BY user_id""".stripMargin,
 
     "q_stream_window" ->

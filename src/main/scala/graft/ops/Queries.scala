@@ -424,6 +424,47 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
   }
 
+  /** #40b BUCKETED co-located join: both sides written as
+    * hash-BUCKETED tables on the join key (`bucketBy(16) + sortBy`,
+    * the Spark datasource-bucketing layout), then joined — the
+    * canonical shuffle-ELIMINATION technique for repeated big-big
+    * joins: each side's scan already satisfies
+    * `HashPartitioning(key, 16)`, so the sort-merge join runs with NO
+    * Exchange on either side (machine-asserted in BucketJoinSpec with
+    * broadcast off). At 100 TB this is the difference between
+    * shuffling the fact table on every join and shuffling it ONCE at
+    * write time, amortized across every downstream join/agg on the
+    * key — exactly how warehouse fact tables land. The graded result
+    * is the join + revenue rollup; the oracle is the same join over
+    * the unbucketed parquet, so the gate proves bucketing changed the
+    * PLAN, not the answer. Tables live in a per-run temp database
+    * (InMemoryCatalog) dropped after materialization. */
+  def qBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val base = java.nio.file.Files.createTempDirectory("graft_bucket_")
+    val db = ("gb_" + base.getFileName.toString
+      .replaceAll("[^a-zA-Z0-9]", "")).toLowerCase
+    s.sql(s"CREATE DATABASE $db LOCATION '${base.toUri}'")
+    try {
+      t.orders.select("o_orderkey", "o_orderstatus").write
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"${base.toUri}/orders_b")
+        .saveAsTable(s"$db.orders_b")
+      t.lineitem.select("l_orderkey", "l_extendedprice").write
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"${base.toUri}/lineitem_b")
+        .saveAsTable(s"$db.lineitem_b")
+      val j = s.table(s"$db.lineitem_b")
+        .join(s.table(s"$db.orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(dsum(col("l_extendedprice")).as("rev"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+      cleanupAfter(j, base.toString)
+    } finally s.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+  }
+
   /** #41 TPC-H Q5 shape: six-table join, revenue per nation. */
   def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
     val t = T(s, dir)
@@ -1331,6 +1372,154 @@ object Queries {
     * single-partition funnel (measured 8.9× at 10×); the parallel
     * global-rank form measures ~linear while the oracle replays the
     * BUILT-IN ntile, so the gate proves the rewrite bucket-for-bucket. */
+  /** #38v BENFORD first-digit audit — the classic fabricated-numbers
+    * screen: naturally-occurring amounts follow
+    * `P(d) = log10(1 + 1/d)`; a ledger that doesn't is worth a look.
+    * The leading digit comes from the DECIMAL's string form
+    * (`substr(cast(p AS string), 1, 1)` — both engines print plain
+    * fixed-point for decimals), NOT from `floor(p / 10^floor(log10 p))`
+    * whose float boundaries could flip a digit at exact powers of 10.
+    * Counts are integers; only the final expected-share and χ²
+    * contribution touch doubles, rounded 6 dp. One scan + a 9-row
+    * agg. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders
+      .select(substring(col("o_totalprice").cast(P2).cast("string"),
+        1, 1).cast("long").as("digit"))
+    val total = o.count().toDouble
+    val e = log(10.0, lit(1.0) + lit(1.0) / col("digit"))
+    o.groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / total, 6))
+      .withColumn("expected", round(e, 6))
+      .withColumn("chi2_contrib", round(
+        org.apache.spark.sql.functions.pow(
+          col("n").cast("double") - lit(total) * e, 2) /
+          (lit(total) * e), 6))
+      .orderBy("digit")
+  }
+
+  /** #38w A/B-TEST two-proportion report — the experimentation
+    * staple: users split into variants by a portable integer rule
+    * (`user_id % 2`), conversion = a heavy-buyer threshold (≥ 14
+    * purchase events — above the per-user median, which is
+    * SF-invariant because event volume scales with the user count),
+    * and the readout is the pooled two-proportion z statistic plus
+    * relative lift. All counts are exact integers off one
+    * user-grained aggregate; the z / lift arithmetic runs the same
+    * formula shape in both engines and rounds to 6 dp, so the gate
+    * is exact while the statistics stay honest doubles. Degenerate
+    * designs (pool ∈ {0,1} → zero pooled variance; pa = 0 → lift
+    * undefined) yield NULL identically in both engines. */
+  def qAbtest(s: SparkSession, dir: String): DataFrame = {
+    val u = T(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(when(count(when(col("event_type") === "purchase", lit(1)))
+        >= 14, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    val d = (c: String) => col(c).cast("double")
+    val pa = d("conv_a") / d("n_a")
+    val pb = d("conv_b") / d("n_b")
+    val pool = (d("conv_a") + d("conv_b")) / (d("n_a") + d("n_b"))
+    u.agg(
+        count(when(col("variant") === 0, lit(1))).as("n_a"),
+        sum(when(col("variant") === 0, col("conv"))
+          .otherwise(lit(0L))).as("conv_a"),
+        count(when(col("variant") === 1, lit(1))).as("n_b"),
+        sum(when(col("variant") === 1, col("conv"))
+          .otherwise(lit(0L))).as("conv_b"))
+      .withColumn("rate_a", round(pa, 6))
+      .withColumn("rate_b", round(pb, 6))
+      .withColumn("lift",
+        when(col("conv_a") === 0, lit(null))
+          .otherwise(round(pb / pa - 1.0, 6)))
+      .withColumn("z",
+        when(col("conv_a") + col("conv_b") === 0 ||
+            col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+          lit(null))
+          .otherwise(round((pa - pb) / sqrt(pool * (lit(1.0) - pool)
+            * (lit(1.0) / d("n_a") + lit(1.0) / d("n_b"))), 6)))
+  }
+
+  /** #38t RFM SEGMENTATION — the classic customer-value matrix:
+    * per-customer Recency (latest order date), Frequency (order
+    * count), Monetary (decimal-exact revenue sum), each scored into
+    * quintiles (1 = lowest: oldest / rarest / smallest spend), then
+    * rolled up per (r, f, m) cell with customer counts and exact
+    * revenue. Every quintile runs through [[Relational.ntileExact]]
+    * (range repartition + per-partition windows + a bounded offset
+    * collect) — NOT bare `ntile() OVER (ORDER BY …)`, whose single
+    * global sort task is the measured 8.9× trap q_equidepth
+    * documents; ties break on custkey so all three rankings are
+    * total orders. Monetary sums stay exact (2-dec decimals convert
+    * losslessly to double far below 2^53), so the quintile order and
+    * the cell rollup are bit-portable. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val base = T(s, dir).orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max("o_orderdate").as("rec"), count(lit(1)).as("freq"),
+        dsum(col("o_totalprice")).as("mon"))
+    val r1 = Relational.ntileExact(base, Seq("rec", "cust"), 5)
+      .withColumnRenamed("bucket", "r_score")
+    val r2 = Relational.ntileExact(r1, Seq("freq", "cust"), 5)
+      .withColumnRenamed("bucket", "f_score")
+    val r3 = Relational.ntileExact(r2, Seq("mon", "cust"), 5)
+      .withColumnRenamed("bucket", "m_score")
+    r3.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_cust"), dsum(col("mon")).as("sum_mon"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** #38u PSI DRIFT report (population stability index) — the
+    * training-data drift monitor: did a feature's distribution move
+    * between the baseline period and the current one? Equi-depth
+    * bins are frozen from the BASELINE (the PSI convention: deciles
+    * of the reference window, computed via [[Relational.ntileExact]]
+    * then reduced to 9 cutpoint values — a ≤9-row bounded collect),
+    * both periods are binned by the same exact-decimal rule
+    * `bin = 1 + #cutpoints < value` (no float bin boundaries — the
+    * cutpoints are 2-dec decimals, comparisons exact), and each bin
+    * contributes `(p - q)·ln(p/q)`. Only the final ln runs in
+    * doubles, rounded to 6 dp so a last-ulp libm difference cannot
+    * flip the gate; a bin emptied on either side yields NULL (the
+    * undefined-PSI case) identically in both engines. The period
+    * split is the integer midpoint of the epoch-second date range —
+    * portable integer arithmetic end to end. */
+  def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders.select(
+      col("o_totalprice").cast(P2).as("p"), col("o_orderkey").as("k"),
+      unix_timestamp(col("o_orderdate")).as("d"))
+    val bnd = o.agg(min("d").as("lo"), max("d").as("hi")).head()
+    val mid = (bnd.getLong(0) + bnd.getLong(1)) / 2
+    val base = o.where(col("d") < mid)
+    val cur = o.where(col("d") >= mid)
+    // 9 interior cutpoints from the baseline deciles (bounded collect)
+    val cuts = Relational.ntileExact(base, Seq("p", "k"), 10)
+      .where(col("bucket") <= 9)
+      .groupBy("bucket").agg(max("p").as("c"))
+      .collect().map(_.getDecimal(1)).sorted
+    val bin = cuts.map(c => when(col("p") > lit(c), 1L).otherwise(0L))
+      .reduce(_ + _) + 1L
+    def counts(df: DataFrame, nm: String) =
+      df.select(bin.as("bin")).groupBy("bin")
+        .agg(count(lit(1)).as(nm))
+    val nb = base.count().toDouble
+    val nc = cur.count().toDouble
+    counts(base, "base_n").join(counts(cur, "cur_n"), Seq("bin"),
+        "full_outer")
+      .select(col("bin"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .withColumn("contrib",
+        when(col("base_n") === 0 || col("cur_n") === 0, lit(null))
+          .otherwise(round(
+            (col("base_n").cast("double") / nb -
+              col("cur_n").cast("double") / nc) *
+              log((col("base_n").cast("double") / nb) /
+                (col("cur_n").cast("double") / nc)), 6)))
+      .orderBy("bin")
+  }
+
   def qEquidepth(s: SparkSession, dir: String): DataFrame = {
     Relational.ntileExact(T(s, dir).lineitem,
         Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 10)
@@ -1976,6 +2165,55 @@ object Queries {
       .where(col("score") >= 2)
       .select(col("a_id"), col("b_id"), col("score"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** #55x' FUZZY record linkage via native Jaro-Winkler
+    * ([[graft.functions.JaroWinklerSim]]): the scorer upgrade over
+    * [[qLinkage]]'s exact-field agreement weights — a twin table whose
+    * keys are corrupted at the CHARACTER level (deterministic modulus
+    * rules: %7 transposes the last two chars — the classic fat-finger
+    * swap Jaro's transposition term exists for; %5 substitutes the
+    * last char; %3 appends one; %17 dropped entirely), candidates from
+    * a BLOCKING equi-join on the corruption-invariant 16-char prefix
+    * (blocks of ≤100 AT EVERY SCALE — the prefix domain grows with the
+    * key space, so candidate volume stays linear where a fixed-domain
+    * block key would go quadratic), then ONE best match per dirty
+    * record by windowed argmax over `round(jaro_winkler(a, b), 4)`
+    * with a-id tiebreak. The rounding makes rank order — and so the
+    * exact cross-engine gate — robust to last-ulp double drift; the
+    * spec pins the expression bit-for-bit to DuckDB's
+    * `jaro_winkler_similarity` on probed values. Scorer runs once per
+    * candidate pair inside whole-stage codegen (see the expression's
+    * scaladoc for why a UDF is the wrong tool at 100 TB). */
+  def qJwLinkage(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.JaroWinklerSim.register(s)
+    val c = T(s, dir).customer
+    val n = length(col("c_name"))
+    val a = c.select(col("c_custkey").as("a_id"),
+        col("c_name").as("a_name"))
+      .withColumn("blk", substring(col("a_name"), 1, 16))
+    val corrupt =
+      when(pmod(col("c_custkey"), lit(7)) === 0,
+        concat(col("c_name").substr(lit(1), n - 2),
+          col("c_name").substr(n, lit(1)),
+          col("c_name").substr(n - 1, lit(1))))
+        .when(pmod(col("c_custkey"), lit(5)) === 0,
+          concat(col("c_name").substr(lit(1), n - 1), lit("X")))
+        .when(pmod(col("c_custkey"), lit(3)) === 0,
+          concat(col("c_name"), lit("Q")))
+        .otherwise(col("c_name"))
+    val b = c.where(pmod(col("c_custkey"), lit(17)) =!= 0)
+      .select((col("c_custkey") + 2000000L).as("b_id"),
+        corrupt.as("b_name"))
+      .withColumn("blk", substring(col("b_name"), 1, 16))
+    val w = Window.partitionBy("b_id")
+      .orderBy(col("sim").desc, col("a_id").asc)
+    b.join(a, "blk")
+      .withColumn("sim", round(expr("jaro_winkler(a_name, b_name)"), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("sim") >= 0.9)
+      .select("b_id", "a_id", "sim")
+      .orderBy("b_id")
   }
 
   /** #55 funnel: signup → later purchase conversion. */
@@ -4827,6 +5065,81 @@ object Queries {
     cleanupAfter(st.cdcSnapshot(s, snap)
       .select("user_id", "tsec", "event_id", "event_type", "value"), snap)
       .orderBy("user_id")
+  }
+
+  /** #81c CHANGE DATA FEED ([[graft.streaming.Streams.cdcChanges]]):
+    * the row-level delta between two committed versions of the #81
+    * chain — lakehouse `table_changes`/CDF semantics with Debezium
+    * before/after images. The same 4-chunk tombstoned changelog as
+    * [[qStreamUpsert]] builds the chain; the feed then reads versions
+    * 1 → 3, so every op class is exercised: keys whose first event
+    * lands in chunks 2-3 surface as `I`, keys whose winning row moved
+    * forward as `U`, keys tombstoned after chunk 1 as `D`. The oracle
+    * recomputes both version states as global per-key argmaxes over
+    * the identical integer chunk arithmetic and full-outer-diffs them
+    * — state rows are uniquely identified by event_id, so `U` is
+    * exactly "winning event_id changed". One full-outer join between
+    * two complete snapshots, never a log replay (see the API scaladoc
+    * for the 100 TB shape). */
+  def qCdcChanges(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.streaming.Streams
+    val ev = T(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+      col("event_type"), col("value"),
+      when(pmod(col("event_id"), lit(10)) === 3, lit("D"))
+        .otherwise(lit("U")).as("op"))
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_cdf_").toString
+    val bnd = ev.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
+    val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+    val span = hi - lo + 1
+    for (i <- 0L until 4L) {
+      val (cLo, cHi) = (lo + span * i / 4, lo + span * (i + 1) / 4)
+      st.cdcMerge(snap, Seq("user_id"), Seq("tsec", "event_id"),
+        op = Some("op"))(
+        ev.where(col("tsec") >= cLo && col("tsec") < cHi), i)
+    }
+    cleanupAfter(st.cdcChanges(s, snap, Seq("user_id"), 1L, 3L), snap)
+      .select(col("user_id"), col("op"), col("old_event_id"),
+        col("new_event_id"), col("new_value"))
+      .orderBy("user_id")
+  }
+
+  /** #81c' the PER-VERSION change feed — `table_changes(from, to)`
+    * proper: every CONSECUTIVE version delta of the chain, stamped
+    * with the version that produced it (the shape a downstream
+    * incremental consumer replays in order). Same machinery as
+    * [[qCdcChanges]] ([[graft.streaming.Streams.cdcChanges]] per
+    * adjacent pair, unioned); the oracle recomputes all four chunk
+    * states and unions the three pairwise diffs. Each delta is one
+    * snapshot-pair full-outer join; the feed is delta-sized, and at
+    * 100 TB a consumer reads only the versions it hasn't applied. */
+  def qCdcFeed(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.streaming.Streams
+    val ev = T(s, dir).events.select(col("user_id"),
+      unix_timestamp(col("ts")).as("tsec"), col("event_id"),
+      col("event_type"), col("value"),
+      when(pmod(col("event_id"), lit(10)) === 3, lit("D"))
+        .otherwise(lit("U")).as("op"))
+    val snap = java.nio.file.Files
+      .createTempDirectory("graft_cdcfeed_").toString
+    val bnd = ev.agg(min("tsec").as("lo"), max("tsec").as("hi")).head()
+    val (lo, hi) = (bnd.getLong(0), bnd.getLong(1))
+    val span = hi - lo + 1
+    for (i <- 0L until 4L) {
+      val (cLo, cHi) = (lo + span * i / 4, lo + span * (i + 1) / 4)
+      st.cdcMerge(snap, Seq("user_id"), Seq("tsec", "event_id"),
+        op = Some("op"))(
+        ev.where(col("tsec") >= cLo && col("tsec") < cHi), i)
+    }
+    val feed = (1L to 3L).map(v =>
+        st.cdcChanges(s, snap, Seq("user_id"), v - 1, v)
+          .withColumn("version", lit(v)))
+      .reduce(_ unionByName _)
+    cleanupAfter(feed, snap)
+      .select(col("version"), col("user_id"), col("op"),
+        col("old_event_id"), col("new_event_id"), col("new_value"))
+      .orderBy("version", "user_id")
   }
 
   /** #81b streaming SCD2 sink ([[graft.streaming.Streams

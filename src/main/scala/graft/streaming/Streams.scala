@@ -272,6 +272,43 @@ object Streams {
     spark.read.parquet(s"$snapDir/v=$v")
   }
 
+  /** CHANGE DATA FEED: the row-level changes between two committed
+    * versions of a [[cdcMerge]] / [[scd2MergeStream]] chain — what
+    * lakehouse engines expose as `table_changes` / CDF. Every key is
+    * classified `I` (inserted: present at `to`, absent at `from`),
+    * `D` (deleted), or `U` (updated: present in both with any non-key
+    * column differing null-safely); unchanged keys are dropped. Both
+    * images are carried (`old_`/`new_`-prefixed value columns), the
+    * Debezium before/after shape, so a downstream consumer can apply
+    * or audit the delta without re-reading either snapshot.
+    *
+    * Scale shape: ONE full-outer hash join on `key` between two
+    * version directories — never a log replay, because every version
+    * in the chain is a complete snapshot. With versions bucketed on
+    * the key (how a 100 TB snapshot lands) the join is shuffle-free;
+    * the change set it emits is delta-sized downstream. */
+  def cdcChanges(spark: SparkSession, snapDir: String, key: Seq[String],
+                 from: Long, to: Long): DataFrame = {
+    require(from < to, s"need from < to, got $from >= $to")
+    val a = cdcSnapshotAsOf(spark, snapDir, from)
+    val b = cdcSnapshotAsOf(spark, snapDir, to)
+    val vals = a.columns.filterNot(key.contains)
+      .filter(b.columns.contains).toSeq
+    val aP = a.select(key.map(col) ++
+      vals.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__a"): _*)
+    val bP = b.select(key.map(col) ++
+      vals.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__b"): _*)
+    aP.join(bP, key, "full_outer")
+      .withColumn("op",
+        when(col("__a").isNull, lit("I"))
+          .when(col("__b").isNull, lit("D"))
+          .when(vals.map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+            .reduce(_ || _), lit("U")))
+      .where(col("op").isNotNull)
+      .select(key.map(col) ++ (col("op") +:
+        vals.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c")))): _*)
+  }
+
   /** RETENTION (the vacuum half of the version chain): delete all but
     * the newest `keepLast` committed versions, then persist the
     * highest pruned id as a low-watermark file beside the chain.

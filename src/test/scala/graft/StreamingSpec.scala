@@ -384,6 +384,41 @@ class StreamingSpec extends AnyFunSuite {
       "unmarked version dir leaked into the read")
   }
 
+  test("cdcChanges classifies I/U/D null-safely; unchanged dropped (#81c)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cdf_spec").toString
+    val b0 = Seq(
+      (1L, 1L, Option("a"), "U"), (2L, 1L, Option("b"), "U"),
+      (3L, 1L, Option.empty[String], "U"), (5L, 1L, Option("e"), "U"))
+      .toDF("k", "o", "v", "op")
+    val b1 = Seq(
+      (1L, 2L, Option.empty[String], "D"), // delete
+      (2L, 2L, Option("b2"), "U"), // value change → U
+      (3L, 2L, Option.empty[String], "U"), // null==null, but o moved → U
+      (4L, 2L, Option("d"), "U")) // new key → I
+      .toDF("k", "o", "v", "op")
+    Streams.cdcMerge(dir, Seq("k"), Seq("o"), op = Some("op"))(b0, 0L)
+    Streams.cdcMerge(dir, Seq("k"), Seq("o"), op = Some("op"))(b1, 1L)
+    val ch = Streams.cdcChanges(spark, dir, Seq("k"), 0L, 1L)
+    val ops = ch.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(ops == Map(1L -> "D", 2L -> "U", 3L -> "U", 4L -> "I"),
+      s"k=5 (unchanged) must be dropped, got $ops") // and 5 absent
+    // both images ride along: U keeps old and new, I/D half-null
+    val r2 = ch.where($"k" === 2L)
+      .select("old_v", "new_v").collect()(0)
+    assert(r2.getString(0) == "b" && r2.getString(1) == "b2")
+    val r4 = ch.where($"k" === 4L).select("old_o").collect()(0)
+    assert(r4.isNullAt(0))
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(dir))
+  }
+
   test("CDC merge sink: restart mid-stream resumes the version chain (#81)") {
     val stage = java.nio.file.Files.createTempDirectory("graft_cdcr")
     val evDir = stageChangelog(stage)
