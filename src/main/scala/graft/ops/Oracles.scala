@@ -716,6 +716,57 @@ object Oracles {
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
 
+    // format round trip: one aggregate off the original parquet,
+    // cross-joined with the three format labels — equality proves
+    // each ORC/CSV/JSON round trip lossless
+    "q_format_roundtrip" ->
+      s"""WITH a AS (SELECT $CNT AS n, ${d2("l_quantity")} AS qty_sum,
+         |    cast(count(DISTINCT l_returnflag) AS bigint) AS flags,
+         |    max(l_shipdate) AS max_ship
+         |  FROM lineitem WHERE l_orderkey % 10 = 0)
+         |SELECT f.format, a.n, a.qty_sum, a.flags, a.max_ship
+         |FROM (VALUES ('csv'), ('json'), ('orc')) f(format), a
+         |ORDER BY format""".stripMargin,
+
+    // ABC/Pareto: the running share in pure DECIMAL arithmetic (no
+    // float share ever exists); the Spark side's parallel cumsumExact
+    // must equal this single-window form bit-for-bit
+    "q_abc" ->
+      s"""WITH pr AS (SELECT l_partkey AS p,
+         |    sum(cast(l_extendedprice AS DECIMAL(18,2))) AS rev
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT sum(rev) AS total FROM pr),
+         |c AS (SELECT p, rev,
+         |    sum(rev) OVER (ORDER BY rev DESC, p) AS cum FROM pr)
+         |SELECT cls, $CNT AS n_parts, ${d2("rev")} AS revenue
+         |FROM (SELECT p, rev,
+         |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+         |         WHEN cum * 100 <= total * 95 THEN 'B'
+         |         ELSE 'C' END AS cls FROM c, t)
+         |GROUP BY cls ORDER BY cls""".stripMargin,
+
+    // market basket: same keyed pair discovery, one integer-ratio
+    // lift division rounded 6 dp, total-ordered top 50
+    "q_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |np AS (SELECT p, cast(count(*) AS bigint) AS n
+        |  FROM li GROUP BY p),
+        |t AS (SELECT cast(count(DISTINCT o) AS bigint) AS n_orders
+        |  FROM li),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb,
+        |    cast(count(*) AS bigint) AS n_ab
+        |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2)
+        |SELECT pa, pb, n_ab,
+        |  round(cast(n_ab * n_orders AS double)
+        |    / cast(na.n * nb.n AS double), 6) AS lift
+        |FROM pairs
+        |JOIN np na ON pairs.pa = na.p
+        |JOIN np nb ON pairs.pb = nb.p
+        |CROSS JOIN t
+        |ORDER BY n_ab DESC, lift DESC, pa, pb LIMIT 50""".stripMargin,
+
     // Benford first-digit audit: leading digit via the decimal's
     // string form (no float digit extraction), counts exact, only the
     // expected share / chi2 term touches log10, rounded 6 dp

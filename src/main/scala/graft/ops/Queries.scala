@@ -47,15 +47,33 @@ object Queries {
     * it — the r8-advice fix for bench iterations leaking CDC / edge
     * artifacts in tmp. Call BEFORE the final display sort; the
     * checkpointed frame never re-reads the deleted files. */
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
+  }
+
   private def cleanupAfter(df: DataFrame, dirs: String*): DataFrame = {
     val pinned = df.localCheckpoint(true)
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
     dirs.foreach(d => rm(new java.io.File(d)))
     pinned
+  }
+
+  /** The plan-preserving sibling of [[cleanupAfter]]: queries whose
+    * RETURNED plan is itself graded (ScaleSpec asserts
+    * PartitionFilters / scan shapes on them) cannot be pinned behind
+    * a localCheckpoint — that would swap the asserted FileSourceScan
+    * for a checkpoint-RDD scan. Their per-run scratch dirs are
+    * instead deleted by one JVM shutdown hook: bounded by the run,
+    * never accumulating across bench sessions in /tmp. */
+  private val exitDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val exitHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      exitDirs.forEach(d => rm(new java.io.File(d)))))
+  private def cleanupAtExit(dir: String): Unit = {
+    exitHookInstalled
+    exitDirs.add(dir): Unit
   }
 
   case class Ord(o_orderkey: Long, o_orderpriority: String)
@@ -234,13 +252,48 @@ object Queries {
 
   /** #24 sink + source round trip: write a filtered stream, read it back. */
   def qSinkRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_sink").resolve("orders_f").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_sink")
+    cleanupAtExit(base.toString)
+    val out = base.resolve("orders_f").toString
     Source(T(s, dir).orders.filter(col("o_orderstatus") === "F"))
       .into(Sink.parquet(out))
     Source.parquet(s, out).reduce(
       count(lit(1)).as("n"),
       dsum(col("o_totalprice")).as("total"))
+  }
+
+  /** #24d FORMAT round trip — ORC / CSV / JSON sinks and sources (the
+    * remaining first-class batch formats beside parquet; the Avro
+    * datasource connector isn't on this classpath): the same typed
+    * slice (bigints, a 2-dec DECIMAL, a TIMESTAMP, a string) is
+    * written and re-read through each format with an explicit schema
+    * (CSV/JSON carry none) and identically aggregated. The oracle is
+    * ONE aggregate off the original parquet cross-joined with the
+    * three format labels — so the gate PROVES each round trip is
+    * lossless: a format that mangles the timestamp's zone, the
+    * decimal's scale, or a row count hash-fails its row. */
+  def qFormatRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt_")
+    val sub = T(s, dir).lineitem
+      .where(pmod(col("l_orderkey"), lit(10)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast(P2).as("qty"),
+        col("l_shipdate").as("ship"), col("l_returnflag").as("flag"))
+    val schema = sub.schema
+    val out = Seq("orc", "csv", "json").map { fmt =>
+      val p = s"$base/$fmt"
+      sub.write.format(fmt).mode("overwrite")
+        .option("header", "true").save(p)
+      s.read.format(fmt).schema(schema).option("header", "true")
+        .load(p)
+        .agg(count(lit(1)).as("n"), dsum(col("qty")).as("qty_sum"),
+          countDistinct(col("flag")).as("flags"),
+          max(col("ship")).as("max_ship"))
+        .withColumn("format", lit(fmt))
+    }.reduce(_ unionByName _)
+    cleanupAfter(out, base.toString)
+      .select("format", "n", "qty_sum", "flags", "max_ship")
+      .orderBy("format")
   }
 
   /** #24b HIVE-PARTITIONED layout round trip + PARTITION PRUNING — the
@@ -254,8 +307,9 @@ object Queries {
     * WHERE — result equality proves the layout round-trips losslessly,
     * the plan assertion proves it prunes. */
   def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_part").resolve("docs").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_part")
+    cleanupAtExit(base.toString)
+    val out = base.resolve("docs").toString
     T(s, dir).documents.write.mode("overwrite")
       .partitionBy("lang").parquet(out)
     partitionPruneRead(s, out)
@@ -279,8 +333,9 @@ object Queries {
     * missing column surfaces as NULL, not zero or error; oracle =
     * the equivalent UNION with an explicit NULL column. */
   def qSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_sev").resolve("docs").toString
+    val base = java.nio.file.Files.createTempDirectory("graft_sev")
+    cleanupAtExit(base.toString)
+    val out = base.resolve("docs").toString
     val docs = T(s, dir).documents
     docs.where(col("doc_id") % 2 === 0).select("doc_id", "lang")
       .write.mode("overwrite").parquet(out)
@@ -298,6 +353,7 @@ object Queries {
     * both routes summarized. */
   def qRoute(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_route")
+    cleanupAtExit(base.toString)
     val (l, r) = (base.resolve("l").toString, base.resolve("r").toString)
     val pred = col("event_type").isin("click", "view")
     Sink.choose(pred, Sink.parquet(l), Sink.parquet(r))
@@ -1372,6 +1428,61 @@ object Queries {
     * single-partition funnel (measured 8.9× at 10×); the parallel
     * global-rank form measures ~linear while the oracle replays the
     * BUILT-IN ntile, so the gate proves the rewrite bucket-for-bucket. */
+  /** #38x ABC / PARETO analysis — the inventory-classification
+    * staple: parts ranked by revenue, class A while the running share
+    * stays ≤ 80%, B to 95%, C beyond. The running total goes through
+    * [[Relational.cumsumExact]] (range repartition + per-partition
+    * window cumsums + a bounded decimal-offset collect — a bare
+    * `sum() OVER (ORDER BY …)` is the q_equidepth single-task trap),
+    * ordered by NEGATED revenue (decimal negation is exact) so the
+    * ascending primitive yields the descending rank. Class boundaries
+    * compare `cum·100 ≤ total·80` in pure DECIMAL arithmetic — no
+    * float share ever exists, so membership is bit-portable. */
+  def qAbc(s: SparkSession, dir: String): DataFrame = {
+    val pr = T(s, dir).lineitem
+      .groupBy(col("l_partkey").as("p"))
+      .agg(sum(col("l_extendedprice").cast(P2)).as("rev"))
+    val total = pr.agg(sum("rev")).head().getDecimal(0)
+    Relational.cumsumExact(pr.withColumn("nrev", -col("rev")),
+        Seq("nrev", "p"), "rev")
+      .withColumn("cls",
+        when(col("cum") * 100 <= lit(total) * 80, "A")
+          .when(col("cum") * 100 <= lit(total) * 95, "B")
+          .otherwise("C"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_parts"), dsum(col("rev")).as("revenue"))
+      .orderBy("cls")
+  }
+
+  /** #38y MARKET-BASKET affinity — co-occurrence lift over order
+    * contents: every unordered part pair sharing an order, support
+    * counts, and `lift = n_ab·N / (n_a·n_b)` (one integer-ratio
+    * double division, rounded 6 dp), top 50 under a TOTAL order
+    * (support desc, lift desc, pair asc). The pair discovery is a
+    * self-join keyed on the order — fanout per order is C(items,2)
+    * with TPC-H's ≤7 items, so candidates stay LINEAR in lineitems
+    * (the same bounded-block argument as the linkage family; an
+    * unkeyed pair join would be |parts|²). */
+  def qBasket(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir).lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val np = li.groupBy("p").agg(count(lit(1)).as("n"))
+    val nOrders = li.select("o").distinct().count()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .join(np.select(col("p").as("pa"), col("n").as("na")), "pa")
+      .join(np.select(col("p").as("pb"), col("n").as("nb")), "pb")
+      .withColumn("lift", round((col("n_ab") * nOrders).cast("double")
+        / (col("na") * col("nb")).cast("double"), 6))
+      .select("pa", "pb", "n_ab", "lift")
+      .orderBy(col("n_ab").desc, col("lift").desc, col("pa"),
+        col("pb"))
+      .limit(50)
+  }
+
   /** #38v BENFORD first-digit audit — the classic fabricated-numbers
     * screen: naturally-occurring amounts follow
     * `P(d) = log10(1 + 1/d)`; a ledger that doesn't is worth a look.

@@ -10,6 +10,50 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Scalable EXACT global prefix sum (running total over a TOTAL
+    * order) — the same single-task escape as [[ntileExact]], for
+    * cumulative sums: a bare `sum() OVER (ORDER BY …)` window drags
+    * every row through one partition. Range-repartition on the order
+    * (Spark's distributed sort), per-partition window cumsums (each
+    * partition-local), plus driver-side prefix offsets over the
+    * per-partition TOTALS — a `partitions`-row collect of decimals,
+    * bounded by cluster width, never data.
+    *
+    * `value` must be a DECIMAL column (the exact-money contract: the
+    * per-partition totals and their prefix sums stay exact, so the
+    * parallel result is bit-equal to the single-task window — spec-
+    * gated; double values would reorder additions and drift). `order`
+    * must be a TOTAL order. Returns the input plus a `cum` column. */
+  def cumsumExact(df: DataFrame, order: Seq[String], value: String,
+                  partitions: Int = 32): DataFrame = {
+    require(df.schema(value).dataType
+      .isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"cumsumExact needs a DECIMAL value column, got " +
+        s"${df.schema(value).dataType.simpleString}")
+    val oc = order.map(col)
+    val sorted = graft.core.Eager(
+      df.repartitionByRange(partitions, oc: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val parts = sorted.groupBy("__pid")
+      .agg(sum(col(value)).as("__s"))
+      .collect().map(r => (r.getInt(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO)))
+      .sortBy(_._1)
+    val offs = parts.foldLeft(
+      (List.empty[(Int, BigDecimal)], java.math.BigDecimal.ZERO)) {
+      case ((acc, cum), (pid, s)) =>
+        ((pid, BigDecimal(cum)) :: acc, cum.add(s))
+    }._1.reverse
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offDf = broadcast(offs.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(oc.map(_.asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted.join(offDf, "__pid")
+      .withColumn("cum", sum(col(value)).over(w) + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** Scalable EXACT ntile — the equal-depth bucket assignment without
     * the single-task trap: a bare `ntile(k) OVER (ORDER BY …)` window
     * funnels EVERY row through one partition (measured 8.9× at 10× on

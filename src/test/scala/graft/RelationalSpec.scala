@@ -117,6 +117,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(empty.count() == 0)
   }
 
+  test("cumsumExact == single-window cumsum, bit-exact decimals (#38x)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val rnd = new scala.util.Random(41)
+    val df = (1 to 5000).map(i =>
+        (i.toLong, rnd.nextInt(1000).toLong,
+          BigDecimal(rnd.nextInt(1000000)) / 100))
+      .toDF("id", "k", "v")
+      .select(col("id"), col("k"),
+        col("v").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("v"))
+    val got = Relational.cumsumExact(df, Seq("k", "id"), "v",
+        partitions = 7)
+      .select(col("id"), col("cum").cast("decimal(38,2)"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    val exp = df.withColumn("cum",
+        sum(col("v")).over(W.orderBy(col("k").asc, col("id").asc)
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("id"), col("cum").cast("decimal(38,2)"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1))).toMap
+    assert(got.size == 5000 && got == exp)
+    // rejects non-decimal values (the exactness contract)
+    val bad = intercept[IllegalArgumentException] {
+      Relational.cumsumExact(df.withColumn("d",
+        col("v").cast("double")), Seq("k", "id"), "d")
+    }
+    assert(bad.getMessage.contains("DECIMAL"))
+  }
+
   test("asofJoin forward/tolerance == brute force incl. ties (#55d')") {
     val rnd = new scala.util.Random(23)
     val left = (1 to 300).map(i =>
