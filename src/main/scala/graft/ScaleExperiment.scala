@@ -152,7 +152,8 @@ object ScaleExperiment {
       "q_asof_fwd|q_stream_scd2|q_linkage|" +
       "q_jw_linkage|q_bucket_join|q_cdc_changes|" +
       "q_rfm|q_drift_psi|q_benford|q_abtest|q_cdc_feed|" +
-      "q_abc|q_basket|q_format_roundtrip").r
+      "q_abc|q_basket|q_format_roundtrip|" +
+      "q_ks_test|q_delete_where").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

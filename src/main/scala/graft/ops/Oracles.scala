@@ -767,6 +767,39 @@ object Oracles {
         |CROSS JOIN t
         |ORDER BY n_ab DESC, lift DESC, pa, pb LIMIT 50""".stripMargin,
 
+    // copy-on-write DELETE: the post-delete table must equal WHERE NOT
+    "q_delete_where" ->
+      s"""SELECT event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM events WHERE NOT (event_type = 'error')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // two-sample KS: the max CDF gap as the exact integer
+    // |k1*n2 - k2*n1| over pooled distinct values; one normalized
+    // division at the end, rounded 6 dp; argmax location = min value
+    // achieving the max (total order, deterministic)
+    "q_ks_test" ->
+      """WITH o AS (SELECT cast(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    cast(floor(epoch(o_orderdate)) AS bigint) AS d
+        |  FROM orders),
+        |bo AS (SELECT (min(d) + max(d)) // 2 AS mid FROM o),
+        |t AS (SELECT p,
+        |    count(CASE WHEN d < mid THEN 1 END) AS c1,
+        |    count(CASE WHEN d >= mid THEN 1 END) AS c2
+        |  FROM o, bo GROUP BY p),
+        |c AS (SELECT p,
+        |    cast(sum(c1) OVER (ORDER BY p) AS bigint) AS k1,
+        |    cast(sum(c2) OVER (ORDER BY p) AS bigint) AS k2 FROM t),
+        |n AS (SELECT cast(sum(c1) AS bigint) AS n1,
+        |    cast(sum(c2) AS bigint) AS n2 FROM t),
+        |g AS (SELECT p, abs(k1 * n2 - k2 * n1) AS gap FROM c, n),
+        |m AS (SELECT max(gap) AS ks_num FROM g)
+        |SELECT n.n1, n.n2, cast(m.ks_num AS bigint) AS ks_num,
+        |  round(cast(m.ks_num AS double)
+        |    / (cast(n.n1 AS double) * cast(n.n2 AS double)), 6) AS ks,
+        |  (SELECT min(g2.p) FROM g g2, m m2
+        |    WHERE g2.gap = m2.ks_num) AS at_p
+        |FROM n, m""".stripMargin,
+
     // Benford first-digit audit: leading digit via the decimal's
     // string form (no float digit extraction), counts exact, only the
     // expected share / chi2 term touches log10, rounded 6 dp

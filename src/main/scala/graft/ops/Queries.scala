@@ -1631,6 +1631,75 @@ object Queries {
       .orderBy("bin")
   }
 
+  /** #42g copy-on-write DELETE ([[graft.ops.Scale.deleteWhere]]) —
+    * DML on an immutable parquet lake: the events table is laid out
+    * hash-clustered on event_type (8 files), a `DELETE WHERE
+    * event_type = 'error'` rewrites ONLY the file(s) containing
+    * error rows (file-granular hit detection via `input_file_name`,
+    * a file-count-bounded collect) and byte-copies the rest, and the
+    * graded rollup reads the POST-DELETE table — the oracle is the
+    * same rollup with `WHERE NOT` on the source, so the gate proves
+    * the rewrite deleted exactly the predicate and nothing else.
+    * CowDmlSpec additionally pins the touched-file accounting and
+    * the UPDATE twin. At 100 TB on a clustered layout the rewrite
+    * bound is the point: a one-customer DELETE touches files, not
+    * the table. */
+  def qDeleteWhere(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_")
+    val src = base.resolve("src").toString
+    val dest = base.resolve("del").toString
+    T(s, dir).events
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, dest, col("event_type") === "error")
+    val out = s.read.parquet(dest)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
+  /** #38z two-sample KOLMOGOROV-SMIRNOV test — PSI's nonparametric
+    * sibling ([[qDriftPsi]], same period split): `D = max |F₁ − F₂|`
+    * over the pooled value domain, computed EXACTLY — the gap at
+    * every distinct value is the INTEGER `|k₁·n₂ − k₂·n₁|` (k =
+    * cumulative counts), so the statistic's numerator, its argmax
+    * location, and every comparison are integer/decimal-portable;
+    * only the final normalized `D` divides once, rounded 6 dp. The
+    * cumulative counts run through [[Relational.cumsumExact]] twice
+    * (the bare global window is the single-task trap), over a
+    * distinct-value-sized frame. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders.select(
+      col("o_totalprice").cast(P2).as("p"),
+      unix_timestamp(col("o_orderdate")).as("d"))
+    val bnd = o.agg(min("d").as("lo"), max("d").as("hi")).head()
+    val mid = (bnd.getLong(0) + bnd.getLong(1)) / 2
+    val t = o.groupBy("p").agg(
+      count(when(col("d") < mid, lit(1)))
+        .cast(DecimalType(20, 0)).as("c1"),
+      count(when(col("d") >= mid, lit(1)))
+        .cast(DecimalType(20, 0)).as("c2"))
+    val k1 = Relational.cumsumExact(t, Seq("p"), "c1")
+      .withColumnRenamed("cum", "k1")
+    val g0 = Relational.cumsumExact(k1, Seq("p"), "c2")
+      .withColumnRenamed("cum", "k2")
+      .select(col("p"), col("k1").cast("long").as("k1"),
+        col("k2").cast("long").as("k2"))
+    val nr = g0.agg(max("k1"), max("k2")).head()
+    val (n1, n2) = (nr.getLong(0), nr.getLong(1))
+    val g = graft.core.Eager(g0.withColumn("gap",
+      abs(col("k1") * n2 - col("k2") * n1)))
+    val ksNum = g.agg(max("gap")).head().getLong(0)
+    g.where(col("gap") === ksNum)
+      .agg(min("p").as("at_p"))
+      .select(lit(n1).as("n1"), lit(n2).as("n2"),
+        lit(ksNum).as("ks_num"),
+        round(lit(ksNum.toDouble) /
+          (lit(n1.toDouble) * lit(n2.toDouble)), 6).as("ks"),
+        col("at_p"))
+  }
+
   def qEquidepth(s: SparkSession, dir: String): DataFrame = {
     Relational.ntileExact(T(s, dir).lineitem,
         Seq("l_extendedprice", "l_orderkey", "l_linenumber"), 10)

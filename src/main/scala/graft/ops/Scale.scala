@@ -96,4 +96,81 @@ object Scale {
       .option("path", path)
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+
+  /** What a copy-on-write rewrite did: how much of the table the DML
+    * actually touched. */
+  final case class RewriteStats(filesTotal: Long, filesRewritten: Long,
+                                rowsBefore: Long, rowsAfter: Long)
+
+  /** Copy-on-write DML core: rewrite ONLY the files that contain a
+    * row matching `cond`; every other file is byte-copied untouched.
+    * This is how DELETE/UPDATE work on an immutable parquet lake
+    * (Delta/Iceberg COW mode): at 100 TB a DELETE that hits one
+    * customer must not rewrite the table — file-granular hit
+    * detection (`input_file_name` on the filtered scan, a collect
+    * bounded by FILE COUNT, never rows) bounds the write to the
+    * files the predicate actually touches, and on a clustered layout
+    * (partitionBy / Z-order, [[compact]]) that is a tiny fraction.
+    * Each hit file rewrites 1:1 (`coalesce(1)` per file) so the
+    * file-granularity — and any clustering — survives the DML. */
+  private def cowRewrite(spark: SparkSession, srcDir: String,
+                         destDir: String, cond: Column,
+                         rewrite: DataFrame => DataFrame)
+      : RewriteStats = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val src = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = src.getFileSystem(hconf)
+    val dest = new org.apache.hadoop.fs.Path(destDir)
+    fs.mkdirs(dest): Unit
+    val df = spark.read.parquet(srcDir)
+    val rowsBefore = df.count()
+    val hitNames = df.withColumn("__f", input_file_name())
+      .where(cond).select("__f").distinct()
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).getName)
+      .toSet
+    val all = fs.listStatus(src).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    var rowsAfter = 0L
+    all.foreach { f =>
+      val name = f.getPath.getName
+      if (!hitNames.contains(name)) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          new org.apache.hadoop.fs.Path(dest, name), false, hconf): Unit
+      } else {
+        val kept = rewrite(
+          spark.read.parquet(f.getPath.toString)).coalesce(1)
+        val tmp = new org.apache.hadoop.fs.Path(dest,
+          s"__rw_$name")
+        kept.write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet"))
+        part.foreach(p =>
+          fs.rename(p, new org.apache.hadoop.fs.Path(dest, name)): Unit)
+        fs.delete(tmp, true): Unit
+      }
+    }
+    rowsAfter = spark.read.parquet(destDir).count()
+    RewriteStats(all.length.toLong, hitNames.size.toLong,
+      rowsBefore, rowsAfter)
+  }
+
+  /** Copy-on-write DELETE: `destDir` = the table minus rows matching
+    * `cond`; only files containing a match are rewritten (a hit file
+    * whose every row matches yields an empty file's worth of rows —
+    * the file simply disappears from the copy). */
+  def deleteWhere(spark: SparkSession, srcDir: String, destDir: String,
+                  cond: Column): RewriteStats =
+    cowRewrite(spark, srcDir, destDir, cond, _.where(!cond))
+
+  /** Copy-on-write UPDATE: rows matching `cond` get each `(column →
+    * value)` in `set` applied; untouched files are byte-copied. */
+  def updateWhere(spark: SparkSession, srcDir: String, destDir: String,
+                  cond: Column, set: Seq[(String, Column)])
+      : RewriteStats =
+    cowRewrite(spark, srcDir, destDir, cond, df =>
+      set.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c, when(cond, v).otherwise(col(c)))
+      })
 }
