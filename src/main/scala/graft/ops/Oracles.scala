@@ -773,6 +773,101 @@ object Oracles {
          |FROM events WHERE NOT (event_type = 'error')
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // position-based attribution: forward as-of assignment replayed
+    // as windowed argmin, credits quantized to DECIMAL(18,9) before
+    // the rollup so the sums are exact and order-independent
+    "q_attrib_position" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |    cast(floor(epoch(ts)) AS bigint) AS t FROM events),
+        |tc AS (SELECT event_id, user_id, event_type, t FROM e
+        |  WHERE event_type IN ('click', 'view')),
+        |pc AS (SELECT user_id, t AS pt, event_id AS pid FROM e
+        |  WHERE event_type = 'purchase'),
+        |asg AS (SELECT tc.event_id, tc.event_type, tc.t, pc.pid,
+        |    row_number() OVER (PARTITION BY tc.event_id
+        |      ORDER BY pc.pt, pc.pid) AS rn
+        |  FROM tc JOIN pc ON tc.user_id = pc.user_id
+        |    AND pc.pt >= tc.t),
+        |a AS (SELECT event_id, event_type, t, pid FROM asg
+        |  WHERE rn = 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY pid
+        |      ORDER BY t, event_id) AS pos,
+        |    count(*) OVER (PARTITION BY pid) AS k FROM a),
+        |c AS (SELECT event_type,
+        |    cast(round(CASE WHEN k = 1 THEN cast(1.0 AS double)
+        |      WHEN k = 2 THEN cast(0.5 AS double)
+        |      WHEN pos = 1 OR pos = k THEN cast(0.4 AS double)
+        |      ELSE cast(0.2 AS double) / cast(k - 2 AS double) END, 9)
+        |      AS DECIMAL(18,9)) AS cr
+        |  FROM r)
+        |SELECT event_type, cast(count(*) AS bigint) AS n_touches,
+        |  cast(sum(cr) AS double) AS credit
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // linear interpolation: IGNORE NULLS neighbor windows, identical
+    // double op order, rounded 6 dp; deterministic dropout n % 3 = 0
+    "q_interpolate" ->
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+         |    $CNT AS n, ${d4("value")} AS sv
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT event_type, hour,
+         |    cast(floor(epoch(hour)) AS bigint) AS t,
+         |    CASE WHEN n % 3 <> 0 THEN sv END AS v FROM h),
+         |w AS (SELECT *,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+         |      ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND 1 PRECEDING) AS pv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type
+         |      ORDER BY t ROWS BETWEEN 1 FOLLOWING
+         |      AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+         |      OVER (PARTITION BY event_type ORDER BY t
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM m)
+         |SELECT event_type, hour,
+         |  CASE WHEN v IS NOT NULL THEN 'obs'
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+         |       ELSE 'edge' END AS src,
+         |  CASE WHEN v IS NOT NULL THEN round(v, 6)
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+         |         round(pv + (nv - pv) * ((t - pt) / (nt - pt)), 6)
+         |       END AS vi
+         |FROM w ORDER BY event_type, hour""".stripMargin,
+
+    // Mann-Whitney U: exact 2x midrank sums in integers, tie-corrected
+    // z from an exact hugeint variance numerator, one double division
+    "q_mwu" ->
+      """WITH o AS (SELECT cast(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    cast(floor(epoch(o_orderdate)) AS bigint) AS d
+        |  FROM orders),
+        |bo AS (SELECT (min(d) + max(d)) // 2 AS mid FROM o),
+        |t AS (SELECT p, count(CASE WHEN d < mid THEN 1 END) AS c1,
+        |    count(*) AS cnt FROM o, bo GROUP BY p),
+        |c AS (SELECT p, c1, cnt,
+        |    cast(coalesce(sum(cnt) OVER (ORDER BY p
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bigint) AS cb
+        |  FROM t),
+        |n AS (SELECT cast(sum(c1) AS bigint) AS n1,
+        |    cast(sum(cnt - c1) AS bigint) AS n2,
+        |    cast(sum(cnt) AS bigint) AS nn,
+        |    cast(sum(cnt*cnt*cnt - cnt) AS bigint) AS ties FROM t),
+        |r AS (SELECT cast(sum(c1 * (2*cb + cnt + 1)) AS bigint)
+        |    AS r1x2 FROM c)
+        |SELECT n.n1, n.n2, r.r1x2,
+        |  r.r1x2 - n.n1*(n.n1+1) AS u1x2,
+        |  round((cast(r.r1x2 - n.n1*(n.n1+1) AS double)
+        |      - cast(n.n1*n.n2 AS double))
+        |    / (2.0 * sqrt(cast(cast(n.n1 AS hugeint)*n.n2
+        |        *(cast(n.nn AS hugeint)*n.nn*n.nn - n.nn - n.ties)
+        |        AS double)
+        |      / (12.0 * cast(n.nn AS double)
+        |        * cast(n.nn - 1 AS double)))), 6) AS z
+        |FROM n, r""".stripMargin,
+
     // two-sample KS: the max CDF gap as the exact integer
     // |k1*n2 - k2*n1| over pooled distinct values; one normalized
     // division at the end, rounded 6 dp; argmax location = min value

@@ -1659,6 +1659,88 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("event_type")
   }
 
+  /** #53m LINEAR INTERPOLATION of series gaps — the missing half of
+    * [[qResample]]'s carry-forward fill: sensor-dropout hours
+    * (synthesized deterministically: hourly buckets whose event count
+    * ≡ 0 mod 3 lose their value) are reconstructed as
+    * `v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev)`,
+    * the neighbors found by `last/first(… IGNORE NULLS)` over ONE
+    * keyed window pair (no self-join, no grid explode). Gaps with no
+    * neighbor on either side stay NULL (`edge`). Epoch-second
+    * integer t's; the interpolation is the only double arithmetic,
+    * identical op order both engines, rounded 6 dp. */
+  def qInterpolate(s: SparkSession, dir: String): DataFrame = {
+    val h = T(s, dir).events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+      .withColumn("t", unix_timestamp(col("hour")))
+      .withColumn("v", when(pmod(col("n"), lit(3)) =!= 0, col("sv")))
+    val wp = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wn = Window.partitionBy("event_type").orderBy("t")
+      .rowsBetween(1, Window.unboundedFollowing)
+    val pv = last(col("v"), ignoreNulls = true).over(wp)
+    val pt = last(when(col("v").isNotNull, col("t")),
+      ignoreNulls = true).over(wp)
+    val nv = first(col("v"), ignoreNulls = true).over(wn)
+    val nt = first(when(col("v").isNotNull, col("t")),
+      ignoreNulls = true).over(wn)
+    h.withColumn("src",
+        when(col("v").isNotNull, lit("obs"))
+          .when(pv.isNotNull && nv.isNotNull, lit("interp"))
+          .otherwise(lit("edge")))
+      .withColumn("vi",
+        when(col("v").isNotNull, round(col("v"), 6))
+          .when(pv.isNotNull && nv.isNotNull,
+            round(pv + (nv - pv) * ((col("t") - pt) / (nt - pt)), 6)))
+      .select("event_type", "hour", "src", "vi")
+      .orderBy("event_type", "hour")
+  }
+
+  /** #38z' MANN-WHITNEY U rank-sum test — the KS family's
+    * location-shift sibling over the same period split, computed
+    * EXACTLY under ties: midrank sums stay in integers by carrying
+    * 2·R₁ = Σ c₁(v)·(2·cb(v) + cnt(v) + 1) (cb = pooled cumulative
+    * count before v, via [[Relational.cumsumExact]]); U follows in
+    * exact 2× units, and the tie-corrected normal z divides the
+    * exact BigInt variance numerator once in doubles (identical op
+    * order; BigInt→double and hugeint→double both round to nearest),
+    * rounded 6 dp. */
+  def qMwu(s: SparkSession, dir: String): DataFrame = {
+    val o = T(s, dir).orders.select(
+      col("o_totalprice").cast(P2).as("p"),
+      unix_timestamp(col("o_orderdate")).as("d"))
+    val bnd = o.agg(min("d").as("lo"), max("d").as("hi")).head()
+    val mid = (bnd.getLong(0) + bnd.getLong(1)) / 2
+    val t = o.groupBy("p").agg(
+      count(when(col("d") < mid, lit(1))).as("c1"),
+      count(lit(1)).as("cnt"))
+    val c = Relational.cumsumExact(
+        t.withColumn("cntd", col("cnt").cast(DecimalType(20, 0))),
+        Seq("p"), "cntd")
+      .withColumn("cb", (col("cum") - col("cntd")).cast("long"))
+    val a = c.agg(
+      sum(col("c1")).as("n1"),
+      sum(col("cnt") - col("c1")).as("n2"),
+      sum(col("cnt")).as("nn"),
+      sum(col("cnt") * col("cnt") * col("cnt") - col("cnt"))
+        .as("ties"),
+      sum(col("c1") * (col("cb") * 2 + col("cnt") + 1)).as("r1x2"))
+      .head()
+    val (n1, n2, nn, ties, r1x2) =
+      (a.getLong(0), a.getLong(1), a.getLong(2), a.getLong(3),
+        a.getLong(4))
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val num = BigInt(n1) * BigInt(n2) *
+      (BigInt(nn) * nn * nn - nn - ties)
+    val zRaw = (u1x2.toDouble - (n1 * n2).toDouble) /
+      (2.0 * math.sqrt(BigDecimal(num).toDouble /
+        (12.0 * nn.toDouble * (nn - 1).toDouble)))
+    import s.implicits._
+    Seq((n1, n2, r1x2, u1x2)).toDF("n1", "n2", "r1x2", "u1x2")
+      .withColumn("z", round(lit(zRaw), 6))
+  }
+
   /** #38z two-sample KOLMOGOROV-SMIRNOV test — PSI's nonparametric
     * sibling ([[qDriftPsi]], same period split): `D = max |F₁ − F₂|`
     * over the pooled value domain, computed EXACTLY — the gap at
@@ -2572,6 +2654,47 @@ object Queries {
     * raw timestamps (microsecond-exact, no epoch truncation). Value
     * routes through decimal so the per-channel sums are
     * order-insensitive. */
+  /** #55l' POSITION-BASED multi-touch attribution (the U-shaped /
+    * 40-20-40 model) — the upgrade over [[qAttribution]]'s
+    * last-touch: every view/click is assigned to the user's NEXT
+    * purchase via [[Relational.asofJoin]] `direction="forward"` (the
+    * operator composing, not a range join), ranked within its
+    * conversion, and credited 0.4/first + 0.4/last + 0.2/(k−2) split
+    * across middles (k=1 → 1, k=2 → 0.5/0.5). Each per-touch credit
+    * is ONE double division in identical op order, then QUANTIZED to
+    * DECIMAL(18,9) before aggregation — so the rollup sums are exact
+    * and order-independent, immune to partial-agg addition order
+    * (the pattern that makes fractional-credit rollups hash-gateable
+    * at all). */
+  def qAttribPosition(s: SparkSession, dir: String): DataFrame = {
+    val e = T(s, dir).events.select(col("event_id"), col("user_id"),
+      col("event_type"), unix_timestamp(col("ts")).as("tsec"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tsec"), col("event_id").as("pid"))
+    val assigned = Relational.asofJoin(touches, purchases,
+        Seq("user_id"), "tsec", direction = "forward")
+      .where(col("asof_pid").isNotNull)
+    val wk = Window.partitionBy("asof_pid")
+    val wp = wk.orderBy("tsec", "event_id")
+    val credit = {
+      val k = col("k")
+      val pos = col("pos")
+      when(k === 1, 1.0)
+        .when(k === 2, 0.5)
+        .when(pos === 1 || pos === k, 0.4)
+        .otherwise(lit(0.2) / (k - 2).cast("double"))
+    }
+    assigned
+      .withColumn("pos", row_number().over(wp))
+      .withColumn("k", count(lit(1)).over(wk))
+      .withColumn("cr", round(credit, 9).cast(DecimalType(18, 9)))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("cr")).cast("double").as("credit"))
+      .orderBy("event_type")
+  }
+
   def qAttribution(s: SparkSession, dir: String): DataFrame = {
     val touch = col("event_type").isin("click", "view")
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
