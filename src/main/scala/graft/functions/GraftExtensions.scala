@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // ...and the idiomatic size(filter(arr, x -> x IN (...))) membership
     // count into the native ArrayCountIn probe.
     ext.injectOptimizerRule(_ => ArrayCountInRewrite)
+    // Rule[LogicalPlan]: transparent materialized-view rollup rewrite
+    // (no-op until graft.ops.MatViews.create registers a summary).
+    ext.injectOptimizerRule(_ => graft.ops.MvRollupRule)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),

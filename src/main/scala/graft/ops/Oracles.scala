@@ -728,6 +728,13 @@ object Oracles {
          |FROM (VALUES ('csv'), ('json'), ('orc')) f(format), a
          |ORDER BY format""".stripMargin,
 
+    // MV rollup rewrite: the oracle computes from the ORIGINAL table,
+    // so equality proves the summary-table rewrite semantics-preserving
+    "q_mv_rollup" ->
+      s"""SELECT l_returnflag, ${d2("l_quantity")} AS sum_qty,
+         |  ${d2("l_extendedprice")} AS sum_price, $CNT AS n
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // ABC/Pareto: the running share in pure DECIMAL arithmetic (no
     // float share ever exists); the Spark side's parallel cumsumExact
     // must equal this single-window form bit-for-bit
@@ -772,6 +779,24 @@ object Oracles {
       s"""SELECT event_type, $CNT AS n, ${d4("value")} AS sv
          |FROM events WHERE NOT (event_type = 'error')
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // run-length encoding: gaps-and-islands run ids, two rollups,
+    // all integers under the (ts, event_id) total order
+    "q_rle" ->
+      """WITH e AS (SELECT user_id, event_type, ts, event_id,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id) IS DISTINCT FROM event_type
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |r AS (SELECT user_id, event_type,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM e),
+        |runs AS (SELECT user_id, run, event_type,
+        |    cast(count(*) AS bigint) AS len
+        |  FROM r GROUP BY 1, 2, 3)
+        |SELECT event_type, len, cast(count(*) AS bigint) AS n_runs
+        |FROM runs GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // position-based attribution: forward as-of assignment replayed
     // as windowed argmin, credits quantized to DECIMAL(18,9) before

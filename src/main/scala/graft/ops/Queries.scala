@@ -1428,6 +1428,48 @@ object Queries {
     * single-partition funnel (measured 8.9× at 10×); the parallel
     * global-rank form measures ~linear while the oracle replays the
     * BUILT-IN ntile, so the gate proves the rewrite bucket-for-bucket. */
+  /** #50d MATERIALIZED-VIEW rollup rewrite ([[graft.ops.MatViews]] +
+    * [[graft.ops.MvRollupRule]]): lineitem is snapshotted to a
+    * per-run path, summarized once per (returnflag, linestatus), and
+    * the graded COARSER aggregate (by returnflag alone) is written
+    * against the BASE table — the injected `Rule[LogicalPlan]`
+    * (via `spark.experimental.extraOptimizations`, Spark's runtime
+    * optimizer hook) transparently re-aggregates the summary instead
+    * (`sum → sum(sum_c)`, `count(1) → sum(cnt)`, exprIds and
+    * dataTypes preserved). The oracle computes from the ORIGINAL
+    * table, so the hash gate proves the rewrite is
+    * semantics-preserving; MatViewSpec asserts the plan actually
+    * read the MV and that filters / uncovered aggregates are left
+    * untouched. At 100 TB this is the summary-table answer to
+    * repeated dashboard rollups: the fact table is read once at MV
+    * build, every matching query after reads thousands of rows. */
+  def qMvRollup(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mv_")
+    val src = base.resolve("src").toString
+    T(s, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(P2).as("qty"),
+        col("l_extendedprice").cast(P2).as("price"))
+      .write.parquet(src)
+    MatViews.install(s)
+    val key = MatViews.create(s, src, Seq("l_returnflag", "l_linestatus"),
+      Seq("qty", "price"), base.resolve("mv").toString)
+    val q = s.read.parquet(src).groupBy("l_returnflag")
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("price")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"), col("n"))
+      .orderBy("l_returnflag")
+    // pin (executes the query — the rewrite fires here, reading the
+    // MV), delete the scratch dirs, THEN unregister by key (no file
+    // access needed once the dirs are gone)
+    val pinned = cleanupAfter(q, base.toString)
+    MatViews.unregister(key)
+    pinned
+  }
+
   /** #38x ABC / PARETO analysis — the inventory-classification
     * staple: parts ranked by revenue, class A while the running share
     * stays ≤ 80%, B to 95%, C beyond. The running total goes through
@@ -2654,6 +2696,30 @@ object Queries {
     * raw timestamps (microsecond-exact, no epoch truncation). Value
     * routes through decimal so the per-channel sums are
     * order-insensitive. */
+  /** #54b RUN-LENGTH encoding of event streams — collapse each
+    * user's consecutive repeats of the same event_type into runs
+    * (the session-replay compression / repeated-action report), then
+    * summarize the run-length distribution per type. One
+    * lag-comparison + running sum assigns run ids (the
+    * gaps-and-islands idiom), two keyed aggregations roll up —
+    * all integer arithmetic, (ts, event_id) total order. */
+  def qRle(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    T(s, dir).events
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"),
+          1L).otherwise(0L))
+      .withColumn("run",
+        sum(col("chg")).over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("run"), col("event_type"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("event_type"), col("len"))
+      .agg(count(lit(1)).as("n_runs"))
+      .orderBy("event_type", "len")
+  }
+
   /** #55l' POSITION-BASED multi-touch attribution (the U-shaped /
     * 40-20-40 model) — the upgrade over [[qAttribution]]'s
     * last-touch: every view/click is assigned to the user's NEXT
