@@ -728,6 +728,15 @@ object Oracles {
          |FROM (VALUES ('csv'), ('json'), ('orc')) f(format), a
          |ORDER BY format""".stripMargin,
 
+    // LATERAL: the identical SQL, DuckDB's native lateral join
+    "q_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o ON true
+        |ORDER BY c.c_custkey""".stripMargin,
+
     // MV rollup rewrite: the oracle computes from the ORIGINAL table,
     // so equality proves the summary-table rewrite semantics-preserving
     "q_mv_rollup" ->

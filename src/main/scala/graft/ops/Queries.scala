@@ -1428,6 +1428,25 @@ object Queries {
     * single-partition funnel (measured 8.9× at 10×); the parallel
     * global-rank form measures ~linear while the oracle replays the
     * BUILT-IN ntile, so the gate proves the rewrite bucket-for-bucket. */
+  /** #50e LATERAL correlated subquery — the remaining decorrelation
+    * class the TPC-H family doesn't reach: a per-row dependent
+    * subquery with ORDER BY + LIMIT (top-1 order per customer),
+    * written as SQL `JOIN LATERAL` through the registered-view
+    * surface ([[graft.ops.Scale.registerViews]] — this also grades
+    * the pure-`spark.sql` path end to end). Catalyst decorrelates
+    * the correlated sort-limit via `DecorrelateInnerQuery` into a
+    * ranked window join — no per-row re-execution survives; the
+    * oracle runs the IDENTICAL SQL in DuckDB's native LATERAL. */
+  def qLateral(s: SparkSession, dir: String): DataFrame = {
+    Scale.registerViews(s, dir)
+    s.sql("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c JOIN LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+      |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   /** #50d MATERIALIZED-VIEW rollup rewrite ([[graft.ops.MatViews]] +
     * [[graft.ops.MvRollupRule]]): lineitem is snapshotted to a
     * per-run path, summarized once per (returnflag, linestatus), and
