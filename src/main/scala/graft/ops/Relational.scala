@@ -288,9 +288,14 @@ object Relational {
     * ScaleExperiment measures (2.3× on the 50 %-hot-key regime).
     *
     * Detection: one `sampleFrac` scan of `big`; any key holding more
-    * than `hotShare` of the sampled rows is "hot" (at most
-    * ⌈1/hotShare⌉ keys can qualify, so the driver collect is bounded
-    * by CONTRACT, never data-sized). Keys below the sample's
+    * than `hotShare` of the sampled rows is "hot". The share filter
+    * runs CLUSTER-SIDE ([[hotKeyFrame]]: per-key counts joined to a
+    * broadcast scalar total, `count > hotShare·total` applied in-plan)
+    * so the driver collect sees only QUALIFYING keys — at most
+    * ⌈1/hotShare⌉ rows can pass the filter regardless of key
+    * cardinality, making the collect bounded by CONTRACT even on a
+    * 10^10-distinct-key fact table (RelationalSpec asserts the bound
+    * on a high-cardinality uniform key). Keys below the sample's
     * resolution can't be hot enough to straggle a task.
     *
     * Plan: `big` splits into a hot slice (salted across `salts`
@@ -312,13 +317,8 @@ object Relational {
     // the delta IS this scan). Recurring jobs pass `hotKeys` from a
     // prior run / q_skew_report and skip it entirely.
     val hot = hotKeys.getOrElse {
-      val cnts = big.select(col(key)).sample(withReplacement = false,
-          sampleFrac, seed = 42)
-        .groupBy(col(key)).count().collect()
-      val total = cnts.map(_.getLong(1)).sum.toDouble
-      if (total == 0) Seq.empty
-      else cnts.filter(_.getLong(1) > hotShare * total)
-        .map(_.get(0)).toSeq
+      hotKeyFrame(big, key, hotShare, sampleFrac)
+        .collect().map(_.get(0)).toSeq
     }
     if (hot.isEmpty) big.join(dim, key)
     else {
@@ -329,6 +329,31 @@ object Relational {
       // null semantics on both slices
       big.where(!isHot).join(dim, key).unionByName(salted)
     }
+  }
+
+  /** The frame [[skewJoin]] collects its hot keys FROM — exposed so
+    * the bound is machine-assertable. One row per key whose sampled
+    * count exceeds `hotShare` of the sample total; since shares sum
+    * to 1, at most ⌊1/hotShare⌋ rows can ever exist, so
+    * `.collect()` on this frame is contract-bounded, never
+    * data-sized — the filter runs in-plan, BEFORE anything reaches
+    * the driver (the r9-verdict defect was filtering after a
+    * per-distinct-key collect). The sample total comes from a scalar
+    * re-aggregation of the same per-key counts (no second scan),
+    * broadcast back over them. */
+  private[graft] def hotKeyFrame(big: DataFrame, key: String,
+                                 hotShare: Double,
+                                 sampleFrac: Double): DataFrame = {
+    val counted = big.select(col(key))
+      .sample(withReplacement = false, sampleFrac, seed = 42)
+      .groupBy(col(key)).count()
+    // sum over an EMPTY counted frame is one row of NULL; the share
+    // predicate is then NULL → no key qualifies, matching the old
+    // total==0 guard
+    val total = counted.agg(sum(col("count")).as("__tot"))
+    counted.crossJoin(broadcast(total))
+      .where(col("count") > col("__tot") * hotShare)
+      .select(col(key))
   }
 
 

@@ -159,10 +159,15 @@ object Scale {
   /** Copy-on-write DELETE: `destDir` = the table minus rows matching
     * `cond`; only files containing a match are rewritten (a hit file
     * whose every row matches yields an empty file's worth of rows —
-    * the file simply disappears from the copy). */
+    * the file simply disappears from the copy). SQL DELETE semantics:
+    * only rows where `cond` IS TRUE are removed — a NULL predicate
+    * keeps the row, exactly as in unrewritten files (the r9 advice
+    * defect: `!cond` is NULL for NULL rows, so they were dropped or
+    * kept depending on file co-location with a TRUE hit). */
   def deleteWhere(spark: SparkSession, srcDir: String, destDir: String,
                   cond: Column): RewriteStats =
-    cowRewrite(spark, srcDir, destDir, cond, _.where(!cond))
+    cowRewrite(spark, srcDir, destDir, cond,
+      _.where(!coalesce(cond, lit(false))))
 
   /** Copy-on-write UPDATE: rows matching `cond` get each `(column →
     * value)` in `set` applied; untouched files are byte-copied. */

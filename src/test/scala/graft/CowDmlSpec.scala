@@ -67,4 +67,33 @@ class CowDmlSpec extends AnyFunSuite {
     }
     rm(base.toFile)
   }
+
+  test("deleteWhere keeps NULL-predicate rows regardless of file") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_null")
+    val src = base.resolve("src").toString
+    val dest = base.resolve("del").toString
+    // NULL v rows land in BOTH files: one shares a file with TRUE
+    // hits (k=1), one does not (k=0). SQL DELETE removes only rows
+    // where the predicate IS TRUE — the r9 advice defect dropped
+    // NULL rows that happened to share a file with a hit.
+    val df = Seq(
+      (1L, 0L, Option(5.0)), (2L, 0L, None),
+      (3L, 1L, Option(99.0)), (4L, 1L, None), (5L, 1L, Option(1.0))
+    ).toDF("id", "k", "v")
+    df.repartition(2, col("k")).write.parquet(src)
+    val stats = Scale.deleteWhere(spark, src, dest, col("v") > 50.0)
+    assert(stats.rowsAfter == 4,
+      s"only the v>50 row may be deleted, got $stats")
+    val kept = spark.read.parquet(dest)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L, 5L),
+      "NULL-predicate rows must survive in hit AND untouched files")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+  }
 }

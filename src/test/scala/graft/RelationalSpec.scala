@@ -271,6 +271,32 @@ class RelationalSpec extends AnyFunSuite {
       == plain.count(), "null keys must drop exactly like inner join")
   }
 
+  test("skewJoin hot-key collect is contract-bounded, not data-sized") {
+    import org.apache.spark.sql.functions._
+    // HIGH-CARDINALITY uniform key: 50k rows over ~50k distinct keys.
+    // The r9 defect collected one row per distinct SAMPLED key (here
+    // ~25k rows at sampleFrac=0.5) and filtered driver-side; the fix
+    // filters in-plan, so the frame the driver collects can never
+    // exceed ⌊1/hotShare⌋ rows — on uniform data it is EMPTY.
+    val uni = spark.range(50000).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    val candidates = Relational.hotKeyFrame(uni, "k",
+      hotShare = 0.05, sampleFrac = 0.5)
+    assert(candidates.count() == 0,
+      "uniform high-cardinality keys must yield zero hot candidates")
+    // skewed data: the collected frame holds the hot key(s) and stays
+    // within the 1/hotShare bound even though 500 keys were sampled
+    val fact = spark.range(20000).select(
+      when(col("id") % 2 === 0, 0L).otherwise(col("id") % 500L).as("k"))
+    val hot = Relational.hotKeyFrame(fact, "k",
+      hotShare = 0.05, sampleFrac = 0.5).collect()
+    assert(hot.length <= 20, s"collect exceeded 1/hotShare: ${hot.length}")
+    assert(hot.map(_.getLong(0)).contains(0L), "missed the hot key")
+    // empty input: no candidates (the NULL-total guard)
+    val empty = spark.range(0).select(col("id").as("k"))
+    assert(Relational.hotKeyFrame(empty, "k", 0.05, 0.5).count() == 0)
+  }
+
   test("upsert laws: idempotent; empty changes = all-keep (#42c)") {
     val base = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
     val ch = Seq((2L, 99.0), (3L, 30.0)).toDF("k", "bal")
