@@ -768,40 +768,30 @@ object Dedup {
     * writer (crash between the two tables, object-store copy caught
     * mid-flight) is invisible instead of serving mismatched halves. */
   private def edgeVersions(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=")
-        && fs.exists(new org.apache.hadoop.fs.Path(st.getPath,
-             graft.streaming.Streams.CommitMarker)))
-      .map(_.getPath.getName.stripPrefix("v=").toLong)
-  }
+                           path: String): Seq[Long] =
+    graft.tables.VersionStore.committed(spark, path)
 
-  /** Write edges+degrees as `path/v=<id>`, commit with the marker,
-    * then drop committed versions older than the newest two (the
-    * retention discipline the CDC chain uses — the head plus the
-    * replay base). Returns the committed edges frame. */
+  /** Write edges+degrees into a staged `path/v=<id>` via the shared
+    * [[graft.tables.VersionStore.publish]] (atomic marker commit — a
+    * crash between the two tables leaves an unmarked dir no reader
+    * sees, reaped by the next retention), then drop committed
+    * versions older than the newest two (the retention discipline
+    * the CDC chain uses — the head plus the replay base). Returns
+    * the committed edges frame. */
   private def publishEdgeVersion(edges: DataFrame, path: String,
                                  id: Long): DataFrame = {
     val spark = edges.sparkSession
-    val vdir = s"$path/v=$id"
-    edges.repartition(col("doc_a"))
-      .write.mode("overwrite").parquet(s"$vdir/edges")
-    val e = spark.read.parquet(s"$vdir/edges")
-    e.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
-      .repartition(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$vdir/degrees")
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$vdir/${graft.streaming.Streams.CommitMarker}"), true).close()
-    edgeVersions(spark, path).sorted.dropRight(2).foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/v=$v"), true)
+    graft.tables.VersionStore.publish(spark, path, id) { stage =>
+      edges.repartition(col("doc_a"))
+        .write.mode("overwrite").parquet(s"$stage/edges")
+      spark.read.parquet(s"$stage/edges")
+        .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+        .repartition(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$stage/degrees")
     }
-    e
+    graft.tables.VersionStore.retain(spark, path, keepLast = 2): Unit
+    spark.read.parquet(s"$path/v=$id/edges")
   }
 
   def edgeTable(docs: DataFrame, tau: Double, path: String): DataFrame = {

@@ -1697,14 +1697,16 @@ object Queries {
     * hash-clustered on event_type (8 files), a `DELETE WHERE
     * event_type = 'error'` rewrites ONLY the file(s) containing
     * error rows (file-granular hit detection via `input_file_name`,
-    * a file-count-bounded collect) and byte-copies the rest, and the
-    * graded rollup reads the POST-DELETE table — the oracle is the
+    * a file-count-bounded collect) and carries the rest into the new
+    * version's manifest BY POINTER ([[graft.tables.VersionStore]] —
+    * nothing untouched is ever copied), and the graded rollup reads
+    * the POST-DELETE table through the manifest — the oracle is the
     * same rollup with `WHERE NOT` on the source, so the gate proves
     * the rewrite deleted exactly the predicate and nothing else.
-    * CowDmlSpec additionally pins the touched-file accounting and
-    * the UPDATE twin. At 100 TB on a clustered layout the rewrite
-    * bound is the point: a one-customer DELETE touches files, not
-    * the table. */
+    * CowDmlSpec additionally pins the touched-file accounting, the
+    * no-copy property and the UPDATE twin. At 100 TB on a clustered
+    * layout the pointer manifest is the point: a one-customer DELETE
+    * costs its hit files, not a table-sized copy. */
   def qDeleteWhere(s: SparkSession, dir: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_cow_")
     val src = base.resolve("src").toString
@@ -1714,7 +1716,7 @@ object Queries {
       .repartition(8, col("event_type"))
       .write.parquet(src)
     Scale.deleteWhere(s, src, dest, col("event_type") === "error")
-    val out = s.read.parquet(dest)
+    val out = Scale.readTable(s, dest)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
     cleanupAfter(out, base.toString).orderBy("event_type")

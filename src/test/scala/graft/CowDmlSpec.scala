@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Scale
+import graft.tables.VersionStore
 
-/** Copy-on-write DML (#42g): DELETE/UPDATE rewrite ONLY the files the
-  * predicate touches — the untouched files are byte-copies — and the
-  * logical result equals the plain filter / CASE projection. */
+/** Copy-on-write DML (#42g), manifest-pointer edition: DELETE/UPDATE
+  * rewrite ONLY the files the predicate touches; untouched files are
+  * carried by MANIFEST POINTER — never rewritten, never byte-copied
+  * (the r9 shape streamed every untouched byte through the driver) —
+  * and the logical result equals the plain filter / CASE projection. */
 class CowDmlSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
@@ -16,13 +19,19 @@ class CowDmlSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private def md5(f: java.io.File): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(java.nio.file.Files.readAllBytes(f.toPath))
-      .map("%02x".format(_)).mkString
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
   }
 
-  test("deleteWhere rewrites only hit files; result == WHERE NOT") {
+  private def parquets(d: String): Array[java.io.File] = {
+    val fl = new java.io.File(d).listFiles()
+    if (fl == null) Array.empty
+    else fl.filter(_.getName.endsWith(".parquet"))
+  }
+
+  test("deleteWhere rewrites only hit files; untouched ride by pointer") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_spec")
     val src = base.resolve("src").toString
@@ -31,40 +40,85 @@ class CowDmlSpec extends AnyFunSuite {
     val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, s"v$i"))
       .toDF("id", "k", "v")
     df.repartition(4, col("k")).write.parquet(src)
+    val srcSnapshot = parquets(src)
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
     val stats = Scale.deleteWhere(spark, src, dest, col("k") === 2)
     // 4 key values hash into ≤4 partitions (collisions allowed), but
     // k=2's rows land in exactly ONE file — the only one rewritten
     assert(stats.filesTotal >= 2 && stats.filesRewritten == 1,
       s"expected a single-file rewrite, got $stats")
     assert(stats.rowsBefore == 4000 && stats.rowsAfter == 3000)
-    val got = spark.read.parquet(dest)
+    val got = Scale.readTable(spark, dest)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exp = df.where(col("k") =!= 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == exp)
-    // untouched files are byte-identical copies
-    def parts(d: String) = new java.io.File(d).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f)
-    val srcParts = parts(src).toMap
-    val copied = parts(dest).filter { case (n, f) =>
-      srcParts.contains(n) && md5(f) == md5(srcParts(n)) }
-    assert(copied.length == (stats.filesTotal - stats.filesRewritten),
-      "every non-hit file must be a byte-copy")
+    // NO-COPY proof: the version dir holds ONLY the rewritten file;
+    // every untouched file stayed in src, bit-for-bit undisturbed
+    val vdirFiles = parquets(s"$dest/v=0")
+    assert(vdirFiles.length == 1,
+      s"untouched files must NOT be copied into the version dir, " +
+        s"found ${vdirFiles.length}")
+    val after = parquets(src)
+      .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    assert(after == srcSnapshot, "source files were disturbed")
+    // the manifest points at src for every untouched file
+    val mf = VersionStore.manifest(spark, dest, 0L)
+    assert(mf.count(_.contains("/src/")) ==
+      stats.filesTotal - stats.filesRewritten)
     // UPDATE twin: matched rows get the new value, others untouched
     val upd = base.resolve("upd").toString
     val us = Scale.updateWhere(spark, src, upd, col("k") === 2,
       Seq("v" -> lit("X")))
     assert(us.filesRewritten == stats.filesRewritten &&
       us.rowsAfter == 4000)
-    val uv = spark.read.parquet(upd)
+    val uv = Scale.readTable(spark, upd)
       .collect().map(r => (r.getLong(0), r.getString(2))).toMap
     assert((1 to 4000).forall(i =>
       uv(i.toLong) == (if (i % 4 == 2) "X" else s"v$i")))
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
+    rm(base.toFile)
+  }
+
+  test("chained DML + retention: pointers resolve across versions") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_chain")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, i * 10.0))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    val srcFiles = parquets(src).length
+    // v=0: delete k=2; v=1: update k=1 — the update's base is v=0's
+    // manifest, so its untouched pointers span src AND v=0
+    Scale.deleteWhere(spark, src, tbl, col("k") === 2)
+    val us = Scale.updateWhere(spark, src, tbl, col("k") === 1,
+      Seq("v" -> lit(-1.0)))
+    assert(us.filesRewritten == 1 && us.rowsAfter == 3000)
+    val got = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size == 3000 && !got.keySet.exists(_ % 4 == 2))
+    assert(got.forall { case (id, v) =>
+      v == (if (id % 4 == 1) -1.0 else id * 10.0) })
+    // time travel: v=0 still serves the pre-update state
+    val v0 = VersionStore.read(spark, tbl, Some(0L))
+    assert(v0.where(col("v") === -1.0).count() == 0)
+    // retention to head only: v=0's rewritten file survives ONLY if
+    // v=1 still references it (it does not here — both DML hit the
+    // same k-hash file? no: k=2 and k=1 differ) — referenced files
+    // survive, unreferenced ones go, src is never touched
+    val mf1 = VersionStore.manifest(spark, tbl, 1L)
+    VersionStore.retain(spark, tbl, keepLast = 1)
+    assert(VersionStore.committed(spark, tbl) == Seq(1L))
+    mf1.foreach { f =>
+      assert(VersionStore.fsOf(spark, tbl)
+        .exists(new org.apache.hadoop.fs.Path(f)),
+        s"referenced file pruned: $f")
     }
+    val got2 = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got2 == got, "retention changed the served table")
+    assert(parquets(src).length == srcFiles,
+      "retention touched the source")
     rm(base.toFile)
   }
 
@@ -85,15 +139,10 @@ class CowDmlSpec extends AnyFunSuite {
     val stats = Scale.deleteWhere(spark, src, dest, col("v") > 50.0)
     assert(stats.rowsAfter == 4,
       s"only the v>50 row may be deleted, got $stats")
-    val kept = spark.read.parquet(dest)
+    val kept = Scale.readTable(spark, dest)
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 2L, 4L, 5L),
       "NULL-predicate rows must survive in hit AND untouched files")
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
     rm(base.toFile)
   }
 }

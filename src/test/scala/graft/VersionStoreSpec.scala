@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tables.VersionStore
+
+/** The shared versioned-table layer (r9-verdict ask #5): ONE
+  * implementation of marker-gated listing, staged atomic publish,
+  * pointer manifests, reference-counted retention and the replay
+  * watermark — the CDC chain, edge artifact, ANN index and COW DML
+  * all ride through this code, so the torn-dir / crash-debris edge
+  * cases are proven here once. */
+class VersionStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
+  }
+
+  test("publish is marker-gated; torn dirs invisible and reaped") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_vs_spec")
+    val dir = base.resolve("t").toString
+    val fs = VersionStore.fsOf(spark, dir)
+    VersionStore.publish(spark, dir, 0L) { stage =>
+      Seq(1, 2, 3).toDF("x").write.parquet(stage)
+    }
+    assert(VersionStore.committed(spark, dir) == Seq(0L))
+    assert(VersionStore.read(spark, dir).count() == 3)
+    // a torn writer: unmarked v=1 dir + leftover stage dir — both
+    // invisible to readers...
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v=1")): Unit
+    Seq(9).toDF("x").write.parquet(s"$dir/v=1/junk")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_stage_v=0")): Unit
+    assert(VersionStore.committed(spark, dir) == Seq(0L))
+    assert(VersionStore.head(spark, dir).contains(0L))
+    // ...and BELOW-head debris is reaped by retention (r9 advice:
+    // previously accumulated forever); v=1 is ABOVE head → a possible
+    // concurrent writer, left alone until a later head supersedes it
+    VersionStore.retain(spark, dir, keepLast = 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_stage_v=0")),
+      "stage debris at/below head must be reaped")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=1")),
+      "an unmarked dir above head may be a writer mid-publish")
+    VersionStore.publish(spark, dir, 2L) { stage =>
+      Seq(4, 5).toDF("x").write.parquet(stage)
+    }
+    VersionStore.retain(spark, dir, keepLast = 5)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=1")),
+      "torn dir below the new head must be reaped")
+    assert(VersionStore.committed(spark, dir).sorted == Seq(0L, 2L))
+    rm(base.toFile)
+  }
+
+  test("retention is manifest-reference-counted; watermark raises") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_vs_ref")
+    val dir = base.resolve("t").toString
+    val fs = VersionStore.fsOf(spark, dir)
+    // v=0 holds two data files; v=1's manifest points at ONE of them
+    // plus its own new file — pruning v=0 must keep the shared file
+    VersionStore.publish(spark, dir, 0L) { stage =>
+      Seq(1).toDF("x").coalesce(1).write.parquet(s"$stage/__tmp_a")
+      Seq(2).toDF("x").coalesce(1).write.parquet(s"$stage/__tmp_b")
+      def mv(sub: String, name: String): Unit =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$stage/$sub"))
+          .map(_.getPath).find(_.getName.endsWith(".parquet"))
+          .foreach { p =>
+            fs.rename(p, new org.apache.hadoop.fs.Path(stage, name)): Unit
+            fs.delete(new org.apache.hadoop.fs.Path(s"$stage/$sub"),
+              true): Unit
+          }
+      mv("__tmp_a", "a.parquet")
+      mv("__tmp_b", "b.parquet")
+    }
+    VersionStore.publish(spark, dir, 1L) { stage =>
+      Seq(3).toDF("x").coalesce(1).write.parquet(s"$stage/__tmp_c")
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$stage/__tmp_c"))
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .foreach { p =>
+          fs.rename(p, new org.apache.hadoop.fs.Path(stage,
+            "c.parquet")): Unit
+          fs.delete(new org.apache.hadoop.fs.Path(s"$stage/__tmp_c"),
+            true): Unit
+        }
+      VersionStore.writeManifest(spark, stage,
+        Seq(s"$dir/v=0/a.parquet", s"$dir/v=1/c.parquet"))
+    }
+    assert(VersionStore.read(spark, dir).as[Int].collect().toSet
+      == Set(1, 3))
+    val dropped = VersionStore.retain(spark, dir, keepLast = 1,
+      watermark = true)
+    assert(dropped == Seq(0L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=0/a.parquet")),
+      "file referenced by the kept manifest must survive")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=0/b.parquet")),
+      "unreferenced file must be pruned")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/v=0/${VersionStore.CommitMarker}")),
+      "pruned version must lose its marker")
+    assert(VersionStore.committed(spark, dir) == Seq(1L))
+    assert(VersionStore.read(spark, dir).as[Int].collect().toSet
+      == Set(1, 3), "the head still serves through the pointer")
+    // watermark raised and never lowers
+    assert(VersionStore.prunedWatermark(spark, dir).contains(0L))
+    VersionStore.raiseWatermark(spark, dir, -5L)
+    assert(VersionStore.prunedWatermark(spark, dir).contains(0L))
+    rm(base.toFile)
+  }
+}
