@@ -154,7 +154,8 @@ object ScaleExperiment {
       "q_rfm|q_drift_psi|q_benford|q_abtest|q_cdc_feed|" +
       "q_abc|q_basket|q_format_roundtrip|" +
       "q_ks_test|q_delete_where|q_mwu|q_interpolate|" +
-      "q_attrib_position|q_mv_rollup|q_rle|q_lateral").r
+      "q_attrib_position|q_mv_rollup|q_rle|q_lateral|" +
+      "q_mv_filter|q_setops_all|q_timezone|q_ann_reuse").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

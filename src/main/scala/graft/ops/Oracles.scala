@@ -681,6 +681,30 @@ object Oracles {
         |UNION ALL SELECT k, 'never_ordered' AS side FROM n
         |ORDER BY side, k""".stripMargin,
 
+    // BAG semantics: multiplicities must agree engine-to-engine
+    "q_setops_all" ->
+      """WITH a AS (SELECT l_partkey AS k FROM lineitem
+        |           WHERE l_linenumber <= 3),
+        |b AS (SELECT l_partkey AS k FROM lineitem
+        |      WHERE l_linenumber >= 2),
+        |ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b),
+        |ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |SELECT k, n, op FROM (
+        |  SELECT k, cast(count(*) AS bigint) AS n,
+        |    'intersect_all' AS op FROM ia GROUP BY 1
+        |  UNION ALL
+        |  SELECT k, cast(count(*) AS bigint) AS n,
+        |    'except_all' AS op FROM ea GROUP BY 1)
+        |ORDER BY op, k""".stripMargin,
+
+    // fixed-offset zones → the conversion is exactly interval
+    // arithmetic, immune to tz-db drift
+    "q_timezone" ->
+      s"""SELECT CAST(ts + INTERVAL 330 MINUTE AS DATE) AS ist_day,
+         |  cast(hour(ts - INTERVAL 480 MINUTE) AS bigint) AS pst_hour,
+         |  $CNT AS n, ${d4("value")} AS sv
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_scan" ->
       """SELECT event_id, user_id,
         |  cast(sum(cast(value AS DECIMAL(18,4)))
@@ -743,6 +767,15 @@ object Oracles {
       s"""SELECT l_returnflag, ${d2("l_quantity")} AS sum_qty,
          |  ${d2("l_extendedprice")} AS sum_price, $CNT AS n
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // MV rewrite under a grouping-column filter: the oracle filters
+    // the ORIGINAL fact table; the Spark side answers from the MV
+    // with the predicate pushed onto the summary scan
+    "q_mv_filter" ->
+      s"""SELECT l_returnflag, ${d2("l_quantity")} AS sum_qty,
+         |  ${d2("l_extendedprice")} AS sum_price, $CNT AS n
+         |FROM lineitem WHERE l_linestatus = 'F'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // ABC/Pareto: the running share in pure DECIMAL arithmetic (no
     // float share ever exists); the Spark side's parallel cumsumExact

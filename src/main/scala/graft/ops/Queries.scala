@@ -1489,6 +1489,43 @@ object Queries {
     pinned
   }
 
+  /** #50d'' MV rewrite UNDER A GROUPING-COLUMN FILTER (r9-verdict ask
+    * #3 — the #1 dashboard shape, `GROUP BY g WHERE g' = x` with
+    * g' ⊆ G): the summary table registered on (returnflag,
+    * linestatus) answers a returnflag rollup FILTERED to linestatus
+    * = 'F' — the Filter's references are all grouping columns, so
+    * [[graft.ops.MvRollupRule]] pushes it onto the MV scan (constant
+    * within each MV row ⇒ sound) instead of bailing to a fact-table
+    * re-read as it did in r9. The oracle filters the ORIGINAL table;
+    * MatViewSpec asserts the plan read the MV under this filter and
+    * did NOT fire under a measure filter. */
+  def qMvFilter(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvf_")
+    val src = base.resolve("src").toString
+    T(s, dir).lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(P2).as("qty"),
+        col("l_extendedprice").cast(P2).as("price"))
+      .write.parquet(src)
+    MatViews.install(s)
+    val key = MatViews.create(s, src, Seq("l_returnflag", "l_linestatus"),
+      Seq("qty", "price"), base.resolve("mv").toString)
+    val q = s.read.parquet(src)
+      .where(col("l_linestatus") === "F")
+      .groupBy("l_returnflag")
+      .agg(sum(col("qty")).as("sum_qty"),
+        sum(col("price")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        col("sum_qty").cast("double").as("sum_qty"),
+        col("sum_price").cast("double").as("sum_price"), col("n"))
+      .orderBy("l_returnflag")
+    val pinned = cleanupAfter(q, base.toString)
+    MatViews.unregister(key)
+    pinned
+  }
+
+
   /** #38x ABC / PARETO analysis — the inventory-classification
     * staple: parts ranked by revenue, class A while the running share
     * stays ≤ 80%, B to 95%, C beyond. The running total goes through
@@ -1675,8 +1712,13 @@ object Queries {
     def counts(df: DataFrame, nm: String) =
       df.select(bin.as("bin")).groupBy("bin")
         .agg(count(lit(1)).as(nm))
-    val nb = base.count().toDouble
-    val nc = cur.count().toDouble
+    // side totals derived FROM the binned aggregates (every row lands
+    // in exactly one bin) via a window over the ≤10-row binned frame —
+    // the r9 nit ran two extra full count() scans for the same values
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val nb = sum("base_n").over(wAll).cast("double")
+    val nc = sum("cur_n").over(wAll).cast("double")
     counts(base, "base_n").join(counts(cur, "cur_n"), Seq("bin"),
         "full_outer")
       .select(col("bin"),
@@ -3180,6 +3222,51 @@ object Queries {
     both.unionByName(never).orderBy("side", "k")
   }
 
+  /** #45b' BAG-semantics set ops (r9-verdict ask #6): INTERSECT ALL /
+    * EXCEPT ALL over two overlapping multiset slices of lineitem
+    * partkeys — the forms dedup-accounting and reconciliation
+    * queries actually use (multiplicities matter: a partkey held 3×
+    * on one side and 2× on the other contributes min=2 to INTERSECT
+    * ALL and 1 to EXCEPT ALL; the DISTINCT forms q_setops grades
+    * collapse exactly that information). Spark's builtins lower to
+    * one count-aggregate per side + a replicate — no join explosion;
+    * the graded output re-groups the bag so the gate is compact and
+    * total-ordered. */
+  def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val a = t.lineitem.where(col("l_linenumber") <= 3)
+      .select(col("l_partkey").as("k"))
+    val b = t.lineitem.where(col("l_linenumber") >= 2)
+      .select(col("l_partkey").as("k"))
+    val ia = a.intersectAll(b).groupBy("k")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val ea = a.exceptAll(b).groupBy("k")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    ia.unionByName(ea).orderBy("op", "k")
+  }
+
+  /** #53n TIME-ZONE conversion + local-calendar rollup (r9-verdict
+    * ask #7): every stored timestamp is UTC by the §3 contract; the
+    * everyday reporting query converts to a business zone and rolls
+    * up by the LOCAL calendar day — which splits UTC days at the
+    * offset boundary, the classic cross-engine trap. Pinned to
+    * FIXED-OFFSET zones (IST +05:30 for the day, UTC-8 for an
+    * hour-of-day cut) so a tz-db update can't flake the gate; the
+    * oracle expresses the same conversions as interval arithmetic,
+    * which for a fixed offset is the identical function. The
+    * DST-boundary behavior of a NAMED zone (America/Los_Angeles
+    * spring-forward) is pinned in MiscSpec, where no cross-engine
+    * tz-db agreement is needed. */
+  def qTimezone(s: SparkSession, dir: String): DataFrame =
+    T(s, dir).events
+      .groupBy(
+        to_date(from_utc_timestamp(col("ts"), "UTC+05:30")).as("ist_day"),
+        hour(from_utc_timestamp(col("ts"), "-08:00")).cast("long")
+          .as("pst_hour"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+      .orderBy("ist_day", "pst_hour")
+
+
   /** JSON extraction from the events `props` payload (regex-portable). */
   def qJson(s: SparkSession, dir: String): DataFrame =
     T(s, dir).events
@@ -4485,6 +4572,47 @@ object Queries {
   def qDedupEmbed(s: SparkSession, dir: String): DataFrame =
     graft.sim.Similarity.embedPairsAuto(T(s, dir).embeddings, 0.45)
       .orderBy("vec_a", "vec_b")
+
+  /** #62g BUILD-ONCE ANN INDEX ARTIFACT (r9-verdict ask #4 — the
+    * q_graph_reuse treatment for the ANN family): the embeddings
+    * corpus is indexed ONCE ([[graft.sim.Similarity.buildAnnIndex]]:
+    * IVF centroids + cell assignments + PQ codebook + codes,
+    * versioned + manifest-committed via the shared
+    * [[graft.tables.VersionStore]]), then THREE consumers serve from
+    * the stored artifact with no retraining: the IVF top-k probe,
+    * the IVF-PQ ADC probe, and a cell-occupancy report; a fourth
+    * step appends a disjoint batch against the STORED centroids (the
+    * faiss add() path) and re-reads. Approximate/trained by design →
+    * rows-only gate; AnnIndexSpec asserts indexed == per-run-trained
+    * BIT-FOR-BIT, rebuild determinism, and append-vs-assign
+    * equality. */
+  def qAnnReuse(s: SparkSession, dir: String): DataFrame = {
+    import graft.sim.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_")
+    val path = base.resolve("idx").toString
+    val emb = T(s, dir).embeddings
+    Similarity.buildAnnIndex(emb, path, centroids = 16,
+      pq = Some((8, 16)))
+    val knn = Similarity.knnIvfIndexed(s, path, col("vec_id") < 5, 3)
+    val pq = Similarity.knnIvfPqIndexed(s, path, col("vec_id") < 5, 3)
+    val occ = Similarity.readAnnIndex(s, path).assigned
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+    val fresh = emb.limit(50).select(
+      (col("vec_id") + 10000000L).as("vec_id"), col("embedding"), col("label"))
+    Similarity.annIndexAppend(path, fresh)
+    val after = Similarity.readAnnIndex(s, path)
+    val out = Seq(
+      ("ivf_knn_rows", knn.count()),
+      ("pq_knn_rows", pq.count()),
+      ("cells", occ.count()),
+      ("max_cell", occ.agg(max(col("n"))).head().getLong(0)),
+      ("assigned_after_append", after.assigned.count()),
+      ("codes_after_append", after.codes.get.count()))
+    val sp = s
+    import sp.implicits._
+    cleanupAfter(out.toDF("metric", "value"), base.toString)
+      .orderBy("metric")
+  }
 
   /** #61 brute-force cosine top-3 for query vectors vec_id < 5. */
   def qKnnBrute(s: SparkSession, dir: String): DataFrame =

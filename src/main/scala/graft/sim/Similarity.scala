@@ -301,14 +301,23 @@ object Similarity {
       if (trainIters > 0) kmeansOnPv(pv, k, trainIters, 2048)
       else pv.orderBy("vec_id").limit(k)
         .select(col("vec_id").as("cid"), col("ne").as("ce")))
+    (graft.core.Eager(assignTo(pv, cents)), cents)
+  }
+
+  /** Nearest-centroid assignment of unit vectors `pv` (vec_id, ne) to
+    * `cents` (cid, ce): broadcast centroids, one scan, argmax by keyed
+    * window (ties → lowest cid). Shared by the per-run trainer
+    * ([[ivfAssign]]) and the stored-index append path
+    * ([[annIndexAppend]] — faiss add()), so both produce bit-identical
+    * assignments for the same centroids. */
+  private def assignTo(pv: DataFrame, cents: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
-    val assigned = graft.core.Eager(pv.crossJoin(broadcast(cents))
+    pv.crossJoin(broadcast(cents))
       .withColumn("csim", expr("vec_dot(ne, ce)"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("vec_id"), col("ne"), col("cid")))
-    (assigned, cents)
+      .select(col("vec_id"), col("ne"), col("cid"))
   }
 
   /** IVF ANN top-k: each query probes its `probes` nearest centroid
@@ -321,6 +330,15 @@ object Similarity {
              centroids: Int = 16, probes: Int = 4,
              trainIters: Int = 2): DataFrame = {
     val (assigned, cents) = ivfAssign(emb, centroids, trainIters)
+    knnIvfOn(assigned, cents, queryPred, k, probes)
+  }
+
+  /** The probe plan of [[knnIvf]], over an already-built (assigned,
+    * centroids) pair — per-run-trained or read from the stored index
+    * ([[knnIvfIndexed]]); identical plan either way. */
+  private def knnIvfOn(assigned: DataFrame, cents: DataFrame,
+                       queryPred: Column, k: Int,
+                       probes: Int): DataFrame = {
     val q = assigned.where(queryPred)
       .select(col("vec_id").as("qid"), col("ne").as("qe"))
     val probed = q.crossJoin(broadcast(cents))
@@ -459,11 +477,24 @@ object Similarity {
     val (assigned, cents) = ivfAssign(emb, centroids, trainIters)
     val cb = trainPqCodebook(assigned, cents, m, ksub)
     val codes = pqEncode(assigned, cents, cb, m)
+    knnIvfPqOn(assigned, cents, cb, codes, queryPred, k, probes,
+      ksub, rerank)
+  }
+
+  /** The ADC probe plan of [[knnIvfPq]], over already-built index
+    * frames — per-run-trained or read from the stored artifact
+    * ([[knnIvfPqIndexed]]). The subvector width is carried by the
+    * codebook rows themselves (`size(cbv)`), so only `ksub` is
+    * needed to index the flat ADC table. */
+  private def knnIvfPqOn(assigned: DataFrame, cents: DataFrame,
+                         cb: DataFrame, codes: DataFrame,
+                         queryPred: Column, k: Int, probes: Int,
+                         ksub: Int, rerank: Int): DataFrame = {
     val q = assigned.where(queryPred)
       .select(col("vec_id").as("qid"), col("ne").as("qe"))
     // per-query ADC lookup table, packed flat ordered by (mi, j)
     val adcFlat = q.crossJoin(broadcast(cb))
-      .withColumn("sub", (size(col("qe")) / m).cast("int"))
+      .withColumn("sub", size(col("cbv")))
       .withColumn("contrib", expr(
         "vec_dot(slice(qe, mi * sub + 1, sub), cbv)"))
       .groupBy("qid")
@@ -498,6 +529,140 @@ object Similarity {
       .where(col("rank") <= k)
       .select("qid", "rank", "vid", "cos")
   }
+
+  // ---- BUILD-ONCE ANN INDEX ARTIFACT (r9-verdict ask #4) ----------
+
+  /** A persisted IVF(-PQ) index read back from disk: `centroids`
+    * (cid, ce), `assigned` (vec_id, ne, cid) clustered by cell, and —
+    * when the index was built with PQ — the residual `codebook`
+    * (mi, j, cbv) and per-vector `codes` (vec_id, cid, code). */
+  final case class AnnIndex(centroids: DataFrame, assigned: DataFrame,
+                            codebook: Option[DataFrame],
+                            codes: Option[DataFrame])
+
+  /** Train ONCE, serve many: persist the IVF index — centroids,
+    * cell assignments, and optionally the PQ codebook + codes — as a
+    * versioned, manifest-committed artifact at `path` (the
+    * [[graft.tables.VersionStore]] discipline shared with the edge
+    * artifact and CDC chains: staged write, atomic marker, torn
+    * writers invisible, newest two versions retained).
+    *
+    * The r9 verdict's point: at 100 TB the index BUILD (train + one
+    * full assignment pass + PQ encode) is the expensive step, and
+    * [[knnIvf]]/[[knnIvfPq]] retrained it inside every run — every
+    * consumer repaid the build. This is the faiss
+    * `train()`/`add()`/`write_index()` lifecycle on Spark: build
+    * once here, serve any number of [[knnIvfIndexed]] /
+    * [[knnIvfPqIndexed]] / cell-analytics consumers from the stored
+    * frames, extend with [[annIndexAppend]] as new vectors arrive.
+    * Training is deterministic (fixed sample, sequential sums,
+    * first-wins ties), so the stored index equals a per-run-trained
+    * one BIT-FOR-BIT — AnnIndexSpec asserts indexed == per-run for
+    * both consumers, plus rebuild determinism.
+    *
+    * `pq = Some((m, ksub))` additionally trains the residual
+    * codebook and encodes every vector (m small ints instead of the
+    * raw embedding — at scale the PQ codes ARE the index). Returns
+    * the committed version id. */
+  def buildAnnIndex(emb: DataFrame, path: String, centroids: Int,
+                    trainIters: Int = 2,
+                    pq: Option[(Int, Int)] = None): Long = {
+    val spark = emb.sparkSession
+    val (assigned, cents) = ivfAssign(emb, centroids, trainIters)
+    val id = graft.tables.VersionStore.head(spark, path)
+      .map(_ + 1).getOrElse(0L)
+    graft.tables.VersionStore.publish(spark, path, id) { stage =>
+      cents.write.mode("overwrite").parquet(s"$stage/centroids")
+      // cell-clustered layout: a probe reads co-located cells
+      assigned.repartition(col("cid"))
+        .write.mode("overwrite").parquet(s"$stage/assigned")
+      pq.foreach { case (m, ksub) =>
+        val cb = trainPqCodebook(assigned, cents, m, ksub)
+        cb.write.mode("overwrite").parquet(s"$stage/codebook")
+        pqEncode(assigned, cents, cb, m).repartition(col("cid"))
+          .write.mode("overwrite").parquet(s"$stage/codes")
+      }
+    }
+    graft.tables.VersionStore.retain(spark, path, keepLast = 2): Unit
+    id
+  }
+
+  /** Read back the newest committed index version. */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): AnnIndex = {
+    val vs = graft.tables.VersionStore.committed(spark, path)
+    require(vs.nonEmpty, s"no committed ANN index under $path")
+    val vdir = s"$path/v=${vs.max}"
+    val fs = graft.tables.VersionStore.fsOf(spark, path)
+    def sub(n: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$vdir/$n")
+      if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    }
+    AnnIndex(spark.read.parquet(s"$vdir/centroids"),
+      spark.read.parquet(s"$vdir/assigned"),
+      sub("codebook"), sub("codes"))
+  }
+
+  /** Day-2 growth without retraining — the faiss `add()` path:
+    * assign `fresh` vectors (vec_ids disjoint from the index's) to
+    * the STORED centroids, PQ-encode them against the STORED
+    * codebook when present, and publish the merged index as the next
+    * version. Centroids and codebook are carried unchanged, so every
+    * existing cell/code stays bit-identical — only the fresh rows
+    * are computed, batch-sized work against a 100 TB index. Returns
+    * the committed version id. */
+  def annIndexAppend(path: String, fresh: DataFrame): Long = {
+    val spark = fresh.sparkSession
+    graft.functions.VectorDot.register(spark)
+    val idx = readAnnIndex(spark, path)
+    val cents = graft.core.Eager(idx.centroids)
+    val pv = normalized(fresh).select(col("vec_id"), col("ne"))
+    val freshAssigned = graft.core.Eager(assignTo(pv, cents))
+    val merged = idx.assigned.unionByName(freshAssigned)
+    val id = graft.tables.VersionStore.head(spark, path).get + 1
+    graft.tables.VersionStore.publish(spark, path, id) { stage =>
+      cents.write.mode("overwrite").parquet(s"$stage/centroids")
+      merged.repartition(col("cid"))
+        .write.mode("overwrite").parquet(s"$stage/assigned")
+      (idx.codebook, idx.codes) match {
+        case (Some(cb), Some(codes)) =>
+          val m = cb.agg(max(col("mi"))).head().getInt(0) + 1
+          cb.write.mode("overwrite").parquet(s"$stage/codebook")
+          codes.unionByName(pqEncode(freshAssigned, cents, cb, m))
+            .repartition(col("cid"))
+            .write.mode("overwrite").parquet(s"$stage/codes")
+        case _ => ()
+      }
+    }
+    graft.tables.VersionStore.retain(spark, path, keepLast = 2): Unit
+    id
+  }
+
+  /** [[knnIvf]] served from the stored index — no training, no
+    * assignment pass; the probe plan alone. */
+  def knnIvfIndexed(spark: org.apache.spark.sql.SparkSession,
+                    path: String, queryPred: Column, k: Int,
+                    probes: Int = 4): DataFrame = {
+    graft.functions.VectorDot.register(spark)
+    val idx = readAnnIndex(spark, path)
+    knnIvfOn(idx.assigned, idx.centroids, queryPred, k, probes)
+  }
+
+  /** [[knnIvfPq]] served from the stored index (requires a
+    * PQ-enabled build). */
+  def knnIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, queryPred: Column, k: Int,
+                      probes: Int = 4, rerank: Int = 32): DataFrame = {
+    graft.functions.VectorDot.register(spark)
+    val idx = readAnnIndex(spark, path)
+    val cb = idx.codebook.getOrElse(
+      sys.error(s"index at $path was built without PQ"))
+    val codes = idx.codes.get
+    val ksub = cb.agg(max(col("j"))).head().getInt(0) + 1
+    knnIvfPqOn(idx.assigned, idx.centroids, cb, codes, queryPred,
+      k, probes, ksub, rerank)
+  }
+
 
   /** ANN top-k: candidates share an LSH bucket in ≥1 table, reranked by
     * exact cosine (normalize-once + native dot, like every other path).

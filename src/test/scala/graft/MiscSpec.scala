@@ -19,6 +19,23 @@ class MiscSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("timezone conversion: DST spring-forward boundary (#53n)") {
+    // q_timezone's graded gate pins FIXED offsets (tz-db-proof); the
+    // NAMED-zone behavior is pinned here where no cross-engine tz-db
+    // agreement is needed. America/Los_Angeles springs forward at
+    // 2026-03-08 02:00 PST → 03:00 PDT (10:00 UTC).
+    import spark.implicits._
+    val rows = Seq("2026-03-08 09:30:00", "2026-03-08 10:30:00")
+      .toDF("u").select(to_timestamp(col("u")).as("ts"))
+      .select(date_format(
+        from_utc_timestamp(col("ts"), "America/Los_Angeles"),
+        "yyyy-MM-dd HH:mm").as("la"))
+      .collect().map(_.getString(0)).toSeq
+    // 09:30 UTC is still PST (-8) → 01:30; 10:30 UTC is PDT (-7) →
+    // 03:30 — the 02:xx wall hour never exists on this day
+    assert(rows == Seq("2026-03-08 01:30", "2026-03-08 03:30"), rows)
+  }
+
   test("text source reads lines; ignore sink executes the plan (#23/#13)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_txt")
     java.nio.file.Files.writeString(dir.resolve("a.txt"), "l1\nl2\nl3\n")

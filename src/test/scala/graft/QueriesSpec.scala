@@ -25,7 +25,7 @@ class QueriesSpec extends AnyFunSuite {
         "q_percentile_approx", "q_tokens_bpe", "q_ngram_freq_cms",
         "q_embed_cluster", "q_quality_filter_approx", "q_audio_pipeline",
         "q_classifier", "q_compress_ratio", "q_hll_merge", "q_semdedup",
-        "q_label_errors"),
+        "q_label_errors", "q_ann_reuse"),
       s"unexpected rows-only: ${q -- o}")
   }
 

@@ -322,6 +322,22 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getName.stripPrefix("v=").toLong)
     assert(versions.length >= 4,
       s"expected >=4 micro-batch versions, got ${versions.toSeq}")
+    // r10 (r9-verdict ask #8): THROUGHPUT/LATENCY accounting — a
+    // state-store or merge regression must fail a gate, not just slow
+    // a bench. Per-batch input rows must sum to the changelog (no row
+    // enters the merge twice under at-most-one-file batches), every
+    // fed batch must stay under a generous wall bound, and the sink's
+    // reported addBatch time must dominate no batch pathologically.
+    val fedB = q.recentProgress.filter(_.numInputRows > 0)
+    assert(fedB.map(_.numInputRows).sum ==
+      spark.read.parquet(evDir.toString).count(),
+      "per-batch numInputRows must sum to the changelog")
+    assert(fedB.forall(p => p.batchDuration > 0 &&
+      p.batchDuration < 120000L),
+      s"pathological batch duration: ${fedB.map(_.batchDuration).toSeq}")
+    assert(fedB.forall(p =>
+      Option(p.durationMs.get("addBatch")).forall(_ < 110000L)),
+      "addBatch (the merge+publish) exceeded its bound")
     val batch = cdcBatchTwin(evDir)
     val streamed = cdcRows(Streams.cdcSnapshot(spark, snap))
     assert(streamed.nonEmpty && streamed == batch,
@@ -361,6 +377,19 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = histRows(Streams.cdcSnapshot(spark, hist))
     assert(streamed.nonEmpty && streamed == oneShot,
       s"streamed=${streamed.size} oneShot=${oneShot.size}")
+    // progress accounting (r9-verdict ask #8), SCD2 twin of the CDC
+    // sink's gate. NOTE: scd2Merge scans its batch frame more than
+    // once (carry-in state + appends), and the file source's
+    // numInputRows counts physical reads — so the sum can exceed the
+    // changelog; the sound invariants are no-loss (≥) and one fed
+    // batch per file, with durations bounded
+    val fedH = q.recentProgress.filter(_.numInputRows > 0)
+    assert(fedH.map(_.numInputRows).sum >=
+      spark.read.parquet(evDir.toString).count(),
+      "per-batch numInputRows lost rows")
+    assert(fedH.forall(p => p.batchDuration > 0 &&
+      p.batchDuration < 120000L),
+      s"pathological batch duration: ${fedH.map(_.batchDuration).toSeq}")
     // at-least-once replay of the final batch id: bit-identical history
     val versions = new java.io.File(hist).listFiles()
       .filter(_.getName.startsWith("v="))
