@@ -155,7 +155,8 @@ object ScaleExperiment {
       "q_abc|q_basket|q_format_roundtrip|" +
       "q_ks_test|q_delete_where|q_mwu|q_interpolate|" +
       "q_attrib_position|q_mv_rollup|q_rle|q_lateral|" +
-      "q_mv_filter|q_setops_all|q_timezone|q_ann_reuse").r
+      "q_mv_filter|q_setops_all|q_timezone|q_ann_reuse|" +
+      "q_table_changes|q_merge_cow|q_file_prune").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -822,6 +822,46 @@ object Oracles {
          |FROM events WHERE NOT (event_type = 'error')
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // COW change feed: the delta of a value-doubling UPDATE on click
+    // rows — D is the old image, I the new; NULL/0 values are
+    // bit-unchanged by doubling and must be absent from both sides
+    "q_table_changes" ->
+      s"""WITH c AS (SELECT value FROM events
+         |  WHERE event_type = 'click'
+         |    AND value IS NOT NULL AND value <> 0)
+         |SELECT op, n, sv FROM (
+         |  SELECT 'D' AS op, $CNT AS n, ${d4("value")} AS sv FROM c
+         |  UNION ALL
+         |  SELECT 'I' AS op, $CNT AS n,
+         |    cast(sum(cast(value * 2 AS DECIMAL(18,4))) AS double)
+         |    AS sv FROM c)
+         |ORDER BY op""".stripMargin,
+
+    // COW MERGE: the same upsert replayed in SQL — updates win for
+    // matched keys, inserts land once, decimal money exact
+    "q_merge_cow" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |    cast(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+         |m AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey % 10 = 0
+         |      THEN cast(bal + 100 AS DECIMAL(12,2)) ELSE bal
+         |    END AS bal
+         |  FROM c
+         |  UNION ALL
+         |  SELECT 'NEWSEG', cast(1.00 AS DECIMAL(12,2))
+         |  FROM c WHERE c_custkey % 7 = 0)
+         |SELECT c_mktsegment, $CNT AS n,
+         |  cast(sum(cast(bal AS DECIMAL(18,2))) AS double) AS sb
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // file-skipping: the pruned read must equal the full-scan filter
+    "q_file_prune" ->
+      s"""SELECT l_partkey, $CNT AS n, ${d2("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey >= 50 AND l_partkey < 150
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // run-length encoding: gaps-and-islands run ids, two rollups,
     // all integers under the (ts, event_id) total order
     "q_rle" ->

@@ -1764,6 +1764,93 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("event_type")
   }
 
+  /** #42h' CHANGE DATA FEED on the COW chain ([[Scale.tableChanges]]
+    * — the manifest-diff form): a DELETE then an UPDATE run as
+    * manifest-committed versions, and the graded delta between them
+    * reads ONLY the files the two manifests disagree on (untouched
+    * pointers cancel by definition and are never opened — the I/O
+    * bound at 100 TB is the changed data). An UPDATE appears as its
+    * old-image D + new-image I pair; click rows whose value is NULL
+    * or 0 are bit-unchanged by the doubling and correctly absent.
+    * The oracle reconstructs both images from the source table, so
+    * the hash gate proves the diff is exactly the DML's effect. */
+  def qTableChanges(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_cdf_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("value" -> (col("value") * 2)))
+    val out = Scale.tableChanges(s, tbl, 0L, 1L)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("op")
+  }
+
+  /** #42j MERGE INTO on the COW chain ([[Scale.mergeInto]]) — the
+    * upsert MERGE as file-granular, manifest-committed DML: matched
+    * customers (custkey ≡ 0 mod 10) update their balance inside a
+    * 1:1 rewrite of only the files their keys live in, brand-new
+    * customers (shifted key space, NEWSEG) append as one new data
+    * file, and every untouched file rides by pointer. Money stays
+    * DECIMAL end-to-end (the +100 is exact decimal arithmetic), so
+    * the post-merge rollup hash-gates against an oracle that
+    * replays the same MERGE in SQL. Complements q_merge_multi
+    * (multi-clause MERGE semantics, frame-level) with the TABLE-
+    * FORMAT side: which files a MERGE may touch. */
+  def qMergeCow(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_mrg_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val cust = T(s, dir).customer.select(col("c_custkey"),
+      col("c_mktsegment"), col("c_acctbal").cast(P2).as("c_acctbal"))
+    cust.repartition(8, col("c_mktsegment")).write.parquet(src)
+    val source = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal") + lit(100)).cast(P2).as("c_acctbal"))
+      .unionByName(cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"),
+          lit("1.00").cast(P2).as("c_acctbal")))
+    Scale.mergeInto(s, src, tbl, source, Seq("c_custkey"))
+    val out = Scale.readTable(s, tbl).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("c_acctbal"), D2).as("sb"))
+    cleanupAfter(out, base.toString).orderBy("c_mktsegment")
+  }
+
+  /** #55x FILE-SKIPPING via a per-file stats index
+    * ([[Scale.fileStats]] + [[Scale.readPruned]]): lineitem is
+    * range-clustered on l_partkey into 16 files, the (file-count-
+    * sized) min/max index is harvested in one pass, and the graded
+    * range query opens ONLY the files whose interval intersects the
+    * predicate — the data-skipping every lakehouse manifest provides,
+    * here with the predicate → may-contain translation done on the
+    * session parser's expression tree. The pruned read is
+    * hash-gated against the full-scan oracle; a hard `require`
+    * fails the query if nothing was skipped (FilePruneSpec covers
+    * the sound-degradation and null-stats arms). */
+  def qFilePrune(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_prune_")
+    val t = base.resolve("t").toString
+    T(s, dir).lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.parquet(t)
+    val stats = Scale.fileStats(s, t, Seq("l_partkey", "l_suppkey"))
+    val (pruned, ps) = Scale.readPruned(s, t,
+      "l_partkey >= 50 AND l_partkey < 150", stats)
+    require(ps.filesRead < ps.filesTotal,
+      s"stats index failed to skip any file: $ps")
+    val out = pruned.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), D2).as("sum_qty"))
+    cleanupAfter(out, base.toString).orderBy("l_partkey")
+  }
+
   /** #53m LINEAR INTERPOLATION of series gaps — the missing half of
     * [[qResample]]'s carry-forward fill: sensor-dropout hours
     * (synthesized deterministically: hourly buckets whose event count

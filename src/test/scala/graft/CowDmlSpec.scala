@@ -122,6 +122,64 @@ class CowDmlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("tableChanges: manifest-diff CDF reads only changed files") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_cdf")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, i * 1.0))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, tbl, col("k") === 2) // v=0
+    Scale.updateWhere(spark, src, tbl, col("k") === 1, // v=1
+      Seq("v" -> (col("v") + 0.5)))
+    val ch = Scale.tableChanges(spark, tbl, 0L, 1L)
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getDouble(2)))
+    // exactly the k=1 rows change: old image out, +0.5 image in
+    val dels = ch.filter(_._1 == "D").map(t => t._2 -> t._3).toMap
+    val ins = ch.filter(_._1 == "I").map(t => t._2 -> t._3).toMap
+    assert(dels.keySet == ins.keySet &&
+      dels.keySet == (1 to 4000).filter(_ % 4 == 1).map(_.toLong).toSet)
+    assert(dels.forall { case (id, v) => v == id * 1.0 } &&
+      ins.forall { case (id, v) => v == id * 1.0 + 0.5 })
+    // I/O bound: the diff read only the files the manifests disagree
+    // on — k=1's one rewritten file per side, never the whole table
+    val mf0 = VersionStore.manifest(spark, tbl, 0L).toSet
+    val mf1 = VersionStore.manifest(spark, tbl, 1L).toSet
+    assert((mf0 -- mf1).size == 1 && (mf1 -- mf0).size == 1,
+      "a one-key UPDATE must change exactly one manifest entry")
+    rm(base.toFile)
+  }
+
+  test("mergeInto: matched update in-file, unmatched append, no copy") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_mrg")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, i * 1.0))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    // updates hit only k=2 rows' file(s); two brand-new ids append
+    val source = Seq((2L, 2L, -2.0), (6L, 2L, -6.0),
+      (9001L, 7L, 91.0), (9002L, 7L, 92.0)).toDF("id", "k", "v")
+    val stats = Scale.mergeInto(spark, src, tbl, source, Seq("id"))
+    assert(stats.rowsBefore == 4000 && stats.rowsAfter == 4002)
+    assert(stats.filesRewritten >= 1 &&
+      stats.filesRewritten < stats.filesTotal,
+      s"only the matched files may rewrite: $stats")
+    val got = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got(2L) == -2.0 && got(6L) == -6.0, "matched rows updated")
+    assert(got(9001L) == 91.0 && got(9002L) == 92.0, "inserts landed")
+    assert(got(1L) == 1.0 && got.size == 4002)
+    // no-copy: the version dir holds rewritten + the one insert file
+    val vdirFiles = parquets(s"$tbl/v=0").map(_.getName)
+    assert(vdirFiles.count(_.startsWith("merge-insert-")) == 1)
+    assert(vdirFiles.length.toLong == stats.filesRewritten + 1,
+      s"untouched files must not be copied: ${vdirFiles.toSeq}")
+    rm(base.toFile)
+  }
+
   test("deleteWhere keeps NULL-predicate rows regardless of file") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_null")
