@@ -156,7 +156,10 @@ object ScaleExperiment {
       "q_ks_test|q_delete_where|q_mwu|q_interpolate|" +
       "q_attrib_position|q_mv_rollup|q_rle|q_lateral|" +
       "q_mv_filter|q_setops_all|q_timezone|q_ann_reuse|" +
-      "q_table_changes|q_merge_cow|q_file_prune").r
+      "q_table_changes|q_merge_cow|q_file_prune|" +
+      "q_time_travel|q_add_column|q_optimize|" +
+      "q_entropy|q_stream_merge_cow|" +
+      "q7_volume|q8_share|q9_profit|q10_returns|q12_priority").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

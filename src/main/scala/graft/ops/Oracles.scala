@@ -855,6 +855,30 @@ object Oracles {
          |  cast(sum(cast(bal AS DECIMAL(18,2))) AS double) AS sb
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // time travel: v=0 is the post-DELETE, PRE-update image — the
+    // later value-doubling UPDATE must be invisible
+    "q_time_travel" ->
+      s"""SELECT event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM events WHERE NOT (event_type = 'error')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // metadata-only ADD COLUMN: flag is non-null exactly where the
+    // post-DDL UPDATE touched (click rows), value doubling rides along
+    "q_add_column" ->
+      s"""SELECT event_type, $CNT AS n,
+         |  cast(count(CASE WHEN event_type = 'click' THEN 1 END)
+         |    AS bigint) AS nf,
+         |  cast(sum(cast(CASE WHEN event_type = 'click' THEN value * 2
+         |    ELSE value END AS DECIMAL(18,4))) AS double) AS sv
+         |FROM events WHERE NOT (event_type = 'error')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // OPTIMIZE on the version chain: bin-packing must not change a row
+    "q_optimize" ->
+      s"""SELECT l_linenumber, $CNT AS n, ${d2("l_quantity")} AS sq,
+         |  ${d2("l_extendedprice")} AS sp
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // file-skipping: the pruned read must equal the full-scan filter
     "q_file_prune" ->
       s"""SELECT l_partkey, $CNT AS n, ${d2("l_quantity")} AS sum_qty
@@ -1127,6 +1151,96 @@ object Oracles {
          |  AND l_shipdate > TIMESTAMP '1998-03-15'
          |GROUP BY o_orderkey, o_orderdate
          |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // TPC-H Q7 shape: two-nation volume shipping by year + direction
+    "q7_volume" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  cast(sum(vol) AS double) AS volume
+         |FROM (
+         |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    cast(year(l_shipdate) AS int) AS l_year, $REV AS vol
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |    AND n1.n_name IN
+         |      ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |    AND n2.n_name IN
+         |      ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |    AND n1.n_name <> n2.n_name) x
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // TPC-H Q8 shape: NATION_3's market share of ECONOMY parts sold
+    // into ASIA, by order year — exact decimal sums, one division
+    "q8_share" ->
+      s"""SELECT o_year,
+         |  round(cast(sum(CASE WHEN supp_nation = 'NATION_3'
+         |      THEN vol ELSE cast(0 AS DECIMAL(25,4)) END) AS double)
+         |    / cast(sum(vol) AS double), 6) AS mkt_share
+         |FROM (
+         |  SELECT cast(year(o_orderdate) AS int) AS o_year, $REV AS vol,
+         |    n1.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  JOIN region ON n2.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01') x
+         |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // TPC-H Q9 shape: profit (revenue − retail cost, both exact
+    // decimal products) on old% parts per supplier nation and year
+    "q9_profit" ->
+      s"""SELECT n_name AS nation, cast(year(o_orderdate) AS int)
+         |    AS o_year,
+         |  cast(sum($REV
+         |    - cast(p_retailprice AS DECIMAL(12,2))
+         |      * cast(l_quantity AS DECIMAL(12,2))) AS double)
+         |    AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE p_name LIKE 'old%'
+         |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q10 shape: returned-revenue per customer, top 20 under
+    // the (revenue desc, custkey) total order
+    "q10_returns" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${xsum(REV)} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // TPC-H Q12 shape: priority-class counts over late-shipped lines
+    "q12_priority" ->
+      """SELECT l_linestatus,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS bigint) AS high_count,
+        |  cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS bigint) AS low_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "q5_multijoin" ->
       s"""SELECT n_name, ${xsum(REV)} AS revenue
@@ -1498,6 +1612,41 @@ object Oracles {
         |           * cast(l_extendedprice AS DECIMAL(12,2))) as double) AS syy
         |  FROM lineitem GROUP BY 1) x
         |ORDER BY l_returnflag""".stripMargin,
+
+    // streaming COW MERGE: four sequential changelog batches — %10
+    // keys updated every batch (last one, bal=103, must win), NEWSEG
+    // keys inserted by batch 0 then updated to 2.00 by batch 2
+    "q_stream_merge_cow" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |    cast(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+         |m AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey % 10 = 0
+         |      THEN cast(103 AS DECIMAL(12,2)) ELSE bal END AS bal
+         |  FROM c
+         |  UNION ALL
+         |  SELECT 'NEWSEG' AS c_mktsegment,
+         |    cast(2.00 AS DECIMAL(12,2)) AS bal
+         |  FROM c WHERE c_custkey % 7 = 0)
+         |SELECT c_mktsegment, $CNT AS n,
+         |  cast(sum(cast(bal AS DECIMAL(18,2))) AS double) AS sb
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Shannon entropy of the per-source language mix: p·ln p terms
+    // quantized to DECIMAL(18,6) before the (exact) sum
+    "q_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, cast(count(*) as bigint) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |t AS (
+        |  SELECT source, lang, c,
+        |    cast(sum(c) OVER (PARTITION BY source) as bigint) AS n
+        |  FROM c)
+        |SELECT source, max(n) AS n, cast(count(*) as bigint) AS k,
+        |  cast(sum(cast(round((cast(c as double) / cast(n as double))
+        |    * ln(cast(c as double) / cast(n as double)), 6)
+        |    AS DECIMAL(18,6))) * -1 AS double) AS h
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     // top-N + other: identical total-order rank + relabel + re-agg
     "q_top_other" ->

@@ -480,6 +480,132 @@ object Queries {
       .orderBy(col("revenue").desc, col("o_orderkey")).limit(10)
   }
 
+  /** #41b TPC-H Q7 shape (VOLUME SHIPPING): revenue flowing between
+    * two chosen nations by year and direction — lineitem⋈supplier⋈
+    * nation₁ on the supply side, ⋈orders⋈customer⋈nation₂ on the
+    * demand side, the (n₁,n₂)/(n₂,n₁) cross-pair filter, year from
+    * the ship date. Both nation dims broadcast; revenue stays exact
+    * decimal to the final cast. */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val pair = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    val n1 = t.nation.where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    t.lineitem
+      .where(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(revenue).cast("double").as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** #41c TPC-H Q8 shape (NATIONAL MARKET SHARE): of all ECONOMY-type
+    * parts sold into ASIA-region customers, the share supplied by one
+    * nation, by order year — the conditional-sum-over-sum ratio. Both
+    * sums are exact decimals; ONE double division at the end, rounded
+    * 6 dp (the q_corr conversion-independence rule). */
+  def q8Share(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val asiaN = t.nation
+      .join(broadcast(t.region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("ck"))
+    val suppN = t.nation.select(col("n_nationkey").as("sk"),
+      col("n_name").as("supp_nation"))
+    val vol = t.lineitem
+      .join(broadcast(t.part.where(col("p_type") === "ECONOMY")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(t.orders
+          .where(col("o_orderdate") >= ts("1996-01-01") &&
+            col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaN), col("c_nationkey") === col("ck"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppN), col("s_nationkey") === col("sk"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        revenue.as("volume"), col("supp_nation"))
+    vol.groupBy("o_year")
+      .agg(sum(when(col("supp_nation") === "NATION_3",
+          col("volume")).otherwise(lit(0).cast(DecimalType(25, 4))))
+          .cast("double").as("nat"),
+        sum(col("volume")).cast("double").as("tot"))
+      .select(col("o_year"),
+        round(col("nat") / col("tot"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** #41d TPC-H Q9 shape (PRODUCT TYPE PROFIT): per supplier nation
+    * and order year, profit over 'old…'-named parts. The stock
+    * schema has no partsupp, so cost is `p_retailprice · l_quantity`
+    * — the SHAPE (LIKE-filtered 5-table join, two-level rollup,
+    * profit as a DIFFERENCE of products) is what's graded; both
+    * products stay exact decimal so the subtraction is exact too. */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val amount = revenue -
+      (col("p_retailprice").cast(P2) * col("l_quantity").cast(P2))
+    t.lineitem
+      .join(broadcast(t.part.where(col("p_name").like("old%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** #41e TPC-H Q10 shape (RETURNED ITEM REPORTING): the quarter's
+    * revenue lost to returns per customer, top 20 — join + rollup +
+    * rank-bounded output under a TOTAL order (revenue desc, custkey
+    * asc: ties engine-independent). */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    t.lineitem.where(col("l_returnflag") === "R")
+      .join(t.orders
+          .where(col("o_orderdate") >= ts("1996-10-01") &&
+            col("o_orderdate") < ts("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+  }
+
+  /** #41f TPC-H Q12 shape (SHIPPING PRIORITY CLASSES): conditional
+    * priority counts over LATE lines — the stock schema has no
+    * shipmode/commitdate, so "late" is ship > order date + 60 days
+    * and the grouping is l_linestatus; the graded shape is the
+    * join + date arithmetic + CASE partial-agg, integer-exact. */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    val t = T(s, dir)
+    val high = col("o_orderpriority") === "1-URGENT" ||
+      col("o_orderpriority") === "2-HIGH"
+    t.lineitem
+      .where(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_count"))
+      .orderBy("l_linestatus")
+  }
+
   /** #40b BUCKETED co-located join: both sides written as
     * hash-BUCKETED tables on the join key (`bucketBy(16) + sortBy`,
     * the Spark datasource-bucketing layout), then joined — the
@@ -1849,6 +1975,171 @@ object Queries {
     val out = pruned.groupBy("l_partkey")
       .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), D2).as("sum_qty"))
     cleanupAfter(out, base.toString).orderBy("l_partkey")
+  }
+
+  /** #42k TIME TRAVEL read on the COW chain
+    * ([[Scale.readTableAt]]): after a DELETE (v=0) and a value-
+    * doubling UPDATE (v=1), the graded read serves **v=0** — the
+    * post-delete, PRE-update image — while the chain's head has
+    * moved on. The oracle replays only the delete, so the hash gate
+    * proves version isolation: the later UPDATE's rewritten files
+    * are invisible to the v=0 manifest (its pointers still name the
+    * original file, which COW never mutates in place — the whole
+    * point of the format). At 100 TB this is the reproducible-
+    * training-snapshot read: pin the version id, get bit-identical
+    * data forever, at zero storage cost beyond the deltas. */
+  def qTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_tt_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("value" -> (col("value") * 2)))
+    val out = Scale.readTableAt(s, tbl, 0L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
+  /** #42l metadata-only ADD COLUMN ([[Scale.addColumn]]) — schema
+    * evolution with ZERO data rewrite: v=0 deletes, v=1 publishes
+    * the new `flag` column as two small metadata writes (same file
+    * manifest, a declared-schema file — no data file is touched;
+    * CowDmlSpec proves the version dir is empty), v=2's UPDATE
+    * fills it in just the click files. The graded read exercises
+    * the mixed physical layout: rewritten files carry the column,
+    * pointer files predate it and align to typed NULL — `count
+    * (flag)` is nonzero exactly for the click group and the value
+    * doubling rides along, all replayed by the oracle from the
+    * source table. The 100 TB point: ALTER TABLE on a petabyte is
+    * O(metadata), and the column backfills lazily as DML touches
+    * files. */
+  def qAddColumn(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ddl_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.addColumn(s, src, tbl, "flag",
+      org.apache.spark.sql.types.LongType)
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("flag" -> lit(1L), "value" -> (col("value") * 2)))
+    val out = Scale.readTable(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), count(col("flag")).as("nf"),
+        dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
+  /** #55y OPTIMIZE on the version chain ([[Scale.optimizeTable]]) —
+    * [[Scale.compact]] lifted to the manifest-pointer table: a
+    * lineitem layout fragmented into 40 shard files plus one
+    * already-compact chunk is bin-packed (first-fit decreasing on
+    * on-disk bytes) into ~target files, published as the next
+    * version with the compact chunk riding by POINTER — the job
+    * cost is the small-file bytes alone, where q_compact's
+    * directory rewrite pays for everything. Hard in-query requires:
+    * the layout actually shrank AND the chunk was never rewritten.
+    * The rollup hash-gates against the original table — content
+    * untouched by contract. */
+  def qOptimize(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_opt_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val li = T(s, dir).lineitem
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice")
+    li.where(col("l_linenumber") =!= 1).repartition(40)
+      .write.parquet(src)
+    li.where(col("l_linenumber") === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val files = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val big = files.maxBy(_.length())
+    val stats = Scale.optimizeTable(s, src, tbl,
+      (big.length() - 1024).toDouble / (1024 * 1024))
+    require(stats.filesAfter < stats.filesBefore,
+      s"OPTIMIZE failed to shrink the layout: $stats")
+    require(graft.tables.VersionStore.manifest(s, tbl, 0L)
+      .exists(_.endsWith(big.getName)),
+      "the already-compact file must ride by pointer, not rewrite")
+    val out = Scale.readTable(s, tbl)
+      .groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), D2).as("sq"),
+        dsum(col("l_extendedprice"), D2).as("sp"))
+    cleanupAfter(out, base.toString).orderBy("l_linenumber")
+  }
+
+  /** #64o SHANNON-ENTROPY diversity of the corpus language mix per
+    * source — the training-data balance metric (a source whose docs
+    * are 99% one language scores near 0, a uniform mix near ln k):
+    * exact integer counts per (source, lang), each p·ln p term
+    * quantized to DECIMAL(18,6) BEFORE aggregation (the established
+    * order-independent-sum rule — double addition order would differ
+    * across engines, exact decimal addition can't), H = −Σ term with
+    * ONE final cast out. The per-source totals come from a window
+    * over the \|sources\|×\|langs\| aggregate — never a second
+    * corpus scan. */
+  def qEntropy(s: SparkSession, dir: String): DataFrame = {
+    val c = T(s, dir).documents
+      .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    c.withColumn("n", sum("c").over(Window.partitionBy("source")))
+      .withColumn("term",
+        round(p * log(p), 6).cast(DecimalType(18, 6)))
+      .groupBy("source")
+      .agg(max("n").as("n"), count(lit(1)).as("k"),
+        (sum(col("term")) * lit(-1)).cast("double").as("h"))
+      .orderBy("source")
+  }
+
+  /** #81d streaming MERGE into the COW chain
+    * ([[graft.streaming.Streams.cowMergeBatch]] — the file-granular
+    * twin of #81's snapshot-chain sink): four changelog batches
+    * merge sequentially into the pointer-manifest customer table —
+    * batch 0 also INSERTS a NEWSEG key space, batch 2 UPDATES those
+    * inserted rows (proving a previous batch's APPEND file joins hit
+    * detection like any base file), and the %10 keys are updated in
+    * EVERY batch (latest batch must win). Each batch rewrites only
+    * its hit files; everything else rides by pointer, so at 100 TB
+    * the stream's cost is changelog-sized per batch. The oracle
+    * replays the net effect in SQL; StreamingSpec carries the real
+    * `writeStream` wiring + applied-id replay-skip arms. */
+  def qStreamMergeCow(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_smrg_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val cust = T(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(P2).as("bal"))
+      .withColumn("ver", lit(0L))
+    cust.repartition(8, col("c_mktsegment")).write.parquet(src)
+    def upd(i: Int) = cust.where(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        lit(100 + i).cast(P2).as("bal"), lit(i + 1L).as("ver"))
+    val ins = cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+      .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+        lit("NEWSEG").as("c_mktsegment"),
+        lit("1.00").cast(P2).as("bal"), lit(1L).as("ver"))
+    val updIns = ins.select(col("c_custkey"), col("c_mktsegment"),
+      lit("2.00").cast(P2).as("bal"), lit(3L).as("ver"))
+    val batches = Seq(upd(0).unionByName(ins), upd(1),
+      upd(2).unionByName(updIns), upd(3))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      st.cowMergeBatch(src, tbl, Seq("c_custkey"), Seq("ver"))(
+        b, i.toLong)
+    }
+    val out = Scale.readTable(s, tbl).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("bal"), D2).as("sb"))
+    cleanupAfter(out, base.toString).orderBy("c_mktsegment")
   }
 
   /** #53m LINEAR INTERPOLATION of series gaps — the missing half of

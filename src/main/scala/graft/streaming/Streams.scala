@@ -212,6 +212,54 @@ object Streams {
         cdcMerge(snapDir, key, order, op)(batch.toDF(), id)
     }
 
+  /** One micro-batch of a changelog MERGED into a COW pointer-
+    * manifest table ([[graft.ops.Scale.mergeInto]]) — the streaming
+    * twin of #42j, and the scale counterpart of [[cdcMerge]]: where
+    * the snapshot chain rewrites the FULL state every batch (right
+    * when the state is serving-table-sized), the COW merge rewrites
+    * only the files the batch's keys live in plus one append — at
+    * 100 TB a changelog batch costs its hit files, not the table.
+    *
+    * Exactly-once discipline: the chain's applied-id note
+    * ([[graft.tables.VersionStore.appliedId]]) records the highest
+    * merged batch AFTER its publish commits, so a checkpoint-recovery
+    * replay of an applied batch SKIPS. A crash in the window between
+    * publish and note re-merges that one batch — harmless by
+    * construction: re-applying a MERGE is content-idempotent (its
+    * updates rewrite the same values; its former inserts now MATCH
+    * and update to themselves), the replay just costs one extra
+    * version. Within a batch, `order` picks the winning row per key
+    * (changelogs carry multiple updates per key per batch). */
+  def cowMergeBatch(srcDir: String, tableDir: String, key: Seq[String],
+                    order: Seq[String])
+                   (batch: DataFrame, id: Long): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val s = batch.sparkSession
+    val applied = graft.tables.VersionStore.appliedId(s, tableDir)
+    if (!applied.exists(id <= _)) {
+      val w = Window.partitionBy(key.map(col): _*)
+        .orderBy(order.map(col(_).desc): _*)
+      val latest = batch.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn")
+      if (!latest.isEmpty)
+        graft.ops.Scale.mergeInto(s, srcDir, tableDir, latest, key): Unit
+      graft.tables.VersionStore.recordAppliedId(s, tableDir, id)
+    }
+  }
+
+  /** Streaming MERGE sink into a COW table (#81d): every micro-batch
+    * of `changes` merged via [[cowMergeBatch]]. Returns a starter;
+    * the caller picks trigger/checkpoint. Read the result with
+    * [[graft.ops.Scale.readTable]]; time travel per batch via
+    * [[graft.ops.Scale.readTableAt]]. */
+  def cowMergeSink(changes: DataFrame, key: Seq[String],
+                   order: Seq[String], srcDir: String, tableDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        cowMergeBatch(srcDir, tableDir, key, order)(batch.toDF(), id)
+    }
+
   /** Latest committed snapshot written by [[cdcMerge]]. */
   def cdcSnapshot(spark: SparkSession, snapDir: String): DataFrame = {
     val vs = cdcVersions(spark, snapDir)

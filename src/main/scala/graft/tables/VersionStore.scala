@@ -58,7 +58,14 @@ object VersionStore {
     * paths; may point outside the version dir). */
   val ManifestFile = "_GRAFT_MANIFEST"
 
+  /** Optional per-version logical schema (StructType JSON) — written
+    * by metadata-only DDL ([[graft.ops.Scale.addColumn]]) and carried
+    * forward by every later publish; readers align pointer files that
+    * physically predate the DDL (missing columns read as NULL). */
+  val SchemaFile = "_GRAFT_SCHEMA"
+
   private val PrunedFile = "_GRAFT_PRUNED"
+  private val AppliedFile = "_GRAFT_APPLIED"
   private val StagePrefix = "_stage_v="
 
   def fsOf(spark: SparkSession, dir: String)
@@ -106,6 +113,46 @@ object VersionStore {
     dest.toString
   }
 
+  /** Signals an OPTIMISTIC-CONCURRENCY conflict: the version id this
+    * writer computed from the head it read was committed by someone
+    * else first. The loser re-resolves the head and retries (the
+    * Delta/Iceberg commit loop — [[graft.ops.Scale]]'s DML does). */
+  final class VersionConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Publish version `id` EXCLUSIVELY: unlike [[publish]] (whose
+    * overwrite-on-replay semantics a single-writer streaming sink
+    * wants), a pre-existing COMMITTED `v=<id>` means another writer
+    * won the race for this id — the stage is discarded and
+    * [[VersionConflictException]] thrown so the caller can re-read
+    * the head and retry. The stage dir carries a unique suffix so
+    * racing losers never trample each other's staging either. The
+    * conflict check runs before staging (cheap early exit) and again
+    * between the rename and the marker PUT; on a store with atomic
+    * create-if-absent the marker write itself is the arbiter. */
+  def publishExclusive(spark: SparkSession, dir: String, id: Long)
+                      (write: String => Unit): String = {
+    val fs = fsOf(spark, dir)
+    val dest = path(s"$dir/v=$id")
+    def conflict() = throw new VersionConflictException(
+      s"version $id under $dir already committed by a concurrent writer")
+    def committedNow =
+      fs.exists(new org.apache.hadoop.fs.Path(dest, CommitMarker))
+    if (committedNow) conflict()
+    val stage = path(s"$dir/$StagePrefix$id." +
+      java.util.UUID.randomUUID().toString.take(8))
+    write(stage.toString)
+    if (committedNow) { fs.delete(stage, true); conflict() }
+    if (!fs.rename(stage, dest)) {
+      fs.delete(stage, true)
+      if (committedNow) conflict()
+      throw new java.io.IOException(s"publish of $dest failed")
+    }
+    fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), false)
+      .close()
+    dest.toString
+  }
+
   /** Write a pointer manifest into a (staging or version) dir. */
   def writeManifest(spark: SparkSession, vdir: String,
                     files: Seq[String]): Unit = {
@@ -113,6 +160,33 @@ object VersionStore {
       .create(new org.apache.hadoop.fs.Path(vdir, ManifestFile), true)
     try out.write(files.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Write a logical-schema file (StructType JSON) into a (staging or
+    * version) dir — the metadata side of a zero-rewrite DDL. */
+  def writeSchema(spark: SparkSession, vdir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val out = fsOf(spark, vdir)
+      .create(new org.apache.hadoop.fs.Path(vdir, SchemaFile), true)
+    try out.write(schema.json.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The logical schema version `id` declares, if any publish on the
+    * chain up to it wrote one (each schema-carrying publish copies
+    * the head's schema forward, so only this version dir is read). */
+  def schemaOf(spark: SparkSession, dir: String, id: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path(s"$dir/v=$id"), SchemaFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(org.apache.spark.sql.types.DataType.fromJson(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      finally in.close()
+    }
   }
 
   /** The data files of committed version `id` — the manifest's list
@@ -146,6 +220,34 @@ object VersionStore {
     val v = version.getOrElse(vs.max)
     require(vs.contains(v), s"version $v not committed under $dir")
     spark.read.parquet(manifest(spark, dir, v): _*)
+  }
+
+  /** Highest EXTERNAL transaction id applied to this chain (None
+    * before any) — the streaming-sink dedupe note: a foreachBatch
+    * sink records its batch id here AFTER publishing so a checkpoint-
+    * recovery replay of an already-applied batch can skip instead of
+    * re-merging (see [[graft.streaming.Streams]]'s COW merge sink). */
+  def appliedId(spark: SparkSession, dir: String): Option[Long] = {
+    val fs = fsOf(spark, dir)
+    val p = path(s"$dir/$AppliedFile")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+        "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Raise the applied-transaction note to at least `id` (never
+    * lowers — replays of stale ids can't rewind it). */
+  def recordAppliedId(spark: SparkSession, dir: String,
+                      id: Long): Unit = {
+    val v = math.max(id,
+      appliedId(spark, dir).getOrElse(Long.MinValue))
+    val out = fsOf(spark, dir).create(path(s"$dir/$AppliedFile"), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
   }
 
   /** Retention low-watermark: highest id ever pruned (None before
@@ -216,7 +318,8 @@ object VersionStore {
           && scala.util.Try(n.stripPrefix("v=").toLong).toOption
                .exists(_ <= headV)) ||
         (n.startsWith(StagePrefix)
-          && scala.util.Try(n.stripPrefix(StagePrefix).toLong).toOption
+          && scala.util.Try(n.stripPrefix(StagePrefix)
+               .takeWhile(_ != '.').toLong).toOption
                .exists(_ <= headV))
       if (torn) pruneDir(st.getPath)
     }

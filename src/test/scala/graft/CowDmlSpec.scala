@@ -180,6 +180,84 @@ class CowDmlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("addColumn is metadata-only; reads align; DML fills in place") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_ddl")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, i * 1.0))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, tbl, col("k") === 2) // v=0
+    val as = Scale.addColumn(spark, src, tbl, "flag",   // v=1: DDL
+      org.apache.spark.sql.types.LongType)
+    assert(as.filesRewritten == 0, "ADD COLUMN must rewrite nothing")
+    // metadata-only proof: the DDL version dir holds ZERO data files
+    assert(parquets(s"$tbl/v=1").isEmpty,
+      "a metadata-only DDL must not write data files")
+    // reads align: every pre-DDL row carries a typed NULL
+    val v1 = Scale.readTable(spark, tbl)
+    assert(v1.columns.toSeq == Seq("id", "k", "v", "flag"))
+    assert(v1.where(col("flag").isNotNull).count() == 0)
+    // a later UPDATE fills the column in just its hit files; other
+    // files still physically lack it and keep reading as NULL
+    Scale.updateWhere(spark, src, tbl, col("k") === 1, // v=2
+      Seq("flag" -> lit(7L)))
+    val got = Scale.readTable(spark, tbl)
+      .collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(got.size == 3000)
+    assert(got.forall { case (id, f) =>
+      f == (if (id % 4 == 1) 7L else -1L) })
+    // time travel: the pre-DDL version serves the old schema
+    assert(Scale.readTableAt(spark, tbl, 0L).columns.toSeq ==
+      Seq("id", "k", "v"))
+    // CDF across the DDL stays union-compatible (pre-DDL rows NULL)
+    val ch = Scale.tableChanges(spark, tbl, 0L, 2L)
+    assert(ch.columns.toSeq == Seq("id", "k", "v", "flag", "op"))
+    assert(ch.where(col("op") === "I" && col("flag") === 7L).count() ==
+      1000)
+    rm(base.toFile)
+  }
+
+  test("optimizeTable packs small files; compact files ride by pointer") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_opt")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    // 16 tiny fragments + 1 chunky file in one directory
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, s"val_$i"))
+      .toDF("id", "k", "v")
+    df.where(col("id") <= 400).repartition(16).write.parquet(src)
+    df.where(col("id") > 400).coalesce(1)
+      .write.mode("append").parquet(src)
+    val bigFile = parquets(src).maxBy(_.length()).getName
+    val bigLen = parquets(src).map(_.length()).max
+    // target sits between the fragments and the chunky file
+    val targetMB = (bigLen - 1024).toDouble / (1024 * 1024)
+    val stats = Scale.optimizeTable(spark, src, tbl, targetMB)
+    assert(stats.filesAfter < stats.filesBefore,
+      s"expected a packed layout, got $stats")
+    // the chunky file rides by pointer — never rewritten or copied
+    val mf = VersionStore.manifest(spark, tbl, 0L)
+    assert(mf.exists(f => f.contains("/src/") && f.endsWith(bigFile)),
+      "the already-compact file must ride by pointer")
+    assert(parquets(s"$tbl/v=0").forall(_.getName.startsWith("opt-")))
+    // content is untouched by contract
+    val got = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(got == df.collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet)
+    // idempotence: a second OPTIMIZE finds nothing to pack → no-op,
+    // the chain head does not advance
+    val again = Scale.optimizeTable(spark, src, tbl, targetMB)
+    assert(again.filesAfter == again.filesBefore)
+    assert(VersionStore.head(spark, tbl).contains(0L),
+      "an optimal table must not publish an empty rewrite")
+    rm(base.toFile)
+  }
+
   test("deleteWhere keeps NULL-predicate rows regardless of file") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_null")

@@ -1087,4 +1087,76 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(n == 2) // ids 1 and 2 once each
   }
+
+  test("streaming MERGE into the COW chain: hit-file cost, replay skips (#81d)") {
+    import spark.implicits._
+    import graft.ops.Scale
+    import graft.tables.VersionStore
+    val stage = java.nio.file.Files.createTempDirectory("graft_cowstream")
+    val src = stage.resolve("base").toString
+    val tbl = stage.resolve("tbl").toString
+    val base = (1 to 4000)
+      .map(i => (i.toLong, i.toLong % 4, i * 1.0, 0L))
+      .toDF("id", "k", "v", "ver")
+    base.repartition(4, col("k")).write.parquet(src)
+    // changelog: 3 part files = 3 one-file batches under the throttle;
+    // key-disjoint so the final state is file-order-independent
+    val chDir = stage.resolve("changes").toString
+    val updA = (1 to 100).filter(_ % 4 == 1)
+      .map(i => (i.toLong, 1L, -1.0, 1L)).toDF("id", "k", "v", "ver")
+    val updB = (1 to 100).filter(_ % 4 == 2)
+      .map(i => (i.toLong, 2L, -2.0, 1L)).toDF("id", "k", "v", "ver")
+    val insC = (9001 to 9010)
+      .map(i => (i.toLong, 7L, 9.0, 1L)).toDF("id", "k", "v", "ver")
+    Seq(updA, updB, insC).foreach(
+      _.coalesce(1).write.mode("append").parquet(chDir))
+    val schema = spark.read.parquet(chDir).schema
+    val q = Streams.cowMergeSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(chDir),
+        Seq("id"), Seq("ver"), src, tbl)
+      .option("checkpointLocation", stage.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // one committed version per one-file batch; final state = the
+    // batch MERGE of the whole changelog
+    assert(VersionStore.committed(spark, tbl).sorted == Seq(0L, 1L, 2L))
+    val got = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size == 4010)
+    assert((1 to 100).forall { i =>
+      got(i.toLong) == (if (i % 4 == 1) -1.0
+        else if (i % 4 == 2) -2.0 else i * 1.0) })
+    assert((9001 to 9010).forall(i => got(i.toLong) == 9.0))
+    // hit-file cost: an update batch rewrote 1 of 4 files (no insert
+    // file — update-only batches append nothing); the insert batch
+    // rewrote nothing and appended one file
+    val mfs = (0L to 2L).map(v =>
+      VersionStore.manifest(spark, tbl, v).toSet)
+    val diffs = mfs.indices.tail.map(i => (mfs(i) -- mfs(i - 1)).size)
+    assert(diffs.forall(_ == 1),
+      s"each one-file batch must change exactly one manifest entry: $diffs")
+    // replay-skip: re-applying an already-applied batch id is a no-op
+    assert(VersionStore.appliedId(spark, tbl).contains(2L))
+    Streams.cowMergeBatch(src, tbl, Seq("id"), Seq("ver"))(updA, 1L)
+    assert(VersionStore.head(spark, tbl).contains(2L),
+      "an applied batch id must be skipped on replay")
+    // crash window (publish committed, note lost): the re-merge is
+    // content-idempotent — one extra version, same table
+    VersionStore.fsOf(spark, tbl).delete(
+      new org.apache.hadoop.fs.Path(s"$tbl/_GRAFT_APPLIED"), false): Unit
+    Streams.cowMergeBatch(src, tbl, Seq("id"), Seq("ver"))(insC, 2L)
+    assert(VersionStore.head(spark, tbl).contains(3L))
+    val replayed = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(replayed == got,
+      "re-merging an applied batch must not change the table")
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(stage.toFile)
+  }
 }

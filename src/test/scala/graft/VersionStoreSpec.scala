@@ -60,6 +60,42 @@ class VersionStoreSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("publishExclusive: losers conflict, stage debris reaped") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_vs_excl")
+    val dir = base.resolve("t").toString
+    val fs = VersionStore.fsOf(spark, dir)
+    VersionStore.publishExclusive(spark, dir, 0L) { stage =>
+      Seq(1, 2, 3).toDF("x").write.parquet(stage)
+    }
+    assert(VersionStore.committed(spark, dir) == Seq(0L))
+    // a second writer that resolved the SAME head computes the same
+    // next id — it must fail with a conflict, not clobber the winner
+    intercept[VersionStore.VersionConflictException] {
+      VersionStore.publishExclusive(spark, dir, 0L) { stage =>
+        Seq(9).toDF("x").write.parquet(stage)
+      }
+    }
+    assert(VersionStore.read(spark, dir).count() == 3,
+      "the losing writer must not disturb the committed version")
+    // the loser re-resolves the head and retries with the next id —
+    // the optimistic-concurrency loop Scale's DML runs
+    VersionStore.publishExclusive(spark, dir,
+      VersionStore.head(spark, dir).get + 1) { stage =>
+      Seq(9).toDF("x").write.parquet(stage)
+    }
+    assert(VersionStore.committed(spark, dir).sorted == Seq(0L, 1L))
+    // unique-suffix stage debris (a loser that died before cleanup)
+    // is still recognized and reaped by retention
+    fs.mkdirs(
+      new org.apache.hadoop.fs.Path(s"$dir/_stage_v=1.dead1234")): Unit
+    VersionStore.retain(spark, dir, keepLast = 5)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/_stage_v=1.dead1234")),
+      "suffixed stage debris at/below head must be reaped")
+    rm(base.toFile)
+  }
+
   test("retention is manifest-reference-counted; watermark raises") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_vs_ref")
