@@ -1632,6 +1632,22 @@ object Oracles {
          |  cast(sum(cast(bal AS DECIMAL(18,2))) AS double) AS sb
          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // CHECK constraints: the rejected error-flip left zero trace, the
+    // valid doubling applied — final state replayed from the source
+    "q_constraint" ->
+      s"""SELECT event_type, $CNT AS n,
+         |  cast(sum(cast(CASE WHEN event_type = 'click' THEN value * 2
+         |    ELSE value END AS DECIMAL(18,4))) AS double) AS sv
+         |FROM events WHERE NOT (event_type = 'error')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // bloom point-lookup prune == the full-scan equality
+    "q_bloom_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+        |ORDER BY l_linenumber""".stripMargin,
+
     // Shannon entropy of the per-source language mix: p·ln p terms
     // quantized to DECIMAL(18,6) before the (exact) sum
     "q_entropy" ->

@@ -2142,6 +2142,76 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("c_mktsegment")
   }
 
+  /** #42n CHECK CONSTRAINTS on the COW chain
+    * ([[Scale.addConstraint]] + DML-time enforcement): the data-
+    * quality CONTRACT a lakehouse table carries — the DDL validates
+    * existing rows once, then every DML validates ONLY the rows it
+    * changes (changelog-priced at 100 TB), BEFORE publishing, so a
+    * violating batch leaves the chain serving its prior head. The
+    * graded flow: delete errors (v=0), declare the invariant the
+    * clean table satisfies (v=1, metadata-only), REJECT an update
+    * that would break it (in-query require: the exception fired AND
+    * the head did not move), then apply a valid update (v=2). The
+    * rollup hash-gates the final state — the rejected DML must have
+    * left zero trace. */
+  def qConstraint(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ck_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.addConstraint(s, src, tbl, "no_errors",
+      "event_type <> 'error'")
+    val rejected =
+      try {
+        Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+          Seq("event_type" -> lit("error")))
+        false
+      } catch { case _: Scale.ConstraintViolationException => true }
+    require(rejected, "the violating UPDATE must be rejected")
+    require(graft.tables.VersionStore.head(s, tbl).contains(1L),
+      "a rejected DML must not publish a version")
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("value" -> (col("value") * 2)))
+    val out = Scale.readTable(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
+  /** #55z BLOOM-index point-lookup file skipping
+    * ([[Scale.fileBloom]] + [[Scale.readPrunedPoint]]): the
+    * complement of #55x — on the partkey-clustered layout every
+    * file's ORDERKEY range spans the table, so min/max stats prune
+    * NOTHING for an orderkey probe; the per-file bloom sketch
+    * (Spark's own partial-agg `BloomFilterAggregate`) opens only the
+    * files that might hold the key — the needle-in-100 TB lookup
+    * without an index rebuild of the layout. Probe = min(orderkey),
+    * computed identically by the oracle; a hard require proves files
+    * WERE skipped (no false negatives makes that sound). */
+  def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_bloom_")
+    val t = base.resolve("t").toString
+    T(s, dir).lineitem
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.parquet(t)
+    val bloom = Scale.fileBloom(s, t, "l_orderkey", 100000L)
+    val probe = T(s, dir).lineitem
+      .agg(min("l_orderkey")).head().getLong(0)
+    val (pruned, ps) = Scale.readPrunedPoint(s, t, "l_orderkey",
+      lit(probe), bloom)
+    require(ps.filesRead < ps.filesTotal,
+      s"bloom index failed to skip any file: $ps")
+    val out = pruned
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    cleanupAfter(out, base.toString).orderBy("l_linenumber")
+  }
+
   /** #53m LINEAR INTERPOLATION of series gaps — the missing half of
     * [[qResample]]'s carry-forward fill: sensor-dropout hours
     * (synthesized deterministically: hourly buckets whose event count

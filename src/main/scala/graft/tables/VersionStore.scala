@@ -64,6 +64,11 @@ object VersionStore {
     * physically predate the DDL (missing columns read as NULL). */
   val SchemaFile = "_GRAFT_SCHEMA"
 
+  /** Optional per-version CHECK constraints (one `name\tsql` line
+    * each) — enforced by [[graft.ops.Scale]]'s DML on the rows it
+    * rewrites/inserts, carried forward by every publish. */
+  val ConstraintsFile = "_GRAFT_CONSTRAINTS"
+
   private val PrunedFile = "_GRAFT_PRUNED"
   private val AppliedFile = "_GRAFT_APPLIED"
   private val StagePrefix = "_stage_v="
@@ -185,6 +190,37 @@ object VersionStore {
       try Some(org.apache.spark.sql.types.DataType.fromJson(new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
         .asInstanceOf[org.apache.spark.sql.types.StructType])
+      finally in.close()
+    }
+  }
+
+  /** Write the CHECK-constraint set into a (staging or version) dir. */
+  def writeConstraints(spark: SparkSession, vdir: String,
+                       cons: Seq[(String, String)]): Unit = {
+    val out = fsOf(spark, vdir)
+      .create(new org.apache.hadoop.fs.Path(vdir, ConstraintsFile), true)
+    try out.write(cons.map { case (n, c) => s"$n\t$c" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The CHECK constraints version `id` declares (empty before any
+    * [[graft.ops.Scale.addConstraint]] on the chain). */
+  def constraintsOf(spark: SparkSession, dir: String, id: Long)
+      : Seq[(String, String)] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path(s"$dir/v=$id"),
+      ConstraintsFile)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('\t')
+          (l.substring(0, i), l.substring(i + 1))
+        }
       finally in.close()
     }
   }

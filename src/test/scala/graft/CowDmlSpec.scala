@@ -258,6 +258,47 @@ class CowDmlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("CHECK constraints: DDL validates, DML enforces, NULL passes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_ck")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val df = Seq(
+      (1L, 0L, Option(5.0)), (2L, 0L, None),
+      (3L, 1L, Option(99.0)), (4L, 1L, Option(1.0))
+    ).toDF("id", "k", "v")
+    df.repartition(2, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, tbl, col("id") === 3L) // v=0
+    // DDL validation: a constraint the current data violates refuses
+    intercept[Scale.ConstraintViolationException] {
+      Scale.addConstraint(spark, src, tbl, "v_big", "v > 2.0")
+    }
+    assert(VersionStore.head(spark, tbl).contains(0L),
+      "a refused constraint must publish nothing")
+    // NULL passes (SQL CHECK 3VL): id=2's NULL v does not block this
+    Scale.addConstraint(spark, src, tbl, "v_pos", "v >= 0.0") // v=1
+    // a violating UPDATE is rejected BEFORE publish; chain untouched
+    intercept[Scale.ConstraintViolationException] {
+      Scale.updateWhere(spark, src, tbl, col("id") === 4L,
+        Seq("v" -> lit(-7.0)))
+    }
+    assert(VersionStore.head(spark, tbl).contains(1L))
+    assert(Scale.readTable(spark, tbl)
+      .where(col("v") < 0).count() == 0)
+    // a valid UPDATE passes and the constraint rides forward
+    Scale.updateWhere(spark, src, tbl, col("id") === 4L,
+      Seq("v" -> lit(7.0)))                             // v=2
+    assert(VersionStore.constraintsOf(spark, tbl, 2L) ==
+      Seq("v_pos" -> "v >= 0.0"))
+    // a violating MERGE insert is rejected too
+    intercept[Scale.ConstraintViolationException] {
+      Scale.mergeInto(spark, src, tbl,
+        Seq((9L, 0L, Option(-1.0))).toDF("id", "k", "v"), Seq("id"))
+    }
+    assert(VersionStore.head(spark, tbl).contains(2L))
+    rm(base.toFile)
+  }
+
   test("deleteWhere keeps NULL-predicate rows regardless of file") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_null")

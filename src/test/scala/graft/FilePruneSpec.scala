@@ -63,6 +63,41 @@ class FilePruneSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("bloom index prunes point lookups the range stats cannot") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_prune_b")
+    val dir = base.resolve("t").toString
+    // clustered on x; id is a PERMUTATION (coprime multiplier mod
+    // 8000) so every file's id-range spans ~the whole domain —
+    // min/max can't prune id
+    (1 to 8000).map(i => (i.toLong, (i.toLong * 7919L) % 8000L, s"p$i"))
+      .toDF("x", "id", "p")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(dir)
+    val stats = Scale.fileStats(spark, dir, Seq("x", "id"))
+    val (_, psStats) = Scale.readPruned(spark, dir, "id = 7900", stats)
+    assert(psStats.filesRead == psStats.filesTotal,
+      "range stats must be useless on the scattered column")
+    val bloom = Scale.fileBloom(spark, dir, "id", estPerFile = 10000L)
+    assert(bloom.count() == 8)
+    // a present key lives in exactly one file (i=100 → id=7900)
+    val (hit, psHit) = Scale.readPrunedPoint(spark, dir, "id",
+      lit(7900L), bloom)
+    assert(hit.collect().map(_.getString(2)).toSeq == Seq("p100"))
+    assert(psHit.filesRead < psHit.filesTotal,
+      s"bloom failed to prune: $psHit")
+    // an absent key prunes everything (no false negatives, empty ok)
+    val (miss, psMiss) = Scale.readPrunedPoint(spark, dir, "id",
+      lit(12345L), bloom)
+    assert(miss.count() == 0 && psMiss.filesRead <= 1,
+      s"absent key should prune ~all files: $psMiss")
+    // equality == the full-scan filter on a multi-file key too
+    val plain = spark.read.parquet(dir).where(col("id") === 7900L)
+    assert(hit.collect().map(_.toSeq).toSet ==
+      plain.collect().map(_.toSeq).toSet)
+    rm(base.toFile)
+  }
+
   test("all-null column stats prune soundly") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_prune_n")
