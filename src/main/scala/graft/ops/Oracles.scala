@@ -1648,6 +1648,32 @@ object Oracles {
         |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
         |ORDER BY l_linenumber""".stripMargin,
 
+    // DESCRIBE HISTORY: the op log is a contract — literal oracle
+    "q_history" ->
+      """SELECT * FROM (VALUES
+        |  (cast(0 AS bigint), 'DELETE', ''),
+        |  (cast(1 AS bigint), 'ADD_COLUMN', 'flag'),
+        |  (cast(2 AS bigint), 'UPDATE', ''),
+        |  (cast(3 AS bigint), 'MERGE', '')
+        |) AS t(version, op, detail)
+        |ORDER BY version""".stripMargin,
+
+    // shallow clone: src serves the pre-fork state, the clone's
+    // doubling applies only to itself — both isolation directions
+    "q_clone" ->
+      s"""WITH d AS (SELECT event_type, value FROM events
+         |  WHERE NOT (event_type = 'error') AND user_id % 4 = 0)
+         |SELECT event_type, n, sv, side FROM (
+         |  SELECT event_type, $CNT AS n, ${d4("value")} AS sv,
+         |    'src' AS side FROM d GROUP BY event_type
+         |  UNION ALL
+         |  SELECT event_type, $CNT AS n,
+         |    cast(sum(cast(CASE WHEN event_type = 'click'
+         |      THEN value * 2 ELSE value END AS DECIMAL(18,4)))
+         |      AS double) AS sv,
+         |    'clone' AS side FROM d GROUP BY event_type)
+         |ORDER BY side, event_type""".stripMargin,
+
     // Shannon entropy of the per-source language mix: p·ln p terms
     // quantized to DECIMAL(18,6) before the (exact) sum
     "q_entropy" ->

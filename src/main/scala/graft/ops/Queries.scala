@@ -2212,6 +2212,67 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("l_linenumber")
   }
 
+  /** #42o DESCRIBE HISTORY ([[Scale.history]]): the chain's audit
+    * log — one row per committed version with the operation that
+    * produced it, read from version-count-sized METADATA (no data
+    * file opened). A deterministic four-op chain (DELETE →
+    * ADD_COLUMN → UPDATE → MERGE) hash-gates against a literal
+    * oracle: the log is part of the table's contract, not
+    * best-effort telemetry. */
+  def qHistory(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_hist_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0) // the op LOG is the
+      .select("event_id", "user_id", "event_type", "value") // graded
+      .repartition(8, col("event_type"))         // artifact — a slice
+      .write.parquet(src)                        // keeps the gate cheap
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.addColumn(s, src, tbl, "flag",
+      org.apache.spark.sql.types.LongType)
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("flag" -> lit(1L)))
+    Scale.mergeInto(s, src, tbl,
+      Scale.readTable(s, tbl).where(col("event_type") === "view")
+        .limit(0), Seq("event_id"))
+    val out = Scale.history(s, tbl)
+    cleanupAfter(out, base.toString).orderBy("version")
+  }
+
+  /** #42p SHALLOW CLONE ([[Scale.cloneTable]]): the zero-copy table
+    * fork — the clone's v=0 manifest points at the source head's
+    * files (CowDmlSpec proves no data file is copied), then the two
+    * chains diverge: the clone's UPDATE doubles click values while
+    * the source keeps serving the pre-fork state. The graded frame
+    * unions both sides' rollups, so the hash gate proves BOTH
+    * isolation directions at once. At 100 TB this is "fork prod,
+    * experiment, discard" at metadata cost. */
+  def qClone(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_clone_")
+    val src = base.resolve("src").toString
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0) // isolation is the
+      .select("event_id", "user_id", "event_type", "value") // graded
+      .repartition(8, col("event_type"))         // property — a slice
+      .write.parquet(src)                        // keeps the gate cheap
+    Scale.deleteWhere(s, src, a, col("event_type") === "error")
+    Scale.cloneTable(s, a, b)
+    require(!new java.io.File(s"$b/v=0").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "a shallow clone must not copy data files")
+    Scale.updateWhere(s, src, b, col("event_type") === "click",
+      Seq("value" -> (col("value") * 2)))
+    def roll(tbl: String, side: String) =
+      Scale.readTable(s, tbl).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+        .withColumn("side", lit(side))
+    val out = roll(a, "src").unionByName(roll(b, "clone"))
+    cleanupAfter(out, base.toString).orderBy("side", "event_type")
+  }
+
   /** #53m LINEAR INTERPOLATION of series gaps — the missing half of
     * [[qResample]]'s carry-forward fill: sensor-dropout hours
     * (synthesized deterministically: hourly buckets whose event count

@@ -224,7 +224,8 @@ object Scale {
 
   private def cowRewrite(spark: SparkSession, srcDir: String,
                          tableDir: String, cond: Column,
-                         rewrite: DataFrame => DataFrame)
+                         rewrite: DataFrame => DataFrame,
+                         opName: String)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
@@ -282,6 +283,7 @@ object Scale {
           new java.net.URI(f)).getName)
       VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
       carryMeta(spark, stage, schema, cons)
+      VersionStore.writeOp(spark, stage, opName)
     }
     val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
@@ -339,7 +341,7 @@ object Scale {
   def deleteWhere(spark: SparkSession, srcDir: String, tableDir: String,
                   cond: Column): RewriteStats =
     cowRewrite(spark, srcDir, tableDir, cond,
-      _.where(!coalesce(cond, lit(false))))
+      _.where(!coalesce(cond, lit(false))), "DELETE")
 
   /** Copy-on-write UPDATE: rows matching `cond` get each `(column →
     * value)` in `set` applied; untouched files ride by pointer. */
@@ -349,7 +351,7 @@ object Scale {
     cowRewrite(spark, srcDir, tableDir, cond, df =>
       set.foldLeft(df) { case (d, (c, v)) =>
         d.withColumn(c, when(cond, v).otherwise(col(c)))
-      })
+      }, "UPDATE")
 
   /** MERGE INTO on the COW chain — the upsert (SCD-1) MERGE as
     * file-granular DML: `source` rows whose `key` matches an
@@ -445,6 +447,7 @@ object Scale {
         .map(f => s"$tableDir/v=$id/${f.getPath.getName}").toSeq
       VersionStore.writeManifest(spark, stage, untouched ++ written)
       carryMeta(spark, stage, schema, cons)
+      VersionStore.writeOp(spark, stage, "MERGE")
     }
     val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
@@ -483,6 +486,7 @@ object Scale {
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, Some(next), cons)
+      VersionStore.writeOp(spark, stage, "ADD_COLUMN", name)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -512,6 +516,7 @@ object Scale {
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, schema, cons :+ (name -> condSql))
+      VersionStore.writeOp(spark, stage, "ADD_CONSTRAINT", name)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -582,10 +587,56 @@ object Scale {
         VersionStore.writeManifest(spark, stage,
           large.map(_._1) ++ packed)
         carryMeta(spark, stage, schema, cons)
+        VersionStore.writeOp(spark, stage, "OPTIMIZE")
       }
       CompactStats(baseFiles.size.toLong, totalBytes,
         (large.size + bins.size).toLong, totalBytes)
     }
+  }
+
+  /** DESCRIBE HISTORY: one row per committed version — (version, the
+    * operation that produced it, its detail) — read from the chain's
+    * per-version op notes. The frame is version-count-sized metadata;
+    * no data file is ever opened. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    import graft.tables.VersionStore
+    import spark.implicits._
+    VersionStore.committed(spark, tableDir).sorted
+      .map { v =>
+        val (op, detail) = VersionStore.opOf(spark, tableDir, v)
+          .getOrElse(("UNKNOWN", ""))
+        (v, op, detail)
+      }.toDF("version", "op", "detail")
+  }
+
+  /** SHALLOW CLONE — a zero-copy fork of a chain (Delta's CLONE): the
+    * clone's v=0 manifest points at the SOURCE head's files, schema
+    * and constraints carry over, and from then on the two chains
+    * diverge independently — a clone's DML rewrites only its own hit
+    * files (everything else still rides on the source's data). The
+    * experimentation primitive at 100 TB: fork the production table
+    * for free, mutate the fork, throw it away. Delta's caveat applies
+    * here too: the clone references the source's files, so source-
+    * side RETENTION (never the clone's own — [[graft.tables
+    * .VersionStore.retain]] refuses to touch files outside its own
+    * root) must keep what live clones still point at. */
+  def cloneTable(spark: SparkSession, srcTableDir: String,
+                 destTableDir: String): RewriteStats = {
+    import graft.tables.VersionStore
+    val headV = VersionStore.head(spark, srcTableDir)
+    require(headV.nonEmpty, s"nothing to clone under $srcTableDir")
+    val files = VersionStore.manifest(spark, srcTableDir, headV.get)
+    val schema = VersionStore.schemaOf(spark, srcTableDir, headV.get)
+    val cons = VersionStore.constraintsOf(spark, srcTableDir, headV.get)
+    VersionStore.publishExclusive(spark, destTableDir, 0L) { stage =>
+      VersionStore.fsOf(spark, destTableDir)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      VersionStore.writeManifest(spark, stage, files)
+      carryMeta(spark, stage, schema, cons)
+      VersionStore.writeOp(spark, stage, "CLONE", srcTableDir)
+    }
+    val n = readTable(spark, destTableDir).count()
+    RewriteStats(files.size.toLong, 0L, n, n)
   }
 
   /** CHANGE DATA FEED over a COW chain — the manifest-diff form: the

@@ -69,6 +69,11 @@ object VersionStore {
     * rewrites/inserts, carried forward by every publish. */
   val ConstraintsFile = "_GRAFT_CONSTRAINTS"
 
+  /** Optional per-version operation note (`op\tdetail`) — what
+    * produced this version; [[graft.ops.Scale.history]] reads the
+    * chain's notes as the DESCRIBE-HISTORY table. */
+  val OpFile = "_GRAFT_OP"
+
   private val PrunedFile = "_GRAFT_PRUNED"
   private val AppliedFile = "_GRAFT_APPLIED"
   private val StagePrefix = "_stage_v="
@@ -222,6 +227,32 @@ object VersionStore {
           (l.substring(0, i), l.substring(i + 1))
         }
       finally in.close()
+    }
+  }
+
+  /** Record what produced a (staging or version) dir. */
+  def writeOp(spark: SparkSession, vdir: String, op: String,
+              detail: String = ""): Unit = {
+    val out = fsOf(spark, vdir)
+      .create(new org.apache.hadoop.fs.Path(vdir, OpFile), true)
+    try out.write(s"$op\t$detail".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The operation note of committed version `id`, if recorded. */
+  def opOf(spark: SparkSession, dir: String, id: Long)
+      : Option[(String, String)] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path(s"$dir/v=$id"), OpFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val l = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        val i = l.indexOf('\t')
+        Some(if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1)))
+      } finally in.close()
     }
   }
 

@@ -299,6 +299,49 @@ class CowDmlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("history records the op chain; shallow clone is zero-copy") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_hist")
+    val src = base.resolve("src").toString
+    val a = base.resolve("a").toString
+    val b = base.resolve("b").toString
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, i * 1.0))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, a, col("k") === 2)            // v=0
+    Scale.addColumn(spark, src, a, "flag",                      // v=1
+      org.apache.spark.sql.types.LongType)
+    Scale.updateWhere(spark, src, a, col("k") === 1,            // v=2
+      Seq("flag" -> lit(7L)))
+    val hist = Scale.history(spark, a)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(hist.toSeq == Seq((0L, "DELETE", ""),
+      (1L, "ADD_COLUMN", "flag"), (2L, "UPDATE", "")))
+    // shallow clone: v=0 points at A's head files — ZERO data copied
+    Scale.cloneTable(spark, a, b)
+    assert(parquets(s"$b/v=0").isEmpty,
+      "a shallow clone must not copy data files")
+    assert(Scale.history(spark, b).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((0L, "CLONE", a)))
+    val cloned = Scale.readTable(spark, b)
+    assert(cloned.columns.toSeq == Seq("id", "k", "v", "flag"))
+    assert(cloned.count() == 3000)
+    // divergence: DML on the clone never touches the source chain
+    Scale.updateWhere(spark, src, b, col("k") === 0,
+      Seq("v" -> lit(-5.0)))
+    assert(Scale.readTable(spark, b)
+      .where(col("v") === -5.0).count() == 1000)
+    assert(Scale.readTable(spark, a)
+      .where(col("v") === -5.0).count() == 0,
+      "the clone's DML leaked into the source")
+    // the clone inherits constraints-by-metadata semantics: its own
+    // chain carries A's declared schema forward
+    assert(VersionStore.schemaOf(spark, b, 1L).exists(
+      _.fieldNames.contains("flag")))
+    rm(base.toFile)
+  }
+
   test("deleteWhere keeps NULL-predicate rows regardless of file") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_null")
