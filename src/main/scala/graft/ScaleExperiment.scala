@@ -160,7 +160,8 @@ object ScaleExperiment {
       "q_time_travel|q_add_column|q_optimize|" +
       "q_entropy|q_stream_merge_cow|" +
       "q7_volume|q8_share|q9_profit|q10_returns|q12_priority|" +
-      "q_constraint|q_bloom_prune|q_history|q_clone").r
+      "q_constraint|q_bloom_prune|q_history|q_clone|" +
+      "q_evolve|q_restore").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

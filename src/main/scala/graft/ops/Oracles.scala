@@ -1674,6 +1674,23 @@ object Oracles {
          |    'clone' AS side FROM d GROUP BY event_type)
          |ORDER BY side, event_type""".stripMargin,
 
+    // rename+drop evolution: amount is the renamed value (doubled for
+    // clicks by the post-rename UPDATE), user_id gone from the shape
+    "q_evolve" ->
+      s"""SELECT event_type, $CNT AS n,
+         |  cast(sum(cast(CASE WHEN event_type = 'click' THEN value * 2
+         |    ELSE value END AS DECIMAL(18,4))) AS double) AS sa
+         |FROM events
+         |WHERE NOT (event_type = 'error') AND user_id % 4 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // RESTORE: the rolled-back head carries no trace of the doubling
+    "q_restore" ->
+      s"""SELECT event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM events
+         |WHERE NOT (event_type = 'error') AND user_id % 4 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // Shannon entropy of the per-source language mix: p·ln p terms
     // quantized to DECIMAL(18,6) before the (exact) sum
     "q_entropy" ->

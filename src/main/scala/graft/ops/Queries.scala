@@ -2273,6 +2273,66 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("side", "event_type")
   }
 
+  /** #42q SCHEMA EVOLUTION chain — RENAME + DROP COLUMN
+    * ([[Scale.renameColumn]]/[[Scale.dropColumn]], both metadata-only
+    * like #42l's ADD): `value` renames to `amount` (readers coalesce
+    * the logical name with its recorded physical alias — pre-rename
+    * files wrote `value`, the post-rename UPDATE writes `amount` in
+    * just the click file, and the MIXED layout is what the gate
+    * reads), then `user_id` drops (files keep their bytes; readers
+    * stop selecting). A hard require pins the final logical shape.
+    * At 100 TB every step is two small metadata writes. */
+  def qEvolve(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_evo_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.renameColumn(s, src, tbl, "value", "amount")
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("amount" -> (col("amount") * 2)))
+    Scale.dropColumn(s, src, tbl, "user_id")
+    val t = Scale.readTable(s, tbl)
+    require(t.columns.toSeq ==
+      Seq("event_id", "event_type", "amount"),
+      s"wrong evolved shape: ${t.columns.toSeq}")
+    val out = t.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("amount"), D4).as("sa"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
+  /** #42r RESTORE ([[Scale.restoreTable]]): the write side of time
+    * travel — after a bad value-doubling UPDATE, the chain's head
+    * rolls back to the pre-update version AS A NEW VERSION (pointers
+    * only, zero data movement; the bad version stays time-travelable
+    * and the op log keeps the whole story). The rollup hash-gates
+    * against the delete-only oracle: the restored head must carry no
+    * trace of the doubling. */
+  def qRestore(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_rst_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error")
+    Scale.updateWhere(s, src, tbl, col("event_type") === "click",
+      Seq("value" -> (col("value") * 2)))
+    Scale.restoreTable(s, tbl, 0L)
+    require(graft.tables.VersionStore.head(s, tbl).contains(2L),
+      "RESTORE must publish a new version, not rewind the chain")
+    val out = Scale.readTable(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
   /** #53m LINEAR INTERPOLATION of series gaps — the missing half of
     * [[qResample]]'s carry-forward fill: sensor-dropout hours
     * (synthesized deterministically: hourly buckets whose event count

@@ -69,6 +69,13 @@ object VersionStore {
     * rewrites/inserts, carried forward by every publish. */
   val ConstraintsFile = "_GRAFT_CONSTRAINTS"
 
+  /** Optional per-version COLUMN-MAPPING note: one `logical\talias1,
+    * alias2` line per renamed column — the physical names older data
+    * files still carry for it. Readers coalesce the logical name with
+    * its aliases (a row's file wrote exactly one of them), so RENAME
+    * COLUMN is metadata-only (see [[graft.ops.Scale.renameColumn]]). */
+  val RenamesFile = "_GRAFT_RENAMES"
+
   /** Optional per-version operation note (`op\tdetail`) — what
     * produced this version; [[graft.ops.Scale.history]] reads the
     * chain's notes as the DESCRIBE-HISTORY table. */
@@ -226,6 +233,39 @@ object VersionStore {
           val i = l.indexOf('\t')
           (l.substring(0, i), l.substring(i + 1))
         }
+      finally in.close()
+    }
+  }
+
+  /** Write the column-mapping note into a (staging or version) dir. */
+  def writeRenames(spark: SparkSession, vdir: String,
+                   renames: Map[String, Seq[String]]): Unit = {
+    val out = fsOf(spark, vdir)
+      .create(new org.apache.hadoop.fs.Path(vdir, RenamesFile), true)
+    try out.write(renames.toSeq.sortBy(_._1)
+      .map { case (n, as) => s"$n\t${as.mkString(",")}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The column mapping version `id` declares (empty before any
+    * rename on the chain). */
+  def renamesOf(spark: SparkSession, dir: String, id: Long)
+      : Map[String, Seq[String]] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path(s"$dir/v=$id"),
+      RenamesFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('\t')
+          l.substring(0, i) ->
+            l.substring(i + 1).split(",").toSeq.filter(_.nonEmpty)
+        }.toMap
       finally in.close()
     }
   }

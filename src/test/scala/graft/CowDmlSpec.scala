@@ -342,6 +342,56 @@ class CowDmlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("rename/drop column are metadata-only; restore rolls back") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_ren")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val df = (1 to 4000).map(i => (i.toLong, i.toLong % 4, i * 1.0))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, tbl, col("k") === 2)          // v=0
+    Scale.renameColumn(spark, src, tbl, "v", "amount")          // v=1
+    assert(parquets(s"$tbl/v=1").isEmpty, "rename copied data")
+    val t1 = Scale.readTable(spark, tbl)
+    assert(t1.columns.toSeq == Seq("id", "k", "amount"))
+    assert(t1.where(col("amount") === 3.0).count() == 1,
+      "values must survive the rename by alias coalesce")
+    // DML after the rename writes the NEW physical name in just its
+    // hit files; the mixed layout keeps reading correctly
+    Scale.updateWhere(spark, src, tbl, col("k") === 1,          // v=2
+      Seq("amount" -> lit(-1.0)))
+    val got = Scale.readTable(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(got.size == 3000 && got(5L) == -1.0 && got(4L) == 4.0)
+    // chained rename composes aliases (amount -> cost sees both)
+    Scale.renameColumn(spark, src, tbl, "amount", "cost")       // v=3
+    assert(Scale.readTable(spark, tbl)
+      .where(col("cost") === -1.0).count() == 1000)
+    Scale.dropColumn(spark, src, tbl, "k")                      // v=4
+    assert(Scale.readTable(spark, tbl).columns.toSeq ==
+      Seq("id", "cost"))
+    // a constraint blocks renaming/dropping the column it references
+    Scale.addConstraint(spark, src, tbl, "cost_ok",
+      "cost >= -1.0")                                           // v=5
+    assertThrows[IllegalArgumentException] {
+      Scale.renameColumn(spark, src, tbl, "cost", "price")
+    }
+    assertThrows[IllegalArgumentException] {
+      Scale.dropColumn(spark, src, tbl, "cost")
+    }
+    // RESTORE: head rolls back to v=1's state as a NEW version
+    Scale.restoreTable(spark, tbl, 1L)                          // v=6
+    val r = Scale.readTable(spark, tbl)
+    assert(r.columns.toSeq == Seq("id", "k", "amount"))
+    assert(r.where(col("amount") === -1.0).count() == 0,
+      "restore must serve the pre-update image")
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("DELETE", "RENAME_COLUMN", "UPDATE",
+        "RENAME_COLUMN", "DROP_COLUMN", "ADD_CONSTRAINT", "RESTORE"))
+    rm(base.toFile)
+  }
+
   test("deleteWhere keeps NULL-predicate rows regardless of file") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_null")
