@@ -487,11 +487,18 @@ object Scale {
     import graft.tables.VersionStore
     val (headV, baseFiles, declared, cons, renames) =
       resolveBase(spark, srcDir, tableDir)
-    val current = declared.getOrElse(
-      spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).schema)
+    val physical = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).schema
+    val current = declared.getOrElse(physical)
     require(!current.fieldNames.contains(name),
       s"column $name already exists")
+    // resurrection guard: a DROPPED column's bytes still live in
+    // pointer files — re-adding its name would read them back as the
+    // new column's values. Refuse until a full rewrite (OPTIMIZE)
+    // sheds the stale bytes, or pick a fresh name.
+    require(!physical.fieldNames.contains(name),
+      s"physical files still carry bytes named $name (a dropped " +
+        "column?); OPTIMIZE first or pick a fresh name")
     val next = org.apache.spark.sql.types.StructType(current.fields :+
       org.apache.spark.sql.types.StructField(name, dataType,
         nullable = true))
@@ -624,12 +631,17 @@ object Scale {
     import graft.tables.VersionStore
     val (headV, baseFiles, declared, cons, renames) =
       resolveBase(spark, srcDir, tableDir)
-    val current = declared.getOrElse(
-      spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).schema)
+    val physical = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).schema
+    val current = declared.getOrElse(physical)
     require(current.fieldNames.contains(from), s"no column $from")
     require(!current.fieldNames.contains(to),
       s"column $to already exists")
+    // resurrection guard: stale bytes named `to` in a pre-rename file
+    // would win the alias coalesce over the real (renamed) values
+    require(!physical.fieldNames.contains(to),
+      s"physical files still carry bytes named $to (a dropped " +
+        "column?); OPTIMIZE first or pick a fresh name")
     require(!cons.exists(_._2.contains(from)),
       s"a CHECK constraint references $from; drop it first")
     val next = org.apache.spark.sql.types.StructType(current.map(f =>

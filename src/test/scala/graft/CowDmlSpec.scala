@@ -380,6 +380,16 @@ class CowDmlSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Scale.dropColumn(spark, src, tbl, "cost")
     }
+    // resurrection guard: dropped "k"'s bytes still live in pointer
+    // files — re-adding (or renaming onto) that name would read them
+    // back as the new column's values; both must refuse
+    assertThrows[IllegalArgumentException] {
+      Scale.addColumn(spark, src, tbl, "k",
+        org.apache.spark.sql.types.LongType)
+    }
+    assertThrows[IllegalArgumentException] {
+      Scale.renameColumn(spark, src, tbl, "cost", "k")
+    }
     // RESTORE: head rolls back to v=1's state as a NEW version
     Scale.restoreTable(spark, tbl, 1L)                          // v=6
     val r = Scale.readTable(spark, tbl)
