@@ -161,7 +161,7 @@ object ScaleExperiment {
       "q_entropy|q_stream_merge_cow|" +
       "q7_volume|q8_share|q9_profit|q10_returns|q12_priority|" +
       "q_constraint|q_bloom_prune|q_history|q_clone|" +
-      "q_evolve|q_restore").r
+      "q_evolve|q_restore|q_chain_prune").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

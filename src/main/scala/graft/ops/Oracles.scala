@@ -1691,6 +1691,14 @@ object Oracles {
          |WHERE NOT (event_type = 'error') AND user_id % 4 = 0
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // chain-maintained stats: the pruned read serves the post-DELETE
+    // image ([50,100) gone), so the band query reduces to [100,150)
+    "q_chain_prune" ->
+      s"""SELECT l_partkey, $CNT AS n, ${d2("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey >= 100 AND l_partkey < 150
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Shannon entropy of the per-source language mix: p·ln p terms
     // quantized to DECIMAL(18,6) before the (exact) sum
     "q_entropy" ->

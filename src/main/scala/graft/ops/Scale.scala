@@ -289,6 +289,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, opName)
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched)
     }
     val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
@@ -463,6 +465,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, untouched ++ written)
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, "MERGE")
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched)
     }
     val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
@@ -509,6 +513,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, Some(next), cons, renames)
       VersionStore.writeOp(spark, stage, "ADD_COLUMN", name)
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -539,6 +545,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, schema, cons :+ (name -> condSql), renames)
       VersionStore.writeOp(spark, stage, "ADD_CONSTRAINT", name)
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -610,6 +618,9 @@ object Scale {
           large.map(_._1) ++ packed)
         carryMeta(spark, stage, schema, cons, renames)
         VersionStore.writeOp(spark, stage, "OPTIMIZE")
+        maintainStats(spark, tableDir,
+          headV.flatMap(statsOf(spark, tableDir, _)), stage, id,
+          large.map(_._1))
       }
       CompactStats(baseFiles.size.toLong, totalBytes,
         (large.size + bins.size).toLong, totalBytes)
@@ -655,6 +666,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, Some(next), cons, nextRenames)
       VersionStore.writeOp(spark, stage, "RENAME_COLUMN", s"$from>$to")
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -687,6 +700,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, Some(next), cons, renames - name)
       VersionStore.writeOp(spark, stage, "DROP_COLUMN", name)
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -715,6 +730,8 @@ object Scale {
           VersionStore.constraintsOf(spark, tableDir, v),
           VersionStore.renamesOf(spark, tableDir, v))
         VersionStore.writeOp(spark, stage, "RESTORE", s"v=$v")
+        maintainStats(spark, tableDir, statsOf(spark, tableDir, v),
+          stage, head.get + 1, files)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(files.size.toLong, 0L, n, n)
@@ -761,6 +778,8 @@ object Scale {
       VersionStore.writeManifest(spark, stage, files)
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, "CLONE", srcTableDir)
+      maintainStats(spark, destTableDir,
+        statsOf(spark, srcTableDir, headV.get), stage, 0L, files)
     }
     val n = readTable(spark, destTableDir).count()
     RewriteStats(files.size.toLong, 0L, n, n)
@@ -923,6 +942,151 @@ object Scale {
       else spark.read.parquet(files.toIndexedSeq: _*)
         .where(expr(condSql))
     (out, PruneStats(total, files.length.toLong))
+  }
+
+  // ---- Chain-maintained stats: ANALYZE + incremental upkeep -------
+
+  private def statsDir(vdir: String) = s"$vdir/_graft_stats"
+
+  /** The data-skipping stats of committed version `v`, if the chain
+    * has been ANALYZEd ([[analyzeTable]]) — a file-count-sized frame
+    * keyed by MANIFEST path. */
+  def statsOf(spark: SparkSession, tableDir: String, v: Long)
+      : Option[DataFrame] = {
+    import graft.tables.VersionStore
+    val p = new org.apache.hadoop.fs.Path(statsDir(s"$tableDir/v=$v"))
+    if (!VersionStore.fsOf(spark, tableDir).exists(p)) None
+    else Some(spark.read.parquet(p.toString))
+  }
+
+  private def writeStats(spark: SparkSession, vdirOrStage: String,
+                         stats: DataFrame): Unit =
+    stats.coalesce(1).write.mode("overwrite")
+      .parquet(statsDir(vdirOrStage)): Unit
+
+  /** Per-file min/max over an explicit FILE LIST, re-keyed so `__f`
+    * holds the caller's canonical path for each file (manifest
+    * entries, or the final `v=<id>` paths of files still sitting in a
+    * staging dir). One distributed pass over just those files. */
+  private def fileStatsFor(spark: SparkSession, files: Seq[String],
+                           cols: Seq[String],
+                           keyOf: String => String): DataFrame = {
+    val byNorm = files.map(f => normalize(f) -> keyOf(f)).toMap
+    val remap = udf((f: String) => byNorm(normalize(f)))
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+      .withColumn("__f", remap(input_file_name()))
+      .groupBy("__f")
+      .agg(min(col(cols.head)).as(s"min_${cols.head}"),
+        (max(col(cols.head)).as(s"max_${cols.head}") +:
+          cols.tail.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c")))): _*)
+  }
+
+  /** ANALYZE: publish the next version (manifest unchanged — every
+    * file rides by pointer) carrying a per-file min/max stats frame
+    * for `cols`, computed in ONE pass. From then on every DML
+    * maintains the stats INCREMENTALLY: untouched pointers keep
+    * their rows verbatim, only the files a publish actually writes
+    * are re-profiled (hit-file-sized, the Delta "stats in the
+    * manifest" upkeep). [[readTablePruned]] serves range predicates
+    * off the maintained frame. Works on a fresh directory too — the
+    * first ANALYZE converts `srcDir` into a v=0 pointer manifest. */
+  def analyzeTable(spark: SparkSession, srcDir: String,
+                   tableDir: String, cols: Seq[String]): RewriteStats =
+      withCommitRetry() {
+    import graft.tables.VersionStore
+    val (headV, baseFiles, schema, cons, renames) =
+      resolveBase(spark, srcDir, tableDir)
+    val stats = fileStatsFor(spark, baseFiles, cols, identity)
+      .localCheckpoint()
+    val id = headV.map(_ + 1).getOrElse(0L)
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      VersionStore.fsOf(spark, tableDir)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      VersionStore.writeManifest(spark, stage, baseFiles)
+      carryMeta(spark, stage, schema, cons, renames)
+      VersionStore.writeOp(spark, stage, "ANALYZE", cols.mkString(","))
+      writeStats(spark, stage, stats)
+    }
+    val n = readTable(spark, tableDir).count()
+    RewriteStats(baseFiles.size.toLong, 0L, n, n)
+  }
+
+  /** Incremental stats upkeep for a data-writing publish: carry the
+    * parent's rows for surviving pointer files, re-profile ONLY the
+    * freshly written ones (read from the staging dir, keyed by their
+    * final `v=<id>` path). A stats column missing from the new files'
+    * schema (a DROP/RENAME since the ANALYZE) drops from the WHOLE
+    * frame — a NULL-stats row would read as "provably empty" to the
+    * 3VL prune, which is only sound for genuinely all-null files. */
+  private def maintainStats(spark: SparkSession, tableDir: String,
+                            parentStats: Option[DataFrame], stage: String,
+                            id: Long, untouched: Seq[String]): Unit =
+    parentStats.foreach { ps =>
+      import graft.tables.VersionStore
+      val fs = VersionStore.fsOf(spark, tableDir)
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      val carried = ps.where(col("__f").isin(untouched: _*))
+      val all: Option[DataFrame] =
+        if (staged.isEmpty) Some(carried)
+        else {
+          val cols = ps.columns.filter(_.startsWith("min_"))
+            .map(_.stripPrefix("min_")).toSeq
+          val newSchema = spark.read.option("mergeSchema", "true")
+            .parquet(staged: _*).schema.fieldNames.toSet
+          val usable = cols.filter(newSchema)
+          if (usable.isEmpty) None
+          else {
+            val fresh = fileStatsFor(spark, staged, usable, f =>
+              s"$tableDir/v=$id/" +
+                new org.apache.hadoop.fs.Path(new java.net.URI(f)).getName)
+            val keep = "__f" +: usable.flatMap(c =>
+              Seq(s"min_$c", s"max_$c"))
+            Some(carried.select(keep.map(col): _*).unionByName(fresh))
+          }
+        }
+      all.foreach(a => writeStats(spark, stage, a.localCheckpoint()))
+    }
+
+  /** Read the chain's head with FILE-LEVEL pruning off the maintained
+    * stats ([[analyzeTable]]'s frame, kept current by every DML):
+    * the [[readPruned]] may-contain translation, then only surviving
+    * files open — with schema alignment, so the pruned read is
+    * drop-in for [[readTable]]. No stats (or an untranslatable
+    * predicate) degrades to the full aligned read. */
+  def readTablePruned(spark: SparkSession, tableDir: String,
+                      condSql: String): (DataFrame, PruneStats) = {
+    import graft.tables.VersionStore
+    val vs = VersionStore.committed(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions under $tableDir")
+    val v = vs.max
+    val files = VersionStore.manifest(spark, tableDir, v)
+    val keep = statsOf(spark, tableDir, v) match {
+      case Some(stats) =>
+        val statCols = stats.columns.collect {
+          case c if c.startsWith("min_") => c.stripPrefix("min_")
+        }.toSet
+        mayContain(spark, condSql, statCols) match {
+          case Some(p) => stats.where(expr(p))
+            .select("__f").collect().map(_.getString(0)).toSeq
+          case None => files
+        }
+      case None => files
+    }
+    val out =
+      if (keep.isEmpty)
+        alignedRead(spark, tableDir, v).limit(0).where(expr(condSql))
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(keep: _*)
+        val aligned = VersionStore.schemaOf(spark, tableDir, v)
+          .map(alignTo(raw, _, VersionStore.renamesOf(spark, tableDir, v)))
+          .getOrElse(raw)
+        aligned.where(expr(condSql))
+      }
+    (out, PruneStats(files.size.toLong, keep.size.toLong))
   }
 
   /** Per-file BLOOM membership index for `column` — the POINT-LOOKUP

@@ -98,6 +98,60 @@ class FilePruneSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("chain stats: ANALYZE once, DML maintains them incrementally") {
+    import spark.implicits._
+    import graft.tables.VersionStore
+    val base = java.nio.file.Files.createTempDirectory("graft_prune_c")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    (1 to 8000).map(i => (i.toLong, s"p$i")).toDF("x", "p")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(src)
+    Scale.analyzeTable(spark, src, tbl, Seq("x"))           // v=0
+    val s0 = Scale.statsOf(spark, tbl, 0L).get
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(s0.size >= 7 && s0.size <= 8)
+    Scale.deleteWhere(spark, tbl, tbl,                      // v=1
+      col("x") >= 2000 && col("x") < 3000)
+    val s1 = Scale.statsOf(spark, tbl, 1L).get
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    // a rewrite the delete fully EMPTIED carries no stats row (it has
+    // no rows to serve — skipping it is sound), so coverage may drop
+    // below the manifest size; never below files-with-rows
+    assert(s1.size >= 5 && s1.size <= s0.size,
+      s"stats must cover every non-empty file: ${s1.size}")
+    // incremental: untouched files keep their EXACT stats rows; only
+    // the rewritten file(s) re-profile
+    val changed = s1.keySet.filterNot(s0.keySet)
+    assert(changed.nonEmpty && changed.size <= 3,
+      s"a range delete must re-profile only its hit files: $changed")
+    assert((s1.keySet -- changed).forall(f => s1(f) == s0(f)),
+      "carried pointer files must keep their stats rows verbatim")
+    // the pruned read serves POST-DML data and skips
+    val (got, ps) = Scale.readTablePruned(spark, tbl,
+      "x >= 2500 AND x < 4000")
+    val want = Scale.readTable(spark, tbl)
+      .where(col("x") >= 2500 && col("x") < 4000)
+    assert(got.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet)
+    assert(ps.filesRead < ps.filesTotal, s"no skipping: $ps")
+    // a probe entirely inside the DELETED range: the rewritten file's
+    // FRESH stats exclude it, so the read opens (almost) nothing
+    val (gone, psGone) = Scale.readTablePruned(spark, tbl,
+      "x >= 2100 AND x < 2400")
+    assert(gone.count() == 0 && psGone.filesRead <= 1,
+      s"fresh stats must reflect the delete: $psGone")
+    // after a RENAME the stats keys are stale for the new name: the
+    // pruned read degrades to a FULL (correct) read, never unsound
+    Scale.renameColumn(spark, tbl, tbl, "x", "w")           // v=2
+    val (g2, ps2) = Scale.readTablePruned(spark, tbl,
+      "w >= 2500 AND w < 4000")
+    assert(ps2.filesRead == ps2.filesTotal)
+    assert(g2.count() == want.count())
+    assert(VersionStore.committed(spark, tbl).size == 3)
+    rm(base.toFile)
+  }
+
   test("all-null column stats prune soundly") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_prune_n")
