@@ -152,11 +152,16 @@ object MvRollupRule extends Rule[LogicalPlan] {
       }
       // a predicate whose every reference is a grouping column is
       // constant within each MV row → pushes onto the MV soundly;
-      // anything touching a measure (or an uncovered column) bails
-      val filtersOk = filters.forall(_.references.forall {
-        case a: AttributeReference => mv.groupCols.contains(a.name)
-        case _ => false
-      })
+      // anything touching a measure (or an uncovered column) bails.
+      // It must also be DETERMINISTIC: a rand()-style predicate has
+      // an EMPTY reference set (vacuously "ok") but sampling
+      // pre-aggregated MV rows keeps/drops whole groups instead of
+      // base rows — never push those
+      val filtersOk = filters.forall(f =>
+        f.deterministic && f.references.forall {
+          case a: AttributeReference => mv.groupCols.contains(a.name)
+          case _ => false
+        })
       if (!groupsOk || !filtersOk) None
       else {
         // fresh output ids per use: the stored scan can appear in

@@ -112,6 +112,25 @@ object Scale {
   private def normalize(uri: String): String =
     new java.net.URI(uri).getPath
 
+  /** Write `df` as exactly ONE parquet file named `name` inside
+    * `stage` — the shared single-file-write used by every COW
+    * rewrite. FAILS LOUDLY: a missing part file or a false rename
+    * throws BEFORE any manifest can reference the path (silently
+    * dropping the only copy of rewritten data was the alternative). */
+  private def writeSingleFile(df: DataFrame, fs: org.apache.hadoop.fs.FileSystem,
+                              stage: String, name: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(stage, s"__w_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new java.io.IOException(
+        s"no part file produced under $tmp"))
+    val dest = new org.apache.hadoop.fs.Path(stage, name)
+    if (!fs.rename(part, dest))
+      throw new java.io.IOException(s"rename $part -> $dest failed")
+    fs.delete(tmp, true): Unit
+  }
+
   /** The optimistic-concurrency commit loop: `body` reads the head,
     * stages its output and calls
     * [[graft.tables.VersionStore.publishExclusive]]; a conflict (a
@@ -243,7 +262,10 @@ object Scale {
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
     val df = readBase(baseFiles)
-    val rowsBefore = df.count()
+    // count(*) over the RAW scan: no aligned projection in the way,
+    // so the vectorized reader serves it from row-group metadata
+    val rowsBefore = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).count()
     // file-granular hit detection: rows where cond IS TRUE name their
     // file; the collect is bounded by file count
     val hitFiles: Seq[String] = df
@@ -254,6 +276,12 @@ object Scale {
     if (cons.nonEmpty && hitFiles.nonEmpty)
       enforce(rewrite(readBase(hitFiles)), cons)
     val id = headV.map(_ + 1).getOrElse(0L)
+    // rows-delta accounting is HIT-FILE-priced: counting the whole
+    // post-DML table would defeat the hit-priced contract (the r10
+    // review nit) — the untouched pointers contribute unchanged rows
+    val hitBefore =
+      if (hitFiles.isEmpty) 0L else readBase(hitFiles).count()
+    var hitAfter = 0L
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       if (hitFiles.nonEmpty) {
@@ -265,15 +293,7 @@ object Scale {
               override def call(): Unit = {
                 val name = new org.apache.hadoop.fs.Path(
                   new java.net.URI(f)).getName
-                val tmp = new org.apache.hadoop.fs.Path(
-                  stage, s"__rw_$name")
-                rewrite(readBase(Seq(f))).coalesce(1)
-                  .write.mode("overwrite").parquet(tmp.toString)
-                fs.listStatus(tmp).map(_.getPath)
-                  .find(_.getName.endsWith(".parquet"))
-                  .foreach(p => fs.rename(p,
-                    new org.apache.hadoop.fs.Path(stage, name)): Unit)
-                fs.delete(tmp, true): Unit
+                writeSingleFile(rewrite(readBase(Seq(f))), fs, stage, name)
               }
             })
           }
@@ -286,15 +306,18 @@ object Scale {
       val rewritten = hitFiles.map(f =>
         s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(
           new java.net.URI(f)).getName)
+      if (hitFiles.nonEmpty)
+        hitAfter = spark.read.option("mergeSchema", "true").parquet(
+          rewritten.map(r => s"$stage/" + new org.apache.hadoop.fs.Path(
+            new java.net.URI(r)).getName): _*).count()
       VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, opName)
       maintainStats(spark, tableDir,
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched)
     }
-    val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
-      rowsBefore, rowsAfter)
+      rowsBefore, rowsBefore - hitBefore + hitAfter)
   }
 
   /** Align `df` to a declared logical schema: columns the physical
@@ -403,7 +426,8 @@ object Scale {
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
     val df = readBase(baseFiles)
-    val rowsBefore = df.count()
+    val rowsBefore = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).count()
     val srcKeys = source.select(key.map(col): _*).distinct()
     val hitFiles: Seq[String] = df
       .withColumn("__f", input_file_name())
@@ -416,7 +440,10 @@ object Scale {
       key, "left_anti")
     if (cons.nonEmpty) {
       // validate what the MERGE makes visible: the post-upsert state
-      // of the hit files plus the inserts — changed data only
+      // of the hit files plus the inserts — changed data only. This
+      // recomputes the hit-file upsert once more than the publish
+      // body does (both hit-file-sized); trading that for caching the
+      // merged frames would pin changelog-sized state per file
       val changedBase =
         if (hitFiles.nonEmpty)
           Relational.upsert(readBase(hitFiles),
@@ -426,51 +453,60 @@ object Scale {
       enforce(changedBase.unionByName(
         inserts.select(df.columns.map(col).toIndexedSeq: _*)), cons)
     }
+    val hitBefore =
+      if (hitFiles.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hitFiles: _*).count()
+    var stagedAfter = 0L
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
-      hitFiles.foreach { f =>
-        val name = new org.apache.hadoop.fs.Path(
-          new java.net.URI(f)).getName
-        val fileDf = readBase(Seq(f))
-        val changes = source.join(
-          fileDf.select(key.map(col): _*).distinct(), key, "left_semi")
-        val merged = Relational.upsert(fileDf, changes, key)
-          .drop("action")
-        val tmp = new org.apache.hadoop.fs.Path(stage, s"__rw_$name")
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        fs.listStatus(tmp).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .foreach(p => fs.rename(p,
-            new org.apache.hadoop.fs.Path(stage, name)): Unit)
-        fs.delete(tmp, true): Unit
+      if (hitFiles.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, hitFiles.size))
+        try {
+          val tasks = hitFiles.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val name = new org.apache.hadoop.fs.Path(
+                  new java.net.URI(f)).getName
+                val fileDf = readBase(Seq(f))
+                val changes = source.join(
+                  fileDf.select(key.map(col): _*).distinct(),
+                  key, "left_semi")
+                writeSingleFile(
+                  Relational.upsert(fileDf, changes, key).drop("action"),
+                  fs, stage, name)
+              }
+            })
+          }
+          tasks.foreach(_.get())
+        } finally pool.shutdown()
       }
       // NOT MATCHED → INSERT: one appended file (changelog-sized
       // here; at scale repartition to the target file size), in the
       // base table's column order/shape; an update-only MERGE (the
       // common streaming batch) appends nothing
-      if (!inserts.isEmpty) {
-        val insName = s"merge-insert-$id.parquet"
-        val insTmp = new org.apache.hadoop.fs.Path(stage, "__ins")
-        inserts.select(df.columns.map(col).toIndexedSeq: _*)
-          .coalesce(1).write.mode("overwrite").parquet(insTmp.toString)
-        fs.listStatus(insTmp).map(_.getPath)
-          .find(_.getName.endsWith(".parquet"))
-          .foreach(p => fs.rename(p,
-            new org.apache.hadoop.fs.Path(stage, insName)): Unit)
-        fs.delete(insTmp, true): Unit
-      }
-      val written = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+      if (!inserts.isEmpty)
+        writeSingleFile(
+          inserts.select(df.columns.map(col).toIndexedSeq: _*),
+          fs, stage, s"merge-insert-$id.parquet")
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(f => s"$tableDir/v=$id/${f.getPath.getName}").toSeq
+        .map(_.getPath.toString).toSeq
+      val written = staged.map(f =>
+        s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(
+          new java.net.URI(f)).getName)
+      stagedAfter = if (staged.isEmpty) 0L
+        else spark.read.option("mergeSchema", "true")
+          .parquet(staged: _*).count()
       VersionStore.writeManifest(spark, stage, untouched ++ written)
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, "MERGE")
       maintainStats(spark, tableDir,
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched)
     }
-    val rowsAfter = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
-      rowsBefore, rowsAfter)
+      rowsBefore, rowsBefore - hitBefore + stagedAfter)
   }
 
   /** Metadata-only ADD COLUMN — schema evolution with ZERO data
@@ -603,14 +639,11 @@ object Scale {
         bins.zipWithIndex.foreach { case ((group, _), g) =>
           val raw = spark.read.option("mergeSchema", "true")
             .parquet(group.toSeq: _*)
-          val df = schema.map(alignTo(raw, _)).getOrElse(raw)
-          val tmp = new org.apache.hadoop.fs.Path(stage, s"__opt_$g")
-          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          fs.listStatus(tmp).map(_.getPath)
-            .find(_.getName.endsWith(".parquet"))
-            .foreach(p => fs.rename(p, new org.apache.hadoop.fs.Path(
-              stage, s"opt-$id-$g.parquet")): Unit)
-          fs.delete(tmp, true): Unit
+          // the chain's full metadata applies: without the rename
+          // mapping a compacted pre-rename file would NULL the
+          // renamed column's values (r10 review fix)
+          val df = schema.map(alignTo(raw, _, renames)).getOrElse(raw)
+          writeSingleFile(df, fs, stage, s"opt-$id-$g.parquet")
         }
         val packed = bins.indices.map(g =>
           s"$tableDir/v=$id/opt-$id-$g.parquet")

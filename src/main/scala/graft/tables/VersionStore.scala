@@ -83,6 +83,7 @@ object VersionStore {
 
   private val PrunedFile = "_GRAFT_PRUNED"
   private val AppliedFile = "_GRAFT_APPLIED"
+  private val WriterToken = "_GRAFT_WRITER"
   private val StagePrefix = "_stage_v="
 
   def fsOf(spark: SparkSession, dir: String)
@@ -156,17 +157,44 @@ object VersionStore {
     def committedNow =
       fs.exists(new org.apache.hadoop.fs.Path(dest, CommitMarker))
     if (committedNow) conflict()
-    val stage = path(s"$dir/$StagePrefix$id." +
-      java.util.UUID.randomUUID().toString.take(8))
+    val token = java.util.UUID.randomUUID().toString
+    val stage = path(s"$dir/$StagePrefix$id.${token.take(8)}")
     write(stage.toString)
-    if (committedNow) { fs.delete(stage, true); conflict() }
+    // stamp ownership INSIDE the stage before it can become the
+    // version dir: after the rename we re-read it to prove the dir we
+    // marked is the one WE wrote (a racing writer that clobbered the
+    // window between our rename and marker would carry its own token)
+    val tokOut = fs.create(
+      new org.apache.hadoop.fs.Path(stage, WriterToken), true)
+    try tokOut.write(token.getBytes("UTF-8")) finally tokOut.close()
+    if (committedNow) { fs.delete(stage, true): Unit; conflict() }
+    // an UNMARKED dest is crash debris or a racer past its own rename
+    // but short of its marker — invisible to every reader, and
+    // renaming ONTO it would NEST our stage inside it (corrupting
+    // whichever marker lands). Replace it wholesale: exactly one
+    // writer's complete output can win.
+    if (fs.exists(dest)) {
+      if (committedNow) { fs.delete(stage, true): Unit; conflict() }
+      fs.delete(dest, true): Unit
+    }
     if (!fs.rename(stage, dest)) {
-      fs.delete(stage, true)
+      fs.delete(stage, true): Unit
       if (committedNow) conflict()
       throw new java.io.IOException(s"publish of $dest failed")
     }
-    fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), false)
+    // ownership check: only mark a dir that still carries OUR token
+    val owned = scala.util.Try {
+      val in = fs.open(new org.apache.hadoop.fs.Path(dest, WriterToken))
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    }.toOption.contains(token)
+    if (!owned) conflict()
+    try fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), false)
       .close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
+    }
     dest.toString
   }
 

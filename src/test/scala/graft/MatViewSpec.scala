@@ -104,6 +104,14 @@ class MatViewSpec extends AnyFunSuite {
         .groupBy("g").agg(count(lit(1)).as("n"))
       assert(f.queryExecution.executedPlan.toString.contains("src"),
         "measure filter must NOT use the MV")
+      // a NON-DETERMINISTIC predicate has an EMPTY reference set —
+      // vacuously "all grouping columns" — but sampling MV rows
+      // keeps/drops whole pre-aggregated groups instead of base rows
+      // (r10 review fix): it must NOT fire
+      val nd = spark.read.parquet(src).where(rand(7) < lit(0.5))
+        .groupBy("g").agg(count(lit(1)).as("n"))
+      assert(nd.queryExecution.executedPlan.toString.contains("src"),
+        "non-deterministic filter must NOT use the MV")
     } finally {
       MatViews.drop(spark, src)
       def rm(f: java.io.File): Unit = {

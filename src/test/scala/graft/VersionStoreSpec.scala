@@ -85,6 +85,19 @@ class VersionStoreSpec extends AnyFunSuite {
       Seq(9).toDF("x").write.parquet(stage)
     }
     assert(VersionStore.committed(spark, dir).sorted == Seq(0L, 1L))
+    // UNMARKED debris at the target id (a writer that crashed between
+    // its rename and its marker) must be REPLACED wholesale — naive
+    // rename-onto-existing would nest the new stage inside the debris
+    // and the marker would commit the dead writer's content
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v=2/junk")): Unit
+    VersionStore.publishExclusive(spark, dir, 2L) { stage =>
+      Seq(7, 8).toDF("x").write.parquet(stage)
+    }
+    assert(VersionStore.read(spark, dir, Some(2L))
+      .collect().map(_.getInt(0)).toSet == Set(7, 8),
+      "publish onto unmarked debris must serve the NEW content")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=2/junk")),
+      "debris must not survive inside the committed version")
     // unique-suffix stage debris (a loser that died before cleanup)
     // is still recognized and reaped by retention
     fs.mkdirs(
