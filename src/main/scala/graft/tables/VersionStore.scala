@@ -183,18 +183,27 @@ object VersionStore {
       throw new java.io.IOException(s"publish of $dest failed")
     }
     // ownership check: only mark a dir that still carries OUR token
-    val owned = scala.util.Try {
+    def ownedNow: Boolean = scala.util.Try {
       val in = fs.open(new org.apache.hadoop.fs.Path(dest, WriterToken))
       try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
     }.toOption.contains(token)
-    if (!owned) conflict()
+    if (!ownedNow) conflict()
     try fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), false)
       .close()
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
     }
+    // residual-race re-check (r10 advice): a racer could delete-and-
+    // replace dest between the ownership read above and our marker PUT
+    // — our marker then committed the RACER's content and our own
+    // staged output is gone. Re-reading the token after the marker
+    // closes the window: on mismatch this writer reports CONFLICT
+    // (and retries at the next id) instead of returning success stats
+    // for a version it did not populate. The chain stays consistent
+    // either way — exactly one complete output is marked.
+    if (!ownedNow) conflict()
     dest.toString
   }
 

@@ -141,14 +141,33 @@ class FilePruneSpec extends AnyFunSuite {
       "x >= 2100 AND x < 2400")
     assert(gone.count() == 0 && psGone.filesRead <= 1,
       s"fresh stats must reflect the delete: $psGone")
-    // after a RENAME the stats keys are stale for the new name: the
-    // pruned read degrades to a FULL (correct) read, never unsound
+    // RENAME carries the stats frame to the NEW logical name (r11):
+    // pruning continues under `w`, rows stay correct (alias-coalesce
+    // serves the pre-rename files' bytes)
     Scale.renameColumn(spark, tbl, tbl, "x", "w")           // v=2
     val (g2, ps2) = Scale.readTablePruned(spark, tbl,
       "w >= 2500 AND w < 4000")
-    assert(ps2.filesRead == ps2.filesTotal)
+    assert(ps2.filesRead < ps2.filesTotal,
+      s"stats lost across the rename: $ps2")
     assert(g2.count() == want.count())
-    assert(VersionStore.committed(spark, tbl).size == 3)
+    // RENAME-then-ANALYZE (the r10 advice defect): re-profiling goes
+    // through the reader's alias-coalesce projection, so pre-rename
+    // pointer files get REAL stats under the new name — their rows
+    // must never silently vanish from a pruned read
+    Scale.analyzeTable(spark, tbl, tbl, Seq("w"))           // v=3
+    val (g3, ps3) = Scale.readTablePruned(spark, tbl,
+      "w >= 2500 AND w < 4000")
+    assert(g3.collect().map(_.toSeq).toSet ==
+      want.collect().map(_.toSeq).toSet,
+      "RENAME-then-ANALYZE lost pointer-file rows")
+    assert(ps3.filesRead < ps3.filesTotal, s"no skipping: $ps3")
+    // ANALYZE of a column the table does not serve fails by NAME
+    // instead of recording all-NULL stats that prune everything
+    val err = intercept[IllegalArgumentException] {
+      Scale.analyzeTable(spark, tbl, tbl, Seq("nope"))
+    }
+    assert(err.getMessage.contains("nope"))
+    assert(VersionStore.committed(spark, tbl).size == 4)
     rm(base.toFile)
   }
 
@@ -166,6 +185,41 @@ class FilePruneSpec extends AnyFunSuite {
     val (got, ps) = Scale.readPruned(spark, dir, "x = 50", stats)
     // the all-null file satisfies no comparison → sound to skip
     assert(ps.filesRead == 1 && got.count() == 1)
+    // IS NULL / IS NOT NULL prune off the null COUNTS (r11): min/max
+    // can't decide null membership, nc_<col>/cnt can — and exactly
+    val (nn, psNN) = Scale.readPruned(spark, dir, "x IS NULL", stats)
+    assert(psNN.filesRead == 1 && nn.count() == 100,
+      s"IS NULL must open only the null-carrying file: $psNN")
+    val (vv, psVV) = Scale.readPruned(spark, dir, "x IS NOT NULL", stats)
+    assert(psVV.filesRead == 1 && vv.count() == 100,
+      s"IS NOT NULL must skip the all-null file: $psVV")
+    // inside an AND both arms compose with the range translation
+    val (mix, psMix) = Scale.readPruned(spark, dir,
+      "x IS NOT NULL AND id > 1000", stats)
+    assert(psMix.filesRead == 1 && mix.count() == 100)
+    rm(base.toFile)
+  }
+
+  test("bloom probe runs distributed; driver sees only surviving names") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_prune_b")
+    val dir = base.resolve("t").toString
+    (1 to 4000).map(i => (i.toLong, s"r$i")).toDF("id", "p")
+      .repartition(8).write.parquet(dir)
+    val bloom = Scale.fileBloom(spark, dir, "id", estPerFile = 10000L)
+    val probe = spark.range(1).select(xxhash64(lit(777L)).as("h"))
+      .head().getLong(0)
+    // executor-side survivors == a driver-side reference probe of the
+    // same sketches (bit-identical deserialization path)
+    val (total, survivors) = Scale.bloomSurvivors(bloom, probe)
+    val reference = bloom.collect().filter { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("bloom")))
+        .mightContainLong(probe)
+    }.map(_.getString(0)).toSet
+    assert(total == 8 && survivors.toSet == reference)
+    assert(survivors.nonEmpty && survivors.size < 8,
+      s"no pruning at 10k-est sketches over 4k keys: $survivors")
     rm(base.toFile)
   }
 }
