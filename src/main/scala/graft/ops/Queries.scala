@@ -1666,9 +1666,12 @@ object Queries {
     val pr = T(s, dir).lineitem
       .groupBy(col("l_partkey").as("p"))
       .agg(sum(col("l_extendedprice").cast(P2)).as("rev"))
-    val total = pr.agg(sum("rev")).head().getDecimal(0)
-    Relational.cumsumExact(pr.withColumn("nrev", -col("rev")),
-        Seq("nrev", "p"), "rev")
+    // total rides out of cumsumExact's own partition-totals collect —
+    // ONE aggregation of lineitem, not two (the r10 bench regression
+    // was exactly the extra `pr.agg(sum)` scan)
+    val (cum, total) = Relational.cumsumExactWithTotal(
+      pr.withColumn("nrev", -col("rev")), Seq("nrev", "p"), "rev")
+    cum
       .withColumn("cls",
         when(col("cum") * 100 <= lit(total) * 80, "A")
           .when(col("cum") * 100 <= lit(total) * 95, "B")

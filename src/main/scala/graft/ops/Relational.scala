@@ -25,7 +25,20 @@ object Relational {
     * gated; double values would reorder additions and drift). `order`
     * must be a TOTAL order. Returns the input plus a `cum` column. */
   def cumsumExact(df: DataFrame, order: Seq[String], value: String,
-                  partitions: Int = 32): DataFrame = {
+                  partitions: Int = 32): DataFrame =
+    cumsumExactWithTotal(df, order, value, partitions)._1
+
+  /** [[cumsumExact]] plus the GRAND TOTAL for free: the per-partition
+    * totals the prefix-offset pass already collects sum to the global
+    * total (exact — decimal addition in a fixed fold order), so a
+    * caller that needs both (Pareto/ABC share-of-total classification)
+    * pays ONE pass over the input instead of a separate `agg(sum)`
+    * scan — at 100 TB the input is typically itself an expensive
+    * aggregate, and scanning it twice doubles the job (the r10 bench
+    * flagged exactly that on q_abc). */
+  def cumsumExactWithTotal(df: DataFrame, order: Seq[String],
+                           value: String, partitions: Int = 32)
+      : (DataFrame, java.math.BigDecimal) = {
     require(df.schema(value).dataType
       .isInstanceOf[org.apache.spark.sql.types.DecimalType],
       s"cumsumExact needs a DECIMAL value column, got " +
@@ -44,14 +57,17 @@ object Relational {
       case ((acc, cum), (pid, s)) =>
         ((pid, BigDecimal(cum)) :: acc, cum.add(s))
     }._1.reverse
+    val total = parts.foldLeft(java.math.BigDecimal.ZERO) {
+      case (acc, (_, s)) => acc.add(s)
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val offDf = broadcast(offs.toDF("__pid", "__off"))
     val w = Window.partitionBy("__pid").orderBy(oc.map(_.asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sorted.join(offDf, "__pid")
+    (sorted.join(offDf, "__pid")
       .withColumn("cum", sum(col(value)).over(w) + col("__off"))
-      .drop("__pid", "__off")
+      .drop("__pid", "__off"), total)
   }
 
   /** Scalable EXACT ntile — the equal-depth bucket assignment without
