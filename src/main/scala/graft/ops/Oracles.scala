@@ -886,6 +886,20 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // null-membership file skipping: both pruned arms must equal the
+    // full-scan predicate split on the derived nullable column
+    "q_null_prune" ->
+      s"""WITH t AS (SELECT l_linenumber, l_quantity,
+         |    CASE WHEN l_linenumber >= 3 THEN l_suppkey END AS late_supp
+         |  FROM lineitem)
+         |SELECT l_linenumber, $CNT AS n, ${d2("l_quantity")} AS sq,
+         |  'null' AS arm FROM t WHERE late_supp IS NULL GROUP BY 1
+         |UNION ALL
+         |SELECT l_linenumber, $CNT AS n, ${d2("l_quantity")} AS sq,
+         |  'notnull' AS arm FROM t WHERE late_supp IS NOT NULL
+         |GROUP BY 1
+         |ORDER BY arm, l_linenumber""".stripMargin,
+
     // run-length encoding: gaps-and-islands run ids, two rollups,
     // all integers under the (ts, event_id) total order
     "q_rle" ->

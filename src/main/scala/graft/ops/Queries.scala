@@ -1980,6 +1980,42 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("l_partkey")
   }
 
+  /** #55x' NULL-membership file skipping off the per-file null
+    * counts ([[Scale.fileStats]]' `nc_<col>`/`cnt` columns — r10
+    * verdict ask #6): min/max ranges can't decide `IS NULL` (a NULL
+    * min says "all null OR empty", never "no nulls"), so the stats
+    * frame carries exact null counts and [[Scale.mayContain]] prunes
+    * `IS NULL` to the files with `nc > 0` and `IS NOT NULL` to those
+    * with `nc < cnt`. The fixture clusters a derived nullable column
+    * (late line numbers carry a supplier, early ones NULL) so both
+    * arms provably skip — hard in-query requires — and BOTH pruned
+    * reads hash-gate against the full-scan oracle. At 100 TB this is
+    * the "scan the un-enriched rows" maintenance query touching only
+    * the files that still have work. */
+  def qNullPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_nullp_")
+    val t = base.resolve("t").toString
+    T(s, dir).lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        when(col("l_linenumber") >= 3, col("l_suppkey")).as("late_supp"))
+      .repartitionByRange(8, col("l_linenumber"))
+      .sortWithinPartitions("l_linenumber")
+      .write.parquet(t)
+    val stats = Scale.fileStats(s, t, Seq("late_supp"))
+    val (nulls, psN) = Scale.readPruned(s, t, "late_supp IS NULL", stats)
+    val (vals, psV) = Scale.readPruned(s, t,
+      "late_supp IS NOT NULL", stats)
+    require(psN.filesRead < psN.filesTotal,
+      s"IS NULL pruned nothing: $psN")
+    require(psV.filesRead < psV.filesTotal,
+      s"IS NOT NULL pruned nothing: $psV")
+    def roll(df: DataFrame, arm: String) = df.groupBy("l_linenumber")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), D2).as("sq"))
+      .withColumn("arm", lit(arm))
+    val out = roll(nulls, "null").unionByName(roll(vals, "notnull"))
+    cleanupAfter(out, base.toString).orderBy("arm", "l_linenumber")
+  }
+
   /** #42k TIME TRAVEL read on the COW chain
     * ([[Scale.readTableAt]]): after a DELETE (v=0) and a value-
     * doubling UPDATE (v=1), the graded read serves **v=0** — the
