@@ -886,6 +886,15 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // partition-valued manifests: metadata-only drop of the error
+    // partition + partition-pruned click doubling, replayed in SQL
+    "q_partition_dml" ->
+      s"""SELECT event_type, $CNT AS n,
+         |  cast(sum(cast(CASE WHEN event_type = 'click' THEN value * 2
+         |    ELSE value END AS DECIMAL(18,4))) AS double) AS sv
+         |FROM events WHERE event_type <> 'error'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // null-membership file skipping: both pruned arms must equal the
     // full-scan predicate split on the derived nullable column
     "q_null_prune" ->

@@ -2016,6 +2016,44 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("arm", "l_linenumber")
   }
 
+  /** #42s PARTITION-VALUED manifests ([[Scale.registerPartitions]] /
+    * [[Scale.deletePartition]] — r10 verdict ask #5): the chain
+    * records a verified file-constant partition tuple per manifest
+    * file (the manifest-level form of a hive `type=…` layout), after
+    * which (a) dropping the `error` partition is METADATA-ONLY — no
+    * data file opened or written, the hive `DROP PARTITION` at any
+    * table size (hard require: `filesRewritten == 0`), and (b) a
+    * partition-targeted UPDATE's hit detection consults the tuple
+    * map FIRST and scans only the `click` files (hard require:
+    * `filesScanned < filesTotal`), with the rewritten files
+    * INHERITING their tuple. The post-chain table hash-gates against
+    * the oracle replaying both DMLs. At 100 TB this is day-targeted
+    * retention/backfill priced at the day, not the table. */
+  def qPartitionDml(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_pdml_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val ev = T(s, dir).events
+      .select("event_id", "user_id", "event_type", "value")
+    // hive-shaped layout: each partition's rows in their own files
+    Seq("click", "error", "purchase", "signup", "view").foreach { t =>
+      ev.where(col("event_type") === t).coalesce(2)
+        .write.mode("append").parquet(src)
+    }
+    Scale.registerPartitions(s, src, tbl, Seq("event_type"))    // v=0
+    val drop = Scale.deletePartition(s, tbl, "event_type", "error")
+    require(drop.filesRewritten == 0 && drop.filesScanned == 0,
+      s"partition drop must be metadata-only: $drop")          // v=1
+    val upd = Scale.updateWhere(s, tbl, tbl,
+      "event_type = 'click'", Seq("value" -> (col("value") * 2)))
+    require(upd.filesScanned < upd.filesTotal,                 // v=2
+      s"hit detection failed to pre-prune by partition: $upd")
+    val out = Scale.readTable(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
   /** #42k TIME TRAVEL read on the COW chain
     * ([[Scale.readTableAt]]): after a DELETE (v=0) and a value-
     * doubling UPDATE (v=1), the graded read serves **v=0** — the

@@ -102,7 +102,8 @@ object Scale {
   /** What a copy-on-write rewrite did: how much of the table the DML
     * actually touched. */
   final case class RewriteStats(filesTotal: Long, filesRewritten: Long,
-                                rowsBefore: Long, rowsAfter: Long)
+                                rowsBefore: Long, rowsAfter: Long,
+                                filesScanned: Long = -1L)
 
   /** Scheme-blind path identity: manifest entries are written
     * scheme-less (`/t/v=1/x`) while `input_file_name()` yields
@@ -180,7 +181,8 @@ object Scale {
                           tableDir: String)
       : (Option[Long], Seq[String],
          Option[org.apache.spark.sql.types.StructType],
-         Seq[(String, String)], Map[String, Seq[String]]) = {
+         Seq[(String, String)], Map[String, Seq[String]],
+         Map[String, Map[String, String]]) = {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
     val headV = VersionStore.head(spark, tableDir)
@@ -198,7 +200,9 @@ object Scale {
       .getOrElse(Seq.empty)
     val renames = headV.map(v =>
       VersionStore.renamesOf(spark, tableDir, v)).getOrElse(Map.empty)
-    (headV, baseFiles, schema, cons, renames)
+    val parts = headV.map(v =>
+      VersionStore.partitionsOf(spark, tableDir, v)).getOrElse(Map.empty)
+    (headV, baseFiles, schema, cons, renames, parts)
   }
 
   /** ENFORCE the chain's CHECK constraints on the rows a DML is about
@@ -223,12 +227,14 @@ object Scale {
   private def carryMeta(spark: SparkSession, stage: String,
                         schema: Option[org.apache.spark.sql.types.StructType],
                         cons: Seq[(String, String)],
-                        renames: Map[String, Seq[String]] = Map.empty)
+                        renames: Map[String, Seq[String]] = Map.empty,
+                        parts: Map[String, Map[String, String]] = Map.empty)
       : Unit = {
     import graft.tables.VersionStore
     schema.foreach(VersionStore.writeSchema(spark, stage, _))
     if (cons.nonEmpty) VersionStore.writeConstraints(spark, stage, cons)
     if (renames.nonEmpty) VersionStore.writeRenames(spark, stage, renames)
+    if (parts.nonEmpty) VersionStore.writePartitions(spark, stage, parts)
   }
 
   /** Copy-on-write DML core, MANIFEST-POINTER edition (r9-verdict
@@ -265,11 +271,13 @@ object Scale {
   private def cowRewrite(spark: SparkSession, srcDir: String,
                          tableDir: String, cond: Column,
                          rewrite: DataFrame => DataFrame,
-                         opName: String)
+                         opName: String,
+                         condSql: Option[String] = None,
+                         tupleBreakers: Set[String] = Set.empty)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
-    val (headV, baseFiles, schema, cons, renames) =
+    val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
     def readBase(files: Seq[String]) = {
@@ -277,17 +285,27 @@ object Scale {
         .parquet(files: _*)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
-    val df = readBase(baseFiles)
     // count(*) over the RAW scan: no aligned projection in the way,
     // so the vectorized reader serves it from row-group metadata
     val rowsBefore = spark.read.option("mergeSchema", "true")
       .parquet(baseFiles: _*).count()
+    // hit-detection PRE-FILTER (r10 verdict ask #5): when the caller
+    // hands the predicate as SQL text, consult the chain's partition
+    // map and maintained stats BEFORE opening any data file — a
+    // partition-targeted DML scans its partition, not the table
+    val candidates = condSql match {
+      case Some(sql) => dmlCandidates(spark, tableDir, headV,
+        baseFiles, schema, parts, sql)
+      case None => baseFiles
+    }
     // file-granular hit detection: rows where cond IS TRUE name their
     // file; the collect is bounded by file count
-    val hitFiles: Seq[String] = df
-      .withColumn("__f", input_file_name())
-      .where(cond).select("__f").distinct()
-      .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
+    val hitFiles: Seq[String] =
+      if (candidates.isEmpty) Seq.empty
+      else readBase(candidates)
+        .withColumn("__f", input_file_name())
+        .where(cond).select("__f").distinct()
+        .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     if (cons.nonEmpty && hitFiles.nonEmpty)
       enforce(rewrite(readBase(hitFiles)), cons)
@@ -325,14 +343,28 @@ object Scale {
           rewritten.map(r => s"$stage/" + new org.apache.hadoop.fs.Path(r)
             .getName): _*).count()
       VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
-      carryMeta(spark, stage, schema, cons, renames)
+      // partition-tuple upkeep: untouched pointers keep their entries;
+      // a 1:1 rewrite inherits its source file's tuple MINUS any
+      // column this DML may have changed (`tupleBreakers` — an UPDATE
+      // that SETs a partition column invalidates that key, a DELETE
+      // never does); new files without provenance stay untupled (sound)
+      val untouchedSet = untouched.toSet
+      val nextParts =
+        parts.filter { case (f, _) => untouchedSet(f) } ++
+          hitFiles.flatMap { f =>
+            parts.get(f).map(_ -- tupleBreakers).filter(_.nonEmpty)
+              .map(kv => (s"$tableDir/v=$id/" +
+                new org.apache.hadoop.fs.Path(f).getName) -> kv)
+          }
+      carryMeta(spark, stage, schema, cons, renames, nextParts)
       VersionStore.writeOp(spark, stage, opName)
       maintainStats(spark, tableDir,
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched,
         schema, renames)
     }
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
-      rowsBefore, rowsBefore - hitBefore + hitAfter)
+      rowsBefore, rowsBefore - hitBefore + hitAfter,
+      candidates.size.toLong)
   }
 
   /** Align `df` to a declared logical schema: columns the physical
@@ -399,6 +431,20 @@ object Scale {
     cowRewrite(spark, srcDir, tableDir, cond,
       _.where(!coalesce(cond, lit(false))), "DELETE")
 
+  /** [[deleteWhere]] with the predicate as SQL TEXT: hit detection
+    * consults the chain's partition map and maintained stats first
+    * ([[dmlCandidates]]) and scans only surviving candidate files —
+    * a partition-/band-targeted DELETE reads its slice, not the
+    * table (`RewriteStats.filesScanned` records the scan set).
+    * Semantics identical to the Column form. */
+  def deleteWhere(spark: SparkSession, srcDir: String, tableDir: String,
+                  condSql: String): RewriteStats = {
+    val cond = expr(condSql)
+    cowRewrite(spark, srcDir, tableDir, cond,
+      _.where(!coalesce(cond, lit(false))), "DELETE",
+      condSql = Some(condSql))
+  }
+
   /** Copy-on-write UPDATE: rows matching `cond` get each `(column →
     * value)` in `set` applied; untouched files ride by pointer. */
   def updateWhere(spark: SparkSession, srcDir: String, tableDir: String,
@@ -407,7 +453,20 @@ object Scale {
     cowRewrite(spark, srcDir, tableDir, cond, df =>
       set.foldLeft(df) { case (d, (c, v)) =>
         d.withColumn(c, when(cond, v).otherwise(col(c)))
-      }, "UPDATE")
+      }, "UPDATE", tupleBreakers = set.map(_._1).toSet)
+
+  /** [[updateWhere]] with the predicate as SQL TEXT — pre-filtered
+    * hit detection exactly like the SQL-text [[deleteWhere]]. */
+  def updateWhere(spark: SparkSession, srcDir: String, tableDir: String,
+                  condSql: String, set: Seq[(String, Column)])
+      : RewriteStats = {
+    val cond = expr(condSql)
+    cowRewrite(spark, srcDir, tableDir, cond, df =>
+      set.foldLeft(df) { case (d, (c, v)) =>
+        d.withColumn(c, when(cond, v).otherwise(col(c)))
+      }, "UPDATE", condSql = Some(condSql),
+      tupleBreakers = set.map(_._1).toSet)
+  }
 
   /** MERGE INTO on the COW chain — the upsert (SCD-1) MERGE as
     * file-granular DML: `source` rows whose `key` matches an
@@ -433,7 +492,7 @@ object Scale {
       withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
-    val (headV, baseFiles, schema, cons, renames) =
+    val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
     def readBase(files: Seq[String]) = {
@@ -514,7 +573,19 @@ object Scale {
         else spark.read.option("mergeSchema", "true")
           .parquet(staged: _*).count()
       VersionStore.writeManifest(spark, stage, untouched ++ written)
-      carryMeta(spark, stage, schema, cons, renames)
+      // tuple upkeep: a MERGE may overwrite any non-key column, so a
+      // rewritten hit file keeps only the tuple keys that are JOIN
+      // keys (provably unchanged); the insert file has no provenance
+      val untouchedSet = untouched.toSet
+      val nextParts =
+        parts.filter { case (f, _) => untouchedSet(f) } ++
+          hitFiles.flatMap { f =>
+            parts.get(f).map(_.filter { case (k, _) => key.contains(k) })
+              .filter(_.nonEmpty)
+              .map(kv => (s"$tableDir/v=$id/" +
+                new org.apache.hadoop.fs.Path(f).getName) -> kv)
+          }
+      carryMeta(spark, stage, schema, cons, renames, nextParts)
       VersionStore.writeOp(spark, stage, "MERGE")
       maintainStats(spark, tableDir,
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched,
@@ -540,7 +611,7 @@ object Scale {
                 dataType: org.apache.spark.sql.types.DataType)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
-    val (headV, baseFiles, declared, cons, renames) =
+    val (headV, baseFiles, declared, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val physical = spark.read.option("mergeSchema", "true")
       .parquet(baseFiles: _*).schema
@@ -562,7 +633,7 @@ object Scale {
       VersionStore.fsOf(spark, tableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
-      carryMeta(spark, stage, Some(next), cons, renames)
+      carryMeta(spark, stage, Some(next), cons, renames, parts)
       VersionStore.writeOp(spark, stage, "ADD_COLUMN", name)
       maintainStats(spark, tableDir,
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
@@ -582,7 +653,7 @@ object Scale {
                     tableDir: String, name: String, condSql: String)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
-    val (headV, baseFiles, schema, cons, renames) =
+    val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     require(!cons.exists(_._1 == name),
       s"constraint $name already exists")
@@ -595,7 +666,8 @@ object Scale {
       VersionStore.fsOf(spark, tableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
-      carryMeta(spark, stage, schema, cons :+ (name -> condSql), renames)
+      carryMeta(spark, stage, schema, cons :+ (name -> condSql),
+        renames, parts)
       VersionStore.writeOp(spark, stage, "ADD_CONSTRAINT", name)
       maintainStats(spark, tableDir,
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
@@ -622,7 +694,7 @@ object Scale {
       withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
-    val (headV, baseFiles, schema, cons, renames) =
+    val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val targetBytes = (targetMB * 1024 * 1024).toLong
     val sized = baseFiles.map { f =>
@@ -665,7 +737,13 @@ object Scale {
           s"$tableDir/v=$id/opt-$id-$g.parquet")
         VersionStore.writeManifest(spark, stage,
           large.map(_._1) ++ packed)
-        carryMeta(spark, stage, schema, cons, renames)
+        // bins may pack across partition boundaries, so packed outputs
+        // carry no tuple (unprunable-by-partition, sound); pointer
+        // files keep theirs. Re-run registerPartitions after OPTIMIZE
+        // to re-prove the packed files.
+        val largeSet = large.map(_._1).toSet
+        carryMeta(spark, stage, schema, cons, renames,
+          parts.filter { case (f, _) => largeSet(f) })
         VersionStore.writeOp(spark, stage, "OPTIMIZE")
         maintainStats(spark, tableDir,
           headV.flatMap(statsOf(spark, tableDir, _)), stage, id,
@@ -689,7 +767,7 @@ object Scale {
                    tableDir: String, from: String, to: String)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
-    val (headV, baseFiles, declared, cons, renames) =
+    val (headV, baseFiles, declared, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val physical = spark.read.option("mergeSchema", "true")
       .parquet(baseFiles: _*).schema
@@ -713,7 +791,9 @@ object Scale {
       VersionStore.fsOf(spark, tableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
-      carryMeta(spark, stage, Some(next), cons, nextRenames)
+      carryMeta(spark, stage, Some(next), cons, nextRenames,
+        parts.map { case (f, kv) => f -> kv.map { case (k, v2) =>
+          (if (k == from) to else k) -> v2 } })
       VersionStore.writeOp(spark, stage, "RENAME_COLUMN", s"$from>$to")
       // the stats frame is keyed by LOGICAL column name: carry it
       // through the rename so predicates on the NEW name keep pruning
@@ -738,7 +818,7 @@ object Scale {
                  tableDir: String, name: String): RewriteStats =
       withCommitRetry() {
     import graft.tables.VersionStore
-    val (headV, baseFiles, declared, cons, renames) =
+    val (headV, baseFiles, declared, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val current = declared.getOrElse(
       spark.read.option("mergeSchema", "true")
@@ -754,7 +834,9 @@ object Scale {
       VersionStore.fsOf(spark, tableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
-      carryMeta(spark, stage, Some(next), cons, renames - name)
+      carryMeta(spark, stage, Some(next), cons, renames - name,
+        parts.map { case (f, kv) => f -> (kv - name) }
+          .filter(_._2.nonEmpty))
       VersionStore.writeOp(spark, stage, "DROP_COLUMN", name)
       val shed = headV.flatMap(statsOf(spark, tableDir, _)).map { ps =>
         val gone = Set(s"min_$name", s"max_$name", s"nc_$name")
@@ -788,7 +870,8 @@ object Scale {
         carryMeta(spark, stage,
           VersionStore.schemaOf(spark, tableDir, v),
           VersionStore.constraintsOf(spark, tableDir, v),
-          VersionStore.renamesOf(spark, tableDir, v))
+          VersionStore.renamesOf(spark, tableDir, v),
+          VersionStore.partitionsOf(spark, tableDir, v))
         VersionStore.writeOp(spark, stage, "RESTORE", s"v=$v")
         maintainStats(spark, tableDir, statsOf(spark, tableDir, v),
           stage, head.get + 1, files,
@@ -834,11 +917,12 @@ object Scale {
     val schema = VersionStore.schemaOf(spark, srcTableDir, headV.get)
     val cons = VersionStore.constraintsOf(spark, srcTableDir, headV.get)
     val renames = VersionStore.renamesOf(spark, srcTableDir, headV.get)
+    val parts = VersionStore.partitionsOf(spark, srcTableDir, headV.get)
     VersionStore.publishExclusive(spark, destTableDir, 0L) { stage =>
       VersionStore.fsOf(spark, destTableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, files)
-      carryMeta(spark, stage, schema, cons, renames)
+      carryMeta(spark, stage, schema, cons, renames, parts)
       VersionStore.writeOp(spark, stage, "CLONE", srcTableDir)
       maintainStats(spark, destTableDir,
         statsOf(spark, srcTableDir, headV.get), stage, 0L, files,
@@ -1001,6 +1085,105 @@ object Scale {
     tr(spark.sessionState.sqlParser.parseExpression(condSql))
   }
 
+  /** Column names `condSql` references — drives which partition
+    * columns participate in [[partitionSurvivors]]' pseudo-stats (a
+    * file need only carry tuples for the REFERENCED columns to be
+    * prunable; other registered columns don't disqualify it). */
+  private def referencedCols(spark: SparkSession, condSql: String)
+      : Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    spark.sessionState.sqlParser.parseExpression(condSql).collect {
+      case a: UnresolvedAttribute => a.name
+      case a: AttributeReference => a.name
+    }.toSet
+  }
+
+  /** PARTITION-map file pruning: a recorded tuple is an exact
+    * min==max stat, so the [[mayContain]] translation applies
+    * verbatim (values cast from their stored string form to the
+    * column's type). SOUND by construction: a file lacking a tuple
+    * for any referenced column always survives; only a tuple that
+    * PROVES mismatch prunes. The evaluation runs over a local
+    * file-count-sized frame — metadata, never data. */
+  private def partitionSurvivors(spark: SparkSession,
+      files: Seq[String], parts: Map[String, Map[String, String]],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      condSql: String): Seq[String] = {
+    import org.apache.spark.sql.types.{StructField, StructType, StringType}
+    val pcols = parts.valuesIterator.flatMap(_.keys).toSet
+      .intersect(referencedCols(spark, condSql))
+      .filter(types.contains).toSeq.sorted
+    if (pcols.isEmpty) return files
+    mayContain(spark, condSql, pcols.toSet) match {
+      case None => files
+      case Some(p) =>
+        val (tupled, rest) = files.partition(f =>
+          parts.get(f).exists(kv => pcols.forall(kv.contains)))
+        if (tupled.isEmpty) files
+        else {
+          import scala.jdk.CollectionConverters._
+          val rowSchema = StructType(
+            StructField("__f", StringType) +:
+              pcols.map(c => StructField(s"__v_$c", StringType)))
+          val rows = tupled.map(f => org.apache.spark.sql.Row
+            .fromSeq(f +: pcols.map(c => parts(f)(c)))).asJava
+          val pseudo = spark.createDataFrame(rows, rowSchema)
+            .select(col("__f") +: pcols.flatMap(c => Seq(
+              col(s"__v_$c").cast(types(c)).as(s"min_$c"),
+              col(s"__v_$c").cast(types(c)).as(s"max_$c"))): _*)
+          pseudo.where(expr(p)).select("__f").collect()
+            .map(_.getString(0)).toSeq ++ rest
+        }
+    }
+  }
+
+  /** [[mayContain]] evaluated over a maintained stats frame: the
+    * surviving manifest paths, or None when the predicate doesn't
+    * translate (callers must then read everything). A manifest file
+    * with NO stats row does not survive — the only way a maintained
+    * frame lacks a file's row is a rewrite that emptied it, and
+    * skipping an empty file is sound. */
+  private def statsSurvivors(spark: SparkSession, stats: DataFrame,
+                             condSql: String): Option[Seq[String]] = {
+    val statCols = stats.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSet
+    val ncCols = stats.columns.collect {
+      case c if c.startsWith("nc_") => c.stripPrefix("nc_")
+    }.toSet
+    mayContain(spark, condSql, statCols, ncCols,
+      stats.columns.contains("cnt"))
+      .map(p => stats.where(expr(p)).select("__f").collect()
+        .map(_.getString(0)).toSeq)
+  }
+
+  /** The files a DML with predicate `condSql` must SCAN for hit
+    * detection: partition-map survivors ∩ stats survivors, both
+    * sound — everything else provably holds no matching row and
+    * rides straight into the next manifest by pointer. */
+  private def dmlCandidates(spark: SparkSession, tableDir: String,
+      headV: Option[Long], baseFiles: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      parts: Map[String, Map[String, String]], condSql: String)
+      : Seq[String] = {
+    val fromParts: Option[Set[String]] =
+      if (parts.isEmpty) None
+      else {
+        val types = schema.map(_.fields.map(f => f.name -> f.dataType)
+          .toMap).getOrElse(
+          spark.read.option("mergeSchema", "true").parquet(baseFiles: _*)
+            .schema.fields.map(f => f.name -> f.dataType).toMap)
+        Some(partitionSurvivors(spark, baseFiles, parts, types,
+          condSql).toSet)
+      }
+    val fromStats: Option[Set[String]] = headV
+      .flatMap(v => statsOf(spark, tableDir, v))
+      .flatMap(st => statsSurvivors(spark, st, condSql).map(_.toSet))
+    baseFiles.filter(f =>
+      fromParts.forall(_.contains(f)) && fromStats.forall(_.contains(f)))
+  }
+
   /** Read `dir` with FILE-LEVEL pruning: evaluate [[mayContain]] on
     * the (file-count-sized) stats frame, open only the surviving
     * files, and apply `condSql` as the usual row filter.
@@ -1092,7 +1275,7 @@ object Scale {
                    tableDir: String, cols: Seq[String]): RewriteStats =
       withCommitRetry() {
     import graft.tables.VersionStore
-    val (headV, baseFiles, schema, cons, renames) =
+    val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     // profile only columns the chain's READERS serve: declared schema
     // when one exists, else the physical footer union — a typo'd or
@@ -1112,7 +1295,7 @@ object Scale {
       VersionStore.fsOf(spark, tableDir)
         .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       VersionStore.writeManifest(spark, stage, baseFiles)
-      carryMeta(spark, stage, schema, cons, renames)
+      carryMeta(spark, stage, schema, cons, renames, parts)
       VersionStore.writeOp(spark, stage, "ANALYZE", cols.mkString(","))
       writeStats(spark, stage, stats)
     }
@@ -1185,22 +1368,22 @@ object Scale {
     require(vs.nonEmpty, s"no committed versions under $tableDir")
     val v = vs.max
     val files = VersionStore.manifest(spark, tableDir, v)
-    val keep = statsOf(spark, tableDir, v) match {
-      case Some(stats) =>
-        val statCols = stats.columns.collect {
-          case c if c.startsWith("min_") => c.stripPrefix("min_")
-        }.toSet
-        val ncCols = stats.columns.collect {
-          case c if c.startsWith("nc_") => c.stripPrefix("nc_")
-        }.toSet
-        mayContain(spark, condSql, statCols, ncCols,
-          stats.columns.contains("cnt")) match {
-          case Some(p) => stats.where(expr(p))
-            .select("__f").collect().map(_.getString(0)).toSeq
-          case None => files
-        }
-      case None => files
-    }
+    val fromStats: Option[Set[String]] = statsOf(spark, tableDir, v)
+      .flatMap(st => statsSurvivors(spark, st, condSql).map(_.toSet))
+    val parts = VersionStore.partitionsOf(spark, tableDir, v)
+    val fromParts: Option[Set[String]] =
+      if (parts.isEmpty) None
+      else {
+        val types = VersionStore.schemaOf(spark, tableDir, v)
+          .map(_.fields.map(f => f.name -> f.dataType).toMap)
+          .getOrElse(spark.read.option("mergeSchema", "true")
+            .parquet(files: _*).schema.fields
+            .map(f => f.name -> f.dataType).toMap)
+        Some(partitionSurvivors(spark, files, parts, types,
+          condSql).toSet)
+      }
+    val keep = files.filter(f =>
+      fromStats.forall(_.contains(f)) && fromParts.forall(_.contains(f)))
     val out =
       if (keep.isEmpty)
         alignedRead(spark, tableDir, v).limit(0).where(expr(condSql))
@@ -1213,6 +1396,119 @@ object Scale {
         aligned.where(expr(condSql))
       }
     (out, PruneStats(files.size.toLong, keep.size.toLong))
+  }
+
+  // ---- Partition-valued manifests (r10 verdict ask #5) ------------
+
+  /** REGISTER partition values on the chain: verify, in ONE
+    * distributed profiling pass, that every `cols` column is
+    * FILE-CONSTANT and non-null per manifest file (min == max, zero
+    * nulls — empty files are skipped: they constrain nothing), then
+    * publish the next version carrying a per-file partition tuple in
+    * the manifest metadata. This is the manifest-level form of a
+    * hive `date=…/source=…` layout: once recorded, (a)
+    * [[readTablePruned]] and SQL-text DML hit detection prune files
+    * by tuple BEFORE opening anything, and (b) [[deletePartition]]
+    * drops a whole partition as a METADATA-ONLY commit. Values are
+    * stored in the column's canonical string form and cast back at
+    * use (stick to atomic types — string/numeric/date — as partition
+    * columns, the same constraint hive enforces). Tuples are
+    * maintained by every DML: 1:1 rewrites inherit them (minus
+    * columns the DML may change), appended/repacked files stay
+    * untupled until re-registered. */
+  def registerPartitions(spark: SparkSession, srcDir: String,
+                         tableDir: String, cols: Seq[String])
+      : RewriteStats = withCommitRetry() {
+    import graft.tables.VersionStore
+    val (headV, baseFiles, schema, cons, renames, parts0) =
+      resolveBase(spark, srcDir, tableDir)
+    val prof = fileStatsFor(spark, baseFiles, cols, identity,
+      schema, renames).collect()
+    val fresh = prof.map { r =>
+      val f = r.getAs[String]("__f")
+      val kv = cols.map { c =>
+        val mn = r.getAs[Any](s"min_$c")
+        val mx = r.getAs[Any](s"max_$c")
+        val nc = r.getAs[Long](s"nc_$c")
+        require(nc == 0L && mn != null && mn == mx,
+          s"column $c is not file-constant non-null in $f " +
+            s"(min=$mn, max=$mx, nulls=$nc) — lay the table out " +
+            "per-partition (e.g. write one partition per file) first")
+        c -> String.valueOf(mn)
+      }.toMap
+      f -> kv
+    }.toMap
+    // merge with any existing tuples (re-register after OPTIMIZE, or
+    // register a second column set): fresh wins per file+column
+    val merged = (parts0.keySet ++ fresh.keySet).map { f =>
+      f -> (parts0.getOrElse(f, Map.empty) ++ fresh.getOrElse(f, Map.empty))
+    }.toMap
+    val id = headV.map(_ + 1).getOrElse(0L)
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      VersionStore.fsOf(spark, tableDir)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      VersionStore.writeManifest(spark, stage, baseFiles)
+      carryMeta(spark, stage, schema, cons, renames, merged)
+      VersionStore.writeOp(spark, stage, "REGISTER_PARTITIONS",
+        cols.mkString(","))
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
+        schema, renames)
+    }
+    val n = readTable(spark, tableDir).count()
+    RewriteStats(baseFiles.size.toLong, 0L, n, n,
+      baseFiles.size.toLong)
+  }
+
+  /** METADATA-ONLY partition drop — `DELETE WHERE partCol = value`
+    * when the partition map PROVES file granularity: files whose
+    * recorded tuple equals `value` leave the manifest wholesale
+    * (every row matches — [[registerPartitions]] verified the column
+    * file-constant), every other file must prove NON-match by tuple.
+    * Zero data files are opened or written: the DML is two metadata
+    * writes at ANY table size, exactly a hive `DROP PARTITION`.
+    * Files without a recorded `partCol` value make the proof
+    * impossible — the call refuses and names them (fall back to the
+    * scanning [[deleteWhere]]). `value` is compared in the stored
+    * canonical string form. */
+  def deletePartition(spark: SparkSession, tableDir: String,
+                      partCol: String, value: String): RewriteStats =
+      withCommitRetry() {
+    import graft.tables.VersionStore
+    val (headV, baseFiles, schema, cons, renames, parts) =
+      resolveBase(spark, tableDir, tableDir)
+    require(headV.nonEmpty, s"no committed versions under $tableDir")
+    val unproven = baseFiles.filterNot(f =>
+      parts.get(f).exists(_.contains(partCol)))
+    require(unproven.isEmpty,
+      s"deletePartition($partCol) needs every file tupled; " +
+        s"${unproven.size} file(s) lack a value (e.g. " +
+        s"${unproven.take(3).mkString(", ")}) — registerPartitions " +
+        "again or use deleteWhere")
+    val (dropped, kept) = baseFiles.partition(f =>
+      parts(f)(partCol) == value)
+    val rowsBefore = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).count()
+    val rowsDropped =
+      if (dropped.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(dropped: _*).count() // footer metadata, not data I/O
+    val id = headV.get + 1
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      VersionStore.fsOf(spark, tableDir)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      VersionStore.writeManifest(spark, stage, kept)
+      val keptSet = kept.toSet
+      carryMeta(spark, stage, schema, cons, renames,
+        parts.filter { case (f, _) => keptSet(f) })
+      VersionStore.writeOp(spark, stage, "DELETE_PARTITION",
+        s"$partCol=$value")
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, kept,
+        schema, renames)
+    }
+    RewriteStats(baseFiles.size.toLong, 0L, rowsBefore,
+      rowsBefore - rowsDropped, 0L)
   }
 
   /** Per-file BLOOM membership index for `column` — the POINT-LOOKUP

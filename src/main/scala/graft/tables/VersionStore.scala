@@ -81,6 +81,19 @@ object VersionStore {
     * chain's notes as the DESCRIBE-HISTORY table. */
   val OpFile = "_GRAFT_OP"
 
+  /** Optional per-version PARTITION-VALUE map: one
+    * `path\tcol=value[;col=value]` line per data file whose listed
+    * columns are FILE-CONSTANT (every row carries exactly that value
+    * — [[graft.ops.Scale.registerPartitions]] verifies before
+    * recording). The manifest-level representation of a hive-style
+    * partitioned layout: DML hit detection and pruned reads consult
+    * it before opening any stats, and a whole-partition DELETE
+    * becomes metadata-only. Files without a line (later appends,
+    * repacked OPTIMIZE outputs) are simply unprunable-by-partition —
+    * sound, never wrong. Values are stored as strings and cast to the
+    * column's declared type at use. */
+  val PartitionsFile = "_GRAFT_PARTITIONS"
+
   private val PrunedFile = "_GRAFT_PRUNED"
   private val AppliedFile = "_GRAFT_APPLIED"
   private val WriterToken = "_GRAFT_WRITER"
@@ -302,6 +315,51 @@ object VersionStore {
           val i = l.indexOf('\t')
           l.substring(0, i) ->
             l.substring(i + 1).split(",").toSeq.filter(_.nonEmpty)
+        }.toMap
+      finally in.close()
+    }
+  }
+
+  /** Write the partition-value map into a (staging or version) dir.
+    * Encoding note: paths may not contain tab/newline (enforced) and
+    * values are `;`/`=`-escaped via URL encoding so arbitrary
+    * partition values round-trip. */
+  def writePartitions(spark: SparkSession, vdir: String,
+                      parts: Map[String, Map[String, String]]): Unit = {
+    def enc(s: String) =
+      java.net.URLEncoder.encode(s, "UTF-8")
+    val out = fsOf(spark, vdir)
+      .create(new org.apache.hadoop.fs.Path(vdir, PartitionsFile), true)
+    try out.write(parts.toSeq.sortBy(_._1).map { case (p, kv) =>
+      require(!p.contains('\t') && !p.contains('\n'),
+        s"partition-map path may not contain tab/newline: $p")
+      s"$p\t" + kv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString(";")
+    }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The partition-value map version `id` declares (empty before any
+    * [[graft.ops.Scale.registerPartitions]] on the chain). */
+  def partitionsOf(spark: SparkSession, dir: String, id: Long)
+      : Map[String, Map[String, String]] = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(path(s"$dir/v=$id"),
+      PartitionsFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        .split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map { l =>
+          val i = l.indexOf('\t')
+          l.substring(0, i) -> l.substring(i + 1).split(";").toSeq
+            .filter(_.nonEmpty).map { kv =>
+              val j = kv.indexOf('=')
+              dec(kv.substring(0, j)) -> dec(kv.substring(j + 1))
+            }.toMap
         }.toMap
       finally in.close()
     }

@@ -425,4 +425,66 @@ class CowDmlSpec extends AnyFunSuite {
       "NULL-predicate rows must survive in hit AND untouched files")
     rm(base.toFile)
   }
+
+  test("partition manifests: metadata-only drop, pre-pruned DML, tuple upkeep") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_part")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    // 3 partitions × 2 files each, partition column file-constant
+    val df = (1 to 3000).map(i =>
+      (i.toLong, s"d${i % 3}", i.toDouble)).toDF("id", "day", "v")
+    Seq("d0", "d1", "d2").foreach(d =>
+      df.where(col("day") === d).coalesce(2)
+        .write.mode("append").parquet(src))
+    Scale.registerPartitions(spark, src, tbl, Seq("day"))      // v=0
+    val p0 = VersionStore.partitionsOf(spark, tbl, 0L)
+    assert(p0.size == 6 && p0.values.forall(_.keySet == Set("day")))
+    // metadata-only drop: no parquet appears under the version dir,
+    // the dropped partition's files leave the manifest wholesale
+    val drop = Scale.deletePartition(spark, tbl, "day", "d1")  // v=1
+    assert(drop.filesRewritten == 0 && drop.filesScanned == 0, s"$drop")
+    assert(parquets(s"$tbl/v=1").isEmpty,
+      "DELETE_PARTITION must write no data file")
+    assert(VersionStore.manifest(spark, tbl, 1L).size == 4)
+    assert(Scale.readTable(spark, tbl).where(col("day") === "d1")
+      .count() == 0)
+    assert(drop.rowsAfter == 2000)
+    // partition-pruned UPDATE: hit detection scans d2's 2 files only
+    val upd = Scale.updateWhere(spark, tbl, tbl,
+      "day = 'd2'", Seq("v" -> (col("v") * 10)))               // v=2
+    assert(upd.filesScanned == 2 && upd.filesRewritten == 2,
+      s"pre-filter must hand hit detection just d2's files: $upd")
+    // rewritten files INHERIT their tuple (the UPDATE set `v`, not
+    // `day`), so the next partition-targeted DML still pre-prunes
+    val p2 = VersionStore.partitionsOf(spark, tbl, 2L)
+    assert(p2.size == 4 && p2.values.count(_ ("day") == "d2") == 2,
+      s"rewritten d2 files must keep their tuple: $p2")
+    // an UPDATE that SETs the partition column invalidates the tuple
+    // for the files it rewrites — and only those
+    Scale.updateWhere(spark, tbl, tbl, "day = 'd0'",
+      Seq("day" -> lit("d9")))                                 // v=3
+    val p3 = VersionStore.partitionsOf(spark, tbl, 3L)
+    assert(p3.size == 2 && p3.values.forall(_ ("day") == "d2"),
+      s"rewrites that change the partition column must drop tuples: $p3")
+    // untupled files make the whole-file proof impossible: refuse, by
+    // name, instead of silently deleting rows that may not all match
+    val err = intercept[IllegalArgumentException] {
+      Scale.deletePartition(spark, tbl, "day", "d9")
+    }
+    assert(err.getMessage.contains("registerPartitions"))
+    // re-register re-proves everything; the drop then works
+    Scale.registerPartitions(spark, tbl, tbl, Seq("day"))      // v=4
+    val drop9 = Scale.deletePartition(spark, tbl, "day", "d9") // v=5
+    assert(drop9.filesRewritten == 0)
+    val fin = Scale.readTable(spark, tbl)
+    assert(fin.count() == 1000 &&
+      fin.select("day").distinct().collect().map(_.getString(0))
+        .toSet == Set("d2"))
+    // content law: d2 rows are the original values × 10
+    assert(fin.agg(sum("v")).head().getDouble(0) ==
+      df.where(col("day") === "d2").agg(sum(col("v") * 10))
+        .head().getDouble(0))
+    rm(base.toFile)
+  }
 }
