@@ -886,6 +886,26 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // streaming CDF: the spooled per-commit manifest diffs replayed
+    // in SQL — click +100 (D/I pairs), signup delete (D), view +7
+    "q_stream_table_changes" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error'),
+         |d AS (
+         |  SELECT 1 AS version, 'D' AS op, event_type, value
+         |  FROM e WHERE event_type = 'click'
+         |  UNION ALL SELECT 1, 'I', event_type, value + 100
+         |  FROM e WHERE event_type = 'click'
+         |  UNION ALL SELECT 2, 'D', event_type, value
+         |  FROM e WHERE event_type = 'signup'
+         |  UNION ALL SELECT 3, 'D', event_type, value
+         |  FROM e WHERE event_type = 'view'
+         |  UNION ALL SELECT 3, 'I', event_type, value + 7
+         |  FROM e WHERE event_type = 'view')
+         |SELECT cast(version AS bigint) AS version, op, event_type,
+         |  $CNT AS n, ${d4("value")} AS sv
+         |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     // partition-valued manifests: metadata-only drop of the error
     // partition + partition-pruned click doubling, replayed in SQL
     "q_partition_dml" ->

@@ -1159,4 +1159,64 @@ class StreamingSpec extends AnyFunSuite {
     }
     rm(stage.toFile)
   }
+
+  test("readChangesStream: per-commit deltas, restart emits only new versions (#81e)") {
+    import spark.implicits._
+    import graft.ops.Scale
+    val base = java.nio.file.Files.createTempDirectory("graft_cdfs")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val spool = base.resolve("spool").toString
+    val chk = base.resolve("chk").toString
+    val outD = base.resolve("out").toString
+    (1 to 1000).map(i => (i.toLong, i.toLong % 4, i.toDouble))
+      .toDF("id", "k", "v")
+      .repartition(4, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, tbl, col("k") === 3)          // v=0
+    Scale.updateWhere(spark, tbl, tbl, col("k") === 0,
+      Seq("v" -> (col("v") + 0.5)))                             // v=1
+    def runOnce(): Unit = {
+      val q = Scale.readChangesStream(spark, tbl, spool)
+        .writeStream.format("parquet")
+        .option("path", outD).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(outD)
+    // v=0 is the base snapshot (Delta CDF convention): only v=1 streams
+    assert(first.select("version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    // the v=1 delta: each k=0 row as a D/I pair
+    assert(first.where(col("op") === "D").count() == 250 &&
+      first.where(col("op") === "I").count() == 250)
+    // chain advances while the stream is down...
+    Scale.deleteWhere(spark, tbl, tbl, col("k") === 2)          // v=2
+    Scale.updateWhere(spark, tbl, tbl, col("k") === 1,
+      Seq("v" -> (col("v") * 3)))                               // v=3
+    // ...restart on the SAME checkpoint: exactly the new versions
+    // arrive, nothing re-emits (file-source exactly-once)
+    runOnce()
+    val second = spark.read.parquet(outD)
+    assert(second.count() == first.count() + 250 + 500,
+      s"expected only v2 (250 D) + v3 (250 D/I pairs) new rows")
+    assert(second.select("version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // spool is idempotent: re-spooling with no new commits is a no-op
+    assert(Scale.spoolChanges(spark, tbl, spool).isEmpty)
+    // streamed rows == union of batch manifest-diffs, bag semantics
+    val batch = (1L to 3L).map(v =>
+      Scale.tableChanges(spark, tbl, v - 1, v)
+        .withColumn("version", lit(v))).reduce(_.unionByName(_))
+    val aligned = second.select(batch.columns.map(col).toIndexedSeq: _*)
+    assert(aligned.exceptAll(batch).isEmpty &&
+      batch.exceptAll(aligned).isEmpty)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+  }
 }
