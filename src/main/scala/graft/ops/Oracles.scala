@@ -886,6 +886,51 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SQL time travel: v0 ignores the later click doubling, head sees it
+    "q_sql_time_travel" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error')
+         |SELECT 'head' AS snap, event_type, $CNT AS n,
+         |  ${d4("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")} AS sv
+         |FROM e GROUP BY 2
+         |UNION ALL
+         |SELECT 'v0' AS snap, event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM e GROUP BY 2
+         |ORDER BY snap, event_type""".stripMargin,
+
+    // SQL DELETE + INSERT through the catalog: replayed as filter +
+    // union (the INSERT selects from the POST-delete table)
+    "q_sql_dml" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |    cast(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+         |m AS (
+         |  SELECT c_custkey, c_mktsegment, bal FROM c
+         |  WHERE c_mktsegment <> 'BUILDING'
+         |  UNION ALL
+         |  SELECT c_custkey + 10000000, 'NEWSEG',
+         |    cast(1.00 AS DECIMAL(12,2))
+         |  FROM c WHERE c_mktsegment <> 'BUILDING' AND c_custkey % 7 = 0)
+         |SELECT c_mktsegment, $CNT AS n,
+         |  cast(sum(cast(bal AS DECIMAL(18,2))) AS double) AS sb
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL MERGE INTO: the q_merge_cow upsert, typed as a statement
+    "q_sql_merge" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |    cast(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+         |m AS (
+         |  SELECT c_mktsegment,
+         |    CASE WHEN c_custkey % 10 = 0
+         |      THEN cast(bal + 100 AS DECIMAL(12,2)) ELSE bal
+         |    END AS bal
+         |  FROM c
+         |  UNION ALL
+         |  SELECT 'NEWSEG', cast(1.00 AS DECIMAL(12,2))
+         |  FROM c WHERE c_custkey % 7 = 0)
+         |SELECT c_mktsegment, $CNT AS n,
+         |  cast(sum(cast(bal AS DECIMAL(18,2))) AS double) AS sb
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // streaming CDF: the spooled per-commit manifest diffs replayed
     // in SQL — click +100 (D/I pairs), signup delete (D), view +7
     "q_stream_table_changes" ->

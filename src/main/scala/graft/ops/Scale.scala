@@ -595,6 +595,65 @@ object Scale {
       rowsBefore, rowsBefore - hitBefore + stagedAfter)
   }
 
+  /** APPEND `df` as the next committed version: every base file rides
+    * by POINTER, the new rows land as data files under the version
+    * dir — `INSERT INTO` on the chain (the SQL surface's write path,
+    * also useful directly). Columns resolve BY NAME against the
+    * table's schema (each cast to the declared type); CHECK
+    * constraints validate the appended rows only. Appended files
+    * carry no partition tuple (re-[[registerPartitions]] to prove
+    * them) and are profiled into the maintained stats like any other
+    * publish. At 100 TB an append costs the new data alone. */
+  def appendTable(spark: SparkSession, tableDir: String, df: DataFrame)
+      : RewriteStats = withCommitRetry() {
+    import graft.tables.VersionStore
+    val fs = VersionStore.fsOf(spark, tableDir)
+    val (headV, baseFiles, schema, cons, renames, parts) =
+      resolveBase(spark, tableDir, tableDir)
+    require(headV.nonEmpty, s"no committed versions under $tableDir")
+    val tableSchema = schema.getOrElse(
+      alignedRead(spark, tableDir, headV.get).schema)
+    val missing = tableSchema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"append is missing column(s): ${missing.mkString(", ")}")
+    val out = df.select(tableSchema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    if (cons.nonEmpty) enforce(out, cons)
+    val rowsBefore = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).count()
+    var appended = 0L
+    val id = headV.get + 1
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      val tmp = new org.apache.hadoop.fs.Path(stage, "__append")
+      out.write.mode("overwrite").parquet(tmp.toString)
+      val staged = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.map { case (f, i) =>
+          val dest = new org.apache.hadoop.fs.Path(stage,
+            s"append-$id-$i.parquet")
+          if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(
+              s"append rename ${f.getPath} -> $dest failed")
+          dest.getName
+        }.toSeq
+      fs.delete(tmp, true): Unit
+      appended =
+        if (staged.isEmpty) 0L
+        else spark.read.parquet(
+          staged.map(n => s"$stage/$n"): _*).count()
+      VersionStore.writeManifest(spark, stage,
+        baseFiles ++ staged.map(n => s"$tableDir/v=$id/$n"))
+      carryMeta(spark, stage, schema, cons, renames, parts)
+      VersionStore.writeOp(spark, stage, "APPEND")
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
+        schema, renames)
+    }
+    RewriteStats(baseFiles.size.toLong, 0L, rowsBefore,
+      rowsBefore + appended, 0L)
+  }
+
   /** Metadata-only ADD COLUMN — schema evolution with ZERO data
     * rewrite (the Delta/Iceberg `ALTER TABLE ADD COLUMN`): publish
     * the next version with the SAME file manifest (every file rides

@@ -1,0 +1,193 @@
+package graft.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.Scale
+
+/** SQL/DSv2 front-end for the [[graft.tables.VersionStore]] lakehouse
+  * chain (r10 verdict ask #4): register once —
+  * `spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)`
+  * (or [[GraftSql.install]]) — and every chain becomes a plain SQL
+  * table addressed by path, Delta-style:
+  *
+  * {{{
+  *   SELECT * FROM graft.`/data/tbl`                  -- head
+  *   SELECT * FROM graft.`/data/tbl` VERSION AS OF 3  -- time travel
+  *   INSERT INTO graft.`/data/tbl` SELECT ...         -- append commit
+  *   DELETE FROM graft.`/data/tbl` WHERE k = 5        -- COW DML
+  *   MERGE INTO graft.`/data/tbl` t USING s ON ...    -- via GraftSql
+  * }}}
+  *
+  * Reads route through `Scale.readTable`/`readTableAt` (pointer
+  * resolution + schema alignment + column mapping), writes through
+  * the same commit protocol every Scala-API DML uses — the SQL layer
+  * adds reachability, not a second engine. The scan is a
+  * [[V1Scan]] fallback: the whole-plan still scans parquet through
+  * the vectorized reader underneath (the DataFrame the relation
+  * wraps IS the pointer-resolving read); posture note: the
+  * Row-conversion boundary costs one InternalRow↔Row hop versus a
+  * native columnar DSv2 scan, acceptable for the surface's goal of
+  * SQL reachability with ONE read implementation. */
+class GraftCatalog extends TableCatalog {
+  private var catalogName = "graft"
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String = {
+    require(ident.namespace().isEmpty,
+      s"graft tables are addressed by path: $catalogName.`/abs/path`" +
+        s" (got namespace ${ident.namespace().mkString(".")})")
+    ident.name()
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new GraftTable(pathOf(ident), None)
+
+  /** `VERSION AS OF v` time travel — core Spark routes the clause
+    * here for any DSv2 catalog. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    new GraftTable(pathOf(ident), Some(version.toLong))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def tableExists(ident: Identifier): Boolean =
+    scala.util.Try(graft.tables.VersionStore
+      .head(SparkSession.active, pathOf(ident)).nonEmpty)
+      .getOrElse(false)
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String])
+      : Table =
+    throw new UnsupportedOperationException(
+      "create graft chains via the Scala API (first DML creates v=0)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*)
+      : Table =
+    throw new UnsupportedOperationException(
+      "ALTER via Scale.addColumn/renameColumn/dropColumn")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier,
+                           newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename is not supported")
+}
+
+/** One versioned chain as a DSv2 table: BATCH_READ via [[V1Scan]],
+  * INSERT via the V1 write fallback (append commit), DELETE via
+  * [[SupportsDelete]] routed to the COW `Scale.deleteWhere` — with
+  * the SQL-text path, so partition-map/stats pre-pruning applies to
+  * SQL DELETEs exactly as to Scala ones. */
+class GraftTable(val dir: String, val travelVersion: Option[Long])
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDelete {
+
+  private def spark = SparkSession.active
+
+  private def resolve(s: SparkSession): DataFrame = travelVersion match {
+    case Some(v) => Scale.readTableAt(s, dir, v)
+    case None => Scale.readTable(s, dir)
+  }
+
+  override def name(): String =
+    s"graft.`$dir`" +
+      travelVersion.map(v => s" VERSION AS OF $v").getOrElse("")
+
+  override def schema(): StructType = resolve(spark).schema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    val s0 = schema()
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = s0
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = s0
+            override def buildScan(): RDD[Row] =
+              resolve(context.sparkSession).rdd
+          }.asInstanceOf[T]
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(travelVersion.isEmpty,
+      "cannot write to a time-travel read")
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                                overwrite: Boolean): Unit = {
+              if (overwrite) throw new UnsupportedOperationException(
+                "INSERT OVERWRITE: DELETE then INSERT instead")
+              Scale.appendTable(data.sparkSession, dir, data): Unit
+            }
+          }
+      }
+    }
+  }
+
+  /** v1 [[Filter]] → Spark SQL text, so the DELETE rides the
+    * SQL-text [[Scale.deleteWhere]] and its candidate pre-pruning.
+    * None = untranslatable → [[canDeleteWhere]] refuses and Spark
+    * reports the unsupported predicate instead of a wrong answer. */
+  private def filterSql(f: Filter): Option[String] = {
+    def lit(v: Any): String =
+      org.apache.spark.sql.catalyst.expressions.Literal(v).sql
+    f match {
+      case sources.EqualTo(a, v) => Some(s"(`$a` = ${lit(v)})")
+      case sources.GreaterThan(a, v) => Some(s"(`$a` > ${lit(v)})")
+      case sources.GreaterThanOrEqual(a, v) =>
+        Some(s"(`$a` >= ${lit(v)})")
+      case sources.LessThan(a, v) => Some(s"(`$a` < ${lit(v)})")
+      case sources.LessThanOrEqual(a, v) => Some(s"(`$a` <= ${lit(v)})")
+      case sources.In(a, vs) =>
+        Some(vs.map(lit).mkString(s"(`$a` IN (", ", ", "))"))
+      case sources.IsNull(a) => Some(s"(`$a` IS NULL)")
+      case sources.IsNotNull(a) => Some(s"(`$a` IS NOT NULL)")
+      case sources.And(l, r) =>
+        for { a <- filterSql(l); b <- filterSql(r) }
+          yield s"($a AND $b)"
+      case sources.Or(l, r) =>
+        for { a <- filterSql(l); b <- filterSql(r) }
+          yield s"($a OR $b)"
+      case sources.Not(c) => filterSql(c).map(x => s"(NOT $x)")
+      case sources.AlwaysTrue() => Some("true")
+      case sources.AlwaysFalse() => Some("false")
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(filterSql(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val sql =
+      if (filters.isEmpty) "true"
+      else filters.flatMap(filterSql).mkString(" AND ")
+    Scale.deleteWhere(spark, dir, dir, sql): Unit
+  }
+}

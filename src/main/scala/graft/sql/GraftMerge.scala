@@ -1,0 +1,142 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** `MERGE INTO graft.\`/path\` …` support (r10 verdict ask #4's hard
+  * half): core Spark only rewrites MERGE for tables implementing the
+  * full row-level-operation connector API, so graft takes the
+  * Delta-style route instead — an injected RESOLUTION rule converts
+  * the analyzed [[MergeIntoTable]] into a runnable command that
+  * drives the existing `Scale.mergeInto` COW path. Supported shape
+  * (the upsert MERGE, graft's `mergeInto` contract):
+  *
+  * {{{
+  *   MERGE INTO graft.`/t` t USING src s
+  *   ON t.k1 = s.k1 [AND t.k2 = s.k2 …]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  *
+  * Other action shapes fall through untouched (Spark then reports
+  * them unsupported — never a silent wrong answer). */
+case class GraftMergeRule(session: SparkSession)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperators {
+      case m: MergeIntoTable
+          if m.resolved && !m.withSchemaEvolution &&
+            graftDir(m.targetTable).isDefined =>
+        translate(m).getOrElse(m)
+    }
+
+  private def graftDir(p: LogicalPlan): Option[String] = p match {
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftTable if t.travelVersion.isEmpty => Some(t.dir)
+      case _ => None
+    }
+    case SubqueryAlias(_, child) => graftDir(child)
+    case _ => None
+  }
+
+  private def translate(m: MergeIntoTable): Option[LogicalPlan] = {
+    val tgt = m.targetTable.outputSet
+    val src = m.sourceTable.outputSet
+    def keyOf(e: Expression): Option[String] = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tgt.contains(a) && src.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tgt.contains(a) && src.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case _ => None
+    }
+    val keys = splitConjunctivePredicates(m.mergeCondition).map(keyOf)
+    def identity(as: Seq[Assignment]): Boolean = as.forall { a =>
+      (a.key, a.value) match {
+        case (k: AttributeReference, v: AttributeReference) =>
+          k.name == v.name && tgt.contains(k) && src.contains(v)
+        case _ => false
+      }
+    }
+    val shapeOk = keys.nonEmpty && keys.forall(_.isDefined) &&
+      m.notMatchedBySourceActions.isEmpty &&
+      (m.matchedActions match {
+        case Seq(u: UpdateAction) =>
+          u.condition.isEmpty && identity(u.assignments)
+        case _ => false
+      }) &&
+      (m.notMatchedActions match {
+        case Seq(i: InsertAction) =>
+          i.condition.isEmpty && identity(i.assignments)
+        case _ => false
+      })
+    if (!shapeOk) None
+    else graftDir(m.targetTable).map(dir =>
+      GraftMergeCommand(dir, m.sourceTable, keys.flatten))
+  }
+}
+
+/** The eagerly-executed MERGE: hands the analyzed source subtree back
+  * to the DataFrame world and runs the file-granular COW
+  * `Scale.mergeInto` (matched keys rewrite their files 1:1, inserts
+  * append, everything else rides by pointer). */
+case class GraftMergeCommand(tableDir: String, source: LogicalPlan,
+                             keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.mergeInto(sparkSession, tableDir, tableDir,
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(sparkSession,
+        source), keys)
+    Seq.empty
+  }
+}
+
+/** Session plumbing for the SQL surface. */
+object GraftSql {
+  /** Register the `graft` catalog on `spark` (idempotent): enables
+    * `SELECT … FROM graft.\`/path\``, `VERSION AS OF`, `INSERT INTO`
+    * and `DELETE FROM` — everything except MERGE, which needs the
+    * extension session below. */
+  def install(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+
+  @volatile private var cached: Option[SparkSession] = None
+
+  /** A session (sharing `spark`'s SparkContext and warehouse) whose
+    * analyzer carries [[GraftMergeRule]], so `MERGE INTO graft.…`
+    * parses, resolves and RUNS. Extensions are builder-time state in
+    * Spark, so an already-running session can't gain the rule — the
+    * standard pattern (Delta's docs do the same) is to build the
+    * session with the extension; this helper builds one lazily from
+    * the live context and caches it. Temp views must be registered
+    * on the returned session (it has its own catalog state). */
+  def mergeSession(spark: SparkSession): SparkSession = synchronized {
+    cached.filter(_.sparkContext eq spark.sparkContext).getOrElse {
+      import org.apache.spark.sql.classic.{SparkSession => CS}
+      val active = CS.getActiveSession
+      val default = CS.getDefaultSession
+      CS.clearActiveSession()
+      CS.clearDefaultSession()
+      val s2 =
+        try CS.builder()
+          .withExtensions(e => e.injectResolutionRule(
+            s => GraftMergeRule(s)))
+          .getOrCreate()
+        finally {
+          active.foreach(CS.setActiveSession)
+          default.foreach(CS.setDefaultSession)
+        }
+      install(s2)
+      cached = Some(s2)
+      s2
+    }
+  }
+}

@@ -1,0 +1,19 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The one `private[sql]` seam graft's SQL surface needs: turning an
+  * already-analyzed [[LogicalPlan]] (the MERGE statement's source
+  * subtree) back into a [[DataFrame]] so
+  * [[graft.sql.GraftMergeCommand]] can hand it to the existing
+  * `Scale.mergeInto` API. Placing this object under
+  * `org.apache.spark.sql` is the standard connector idiom (Delta,
+  * Sedona, spark-excel all ship such a shim) — no Spark internals are
+  * copied, only the accessibility boundary is crossed. */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      plan)
+}

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Scale
+import graft.sql.GraftSql
+import graft.tables.VersionStore
+
+/** SQL/DSv2 surface (#42t–#42v): the `graft` catalog must serve the
+  * chain to plain `spark.sql` — reads (head + VERSION AS OF), DELETE,
+  * INSERT, and (through the extension session) MERGE — all routed
+  * through the ONE commit protocol, with unsupported shapes failing
+  * loudly and leaving the chain untouched. */
+class GraftSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def rm(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rm)
+    f.delete(): Unit
+  }
+
+  private def freshChain(tag: String): (java.nio.file.Path, String) = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory(tag)
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    (1 to 1000).map(i => (i.toLong, i.toLong % 4, i.toDouble))
+      .toDF("id", "k", "v")
+      .repartition(4, col("k")).write.parquet(src)
+    Scale.analyzeTable(spark, src, tbl, Seq("id"))   // v=0: pointers
+    GraftSql.install(spark)
+    (base, tbl)
+  }
+
+  test("SELECT head and VERSION AS OF route through the catalog") {
+    val (base, tbl) = freshChain("graft_sql_r")
+    Scale.deleteWhere(spark, tbl, tbl, col("k") === 3)          // v=1
+    val head = spark.sql(s"SELECT * FROM graft.`$tbl`")
+    assert(head.count() == 750 &&
+      head.schema.fieldNames.toSeq == Seq("id", "k", "v"))
+    assert(head.collect().map(_.getLong(0)).toSet ==
+      Scale.readTable(spark, tbl).collect().map(_.getLong(0)).toSet)
+    val v0 = spark.sql(s"SELECT count(*) AS n FROM graft.`$tbl` " +
+      "VERSION AS OF 0").head().getLong(0)
+    assert(v0 == 1000, "time travel must serve the pre-delete image")
+    // aggregates/filters compose like any SQL table
+    assert(spark.sql(
+      s"SELECT k, count(*) n FROM graft.`$tbl` WHERE id <= 100 " +
+        "GROUP BY k ORDER BY k").count() == 3)
+    rm(base.toFile)
+  }
+
+  test("SQL DELETE commits through the chain; bad predicates refuse") {
+    val (base, tbl) = freshChain("graft_sql_d")
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE k = 2 AND id > 500")
+    assert(VersionStore.head(spark, tbl).contains(1L))
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("ANALYZE", "DELETE"))
+    val want = (1 to 1000).count(i => !(i % 4 == 2 && i > 500))
+    assert(spark.sql(s"SELECT count(*) n FROM graft.`$tbl`")
+      .head().getLong(0) == want)
+    // an untranslatable predicate must error, not silently mis-delete
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE v * 2 > id")
+    }
+    assert(VersionStore.head(spark, tbl).contains(1L),
+      "a refused DELETE must not move the head")
+    rm(base.toFile)
+  }
+
+  test("SQL INSERT INTO appends a new version by pointer + data file") {
+    val (base, tbl) = freshChain("graft_sql_i")
+    spark.sql(s"INSERT INTO graft.`$tbl` " +
+      s"SELECT id + 10000, 9L, 0.5 FROM graft.`$tbl` WHERE k = 0")
+    assert(VersionStore.head(spark, tbl).contains(1L))
+    val n = spark.sql(s"SELECT count(*) n FROM graft.`$tbl`")
+      .head().getLong(0)
+    assert(n == 1250)
+    // the base files ride by pointer: v=1 holds ONLY the append file(s)
+    val mf = VersionStore.manifest(spark, tbl, 1L)
+    val baseCount = VersionStore.manifest(spark, tbl, 0L).size
+    assert(mf.count(_.contains("/v=1/")) >= 1 &&
+      mf.count(!_.contains("/v=1/")) == baseCount)
+    rm(base.toFile)
+  }
+
+  test("MERGE INTO runs via the extension session; odd shapes fall through") {
+    import spark.implicits._
+    val (base, tbl) = freshChain("graft_sql_m")
+    val ms = GraftSql.mergeSession(spark)
+    // updates for half the k=0 keys, inserts for a fresh key space
+    import ms.implicits.{localSeqToDatasetHolder => msSeq}
+    msSeq((1 to 250).map(i =>
+      (i * 4L, 0L, -1.0)) ++ (1 to 100).map(i =>
+      (100000L + i, 7L, 0.25))).toDF("id", "k", "v")
+      .createOrReplaceTempView("ms_src")
+    ms.sql(
+      s"""MERGE INTO graft.`$tbl` t USING ms_src s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(VersionStore.head(spark, tbl).contains(1L))
+    val tb = Scale.readTable(spark, tbl)
+    assert(tb.count() == 1100)
+    assert(tb.where(col("v") === -1.0).count() == 250)
+    assert(tb.where(col("k") === 7).count() == 100)
+    // an unsupported MERGE shape (WHEN MATCHED DELETE) must NOT be
+    // silently half-applied: the rule leaves it and Spark errors
+    intercept[Exception] {
+      ms.sql(
+        s"""MERGE INTO graft.`$tbl` t USING ms_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    }
+    assert(VersionStore.head(spark, tbl).contains(1L),
+      "a refused MERGE must not move the head")
+    // the ORIGINAL session still reads the merged head (one chain,
+    // any session) and stays the active/default session
+    assert(org.apache.spark.sql.classic.SparkSession
+      .getDefaultSession.exists(_ eq spark))
+    assert(spark.sql(s"SELECT count(*) n FROM graft.`$tbl`")
+      .head().getLong(0) == 1100)
+    rm(base.toFile)
+  }
+}
