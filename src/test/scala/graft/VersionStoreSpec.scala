@@ -164,4 +164,71 @@ class VersionStoreSpec extends AnyFunSuite {
     assert(VersionStore.prunedWatermark(spark, dir).contains(0L))
     rm(base.toFile)
   }
+
+  test("two-JVM publishExclusive race: no commit lost, duplicated, or torn") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("graft_vs_xjvm")
+    val dir = base.resolve("t").toString
+    val n = 5
+    // a SECOND DRIVER PROCESS races this one on the same chain — the
+    // only shared state is the filesystem (the cross-process claim
+    // the protocol's marker create-if-absent makes)
+    val java17 = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val ia = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toVector
+    val opens = ia.zipWithIndex.flatMap {
+      case (a, i) if a == "--add-opens" && i + 1 < ia.size =>
+        Seq(a, ia(i + 1))
+      case (a, _) if a.startsWith("--add-opens=") => Seq(a)
+      case _ => Seq.empty
+    }
+    val log = base.resolve("child.log").toFile
+    val pb = new ProcessBuilder(
+      (Seq(java17) ++ opens ++ Seq("-Xmx1g",
+        "-Dspark.ui.enabled=false",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.VersionRaceChild", dir, "B", n.toString)).asJava)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log)
+    val child = pb.start()
+    // parent writer, in-process, same protocol, tag A
+    var i = 0
+    var attempts = 0
+    while (i < n && attempts < 500) {
+      attempts += 1
+      val id = VersionStore.head(spark, dir).map(_ + 1).getOrElse(0L)
+      try {
+        VersionStore.publishExclusive(spark, dir, id) { stage =>
+          VersionStore.fsOf(spark, dir)
+            .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+          VersionStore.writeOp(spark, stage, "APPEND", s"A-$i")
+        }
+        i += 1
+      } catch {
+        case _: VersionStore.VersionConflictException => ()
+      }
+    }
+    assert(i == n, s"parent writer starved after $attempts attempts")
+    assert(child.waitFor(180, java.util.concurrent.TimeUnit.SECONDS),
+      "child JVM did not finish in time")
+    assert(child.exitValue() == 0,
+      s"child failed: ${scala.io.Source.fromFile(log).mkString.takeRight(800)}")
+    // the chain: exactly 2n contiguous committed versions, each
+    // carrying exactly one writer's COMPLETE op note, both writers'
+    // full sequences present exactly once
+    val vs = VersionStore.committed(spark, dir).sorted
+    assert(vs == (0L until 2L * n), s"ids must be contiguous: $vs")
+    val notes = vs.map(v => VersionStore.opOf(spark, dir, v)
+      .getOrElse(fail(s"version $v lost its op note"))._2)
+    val want = (0 until n).flatMap(k => Seq(s"A-$k", s"B-$k")).toSet
+    assert(notes.toSet == want && notes.size == want.size,
+      s"lost/duplicated commits: $notes")
+    // per-writer order preserved (a writer only advances after its
+    // commit succeeds)
+    def seqOf(tag: String) = notes.filter(_.startsWith(tag))
+      .map(_.stripPrefix(s"$tag-").toInt)
+    assert(seqOf("A") == (0 until n) && seqOf("B") == (0 until n))
+    rm(base.toFile)
+  }
 }
