@@ -161,7 +161,9 @@ object ScaleExperiment {
       "q_entropy|q_stream_merge_cow|" +
       "q7_volume|q8_share|q9_profit|q10_returns|q12_priority|" +
       "q_constraint|q_bloom_prune|q_history|q_clone|" +
-      "q_evolve|q_restore|q_chain_prune").r
+      "q_evolve|q_restore|q_chain_prune|" +
+      "q_null_prune|q_partition_dml|q_stream_table_changes|" +
+      "q_sql_time_travel|q_sql_dml|q_sql_merge").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
