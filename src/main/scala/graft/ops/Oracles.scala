@@ -886,6 +886,26 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SQL UPDATE + expression-predicate DELETE: click doubling, then
+    // drop views with value*3 > 400 (untranslatable to v1 Filters)
+    "q_sql_update" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error'),
+         |u AS (SELECT event_type,
+         |    CASE WHEN event_type = 'click' THEN value * 2
+         |      ELSE value END AS value FROM e)
+         |SELECT event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM u WHERE NOT (value * 3 > 400 AND event_type = 'view')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SQL scan file-pruning: the pruned catalog read must equal the
+    // full-scan range filter
+    "q_sql_prune" ->
+      s"""SELECT l_partkey, $CNT AS n, ${d2("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_partkey >= 50 AND l_partkey < 150
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // SQL time travel: v0 ignores the later click doubling, head sees it
     "q_sql_time_travel" ->
       s"""WITH e AS (SELECT event_type, value FROM events

@@ -2307,6 +2307,42 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("snap", "event_type")
   }
 
+  /** #42w SQL reads FILE-PRUNE through the catalog scan
+    * ([[graft.sql.GraftTable]]'s `SupportsPushDownFilters` — r11):
+    * Catalyst pushes the query's own WHERE clause into the scan
+    * builder, which consults the chain's maintained stats/partition
+    * tuples ([[Scale.filesPrunedAt]]) and opens ONLY surviving
+    * manifest files; filters are reported not-pushed so Spark still
+    * row-filters (pruning can drop provably-matchless FILES, never
+    * rows). A plain `spark.sql` range query over the range-clustered
+    * chain hash-gates against the full-scan oracle with a hard
+    * require that files were skipped — the "WHERE day = …" SQL at
+    * 100 TB opens the day, not the table. */
+  def qSqlPrune(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlpr_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).lineitem
+      .select("l_orderkey", "l_partkey", "l_quantity")
+      .repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.parquet(src)
+    Scale.analyzeTable(s, src, tbl, Seq("l_partkey"))             // v=0
+    graft.sql.GraftSql.install(s)
+    val out = s.sql(
+      s"""SELECT l_partkey, cast(count(*) AS bigint) AS n,
+         |  cast(sum(cast(l_quantity AS DECIMAL(18,2))) AS double)
+         |    AS sum_qty
+         |FROM graft.`$tbl`
+         |WHERE l_partkey >= 50 AND l_partkey < 150
+         |GROUP BY l_partkey""".stripMargin)
+    val pinned = cleanupAfter(out, base.toString) // executes the scan
+    val ps = graft.sql.GraftScanStats.last
+    require(ps.exists(p => p.filesRead < p.filesTotal),
+      s"SQL scan failed to file-prune off the pushed predicate: $ps")
+    pinned.orderBy("l_partkey")
+  }
+
   /** #42u SQL DELETE + INSERT on the chain: `DELETE FROM graft.`…``
     * routes through the DSv2 [[org.apache.spark.sql.connector
     * .catalog.SupportsDelete]] hook into the SQL-text COW
@@ -2384,6 +2420,42 @@ object Queries {
     val out = Scale.readTable(s, tbl).groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n"), dsum(col("bal"), D2).as("sb"))
     cleanupAfter(out, base.toString).orderBy("c_mktsegment")
+  }
+
+  /** #42x SQL UPDATE + expression-predicate DELETE through the
+    * extension session ([[graft.sql.GraftMergeRule]]'s UPDATE/DELETE
+    * arms — r11): core Spark reserves `UPDATE` entirely (and
+    * `DELETE` with non-Filter predicates) for row-level-operation
+    * connectors, so the injected rule routes both into the COW
+    * `updateWhere`/`deleteWhere`, re-resolving the statement's
+    * expressions BY NAME against each rewrite's own frame. The
+    * graded chain: SQL UPDATE doubles click values (v=1), then a SQL
+    * DELETE whose predicate (`value * 3 > 400 AND …`) no v1 Filter
+    * can express (v=2) — the catalog's `SupportsDelete` hook would
+    * REFUSE it, the extension arm runs it. Hard require on the op
+    * log; rollup hash-gated. */
+  def qSqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlup_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error") // v=0
+    val ms = graft.sql.GraftSql.mergeSession(s)
+    ms.sql(s"UPDATE graft.`$tbl` SET value = value * 2 " +
+      "WHERE event_type = 'click'")                               // v=1
+    ms.sql(s"DELETE FROM graft.`$tbl` " +
+      "WHERE value * 3 > 400 AND event_type = 'view'")            // v=2
+    val ops = Scale.history(s, tbl).collect().map(_.getString(1)).toSeq
+    require(ops == Seq("DELETE", "UPDATE", "DELETE"),
+      s"SQL UPDATE/DELETE must commit through the chain, got $ops")
+    val out = Scale.readTable(s, tbl)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
   }
 
   /** #42n CHECK CONSTRAINTS on the COW chain

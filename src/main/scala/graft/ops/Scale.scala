@@ -1485,18 +1485,14 @@ object Scale {
       all.foreach(a => writeStats(spark, stage, a.localCheckpoint()))
     }
 
-  /** Read the chain's head with FILE-LEVEL pruning off the maintained
-    * stats ([[analyzeTable]]'s frame, kept current by every DML):
-    * the [[readPruned]] may-contain translation, then only surviving
-    * files open — with schema alignment, so the pruned read is
-    * drop-in for [[readTable]]. No stats (or an untranslatable
-    * predicate) degrades to the full aligned read. */
-  def readTablePruned(spark: SparkSession, tableDir: String,
-                      condSql: String): (DataFrame, PruneStats) = {
+  /** The manifest files of committed version `v` that MAY hold a row
+    * matching `condSql`, decided from version metadata alone
+    * (maintained stats + partition tuples — never a data file open):
+    * the shared pruning core of [[readTablePruned]], the DML
+    * candidate pre-filter, and the SQL scan's pushdown. */
+  def filesPrunedAt(spark: SparkSession, tableDir: String, v: Long,
+                    condSql: String): (Seq[String], PruneStats) = {
     import graft.tables.VersionStore
-    val vs = VersionStore.committed(spark, tableDir)
-    require(vs.nonEmpty, s"no committed versions under $tableDir")
-    val v = vs.max
     val files = VersionStore.manifest(spark, tableDir, v)
     val fromStats: Option[Set[String]] = statsOf(spark, tableDir, v)
       .flatMap(st => statsSurvivors(spark, st, condSql).map(_.toSet))
@@ -1514,6 +1510,45 @@ object Scale {
       }
     val keep = files.filter(f =>
       fromStats.forall(_.contains(f)) && fromParts.forall(_.contains(f)))
+    (keep, PruneStats(files.size.toLong, keep.size.toLong))
+  }
+
+  /** Read version `v` of the chain with file-level pruning for
+    * `condSql`, WITHOUT applying the row filter (for callers that
+    * re-apply it themselves — the SQL scan does): surviving files,
+    * schema-aligned; empty survivors read as the empty aligned
+    * frame. */
+  def readVersionPruned(spark: SparkSession, tableDir: String, v: Long,
+                        condSql: String): (DataFrame, PruneStats) = {
+    import graft.tables.VersionStore
+    val (keep, ps) = filesPrunedAt(spark, tableDir, v, condSql)
+    val out =
+      if (keep.isEmpty) alignedRead(spark, tableDir, v).limit(0)
+      else {
+        val raw = spark.read.option("mergeSchema", "true")
+          .parquet(keep: _*)
+        VersionStore.schemaOf(spark, tableDir, v)
+          .map(alignTo(raw, _,
+            VersionStore.renamesOf(spark, tableDir, v)))
+          .getOrElse(raw)
+      }
+    (out, ps)
+  }
+
+  /** Read the chain's head with FILE-LEVEL pruning off the maintained
+    * stats ([[analyzeTable]]'s frame, kept current by every DML):
+    * the [[readPruned]] may-contain translation, then only surviving
+    * files open — with schema alignment, so the pruned read is
+    * drop-in for [[readTable]]. No stats (or an untranslatable
+    * predicate) degrades to the full aligned read. */
+  def readTablePruned(spark: SparkSession, tableDir: String,
+                      condSql: String): (DataFrame, PruneStats) = {
+    import graft.tables.VersionStore
+    val vs = VersionStore.committed(spark, tableDir)
+    require(vs.nonEmpty, s"no committed versions under $tableDir")
+    val v = vs.max
+    val files = VersionStore.manifest(spark, tableDir, v)
+    val (keep, _) = filesPrunedAt(spark, tableDir, v, condSql)
     val out =
       if (keep.isEmpty)
         alignedRead(spark, tableDir, v).limit(0).where(expr(condSql))

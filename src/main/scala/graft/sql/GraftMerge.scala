@@ -1,6 +1,7 @@
 package graft.sql
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -33,7 +34,39 @@ case class GraftMergeRule(session: SparkSession)
           if m.resolved && !m.withSchemaEvolution &&
             graftDir(m.targetTable).isDefined =>
         translate(m).getOrElse(m)
+      // UPDATE …: core Spark reserves it for row-level-operation
+      // connectors entirely — route every graft UPDATE through the
+      // COW updateWhere. Statement expressions re-resolve BY NAME
+      // against the rewrite's own frame (their exprIds belong to this
+      // statement's relation, not the files the DML re-reads).
+      case u: UpdateTable if u.resolved &&
+          graftDir(u.table).isDefined =>
+        val set = u.assignments.map(a => a.key match {
+          case k: AttributeReference => k.name -> unresolve(a.value)
+          case other => throw new UnsupportedOperationException(
+            s"UPDATE of non-column target $other")
+        })
+        GraftUpdateCommand(graftDir(u.table).get,
+          u.condition.map(e => Bridge.column(unresolve(e))),
+          set.map { case (n, e) => n -> Bridge.column(e) })
+      // DELETE …: the catalog's SupportsDelete hook already serves
+      // translatable predicates on ANY session; this arm (extension
+      // sessions only) additionally accepts predicates v1 Filters
+      // can't express (expressions over columns, OR-of-ANDs, …).
+      case d: DeleteFromTable if d.resolved &&
+          graftDir(d.table).isDefined =>
+        GraftDeleteCommand(graftDir(d.table).get,
+          Bridge.column(unresolve(d.condition)))
     }
+
+  /** Swap resolved attribute references for by-name unresolved ones,
+    * so the expression re-analyzes against whatever frame the COW
+    * rewrite reads. */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        .quoted(a.name)
+  }
 
   private def graftDir(p: LogicalPlan): Option[String] = p match {
     case r: DataSourceV2Relation => r.table match {
@@ -94,6 +127,37 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan,
     graft.ops.Scale.mergeInto(sparkSession, tableDir, tableDir,
       org.apache.spark.sql.graftbridge.Bridge.ofRows(sparkSession,
         source), keys)
+    Seq.empty
+  }
+}
+
+/** The eagerly-executed UPDATE: `Scale.updateWhere` with the
+  * statement's condition and SET expressions carried as [[Column]]s
+  * — NOT raw Expression fields, which QueryPlan's (final)
+  * `expressions` walk would hand back to the analyzer and reject:
+  * the attributes are deliberately by-name-unresolved so they
+  * re-resolve against each COW rewrite's own frame at run time. */
+case class GraftUpdateCommand(tableDir: String,
+                              cond: Option[Column],
+                              set: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.updateWhere(sparkSession, tableDir, tableDir,
+      cond.getOrElse(org.apache.spark.sql.functions.lit(true)), set)
+    Seq.empty
+  }
+}
+
+/** The eagerly-executed DELETE (extension-session form — takes any
+  * predicate, not just v1-Filter-translatable ones). Column-carried
+  * like [[GraftUpdateCommand]]. */
+case class GraftDeleteCommand(tableDir: String, cond: Column)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.deleteWhere(sparkSession, tableDir, tableDir,
+      cond)
     Seq.empty
   }
 }

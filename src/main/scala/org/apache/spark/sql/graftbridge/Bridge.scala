@@ -16,4 +16,12 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
+
+  /** Wrap a catalyst expression as a user-facing [[Column]] (the
+    * UPDATE/DELETE commands re-resolve statement expressions against
+    * the COW rewrite's own frame — attributes are unresolved-by-name
+    * before they get here). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

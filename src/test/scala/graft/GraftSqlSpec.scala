@@ -129,4 +129,55 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 1100)
     rm(base.toFile)
   }
+
+  test("SQL scan file-prunes via pushed filters; unprunable reads stay full") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_p")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    (1 to 8000).map(i => (i.toLong, s"p$i")).toDF("x", "p")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(src)
+    Scale.analyzeTable(spark, src, tbl, Seq("x"))
+    GraftSql.install(spark)
+    val sel = spark.sql(
+      s"SELECT * FROM graft.`$tbl` WHERE x >= 2000 AND x < 3000")
+    val got = sel.collect().map(_.getLong(0)).toSet
+    assert(got == (2000 until 3000).map(_.toLong).toSet)
+    val ps = graft.sql.GraftScanStats.last
+    assert(ps.exists(p => p.filesRead < p.filesTotal),
+      s"selective SQL read must skip files: $ps")
+    // an unprunable predicate (no stats column) reads everything —
+    // and stays correct
+    val all = spark.sql(
+      s"SELECT count(*) n FROM graft.`$tbl` WHERE p LIKE 'p1%'")
+      .head().getLong(0)
+    assert(all == (1 to 8000).count(i => s"p$i".startsWith("p1")))
+    rm(base.toFile)
+  }
+
+  test("extension-session UPDATE and expression-predicate DELETE") {
+    import spark.implicits._
+    val (base, tbl) = freshChain("graft_sql_u")
+    val ms = GraftSql.mergeSession(spark)
+    ms.sql(s"UPDATE graft.`$tbl` SET v = v + 0.5 WHERE k = 1")
+    val t1 = Scale.readTable(spark, tbl)
+    assert(t1.where(col("k") === 1 && col("v") % 1.0 === 0.5)
+      .count() == 250, "UPDATE must hit exactly the k=1 rows")
+    // this predicate is NOT v1-Filter-expressible: the catalog hook
+    // refuses it on a plain session...
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM graft.`$tbl` WHERE v * 2 > id")
+    }
+    // ...and the extension arm runs it (v*2 > id ⇔ always true here
+    // except... v == id as doubles, so v*2 > id for all id >= 1)
+    ms.sql(s"DELETE FROM graft.`$tbl` WHERE v * 2 > cast(id AS double) AND k = 2")
+    val t2 = Scale.readTable(spark, tbl)
+    assert(t2.where(col("k") === 2).count() == 0,
+      "expression-predicate DELETE must run on the extension session")
+    assert(t2.count() == 750)
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("ANALYZE", "UPDATE", "DELETE"))
+    rm(base.toFile)
+  }
 }
