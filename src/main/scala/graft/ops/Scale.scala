@@ -739,7 +739,9 @@ object Scale {
   /** OPTIMIZE on the version chain — [[compact]] lifted to the
     * manifest-pointer table: bin-pack the head's files SMALLER than
     * `targetMB` into ~target-sized rewrites (first-fit decreasing on
-    * on-disk bytes) and publish the next version with every
+    * on-disk bytes, PARTITION-AWARE: bins never cross partition-tuple
+    * groups, and a packed output inherits its group's tuple) and
+    * publish the next version with every
     * already-compact file riding by POINTER. The job cost is the
     * small-file bytes alone — a 100 TB table that is 99% compacted
     * pays 1%, where a directory-level rewrite pays everything.
@@ -761,16 +763,28 @@ object Scale {
     }
     val (small, large) = sized.partition(_._2 < targetBytes)
     val totalBytes = sized.map(_._2).sum
-    // first-fit decreasing: small files by size descending, each
-    // into the first bin with room (bins bounded by targetBytes)
+    // PARTITION-AWARE packing (r11): small files bin-pack WITHIN
+    // their partition-tuple group (untupled files form their own
+    // group), so a packed output stays file-constant and INHERITS the
+    // group's tuple — OPTIMIZE no longer costs the table its
+    // metadata-only DROP PARTITION / DML pre-pruning. First-fit
+    // decreasing per group, bins bounded by targetBytes.
+    val grouped = small.groupBy { case (f, _) => parts.get(f) }
     val bins = scala.collection.mutable.ArrayBuffer
-      .empty[(scala.collection.mutable.ArrayBuffer[String], Long)]
-    small.sortBy(-_._2).foreach { case (f, len) =>
-      bins.indexWhere(_._2 + len <= targetBytes) match {
-        case -1 =>
-          bins += ((scala.collection.mutable.ArrayBuffer(f), len))
-        case i =>
-          bins(i) = (bins(i)._1 += f, bins(i)._2 + len)
+      .empty[(scala.collection.mutable.ArrayBuffer[String], Long,
+        Option[Map[String, String]])]
+    grouped.toSeq.sortBy(_._1.map(_.toSeq.sorted.mkString(";"))
+        .getOrElse("")).foreach { case (tuple, files) =>
+      val first = bins.size
+      files.sortBy(-_._2).foreach { case (f, len) =>
+        bins.indexWhere(b => b._2 + len <= targetBytes && b._3 == tuple,
+          first) match {
+          case -1 =>
+            bins += ((scala.collection.mutable.ArrayBuffer(f), len,
+              tuple))
+          case i =>
+            bins(i) = (bins(i)._1 += f, bins(i)._2 + len, tuple)
+        }
       }
     }
     // idempotence gate: publish only when packing actually shrinks the
@@ -783,7 +797,7 @@ object Scale {
       val id = headV.map(_ + 1).getOrElse(0L)
       VersionStore.publishExclusive(spark, tableDir, id) { stage =>
         fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
-        bins.zipWithIndex.foreach { case ((group, _), g) =>
+        bins.zipWithIndex.foreach { case ((group, _, _), g) =>
           val raw = spark.read.option("mergeSchema", "true")
             .parquet(group.toSeq: _*)
           // the chain's full metadata applies: without the rename
@@ -796,13 +810,13 @@ object Scale {
           s"$tableDir/v=$id/opt-$id-$g.parquet")
         VersionStore.writeManifest(spark, stage,
           large.map(_._1) ++ packed)
-        // bins may pack across partition boundaries, so packed outputs
-        // carry no tuple (unprunable-by-partition, sound); pointer
-        // files keep theirs. Re-run registerPartitions after OPTIMIZE
-        // to re-prove the packed files.
         val largeSet = large.map(_._1).toSet
+        val packedParts = bins.zipWithIndex.collect {
+          case ((_, _, Some(kv)), g) =>
+            s"$tableDir/v=$id/opt-$id-$g.parquet" -> kv
+        }
         carryMeta(spark, stage, schema, cons, renames,
-          parts.filter { case (f, _) => largeSet(f) })
+          parts.filter { case (f, _) => largeSet(f) } ++ packedParts)
         VersionStore.writeOp(spark, stage, "OPTIMIZE")
         maintainStats(spark, tableDir,
           headV.flatMap(statsOf(spark, tableDir, _)), stage, id,
@@ -1579,8 +1593,9 @@ object Scale {
     * use (stick to atomic types — string/numeric/date — as partition
     * columns, the same constraint hive enforces). Tuples are
     * maintained by every DML: 1:1 rewrites inherit them (minus
-    * columns the DML may change), appended/repacked files stay
-    * untupled until re-registered. */
+    * columns the DML may change), OPTIMIZE packs within groups so
+    * its outputs inherit too; appended files stay untupled until
+    * re-registered. */
   def registerPartitions(spark: SparkSession, srcDir: String,
                          tableDir: String, cols: Seq[String])
       : RewriteStats = withCommitRetry() {

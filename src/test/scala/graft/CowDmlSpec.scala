@@ -487,4 +487,38 @@ class CowDmlSpec extends AnyFunSuite {
         .head().getDouble(0))
     rm(base.toFile)
   }
+
+  test("partition-aware OPTIMIZE: packed outputs inherit tuples, DROP still metadata-only") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cow_popt")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    // 2 partitions × 6 tiny files each
+    val df = (1 to 1200).map(i =>
+      (i.toLong, s"d${i % 2}", i.toDouble)).toDF("id", "day", "v")
+    Seq("d0", "d1").foreach(d =>
+      df.where(col("day") === d).repartition(6)
+        .write.mode("append").parquet(src))
+    Scale.registerPartitions(spark, src, tbl, Seq("day"))       // v=0
+    val st = Scale.optimizeTable(spark, src, tbl, 64.0)         // v=1
+    assert(st.filesAfter < st.filesBefore, s"no packing: $st")
+    // every packed file carries its group's tuple — bins never cross
+    // partition boundaries
+    val p1 = VersionStore.partitionsOf(spark, tbl, 1L)
+    val mf = VersionStore.manifest(spark, tbl, 1L)
+    assert(mf.forall(p1.contains),
+      s"every post-OPTIMIZE file must stay tupled: ${mf.filterNot(p1.contains)}")
+    assert(p1.values.count(_ ("day") == "d0") >= 1 &&
+      p1.values.count(_ ("day") == "d1") >= 1)
+    // packed files are file-constant on the partition column (the
+    // tuple's claim) — verified by a fresh profiling pass
+    Scale.registerPartitions(spark, tbl, tbl, Seq("day"))       // v=2
+    // the whole point: DROP PARTITION survives compaction
+    val drop = Scale.deletePartition(spark, tbl, "day", "d0")   // v=3
+    assert(drop.filesRewritten == 0)
+    val fin = Scale.readTable(spark, tbl)
+    assert(fin.count() == 600 && fin.select("day").distinct()
+      .collect().map(_.getString(0)).toSet == Set("d1"))
+    rm(base.toFile)
+  }
 }
