@@ -886,6 +886,26 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SQL DDL: rename->update-across-mixed-layout->drop, replayed
+    "q_sql_ddl" ->
+      s"""SELECT event_type, $CNT AS n,
+         |  cast(sum(cast(CASE WHEN event_type = 'click' THEN value * 2
+         |    ELSE value END AS DECIMAL(18,4))) AS double) AS sa
+         |FROM events
+         |WHERE NOT (event_type = 'error') AND user_id % 4 = 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // SQL maintenance statements: the DESCRIBE HISTORY result set is
+    // the graded artifact (literal op-log oracle)
+    "q_sql_maintenance" ->
+      """SELECT * FROM (VALUES
+        |  (cast(0 AS bigint), 'DELETE', ''),
+        |  (cast(1 AS bigint), 'UPDATE', ''),
+        |  (cast(2 AS bigint), 'OPTIMIZE', ''),
+        |  (cast(3 AS bigint), 'RESTORE', 'v=0')
+        |) AS t(version, op, detail)
+        |ORDER BY version""".stripMargin,
+
     // SQL UPDATE + expression-predicate DELETE: click doubling, then
     // drop views with value*3 > 400 (untranslatable to v1 Filters)
     "q_sql_update" ->

@@ -2458,6 +2458,73 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("event_type")
   }
 
+  /** #42y SQL DDL on the chain ([[graft.sql.GraftCatalog]]'s
+    * `alterTable` — r11): core Spark's v2 `ALTER TABLE` commands
+    * route straight to the catalog, so `ADD COLUMNS` / `RENAME
+    * COLUMN` / `DROP COLUMN` land as the chain's metadata-only DDL
+    * commits — the q_evolve flow, typed as statements. The graded
+    * chain: SQL RENAME `value`→`amount` (column mapping), an
+    * extension-session SQL UPDATE that doubles click amounts across
+    * the mixed physical layout, SQL DROP of `user_id` — then a hard
+    * require on the evolved shape and the hash gate on the rollup.
+    * `ALTER TABLE` on a 100 TB chain stays two metadata writes. */
+  def qSqlDdl(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqldd_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(8, col("event_type"))
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error") // v=0
+    graft.sql.GraftSql.install(s)
+    s.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN value TO amount")
+    val ms = graft.sql.GraftSql.mergeSession(s)                   // v=1
+    ms.sql(s"UPDATE graft.`$tbl` SET amount = amount * 2 " +
+      "WHERE event_type = 'click'")                               // v=2
+    s.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN user_id")        // v=3
+    val t = Scale.readTable(s, tbl)
+    require(t.columns.toSeq == Seq("event_id", "event_type", "amount"),
+      s"wrong evolved shape: ${t.columns.toSeq}")
+    val out = t.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("amount"), D4).as("sa"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
+  /** #42z SQL MAINTENANCE statements ([[graft.sql.GraftSqlParser]] —
+    * r11): `OPTIMIZE graft.`…` TARGET n MB`, `RESTORE TABLE … TO
+    * VERSION AS OF v` and `DESCRIBE HISTORY graft.`…`` parse through
+    * the injected Delta-style parser (unknown statements delegate to
+    * Spark's own grammar) and run the existing chain operations. The
+    * graded flow fragments a table, runs DML, OPTIMIZEs and RESTOREs
+    * by statement, then grades the DESCRIBE-HISTORY result set
+    * itself against a literal oracle — with a hard require that the
+    * restored head serves the v=0 image. */
+  def qSqlMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlmt_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "user_id", "event_type", "value")
+      .repartition(20)
+      .write.parquet(src)
+    Scale.deleteWhere(s, src, tbl, col("event_type") === "error") // v=0
+    Scale.updateWhere(s, tbl, tbl, col("event_type") === "click",
+      Seq("value" -> (col("value") * 2)))                         // v=1
+    val ms = graft.sql.GraftSql.mergeSession(s)
+    val opt = ms.sql(s"OPTIMIZE graft.`$tbl` TARGET 64 MB").head()
+    require(opt.getLong(1) < opt.getLong(0),                      // v=2
+      s"SQL OPTIMIZE failed to shrink the layout: $opt")
+    ms.sql(s"RESTORE TABLE graft.`$tbl` TO VERSION AS OF 0")      // v=3
+    require(Scale.readTable(s, tbl).count() ==
+      Scale.readTableAt(s, tbl, 0L).count(),
+      "restored head must serve the v=0 image")
+    val out = ms.sql(s"DESCRIBE HISTORY graft.`$tbl`")
+    cleanupAfter(out, base.toString).orderBy("version")
+  }
+
   /** #42n CHECK CONSTRAINTS on the COW chain
     * ([[Scale.addConstraint]] + DML-time enforcement): the data-
     * quality CONTRACT a lakehouse table carries — the DDL validates

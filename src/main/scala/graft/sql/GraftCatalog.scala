@@ -76,10 +76,37 @@ class GraftCatalog extends TableCatalog {
     throw new UnsupportedOperationException(
       "create graft chains via the Scala API (first DML creates v=0)")
 
+  /** SQL DDL — `ALTER TABLE graft.\`p\` ADD COLUMNS (c T)` / `RENAME
+    * COLUMN a TO b` / `DROP COLUMN c` route here through core Spark's
+    * v2 ALTER commands and land as the chain's METADATA-ONLY DDL
+    * commits (addColumn/renameColumn/dropColumn — zero data rewrite
+    * at any size, column mapping for renames). Top-level columns
+    * only; anything else refuses loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*)
-      : Table =
-    throw new UnsupportedOperationException(
-      "ALTER via Scale.addColumn/renameColumn/dropColumn")
+      : Table = {
+    val dir = pathOf(ident)
+    val s = SparkSession.active
+    def top(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested column DDL unsupported: ${names.mkString(".")}")
+      names(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.isNullable,
+          "chain columns backfill lazily — NOT NULL ADD unsupported")
+        Scale.addColumn(s, dir, dir, top(a.fieldNames()),
+          a.dataType()): Unit
+      case r: TableChange.RenameColumn =>
+        Scale.renameColumn(s, dir, dir, top(r.fieldNames()),
+          r.newName()): Unit
+      case d: TableChange.DeleteColumn =>
+        Scale.dropColumn(s, dir, dir, top(d.fieldNames())): Unit
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER change: $other")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = false
 

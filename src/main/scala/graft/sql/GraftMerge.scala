@@ -175,8 +175,10 @@ object GraftSql {
   @volatile private var cached: Option[SparkSession] = None
 
   /** A session (sharing `spark`'s SparkContext and warehouse) whose
-    * analyzer carries [[GraftMergeRule]], so `MERGE INTO graft.…`
-    * parses, resolves and RUNS. Extensions are builder-time state in
+    * analyzer carries [[GraftMergeRule]] (MERGE / UPDATE /
+    * expression-DELETE) and whose parser carries [[GraftSqlParser]]
+    * (DESCRIBE HISTORY / OPTIMIZE / RESTORE / VACUUM), so the full
+    * statement surface parses, resolves and RUNS. Extensions are builder-time state in
     * Spark, so an already-running session can't gain the rule — the
     * standard pattern (Delta's docs do the same) is to build the
     * session with the extension; this helper builds one lazily from
@@ -191,8 +193,10 @@ object GraftSql {
       CS.clearDefaultSession()
       val s2 =
         try CS.builder()
-          .withExtensions(e => e.injectResolutionRule(
-            s => GraftMergeRule(s)))
+          .withExtensions { e =>
+            e.injectResolutionRule(s => GraftMergeRule(s))
+            e.injectParser((_, p) => new GraftSqlParser(p))
+          }
           .getOrCreate()
         finally {
           active.foreach(CS.setActiveSession)

@@ -1,0 +1,116 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** Maintenance statements for graft chains, Delta-parser style: four
+  * statements core Spark has no grammar for, recognized up front and
+  * everything else delegated verbatim to Spark's own parser (injected
+  * via `GraftSql.mergeSession`'s `injectParser`):
+  *
+  * {{{
+  *   DESCRIBE HISTORY graft.`/path`
+  *   OPTIMIZE graft.`/path` TARGET <n> MB
+  *   RESTORE TABLE graft.`/path` TO VERSION AS OF <v>
+  *   VACUUM graft.`/path` RETAIN <k> VERSIONS
+  * }}}
+  *
+  * Each routes to the existing chain operation (history /
+  * optimizeTable / restoreTable / VersionStore.retain) — the SQL
+  * layer adds spelling, not semantics. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+graft\.`([^`]+)`\s*;?\s*""".r
+  private val Optimize =
+    """(?is)\s*OPTIMIZE\s+graft\.`([^`]+)`\s+TARGET\s+(\d+(?:\.\d+)?)\s*MB\s*;?\s*""".r
+  private val Restore =
+    """(?is)\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    sqlText match {
+      case History(dir) => GraftHistoryCommand(dir)
+      case Optimize(dir, mb) => GraftOptimizeCommand(dir, mb.toDouble)
+      case Restore(dir, v) => GraftRestoreCommand(dir, v.toLong)
+      case Vacuum(dir, k) => GraftVacuumCommand(dir, k.toInt)
+      case _ => delegate.parsePlan(sqlText)
+    }
+
+  override def parseExpression(t: String): Expression =
+    delegate.parseExpression(t)
+  override def parseTableIdentifier(t: String): TableIdentifier =
+    delegate.parseTableIdentifier(t)
+  override def parseFunctionIdentifier(t: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(t)
+  override def parseMultipartIdentifier(t: String): Seq[String] =
+    delegate.parseMultipartIdentifier(t)
+  override def parseQuery(t: String): LogicalPlan =
+    delegate.parseQuery(t)
+  override def parseRoutineParam(t: String): StructType =
+    delegate.parseRoutineParam(t)
+  override def parseTableSchema(t: String): StructType =
+    delegate.parseTableSchema(t)
+  override def parseDataType(t: String): DataType =
+    delegate.parseDataType(t)
+}
+
+/** `DESCRIBE HISTORY`: the chain's op log as a result set — one row
+  * per committed version, version-count-sized metadata. */
+case class GraftHistoryCommand(tableDir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType)(),
+    AttributeReference("detail", StringType)())
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] =
+    graft.ops.Scale.history(sparkSession, tableDir)
+      .orderBy("version").collect().toSeq
+}
+
+/** `OPTIMIZE … TARGET n MB`: partition-aware bin-packing commit;
+  * returns the file accounting. */
+case class GraftOptimizeCommand(tableDir: String, targetMB: Double)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val st = graft.ops.Scale.optimizeTable(sparkSession, tableDir,
+      tableDir, targetMB)
+    Seq(org.apache.spark.sql.Row(st.filesBefore, st.filesAfter))
+  }
+}
+
+/** `RESTORE TABLE … TO VERSION AS OF v`: roll the head back as a NEW
+  * version (zero data movement). */
+case class GraftRestoreCommand(tableDir: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.restoreTable(sparkSession, tableDir, version)
+    Seq.empty
+  }
+}
+
+/** `VACUUM … RETAIN k VERSIONS`: reference-counted retention; returns
+  * the pruned version ids' count. */
+case class GraftVacuumCommand(tableDir: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pruned_versions", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val pruned = graft.tables.VersionStore.retain(sparkSession,
+      tableDir, keepLast)
+    Seq(org.apache.spark.sql.Row(pruned.size.toLong))
+  }
+}

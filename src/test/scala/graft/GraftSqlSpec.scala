@@ -180,4 +180,60 @@ class GraftSqlSpec extends AnyFunSuite {
       .toSeq == Seq("ANALYZE", "UPDATE", "DELETE"))
     rm(base.toFile)
   }
+
+  test("ALTER TABLE ADD/RENAME/DROP route to the metadata-only DDL") {
+    val (base, tbl) = freshChain("graft_sql_a")
+    spark.sql(s"ALTER TABLE graft.`$tbl` ADD COLUMNS (flag BIGINT)")
+    assert(spark.sql(s"SELECT * FROM graft.`$tbl`").columns.toSeq ==
+      Seq("id", "k", "v", "flag"))
+    spark.sql(s"ALTER TABLE graft.`$tbl` RENAME COLUMN v TO val")
+    spark.sql(s"ALTER TABLE graft.`$tbl` DROP COLUMN k")
+    val t = spark.sql(s"SELECT * FROM graft.`$tbl`")
+    assert(t.columns.toSeq == Seq("id", "val", "flag"))
+    assert(t.count() == 1000 &&
+      t.where(col("val").isNull).count() == 0,
+      "renamed column must keep serving pre-rename bytes")
+    // all three DDLs were metadata-only: no version dir holds data
+    (1L to 3L).foreach(v =>
+      assert(parquetsIn(s"$tbl/v=$v").isEmpty, s"v=$v wrote data"))
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("ANALYZE", "ADD_COLUMN", "RENAME_COLUMN",
+      "DROP_COLUMN"))
+    rm(base.toFile)
+  }
+
+  test("maintenance statements: OPTIMIZE, RESTORE, DESCRIBE HISTORY, VACUUM") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_v")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    (1 to 2000).map(i => (i.toLong, i.toLong % 4, i.toDouble))
+      .toDF("id", "k", "v").repartition(12).write.parquet(src)
+    Scale.analyzeTable(spark, src, tbl, Seq("id"))              // v=0
+    Scale.deleteWhere(spark, tbl, tbl, col("k") === 3)          // v=1
+    val ms = GraftSql.mergeSession(spark)
+    val opt = ms.sql(s"OPTIMIZE graft.`$tbl` TARGET 64 MB").head()
+    assert(opt.getLong(1) < opt.getLong(0))                     // v=2
+    ms.sql(s"RESTORE TABLE graft.`$tbl` TO VERSION AS OF 0")    // v=3
+    assert(Scale.readTable(spark, tbl).count() == 2000)
+    val hist = ms.sql(s"DESCRIBE HISTORY graft.`$tbl`")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.toSeq == Seq((0L, "ANALYZE"), (1L, "DELETE"),
+      (2L, "OPTIMIZE"), (3L, "RESTORE")))
+    // VACUUM drops all but the newest 2 versions; head still serves
+    val pruned = ms.sql(s"VACUUM graft.`$tbl` RETAIN 2 VERSIONS")
+      .head().getLong(0)
+    assert(pruned == 2L)
+    assert(Scale.readTable(spark, tbl).count() == 2000,
+      "the restored head must survive retention (pointers ref-counted)")
+    // an unknown statement still parses through the delegate
+    assert(ms.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+    rm(base.toFile)
+  }
+
+  private def parquetsIn(d: String): Array[java.io.File] = {
+    val fl = new java.io.File(d).listFiles()
+    if (fl == null) Array.empty
+    else fl.filter(_.getName.endsWith(".parquet"))
+  }
 }
