@@ -164,7 +164,8 @@ object ScaleExperiment {
       "q_evolve|q_restore|q_chain_prune|" +
       "q_null_prune|q_partition_dml|q_stream_table_changes|" +
       "q_sql_time_travel|q_sql_dml|q_sql_merge|" +
-      "q_sql_prune|q_sql_update|q_sql_ddl|q_sql_maintenance").r
+      "q_sql_prune|q_sql_update|q_sql_ddl|q_sql_maintenance|" +
+      "q_sql_ctas").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -886,6 +886,18 @@ object Oracles {
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // SQL CTAS + statement chain: create-from-select, bonus append,
+    // signup delete, replayed as filter + union
+    "q_sql_ctas" ->
+      s"""WITH e AS (SELECT event_id, event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error'),
+         |m AS (SELECT event_type, value FROM e
+         |  WHERE event_type <> 'signup'
+         |  UNION ALL
+         |  SELECT 'bonus', value FROM e WHERE event_type = 'purchase')
+         |SELECT event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // SQL DDL: rename->update-across-mixed-layout->drop, replayed
     "q_sql_ddl" ->
       s"""SELECT event_type, $CNT AS n,

@@ -2525,6 +2525,41 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("version")
   }
 
+  /** #42a' SQL CREATE TABLE AS SELECT ([[graft.sql.GraftCatalog]]'s
+    * `createTable` — r11): the LAST SQL gap — a chain born purely
+    * from statements. CTAS commits v=0 (empty manifest + declared
+    * schema, two metadata writes) and the select's rows land as the
+    * v=1 append through the normal write path; the new chain is a
+    * full citizen (the graded flow INSERTs and DELETEs into it by
+    * statement before the hash-gated rollup, with a hard require on
+    * the op log: CREATE→APPEND→APPEND→DELETE). A user of the library
+    * can now create, load, query, mutate, evolve, optimize, restore
+    * and drop a table without leaving `spark.sql`. */
+  def qSqlCtas(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ctas_")
+    val tbl = base.resolve("tbl").toString
+    graft.sql.GraftSql.install(s)
+    T(s, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_ctas_src")
+    s.sql(s"CREATE TABLE graft.`$tbl` AS " +           // v=0 + v=1
+      "SELECT * FROM graft_ctas_src WHERE event_type <> 'error'")
+    s.sql(s"INSERT INTO graft.`$tbl` " +               // v=2
+      "SELECT event_id + 10000000, 'bonus', value " +
+      "FROM graft_ctas_src WHERE event_type = 'purchase'")
+    s.sql(s"DELETE FROM graft.`$tbl` " +               // v=3
+      s"WHERE event_type = 'signup'")
+    val ops = Scale.history(s, tbl).collect().map(_.getString(1)).toSeq
+    require(ops == Seq("CREATE", "APPEND", "APPEND", "DELETE"),
+      s"the statement chain must commit through the op log, got $ops")
+    val out = s.sql(
+      s"""SELECT event_type, cast(count(*) AS bigint) AS n,
+         |  cast(sum(cast(value AS DECIMAL(18,4))) AS double) AS sv
+         |FROM graft.`$tbl` GROUP BY event_type""".stripMargin)
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
   /** #42n CHECK CONSTRAINTS on the COW chain
     * ([[Scale.addConstraint]] + DML-time enforcement): the data-
     * quality CONTRACT a lakehouse table carries — the DDL validates

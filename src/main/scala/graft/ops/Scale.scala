@@ -398,6 +398,17 @@ object Scale {
                           v: Long): DataFrame = {
     import graft.tables.VersionStore
     val files = VersionStore.manifest(spark, tableDir, v)
+    // an EMPTY manifest is a legal version (a just-created table, a
+    // DELETE that emptied everything): serve the declared schema's
+    // empty frame — there is no file to infer from
+    if (files.isEmpty) {
+      val schema = VersionStore.schemaOf(spark, tableDir, v)
+        .getOrElse(throw new IllegalStateException(
+          s"version $v of $tableDir has no files AND no declared " +
+            "schema — nothing to serve"))
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
     val raw = spark.read.option("mergeSchema", "true")
       .parquet(files: _*)
     val renames = VersionStore.renamesOf(spark, tableDir, v)
@@ -619,8 +630,10 @@ object Scale {
     val out = df.select(tableSchema.fields.toIndexedSeq.map(f =>
       col(f.name).cast(f.dataType).as(f.name)): _*)
     if (cons.nonEmpty) enforce(out, cons)
-    val rowsBefore = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).count()
+    val rowsBefore =
+      if (baseFiles.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(baseFiles: _*).count()
     var appended = 0L
     val id = headV.get + 1
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
@@ -652,6 +665,26 @@ object Scale {
     }
     RewriteStats(baseFiles.size.toLong, 0L, rowsBefore,
       rowsBefore + appended, 0L)
+  }
+
+  /** CREATE an empty chain with a declared schema (the SQL
+    * `CREATE TABLE graft.\`p\`` / CTAS entry point): v=0 carries an
+    * EMPTY manifest plus the schema — two metadata writes; the first
+    * [[appendTable]] (CTAS's data write, `INSERT INTO`) lands the
+    * rows as v=1. Refuses when the chain already exists. */
+  def createEmptyTable(spark: SparkSession, tableDir: String,
+                       schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    import graft.tables.VersionStore
+    require(VersionStore.head(spark, tableDir).isEmpty,
+      s"table already exists under $tableDir")
+    VersionStore.publishExclusive(spark, tableDir, 0L) { stage =>
+      VersionStore.fsOf(spark, tableDir)
+        .mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      VersionStore.writeManifest(spark, stage, Seq.empty)
+      VersionStore.writeSchema(spark, stage, schema)
+      VersionStore.writeOp(spark, stage, "CREATE")
+    }: Unit
   }
 
   /** Metadata-only ADD COLUMN — schema evolution with ZERO data

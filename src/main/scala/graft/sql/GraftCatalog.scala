@@ -69,12 +69,23 @@ class GraftCatalog extends TableCatalog {
       .head(SparkSession.active, pathOf(ident)).nonEmpty)
       .getOrElse(false)
 
+  /** `CREATE TABLE graft.\`p\` (cols)` and the create half of CTAS:
+    * v=0 commits an EMPTY manifest + the declared schema (two
+    * metadata writes); CTAS's data write then lands as the v=1
+    * append through the normal write path. Partition transforms are
+    * refused (use `Scale.registerPartitions` once data exists —
+    * graft partitions are verified properties of files, not write
+    * plumbing); properties are ignored. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: java.util.Map[String, String])
-      : Table =
-    throw new UnsupportedOperationException(
-      "create graft chains via the Scala API (first DML creates v=0)")
+      : Table = {
+    require(partitions.isEmpty,
+      "PARTITIONED BY is not supported — registerPartitions once " +
+        "data exists (graft partitions are verified file properties)")
+    Scale.createEmptyTable(SparkSession.active, pathOf(ident), schema)
+    loadTable(ident)
+  }
 
   /** SQL DDL — `ALTER TABLE graft.\`p\` ADD COLUMNS (c T)` / `RENAME
     * COLUMN a TO b` / `DROP COLUMN c` route here through core Spark's
@@ -108,7 +119,17 @@ class GraftCatalog extends TableCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** `DROP TABLE graft.\`p\``: removes the chain DIRECTORY — its
+    * versions, metadata and own data files. Pointer targets OUTSIDE
+    * the chain root (the original source table a COW chain points
+    * into) are never touched, the same ownership rule retention
+    * follows. Also the CTAS failure-cleanup hook. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val s = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(pathOf(ident))
+    val fs = graft.tables.VersionStore.fsOf(s, pathOf(ident))
+    fs.exists(p) && fs.delete(p, true)
+  }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =

@@ -236,4 +236,34 @@ class GraftSqlSpec extends AnyFunSuite {
     if (fl == null) Array.empty
     else fl.filter(_.getName.endsWith(".parquet"))
   }
+
+  test("CREATE TABLE / CTAS creates the chain; DROP TABLE removes it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_c")
+    val tbl = base.resolve("tbl").toString
+    GraftSql.install(spark)
+    spark.sql(s"CREATE TABLE graft.`$tbl` AS " +
+      "SELECT id, id % 4 AS k, cast(id AS double) AS v FROM range(1000)")
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("CREATE", "APPEND"))
+    assert(spark.sql(s"SELECT count(*) n FROM graft.`$tbl`")
+      .head().getLong(0) == 1000)
+    // the created chain is a full citizen: DML + DDL compose on it
+    spark.sql(s"DELETE FROM graft.`$tbl` WHERE k = 0")
+    assert(spark.sql(s"SELECT count(*) n FROM graft.`$tbl`")
+      .head().getLong(0) == 750)
+    // plain CREATE (no AS): empty table with a declared schema
+    val t2 = base.resolve("t2").toString
+    spark.sql(s"CREATE TABLE graft.`$t2` (a BIGINT, b STRING)")
+    assert(spark.sql(s"SELECT * FROM graft.`$t2`").count() == 0)
+    spark.sql(s"INSERT INTO graft.`$t2` VALUES (1, 'x'), (2, 'y')")
+    assert(spark.sql(s"SELECT count(*) n FROM graft.`$t2`")
+      .head().getLong(0) == 2)
+    // duplicate CREATE refuses; DROP removes the chain dir wholesale
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$t2` (a BIGINT)")
+    }
+    spark.sql(s"DROP TABLE graft.`$tbl`")
+    assert(!new java.io.File(tbl).exists())
+    rm(base.toFile)
+  }
 }
