@@ -164,7 +164,11 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
     s"graft.`$dir`" +
       travelVersion.map(v => s" VERSION AS OF $v").getOrElse("")
 
-  override def schema(): StructType = resolve(spark).schema
+  // Spark probes schema() repeatedly while planning one statement;
+  // each probe would rebuild the full pointer-resolving read (footer
+  // I/O) — resolve once per table handle (handles are per-statement)
+  private lazy val schema0: StructType = resolve(spark).schema
+  override def schema(): StructType = schema0
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
