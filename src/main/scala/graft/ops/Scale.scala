@@ -1112,12 +1112,21 @@ object Scale {
         .withColumn("version", lit(v))
       val tmp = new org.apache.hadoop.fs.Path(spoolDir, s"__spool_v$v")
       delta.write.mode("overwrite").parquet(tmp.toString)
+      // crash-replay hygiene: drop EVERY previously spooled file of
+      // this version first — a replay with a different partition
+      // count would otherwise leave a stale extra part carrying
+      // duplicate rows. Files a checkpointed stream already consumed
+      // may vanish safely (the file source never re-reads a path).
+      fs.listStatus(new org.apache.hadoop.fs.Path(spoolDir))
+        .filter(f => f.isFile &&
+          f.getPath.getName.startsWith(s"v$v-") &&
+          f.getPath.getName.endsWith(".parquet"))
+        .foreach(f => fs.delete(f.getPath, false): Unit)
       fs.listStatus(tmp)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .zipWithIndex.foreach { case (f, i) =>
           val dest = new org.apache.hadoop.fs.Path(spoolDir,
             s"v$v-$i.parquet")
-          if (fs.exists(dest)) fs.delete(dest, false): Unit // replay
           if (!fs.rename(f.getPath, dest))
             throw new java.io.IOException(
               s"spool rename ${f.getPath} -> $dest failed")
