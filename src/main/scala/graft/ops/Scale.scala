@@ -114,8 +114,30 @@ object Scale {
     * strings that may carry URI-illegal characters (spaces) — `Path`
     * percent-handles them where a bare `new URI(s)` throws
     * `URISyntaxException` (r10 advice). */
-  private def normalize(uri: String): String =
-    new org.apache.hadoop.fs.Path(uri).toUri.getPath
+  private def normalize(uri: String): String = {
+    // two spellings reach here: manifest entries / Path.toString
+    // (DECODED — a raw space makes them an ILLEGAL URI) and
+    // input_file_name() (percent-ENCODED legal URIs). Parse as URI
+    // when legal (getPath decodes %xx); otherwise strip the
+    // scheme//authority prefix textually — the remainder is already
+    // in decoded form. Hadoop's Path can't do this: its constructor
+    // RE-quotes a '%' in an already-encoded string (r11 review).
+    def stripped: String = {
+      val i = uri.indexOf(':')
+      val rest =
+        if (i > 0 &&
+          uri.substring(0, i).matches("[A-Za-z][A-Za-z0-9+.-]*"))
+          uri.substring(i + 1)
+        else uri
+      if (rest.startsWith("//")) {
+        val j = rest.indexOf('/', 2)
+        if (j >= 0) rest.substring(j) else "/"
+      } else rest
+    }
+    scala.util.Try(new java.net.URI(uri)).toOption
+      .flatMap(u => Option(u.getPath)).filter(_.nonEmpty)
+      .getOrElse(stripped)
+  }
 
   /** Map a scan-reported file back to its manifest spelling, failing
     * with a NAMED error instead of a bare `NoSuchElementException`
@@ -294,8 +316,8 @@ object Scale {
     // map and maintained stats BEFORE opening any data file — a
     // partition-targeted DML scans its partition, not the table
     val candidates = condSql match {
-      case Some(sql) => dmlCandidates(spark, tableDir, headV,
-        baseFiles, schema, parts, sql)
+      case Some(sql) =>
+        dmlCandidates(spark, tableDir, headV, baseFiles, sql)
       case None => baseFiles
     }
     // file-granular hit detection: rows where cond IS TRUE name their
@@ -461,10 +483,8 @@ object Scale {
   def updateWhere(spark: SparkSession, srcDir: String, tableDir: String,
                   cond: Column, set: Seq[(String, Column)])
       : RewriteStats =
-    cowRewrite(spark, srcDir, tableDir, cond, df =>
-      set.foldLeft(df) { case (d, (c, v)) =>
-        d.withColumn(c, when(cond, v).otherwise(col(c)))
-      }, "UPDATE", tupleBreakers = set.map(_._1).toSet)
+    cowRewrite(spark, srcDir, tableDir, cond, applySet(cond, set),
+      "UPDATE", tupleBreakers = set.map(_._1).toSet)
 
   /** [[updateWhere]] with the predicate as SQL TEXT — pre-filtered
     * hit detection exactly like the SQL-text [[deleteWhere]]. */
@@ -472,11 +492,28 @@ object Scale {
                   condSql: String, set: Seq[(String, Column)])
       : RewriteStats = {
     val cond = expr(condSql)
-    cowRewrite(spark, srcDir, tableDir, cond, df =>
-      set.foldLeft(df) { case (d, (c, v)) =>
-        d.withColumn(c, when(cond, v).otherwise(col(c)))
-      }, "UPDATE", condSql = Some(condSql),
+    cowRewrite(spark, srcDir, tableDir, cond, applySet(cond, set),
+      "UPDATE", condSql = Some(condSql),
       tupleBreakers = set.map(_._1).toSet)
+  }
+
+  /** SQL UPDATE row semantics in ONE projection: every SET
+    * right-hand side AND the WHERE condition evaluate against the
+    * PRE-update row. The previous per-column `foldLeft(withColumn)`
+    * evaluated later assignments (and re-evaluated the condition)
+    * against already-updated columns — `SET a = b, b = a` failed to
+    * swap, and `SET a = 0, b = 1 WHERE a = 5` skipped `b` on the
+    * very rows it hit (r11 review). A simultaneous select can't. */
+  private def applySet(cond: Column, set: Seq[(String, Column)])
+                      (df: DataFrame): DataFrame = {
+    val byName = set.toMap
+    require(byName.size == set.size, "duplicate SET column")
+    val unknown = set.map(_._1).filterNot(df.columns.contains)
+    require(unknown.isEmpty,
+      s"UPDATE SET of unknown column(s): ${unknown.mkString(", ")}")
+    df.select(df.columns.toIndexedSeq.map(c =>
+      byName.get(c).map(v => when(cond, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))): _*)
   }
 
   /** MERGE INTO on the COW chain — the upsert (SCD-1) MERGE as
@@ -1107,7 +1144,13 @@ object Scale {
       .getOrElse(vs.head)
     val todo = vs.filter(_ > done)
     todo.foreach { v =>
-      val prev = vs.filter(_ < v).max
+      val prior = vs.filter(_ < v)
+      require(prior.nonEmpty,
+        s"cannot spool version $v of $tableDir: its predecessor was " +
+          "pruned by retention while the feed was down — start a " +
+          "FRESH spool dir (its base snapshot becomes the oldest " +
+          "remaining version)")
+      val prev = prior.max
       val delta = tableChanges(spark, tableDir, prev, v)
         .withColumn("version", lit(v))
       val tmp = new org.apache.hadoop.fs.Path(spoolDir, s"__spool_v$v")
@@ -1345,29 +1388,16 @@ object Scale {
   }
 
   /** The files a DML with predicate `condSql` must SCAN for hit
-    * detection: partition-map survivors ∩ stats survivors, both
-    * sound — everything else provably holds no matching row and
-    * rides straight into the next manifest by pointer. */
+    * detection: exactly [[filesPrunedAt]]'s metadata pruning on the
+    * head (partition-map survivors ∩ stats survivors, both sound) —
+    * everything else provably holds no matching row and rides
+    * straight into the next manifest by pointer. A chainless base
+    * (first DML over a raw dir) has no metadata to prune with. */
   private def dmlCandidates(spark: SparkSession, tableDir: String,
-      headV: Option[Long], baseFiles: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType],
-      parts: Map[String, Map[String, String]], condSql: String)
-      : Seq[String] = {
-    val fromParts: Option[Set[String]] =
-      if (parts.isEmpty) None
-      else {
-        val types = schema.map(_.fields.map(f => f.name -> f.dataType)
-          .toMap).getOrElse(
-          spark.read.option("mergeSchema", "true").parquet(baseFiles: _*)
-            .schema.fields.map(f => f.name -> f.dataType).toMap)
-        Some(partitionSurvivors(spark, baseFiles, parts, types,
-          condSql).toSet)
-      }
-    val fromStats: Option[Set[String]] = headV
-      .flatMap(v => statsOf(spark, tableDir, v))
-      .flatMap(st => statsSurvivors(spark, st, condSql).map(_.toSet))
-    baseFiles.filter(f =>
-      fromParts.forall(_.contains(f)) && fromStats.forall(_.contains(f)))
+      headV: Option[Long], baseFiles: Seq[String], condSql: String)
+      : Seq[String] = headV match {
+    case Some(v) => filesPrunedAt(spark, tableDir, v, condSql)._1
+    case None => baseFiles
   }
 
   /** Read `dir` with FILE-LEVEL pruning: evaluate [[mayContain]] on
@@ -1583,10 +1613,15 @@ object Scale {
       else {
         val raw = spark.read.option("mergeSchema", "true")
           .parquet(keep: _*)
-        VersionStore.schemaOf(spark, tableDir, v)
-          .map(alignTo(raw, _,
-            VersionStore.renamesOf(spark, tableDir, v)))
-          .getOrElse(raw)
+        // align to the FULL version's schema even when none is
+        // declared: a pruned SUBSET of heterogeneous files can carry
+        // fewer columns than the whole manifest, and a caller that
+        // advertised the full shape (the SQL scan) would misbind
+        // rows (r11 review)
+        val target = VersionStore.schemaOf(spark, tableDir, v)
+          .getOrElse(alignedRead(spark, tableDir, v).schema)
+        alignTo(raw, target,
+          VersionStore.renamesOf(spark, tableDir, v))
       }
     (out, ps)
   }
@@ -1611,10 +1646,11 @@ object Scale {
       else {
         val raw = spark.read.option("mergeSchema", "true")
           .parquet(keep: _*)
-        val aligned = VersionStore.schemaOf(spark, tableDir, v)
-          .map(alignTo(raw, _, VersionStore.renamesOf(spark, tableDir, v)))
-          .getOrElse(raw)
-        aligned.where(expr(condSql))
+        val target = VersionStore.schemaOf(spark, tableDir, v)
+          .getOrElse(alignedRead(spark, tableDir, v).schema)
+        alignTo(raw, target,
+          VersionStore.renamesOf(spark, tableDir, v))
+          .where(expr(condSql))
       }
     (out, PruneStats(files.size.toLong, keep.size.toLong))
   }

@@ -155,10 +155,20 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
 
   private def spark = SparkSession.active
 
-  private def resolve(s: SparkSession): DataFrame = travelVersion match {
-    case Some(v) => Scale.readTableAt(s, dir, v)
-    case None => Scale.readTable(s, dir)
-  }
+  /** Reads PIN the version at first resolution (per table handle —
+    * Spark loads a fresh handle per statement): schema probing,
+    * planning and every scan of one statement serve the SAME
+    * committed version even while concurrent writers advance the
+    * head (r11 review: an unpinned scan could execute against a head
+    * whose schema differs from the plan's). Writes are unaffected —
+    * every DML re-resolves the head inside its own commit retry. */
+  private lazy val pinnedVersion: Long = travelVersion.getOrElse(
+    graft.tables.VersionStore.head(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed versions under $dir")))
+
+  private def resolve(s: SparkSession): DataFrame =
+    Scale.readTableAt(s, dir, pinnedVersion)
 
   override def name(): String =
     s"graft.`$dir`" +
@@ -207,12 +217,8 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
               val s = context.sparkSession
               val df = sql match {
                 case Some(c) =>
-                  val v = travelVersion.getOrElse(
-                    graft.tables.VersionStore.head(s, dir).getOrElse(
-                      throw new IllegalArgumentException(
-                        s"no committed versions under $dir")))
                   val (pruned, ps) =
-                    Scale.readVersionPruned(s, dir, v, c)
+                    Scale.readVersionPruned(s, dir, pinnedVersion, c)
                   GraftScanStats.last = Some(ps)
                   pruned
                 case None =>

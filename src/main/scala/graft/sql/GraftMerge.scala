@@ -49,12 +49,14 @@ case class GraftMergeRule(session: SparkSession)
         GraftUpdateCommand(graftDir(u.table).get,
           u.condition.map(e => Bridge.column(unresolve(e))),
           set.map { case (n, e) => n -> Bridge.column(e) })
-      // DELETE …: the catalog's SupportsDelete hook already serves
-      // translatable predicates on ANY session; this arm (extension
-      // sessions only) additionally accepts predicates v1 Filters
-      // can't express (expressions over columns, OR-of-ANDs, …).
+      // DELETE …: the catalog's SupportsDelete hook serves
+      // v1-Filter-translatable predicates on ANY session — and with
+      // partition/stats pre-pruning, so this arm deliberately steps
+      // aside for those (r11 review) and catches only what the hook
+      // would REFUSE: expression predicates v1 Filters can't spell.
       case d: DeleteFromTable if d.resolved &&
-          graftDir(d.table).isDefined =>
+          graftDir(d.table).isDefined &&
+          !Bridge.translatable(d.condition) =>
         GraftDeleteCommand(graftDir(d.table).get,
           Bridge.column(unresolve(d.condition)))
     }
@@ -124,9 +126,20 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan,
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val src = Bridge.ofRows(sparkSession, source)
+    // SQL MERGE contract (Delta errors identically): a source with
+    // several rows per key makes "the matched update" ambiguous —
+    // refuse rather than resolve arbitrarily (r11 review). The check
+    // is one aggregate over the changelog-sized source.
+    val dup = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .limit(1).count()
+    if (dup > 0) throw new IllegalArgumentException(
+      "MERGE source has multiple rows for the same ON key; " +
+        "deduplicate the source first")
     graft.ops.Scale.mergeInto(sparkSession, tableDir, tableDir,
-      org.apache.spark.sql.graftbridge.Bridge.ofRows(sparkSession,
-        source), keys)
+      src, keys)
     Seq.empty
   }
 }

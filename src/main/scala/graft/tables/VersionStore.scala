@@ -219,7 +219,15 @@ object VersionStore {
     try fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), false)
       .close()
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => conflict()
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        // a racer marked the dir first — but WHOSE content does it
+        // hold? If the token is OURS, our rename won the dir and the
+        // racer's marker committed OUR complete output: this publish
+        // SUCCEEDED (conflicting here would re-apply the identical
+        // operation at the next id — the double-commit the two-JVM
+        // spec forbids; the r11 review's racer arm). A foreign token
+        // means the racer's content committed: conflict and retry.
+        if (!ownedNow) conflict()
     }
     // residual-race re-check (r10 advice): a racer could delete-and-
     // replace dest between the ownership read above and our marker PUT

@@ -17,6 +17,16 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
 
+  /** Can this predicate reach a `SupportsDelete` connector as v1
+    * Filters? Drives [[graft.sql.GraftMergeRule]]'s DELETE arm to
+    * step aside for the catalog hook (which pre-prunes by
+    * partition/stats) whenever core Spark can serve the statement. */
+  def translatable(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+      .isDefined
+
   /** Wrap a catalyst expression as a user-facing [[Column]] (the
     * UPDATE/DELETE commands re-resolve statement expressions against
     * the COW rewrite's own frame — attributes are unresolved-by-name

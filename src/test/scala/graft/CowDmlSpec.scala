@@ -488,6 +488,40 @@ class CowDmlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("chains under paths WITH SPACES: hit detection matches across spellings") {
+    import spark.implicits._
+    // the r11 review case: manifest entries are DECODED ('/a b/f'),
+    // input_file_name() is percent-ENCODED ('/a%20b/f') — normalize
+    // must match them, and a rewritten file must re-hit later DML
+    val base = java.nio.file.Files.createTempDirectory("graft cow sp ")
+    val src = base.resolve("src dir").toString
+    val tbl = base.resolve("tbl dir").toString
+    val df = (1 to 2000).map(i => (i.toLong, i.toLong % 4, s"v$i"))
+      .toDF("id", "k", "v")
+    df.repartition(4, col("k")).write.parquet(src)
+    val d1 = Scale.deleteWhere(spark, src, tbl, col("k") === 2)
+    assert(d1.rowsAfter == 1500 && d1.filesRewritten == 1, s"$d1")
+    // UPDATE must re-hit the REWRITTEN (v=0) file through the same
+    // space-carrying spellings
+    val u = Scale.updateWhere(spark, tbl, tbl, col("k") === 3,
+      Seq("v" -> lit("hit")))
+    assert(u.filesRewritten >= 1, s"$u")
+    val t = Scale.readTable(spark, tbl)
+    assert(t.count() == 1500 &&
+      t.where(col("v") === "hit").count() == 500)
+    // multi-column SET sees the PRE-update row (r11 review): after
+    // SET id = id + k, k = id on the k=1 rows, k must hold the
+    // ORIGINAL id (≡ 1 mod 4) and id must lead it by exactly the
+    // original k — the old sequential fold gave k = id + 1 instead
+    Scale.updateWhere(spark, tbl, tbl, col("k") === 1,
+      Seq("id" -> (col("id") + col("k")), "k" -> col("id")))
+    val sw = Scale.readTable(spark, tbl).where(pmod(col("k"), lit(4)) === 1)
+    assert(sw.count() == 500 &&
+      sw.where(col("id") =!= col("k") + 1).count() == 0,
+      "SET right-hand sides must evaluate against the pre-update row")
+    rm(base.toFile)
+  }
+
   test("partition-aware OPTIMIZE: packed outputs inherit tuples, DROP still metadata-only") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_cow_popt")
