@@ -2335,6 +2335,16 @@ object Queries {
          |FROM graft.`$tbl`
          |WHERE l_partkey >= 50 AND l_partkey < 150
          |GROUP BY l_partkey""".stripMargin)
+    // COLUMN pruning (r11 verdict ask #1): the v1-fallback scan must
+    // serve exactly the query's referenced columns — l_orderkey never
+    // crosses the Row-conversion hop
+    val served = out.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.RowDataSourceScanExec =>
+        sc.output.map(_.name).toSet
+    }
+    require(served.nonEmpty &&
+      served.head == Set("l_partkey", "l_quantity"),
+      s"SQL scan failed to column-prune: served $served")
     val pinned = cleanupAfter(out, base.toString) // executes the scan
     val ps = graft.sql.GraftScanStats.last
     require(ps.exists(p => p.filesRead < p.filesTotal),

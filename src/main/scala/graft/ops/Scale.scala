@@ -1151,30 +1151,37 @@ object Scale {
           "FRESH spool dir (its base snapshot becomes the oldest " +
           "remaining version)")
       val prev = prior.max
-      val delta = tableChanges(spark, tableDir, prev, v)
-        .withColumn("version", lit(v))
-      val tmp = new org.apache.hadoop.fs.Path(spoolDir, s"__spool_v$v")
-      delta.write.mode("overwrite").parquet(tmp.toString)
-      // crash-replay hygiene: drop EVERY previously spooled file of
-      // this version first — a replay with a different partition
-      // count would otherwise leave a stale extra part carrying
-      // duplicate rows. Files a checkpointed stream already consumed
-      // may vanish safely (the file source never re-reads a path).
-      fs.listStatus(new org.apache.hadoop.fs.Path(spoolDir))
-        .filter(f => f.isFile &&
-          f.getPath.getName.startsWith(s"v$v-") &&
-          f.getPath.getName.endsWith(".parquet"))
-        .foreach(f => fs.delete(f.getPath, false): Unit)
-      fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.foreach { case (f, i) =>
-          val dest = new org.apache.hadoop.fs.Path(spoolDir,
-            s"v$v-$i.parquet")
-          if (!fs.rename(f.getPath, dest))
-            throw new java.io.IOException(
-              s"spool rename ${f.getPath} -> $dest failed")
-        }
-      fs.delete(tmp, true): Unit
+      // EXACTLY-ONCE contract with the file source (r11 advice): a
+      // version's delta is published as ONE file via ONE atomic
+      // rename, and an existing file is NEVER rewritten — the
+      // previous multi-file shape deleted-and-rewrote the same paths
+      // on crash replay, and a replay whose partitioning assigned
+      // rows differently would lose/duplicate rows under paths the
+      // checkpointed stream had already consumed (the file source
+      // skips seen paths). One file per version means a torn attempt
+      // is either fully invisible (crash before the rename) or fully
+      // authoritative (after it) — the replay then SKIPS a version
+      // whose file already exists instead of touching it. Cost: the
+      // per-commit delta funnels through one write task — fine for a
+      // changelog-priced feed; a bulk consumer of huge deltas should
+      // read the `graft` streaming format (GraftSourceProvider),
+      // which serves each commit's diff distributed with no spool.
+      val dest = new org.apache.hadoop.fs.Path(spoolDir, s"v$v.parquet")
+      if (!fs.exists(dest)) {
+        val delta = tableChanges(spark, tableDir, prev, v)
+          .withColumn("version", lit(v))
+        val tmp = new org.apache.hadoop.fs.Path(spoolDir, s"__spool_v$v")
+        delta.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).headOption
+          .getOrElse(throw new java.io.IOException(
+            s"no part file produced under $tmp"))
+        if (!fs.rename(part, dest))
+          throw new java.io.IOException(
+            s"spool rename $part -> $dest failed")
+        fs.delete(tmp, true): Unit
+      }
       VersionStore.recordAppliedId(spark, spoolDir, v)
     }
     todo

@@ -50,16 +50,29 @@ case class GraftMergeRule(session: SparkSession)
           u.condition.map(e => Bridge.column(unresolve(e))),
           set.map { case (n, e) => n -> Bridge.column(e) })
       // DELETE …: the catalog's SupportsDelete hook serves
-      // v1-Filter-translatable predicates on ANY session — and with
-      // partition/stats pre-pruning, so this arm deliberately steps
-      // aside for those (r11 review) and catches only what the hook
-      // would REFUSE: expression predicates v1 Filters can't spell.
+      // predicates it can BOTH translate to v1 Filters AND render
+      // back to SQL text (GraftFilters — the hook's own
+      // canDeleteWhere test) — and with partition/stats pre-pruning,
+      // so this arm deliberately steps aside for those (r11 review)
+      // and catches everything the hook would REFUSE: expression
+      // predicates v1 Filters can't spell, and translatable Filters
+      // filterSql can't render (LIKE/StartsWith/EqualNullSafe —
+      // r11 advice: those used to fall between the two paths).
       case d: DeleteFromTable if d.resolved &&
           graftDir(d.table).isDefined &&
-          !Bridge.translatable(d.condition) =>
+          !catalogServes(d.condition) =>
         GraftDeleteCommand(graftDir(d.table).get,
           Bridge.column(unresolve(d.condition)))
     }
+
+  /** Would the DSv2 DELETE path accept this predicate end-to-end?
+    * Core Spark translates each conjunct to a v1 Filter, then the
+    * catalog's canDeleteWhere demands each be renderable — mirror
+    * both, or the statement errors on a session that could serve it. */
+  private def catalogServes(cond: Expression): Boolean =
+    splitConjunctivePredicates(cond).forall(c =>
+      Bridge.translate(c).exists(f =>
+        GraftFilters.filterSql(f).isDefined))
 
   /** Swap resolved attribute references for by-name unresolved ones,
     * so the expression re-analyzes against whatever frame the COW

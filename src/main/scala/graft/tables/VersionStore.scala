@@ -197,11 +197,41 @@ object VersionStore {
     // an UNMARKED dest is crash debris or a racer past its own rename
     // but short of its marker — invisible to every reader, and
     // renaming ONTO it would NEST our stage inside it (corrupting
-    // whichever marker lands). Replace it wholesale: exactly one
-    // writer's complete output can win.
+    // whichever marker lands). Deciding WHICH it is unsafely was the
+    // r11-advice TOCTOU: deleting the dir right as the racer's marker
+    // lands erases a committed version. Two defenses close it:
+    //  (a) AGE GATE — a dest younger than the debris grace (default
+    //      60 s, `spark.graft.commit.debrisGraceMs`; rename→marker
+    //      are adjacent metadata ops, so a live racer is milliseconds
+    //      wide) is presumed a racer mid-commit: this writer backs
+    //      off with a conflict and retries — by then either the
+    //      racer's marker has landed (head advances) or the debris
+    //      has aged past the gate.
+    //  (b) ATOMIC EVICTION — an aged dest is moved ASIDE by a single
+    //      rename to a unique stage-named trash dir (retention reaps
+    //      it), never recursively deleted in place: if a stalled
+    //      racer's marker slipped in after our check, the marker
+    //      travels WITH the dir — it can never end up marking OUR
+    //      content, and the racer's own post-marker ownership re-check
+    //      (below) reports conflict rather than success, so the op
+    //      re-applies instead of being lost. Residual anomaly: that
+    //      >grace-stalled racer's version is visible committed for
+    //      the check-to-rename window, then conflicts — a transient
+    //      read-side retry, never a lost update or torn content.
     if (fs.exists(dest)) {
       if (committedNow) { fs.delete(stage, true): Unit; conflict() }
-      fs.delete(dest, true): Unit
+      val grace = spark.conf.getOption("spark.graft.commit.debrisGraceMs")
+        .map(_.toLong).getOrElse(60000L)
+      val age = scala.util.Try(System.currentTimeMillis() -
+        fs.getFileStatus(dest).getModificationTime).getOrElse(Long.MaxValue)
+      if (age < grace) { fs.delete(stage, true): Unit; conflict() }
+      val trash = path(s"$dir/$StagePrefix$id.trash${token.take(8)}")
+      if (fs.exists(dest) && !fs.rename(dest, trash)) {
+        // a racer evicted (or committed) it first — re-resolve
+        fs.delete(stage, true): Unit
+        conflict()
+      }
+      fs.delete(trash, true): Unit
     }
     if (!fs.rename(stage, dest)) {
       fs.delete(stage, true): Unit

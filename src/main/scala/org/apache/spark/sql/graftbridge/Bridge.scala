@@ -17,15 +17,19 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
       plan)
 
-  /** Can this predicate reach a `SupportsDelete` connector as v1
-    * Filters? Drives [[graft.sql.GraftMergeRule]]'s DELETE arm to
-    * step aside for the catalog hook (which pre-prunes by
-    * partition/stats) whenever core Spark can serve the statement. */
-  def translatable(
-      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+  /** This predicate as the v1 [[org.apache.spark.sql.sources.Filter]]
+    * core Spark would hand a `SupportsDelete` connector, if it
+    * translates at all. [[graft.sql.GraftMergeRule]]'s DELETE arm
+    * composes this with the catalog's OWN spellability test
+    * (`GraftFilters.filterSql`) so the arm steps aside exactly when
+    * the hook can serve the statement — translate-only gating skipped
+    * predicates (LIKE, EqualNullSafe, nested fields) that the hook
+    * then refused (r11 advice). */
+  def translate(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
-      .isDefined
 
   /** Wrap a catalyst expression as a user-facing [[Column]] (the
     * UPDATE/DELETE commands re-resolve statement expressions against

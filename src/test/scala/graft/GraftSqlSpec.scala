@@ -237,6 +237,70 @@ class GraftSqlSpec extends AnyFunSuite {
     else fl.filter(_.getName.endsWith(".parquet"))
   }
 
+  test("SQL scan prunes COLUMNS: a two-column SELECT reads two columns") {
+    val (base, tbl) = freshChain("graft_sql_cp")
+    // the physical scan schema is what the V1 relation advertises —
+    // capture it off the executed plan's RowDataSourceScanExec
+    val q = spark.sql(s"SELECT k, count(*) AS n, sum(v) AS sv " +
+      s"FROM graft.`$tbl` WHERE id <= 500 GROUP BY k")
+    val scans = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.RowDataSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a v1-fallback scan in the plan")
+    val served = scans.head.output.map(_.name).toSet
+    assert(served == Set("id", "k", "v"),
+      s"scan must serve exactly the referenced columns, got $served")
+    // correctness through the pruned scan
+    val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1 to 500).groupBy(_ % 4).map { case (k, xs) =>
+      k.toLong -> xs.size.toLong })
+    // a full-width SELECT still serves the whole schema
+    val full = spark.sql(s"SELECT * FROM graft.`$tbl`")
+    assert(full.columns.toSeq == Seq("id", "k", "v"))
+    assert(full.count() == 1000)
+    // count(*) prunes to ZERO data columns and stays countable
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$tbl`")
+      .head().getLong(0) == 1000)
+    rm(base.toFile)
+  }
+
+  test("scan prune accounting is per-thread: concurrent queries don't race") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_sql_cc")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    (1 to 8000).map(i => (i.toLong, i.toDouble)).toDF("x", "v")
+      .repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.parquet(src)
+    Scale.analyzeTable(spark, src, tbl, Seq("x"))
+    GraftSql.install(spark)
+    // thread A runs a selective (pruning) query, thread B an
+    // unprunable full read, many times each — every thread must see
+    // ITS OWN accounting regardless of interleaving
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def worker(selective: Boolean): Thread = new Thread(() => {
+      (1 to 5).foreach { _ =>
+        if (selective) {
+          spark.sql(s"SELECT count(*) AS n FROM graft.`$tbl` " +
+            "WHERE x >= 100 AND x < 900").head().getLong(0): Unit
+          val ps = graft.sql.GraftScanStats.last
+          if (!ps.exists(p => p.filesRead < p.filesTotal))
+            errs.add(s"selective thread saw $ps"): Unit
+        } else {
+          spark.sql(s"SELECT count(*) AS n FROM graft.`$tbl`")
+            .head().getLong(0): Unit
+          val ps = graft.sql.GraftScanStats.last
+          if (ps.nonEmpty)
+            errs.add(s"full-read thread saw $ps"): Unit
+        }
+      }
+    })
+    val ts = Seq(worker(true), worker(false))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"cross-thread stats bleed: $errs")
+    rm(base.toFile)
+  }
+
   test("CREATE TABLE / CTAS creates the chain; DROP TABLE removes it") {
     val base = java.nio.file.Files.createTempDirectory("graft_sql_c")
     val tbl = base.resolve("tbl").toString

@@ -86,13 +86,26 @@ class VersionStoreSpec extends AnyFunSuite {
     }
     assert(VersionStore.committed(spark, dir).sorted == Seq(0L, 1L))
     // UNMARKED debris at the target id (a writer that crashed between
-    // its rename and its marker) must be REPLACED wholesale — naive
-    // rename-onto-existing would nest the new stage inside the debris
-    // and the marker would commit the dead writer's content
+    // its rename and its marker): while YOUNG (within the debris
+    // grace) it is presumed a live racer mid-commit — the publisher
+    // must back off with a conflict and leave the dir UNTOUCHED
+    // (r11 advice: deleting it races the racer's marker PUT)...
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/v=2/junk")): Unit
-    VersionStore.publishExclusive(spark, dir, 2L) { stage =>
-      Seq(7, 8).toDF("x").write.parquet(stage)
+    intercept[VersionStore.VersionConflictException] {
+      VersionStore.publishExclusive(spark, dir, 2L) { stage =>
+        Seq(7, 8).toDF("x").write.parquet(stage)
+      }
     }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/v=2/junk")),
+      "young unmarked debris must not be touched (presumed racer)")
+    // ...and once AGED past the grace it is evicted atomically and
+    // the new publish serves the new content — naive rename-onto-
+    // existing would nest the new stage inside the debris and the
+    // marker would commit the dead writer's content
+    spark.conf.set("spark.graft.commit.debrisGraceMs", "0")
+    try VersionStore.publishExclusive(spark, dir, 2L) { stage =>
+      Seq(7, 8).toDF("x").write.parquet(stage)
+    } finally spark.conf.unset("spark.graft.commit.debrisGraceMs")
     assert(VersionStore.read(spark, dir, Some(2L))
       .collect().map(_.getInt(0)).toSet == Set(7, 8),
       "publish onto unmarked debris must serve the NEW content")
