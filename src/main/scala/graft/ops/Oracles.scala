@@ -950,6 +950,18 @@ object Oracles {
          |FROM e GROUP BY 2
          |ORDER BY snap, event_type""".stripMargin,
 
+    // SQL TIMESTAMP AS OF: as-of v0's own stamp serves the v0 image
+    "q_sql_timestamp_travel" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error')
+         |SELECT 'head' AS snap, event_type, $CNT AS n,
+         |  ${d4("CASE WHEN event_type = 'click' THEN value * 2 ELSE value END")} AS sv
+         |FROM e GROUP BY 2
+         |UNION ALL
+         |SELECT 'asof' AS snap, event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM e GROUP BY 2
+         |ORDER BY snap, event_type""".stripMargin,
+
     // SQL DELETE + INSERT through the catalog: replayed as filter +
     // union (the INSERT selects from the POST-delete table)
     "q_sql_dml" ->

@@ -61,6 +61,17 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     new GraftTable(pathOf(ident), Some(version.toLong))
 
+  /** `TIMESTAMP AS OF t` — core Spark hands the literal as epoch
+    * MICROseconds; resolution picks the newest version whose
+    * (monotonic) commit stamp is at or before it
+    * ([[graft.tables.VersionStore.versionAt]], Delta's rule). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = pathOf(ident)
+    val v = graft.tables.VersionStore.versionAt(
+      SparkSession.active, dir, Math.floorDiv(timestamp, 1000L))
+    new GraftTable(dir, Some(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
 
 /** Maintenance statements for graft chains, Delta-parser style: four
   * statements core Spark has no grammar for, recognized up front and
@@ -33,6 +33,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val VacuumHours =
+    """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan =
     sqlText match {
@@ -40,6 +42,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Optimize(dir, mb) => GraftOptimizeCommand(dir, mb.toDouble)
       case Restore(dir, v) => GraftRestoreCommand(dir, v.toLong)
       case Vacuum(dir, k) => GraftVacuumCommand(dir, k.toInt)
+      case VacuumHours(dir, h) => GraftVacuumHoursCommand(dir, h.toDouble)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -62,13 +65,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 /** `DESCRIBE HISTORY`: the chain's op log as a result set — one row
-  * per committed version, version-count-sized metadata. */
+  * per committed version (with its monotonic commit timestamp),
+  * version-count-sized metadata. */
 case class GraftHistoryCommand(tableDir: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("op", StringType)(),
-    AttributeReference("detail", StringType)())
+    AttributeReference("detail", StringType)(),
+    AttributeReference("when", TimestampType)())
   override def run(sparkSession: SparkSession)
       : Seq[org.apache.spark.sql.Row] =
     graft.ops.Scale.history(sparkSession, tableDir)
@@ -111,6 +116,21 @@ case class GraftVacuumCommand(tableDir: String, keepLast: Int)
       : Seq[org.apache.spark.sql.Row] = {
     val pruned = graft.tables.VersionStore.retain(sparkSession,
       tableDir, keepLast)
+    Seq(org.apache.spark.sql.Row(pruned.size.toLong))
+  }
+}
+
+/** `VACUUM … RETAIN n HOURS`: time-based retention off the commit
+  * stamps (versions newer than the window — and the head — survive;
+  * undatable versions are never dropped). */
+case class GraftVacuumHoursCommand(tableDir: String, hours: Double)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("pruned_versions", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val pruned = graft.ops.Scale.vacuumHours(sparkSession, tableDir,
+      hours)
     Seq(org.apache.spark.sql.Row(pruned.size.toLong))
   }
 }

@@ -416,18 +416,33 @@ object VersionStore {
     }
   }
 
-  /** Record what produced a (staging or version) dir. */
+  /** Record what produced a (staging or version) dir, and WHEN (epoch
+    * millis — r11 verdict ask #2: the one field that unlocks
+    * TIMESTAMP AS OF, a `when` column in DESCRIBE HISTORY and
+    * time-based VACUUM). Writers that care about cross-commit
+    * monotonicity pass a floored `ts` (see `graft.ops.Scale`'s
+    * stamping — `max(now, predecessor + 1)`, the Delta in-commit-
+    * timestamp discipline, so two commits inside one clock tick still
+    * resolve distinctly by timestamp). */
   def writeOp(spark: SparkSession, vdir: String, op: String,
-              detail: String = ""): Unit = {
+              detail: String = "",
+              ts: Long = System.currentTimeMillis()): Unit = {
     val out = fsOf(spark, vdir)
       .create(new org.apache.hadoop.fs.Path(vdir, OpFile), true)
-    try out.write(s"$op\t$detail".getBytes("UTF-8"))
+    try out.write(s"$op\t$detail\t$ts".getBytes("UTF-8"))
     finally out.close()
   }
 
   /** The operation note of committed version `id`, if recorded. */
   def opOf(spark: SparkSession, dir: String, id: Long)
-      : Option[(String, String)] = {
+      : Option[(String, String)] =
+    opNoteOf(spark, dir, id).map { case (op, detail, _) => (op, detail) }
+
+  /** Full operation note: (op, detail, commit epoch millis — None for
+    * notes written before timestamps existed, or by a publisher that
+    * records none). */
+  def opNoteOf(spark: SparkSession, dir: String, id: Long)
+      : Option[(String, String, Option[Long])] = {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(path(s"$dir/v=$id"), OpFile)
     if (!fs.exists(p)) None
@@ -436,10 +451,51 @@ object VersionStore {
       try {
         val l = new String(
           org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
-        val i = l.indexOf('\t')
-        Some(if (i < 0) (l, "") else (l.substring(0, i), l.substring(i + 1)))
+        l.split("\t", -1) match {
+          case Array(op) => Some((op, "", None))
+          case Array(op, detail) => Some((op, detail, None))
+          case parts => Some((parts(0), parts(1),
+            parts(2).toLongOption))
+        }
       } finally in.close()
     }
+  }
+
+  /** Commit timestamp of version `id` (epoch millis), inheriting from
+    * the nearest stamped predecessor when the version itself carries
+    * none (an op-less streaming publish): "as of" resolution then
+    * treats the unstamped version as simultaneous with that
+    * predecessor — sound, since the pair is indistinguishable by time
+    * and the LATER id wins the as-of pick. */
+  def commitTsOf(spark: SparkSession, dir: String, id: Long)
+      : Option[Long] = {
+    val vs = committed(spark, dir).filter(_ <= id).sorted.reverse
+    vs.iterator.map(v => opNoteOf(spark, dir, v).flatMap(_._3))
+      .collectFirst { case Some(ts) => ts }
+  }
+
+  /** The newest committed version whose commit timestamp is at or
+    * before `tsMillis` — `TIMESTAMP AS OF` resolution (Delta's rule).
+    * Refuses a timestamp BEFORE the chain's first stamped commit (no
+    * version existed then) and an entirely unstamped chain. */
+  def versionAt(spark: SparkSession, dir: String, tsMillis: Long)
+      : Long = {
+    val vs = committed(spark, dir).sorted
+    require(vs.nonEmpty, s"no committed versions under $dir")
+    // carry the last seen stamp forward over unstamped versions
+    var lastTs = Option.empty[Long]
+    val stamped = vs.map { v =>
+      val ts = opNoteOf(spark, dir, v).flatMap(_._3).orElse(lastTs)
+      lastTs = ts
+      v -> ts
+    }
+    val known = stamped.collect { case (v, Some(ts)) => (v, ts) }
+    require(known.nonEmpty,
+      s"chain under $dir carries no commit timestamps")
+    require(tsMillis >= known.head._2,
+      s"timestamp $tsMillis predates the first commit " +
+        s"(${known.head._2}) of $dir")
+    known.filter(_._2 <= tsMillis).map(_._1).max
   }
 
   /** The data files of committed version `id` — the manifest's list

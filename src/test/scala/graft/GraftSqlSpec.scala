@@ -237,6 +237,45 @@ class GraftSqlSpec extends AnyFunSuite {
     else fl.filter(_.getName.endsWith(".parquet"))
   }
 
+  test("TIMESTAMP AS OF resolves by commit stamp; VACUUM RETAIN HOURS") {
+    val (base, tbl) = freshChain("graft_sql_ts")
+    Scale.deleteWhere(spark, tbl, tbl, col("k") === 3)          // v=1
+    Scale.deleteWhere(spark, tbl, tbl, col("k") === 2)          // v=2
+    val hist = Scale.history(spark, tbl).orderBy("version")
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(3)).toMap
+    assert(hist.values.forall(_ != null), "every commit is stamped")
+    assert(hist(0L).getTime < hist(1L).getTime &&
+      hist(1L).getTime < hist(2L).getTime,
+      "stamps are strictly increasing even within one clock tick")
+    // as-of each version's own stamp serves exactly that version
+    def countAt(ts: java.sql.Timestamp): Long = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$tbl` TIMESTAMP AS OF '$ts'")
+      .head().getLong(0)
+    assert(countAt(hist(0L)) == 1000)
+    assert(countAt(hist(1L)) == 750)
+    assert(countAt(hist(2L)) == 500)
+    // between two stamps → the earlier version; before the first → refuse
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$tbl` " +
+      s"TIMESTAMP AS OF '${new java.sql.Timestamp(
+        hist(1L).getTime + (hist(2L).getTime - hist(1L).getTime) / 2)}'")
+      .head().getLong(0) == 750)
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM graft.`$tbl` " +
+        "TIMESTAMP AS OF '1999-01-01'").head()
+    }
+    // VACUUM RETAIN HOURS: a huge window keeps everything; a zero
+    // window keeps only the head (all stamps are in the past)
+    val ms = GraftSql.mergeSession(spark)
+    assert(ms.sql(s"VACUUM graft.`$tbl` RETAIN 24 HOURS")
+      .head().getLong(0) == 0L)
+    Thread.sleep(5) // age every stamp past the zero-hour cutoff
+    assert(ms.sql(s"VACUUM graft.`$tbl` RETAIN 0 HOURS")
+      .head().getLong(0) == 2L)
+    assert(Scale.readTable(spark, tbl).count() == 500,
+      "the head must survive a zero-hour vacuum")
+    rm(base.toFile)
+  }
+
   test("SQL scan prunes COLUMNS: a two-column SELECT reads two columns") {
     val (base, tbl) = freshChain("graft_sql_cp")
     // the physical scan schema is what the V1 relation advertises —
