@@ -874,6 +874,14 @@ object Oracles {
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // OPTIMIZE on the version chain: bin-packing must not change a row
+    // OPTIMIZE ZORDER on the chain: content is preserved exactly —
+    // the oracle knows nothing about layout
+    "q_optimize_zorder" ->
+      s"""SELECT cast(l_partkey % 10 AS bigint) AS pk, $CNT AS n,
+         |  ${d2("l_quantity")} AS sum_qty,
+         |  cast(sum(l_suppkey) AS bigint) AS sum_supp
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_optimize" ->
       s"""SELECT l_linenumber, $CNT AS n, ${d2("l_quantity")} AS sq,
          |  ${d2("l_extendedprice")} AS sp

@@ -29,6 +29,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+HISTORY\s+graft\.`([^`]+)`\s*;?\s*""".r
   private val Optimize =
     """(?is)\s*OPTIMIZE\s+graft\.`([^`]+)`\s+TARGET\s+(\d+(?:\.\d+)?)\s*MB\s*;?\s*""".r
+  private val OptimizeZ =
+    """(?is)\s*OPTIMIZE\s+graft\.`([^`]+)`\s+TARGET\s+(\d+(?:\.\d+)?)\s*MB\s+ZORDER\s+BY\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*;?\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Vacuum =
@@ -39,6 +41,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     sqlText match {
       case History(dir) => GraftHistoryCommand(dir)
+      case OptimizeZ(dir, mb, zx, zy) =>
+        GraftOptimizeCommand(dir, mb.toDouble, Some((zx, zy)))
       case Optimize(dir, mb) => GraftOptimizeCommand(dir, mb.toDouble)
       case Restore(dir, v) => GraftRestoreCommand(dir, v.toLong)
       case Vacuum(dir, k) => GraftVacuumCommand(dir, k.toInt)
@@ -80,17 +84,22 @@ case class GraftHistoryCommand(tableDir: String)
       .orderBy("version").collect().toSeq
 }
 
-/** `OPTIMIZE … TARGET n MB`: partition-aware bin-packing commit;
-  * returns the file accounting. */
-case class GraftOptimizeCommand(tableDir: String, targetMB: Double)
+/** `OPTIMIZE … TARGET n MB [ZORDER BY (x, y)]`: partition-aware
+  * bin-packing commit — or, with the ZORDER clause, a Morton
+  * re-clustering of the head published as one version; returns the
+  * file accounting. */
+case class GraftOptimizeCommand(tableDir: String, targetMB: Double,
+                                zorder: Option[(String, String)] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("files_before", LongType, nullable = false)(),
     AttributeReference("files_after", LongType, nullable = false)())
   override def run(sparkSession: SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
     val st = graft.ops.Scale.optimizeTable(sparkSession, tableDir,
-      tableDir, targetMB)
+      tableDir, targetMB,
+      zorder.map { case (x, y) => (col(x), col(y)) })
     Seq(org.apache.spark.sql.Row(st.filesBefore, st.filesAfter))
   }
 }
