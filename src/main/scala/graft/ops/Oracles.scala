@@ -958,6 +958,19 @@ object Oracles {
          |FROM e GROUP BY 2
          |ORDER BY snap, event_type""".stripMargin,
 
+    // SQL lifecycle statements: CTAS + constraint + clone-with-DELETE
+    // replayed as filters over events; refused INSERT leaves no trace
+    "q_sql_lifecycle" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error'),
+         |u AS (
+         |  SELECT 'src' AS side, event_type, value FROM e
+         |  UNION ALL
+         |  SELECT 'clone' AS side, event_type, value FROM e
+         |  WHERE event_type <> 'signup')
+         |SELECT side, event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM u GROUP BY 1, 2 ORDER BY side, event_type""".stripMargin,
+
     // SQL TIMESTAMP AS OF: as-of v0's own stamp serves the v0 image
     "q_sql_timestamp_travel" ->
       s"""WITH e AS (SELECT event_type, value FROM events

@@ -2636,6 +2636,58 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("event_type")
   }
 
+  /** #42c' SQL LIFECYCLE statements — ANALYZE / ADD CONSTRAINT /
+    * CLONE ([[graft.sql.GraftSqlParser]]'s r12 arms): the remaining
+    * chain operations a user previously needed the Scala API for,
+    * now pure statements. The graded flow is statement-ONLY: CTAS
+    * births the chain, `ANALYZE … COLUMNS` builds the skipping stats,
+    * `ADD CONSTRAINT … CHECK` declares the contract (a violating
+    * INSERT then refuses and provably moves nothing), `CLONE … TO`
+    * forks it zero-copy and a DELETE diverges the fork. Hard
+    * requires pin both op logs (CREATE→APPEND→ANALYZE→ADD_CONSTRAINT;
+    * CLONE→DELETE); the union rollup hash-gates both sides' content —
+    * clone isolation in both directions. */
+  def qSqlLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqllc_")
+    val tbl = base.resolve("tbl").toString
+    val cln = base.resolve("cln").toString
+    val ms = graft.sql.GraftSql.mergeSession(s)
+    Tables(ms, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_lc_src")
+    ms.sql(s"CREATE TABLE graft.`$tbl` AS " +            // v=0 + v=1
+      "SELECT * FROM graft_lc_src WHERE event_type <> 'error'")
+    ms.sql(s"ANALYZE graft.`$tbl` COLUMNS (event_id)")          // v=2
+    ms.sql(s"ALTER TABLE graft.`$tbl` ADD CONSTRAINT no_bogus " +
+      "CHECK (event_type <> 'bogus')")                          // v=3
+    require(scala.util.Try(ms.sql(
+      s"INSERT INTO graft.`$tbl` VALUES (1, 'bogus', 0.0)")).isFailure,
+      "an INSERT violating the declared CHECK must refuse")
+    require(graft.tables.VersionStore.head(s, tbl).contains(3L),
+      "a refused INSERT must not move the head")
+    ms.sql(s"CLONE graft.`$tbl` TO graft.`$cln`")            // cln v=0
+    ms.sql(s"DELETE FROM graft.`$cln` WHERE event_type = 'signup'")
+    val opsSrc = Scale.history(s, tbl).collect()
+      .map(_.getString(1)).toSeq
+    require(opsSrc == Seq("CREATE", "APPEND", "ANALYZE",
+      "ADD_CONSTRAINT"),
+      s"statement lifecycle must ride the op log, got $opsSrc")
+    val opsCln = Scale.history(s, cln).collect()
+      .map(_.getString(1)).toSeq
+    require(opsCln == Seq("CLONE", "DELETE"),
+      s"clone lifecycle must ride its own op log, got $opsCln")
+    require(!new java.io.File(s"$cln/v=0").listFiles()
+      .exists(_.getName.endsWith(".parquet")),
+      "CLONE must not copy data files")
+    def roll(t: String, side: String) =
+      Scale.readTable(s, t).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+        .withColumn("side", lit(side))
+    val out = roll(tbl, "src").unionByName(roll(cln, "clone"))
+    cleanupAfter(out, base.toString).orderBy("side", "event_type")
+  }
+
   /** #55y' OPTIMIZE … ZORDER BY ON THE CHAIN ([[Scale.optimizeTable]]
     * with the Morton arm + the parser's ZORDER clause — r11 verdict
     * ask #5): re-clustering used to exist only as the directory-level

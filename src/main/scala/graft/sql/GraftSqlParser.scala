@@ -35,6 +35,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+graft\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val Analyze =
+    """(?is)\s*ANALYZE\s+graft\.`([^`]+)`\s+COLUMNS\s*\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*;?\s*""".r
+  private val AddCons =
+    """(?is)\s*ALTER\s+TABLE\s+graft\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val CloneT =
+    """(?is)\s*CLONE\s+graft\.`([^`]+)`\s+TO\s+graft\.`([^`]+)`\s*;?\s*""".r
   private val VacuumHours =
     """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""".r
 
@@ -47,6 +53,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case Restore(dir, v) => GraftRestoreCommand(dir, v.toLong)
       case Vacuum(dir, k) => GraftVacuumCommand(dir, k.toInt)
       case VacuumHours(dir, h) => GraftVacuumHoursCommand(dir, h.toDouble)
+      case Analyze(dir, cols) =>
+        GraftAnalyzeCommand(dir,
+          cols.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      case AddCons(dir, name, cond) =>
+        GraftAddConstraintCommand(dir, name, cond.trim)
+      case CloneT(src, dst) => GraftCloneCommand(src, dst)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -141,5 +153,42 @@ case class GraftVacuumHoursCommand(tableDir: String, hours: Double)
     val pruned = graft.ops.Scale.vacuumHours(sparkSession, tableDir,
       hours)
     Seq(org.apache.spark.sql.Row(pruned.size.toLong))
+  }
+}
+
+/** `ANALYZE graft.\`p\` COLUMNS (a, b)`: build/refresh the chain's
+  * per-file data-skipping stats for the named columns (one
+  * distributed profiling pass, maintained incrementally by every
+  * later DML). */
+case class GraftAnalyzeCommand(tableDir: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.analyzeTable(sparkSession, tableDir, tableDir, cols)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft.\`p\` ADD CONSTRAINT name CHECK (expr)`:
+  * validate once, then every DML enforces on the rows it changes. */
+case class GraftAddConstraintCommand(tableDir: String, name: String,
+                                     condSql: String)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.addConstraint(sparkSession, tableDir, tableDir,
+      name, condSql)
+    Seq.empty
+  }
+}
+
+/** `CLONE graft.\`src\` TO graft.\`dst\``: zero-copy shallow fork —
+  * the clone's v=0 points at the source head's files. */
+case class GraftCloneCommand(srcDir: String, destDir: String)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    graft.ops.Scale.cloneTable(sparkSession, srcDir, destDir)
+    Seq.empty
   }
 }
