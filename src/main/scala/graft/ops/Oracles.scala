@@ -958,6 +958,18 @@ object Oracles {
          |FROM e GROUP BY 2
          |ORDER BY snap, event_type""".stripMargin,
 
+    // REPLACE WHERE: the click slice swapped for doubled values in one
+    // commit — the oracle replays it as filter + union
+    "q_sql_replace_where" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error'),
+         |u AS (
+         |  SELECT event_type, value FROM e WHERE event_type <> 'click'
+         |  UNION ALL
+         |  SELECT event_type, value * 2 FROM e WHERE event_type = 'click')
+         |SELECT event_type, $CNT AS n, ${d4("value")} AS sv
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // SQL lifecycle statements: CTAS + constraint + clone-with-DELETE
     // replayed as filters over events; refused INSERT leaves no trace
     "q_sql_lifecycle" ->

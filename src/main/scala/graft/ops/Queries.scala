@@ -2636,6 +2636,48 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("event_type")
   }
 
+  /** #42d' REPLACE WHERE as ONE commit ([[Scale.overwriteWhere]] +
+    * the parser's `INSERT INTO … REPLACE WHERE` arm — r11 verdict ask
+    * #7): the idiomatic partition-replace load. Previously the only
+    * spelling was DELETE then INSERT — TWO commits, and a reader
+    * between them sees the slice missing; now the predicate's delete
+    * and the replacement rows publish atomically (the op log proves
+    * it: ONE version for the whole replace). Delta's contract is
+    * enforced: replacement rows that escape the predicate refuse up
+    * front, nothing published (in-query require: the head did not
+    * move). Hit files rewrite 1:1 with the partition/stats candidate
+    * pre-filter; at 100 TB a partition-targeted replace costs its
+    * slice plus the new data. Rollup hash-gated. */
+  def qSqlReplaceWhere(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlrw_")
+    val tbl = base.resolve("tbl").toString
+    val ms = graft.sql.GraftSql.mergeSession(s)
+    Tables(ms, dir).events
+      .where(pmod(col("user_id"), lit(4)) === 0)
+      .select("event_id", "event_type", "value")
+      .createOrReplaceTempView("graft_rw_src")
+    ms.sql(s"CREATE TABLE graft.`$tbl` AS " +            // v=0 + v=1
+      "SELECT * FROM graft_rw_src WHERE event_type <> 'error'")
+    ms.sql(s"INSERT INTO graft.`$tbl` " +                       // v=2
+      "REPLACE WHERE event_type = 'click' " +
+      "SELECT event_id, event_type, value * 2 AS value " +
+      "FROM graft_rw_src WHERE event_type = 'click'")
+    val ops = Scale.history(s, tbl).collect().map(_.getString(1)).toSeq
+    require(ops == Seq("CREATE", "APPEND", "REPLACE_WHERE"),
+      s"the replace must be ONE commit on the op log, got $ops")
+    // replacement rows escaping the predicate refuse, head unmoved
+    require(scala.util.Try(ms.sql(
+      s"INSERT INTO graft.`$tbl` REPLACE WHERE event_type = 'view' " +
+        "SELECT event_id, 'purchase' AS event_type, value " +
+        "FROM graft_rw_src WHERE event_type = 'view'")).isFailure,
+      "rows escaping the REPLACE WHERE predicate must refuse")
+    require(graft.tables.VersionStore.head(s, tbl).contains(2L),
+      "a refused replace must not move the head")
+    val out = Scale.readTable(s, tbl).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), D4).as("sv"))
+    cleanupAfter(out, base.toString).orderBy("event_type")
+  }
+
   /** #42c' SQL LIFECYCLE statements — ANALYZE / ADD CONSTRAINT /
     * CLONE ([[graft.sql.GraftSqlParser]]'s r12 arms): the remaining
     * chain operations a user previously needed the Scala API for,

@@ -310,7 +310,8 @@ object Scale {
                          rewrite: DataFrame => DataFrame,
                          opName: String,
                          condSql: Option[String] = None,
-                         tupleBreakers: Set[String] = Set.empty)
+                         tupleBreakers: Set[String] = Set.empty,
+                         appendDf: Option[DataFrame] = None)
       : RewriteStats = withCommitRetry() {
     import graft.tables.VersionStore
     val fs = VersionStore.fsOf(spark, tableDir)
@@ -379,7 +380,31 @@ object Scale {
         hitAfter = spark.read.option("mergeSchema", "true").parquet(
           rewritten.map(r => s"$stage/" + new org.apache.hadoop.fs.Path(r)
             .getName): _*).count()
-      VersionStore.writeManifest(spark, stage, untouched ++ rewritten)
+      // REPLACE-WHERE append arm (r11 verdict ask #7): the
+      // replacement rows land in the SAME publish as the predicate's
+      // delete, so a reader never observes the in-between state the
+      // two-commit DELETE+INSERT workaround exposed
+      val appended = appendDf.map { adf =>
+        val tmp = new org.apache.hadoop.fs.Path(stage, "__replace")
+        adf.write.mode("overwrite").parquet(tmp.toString)
+        val names = fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.map { case (f, i) =>
+            val dest = new org.apache.hadoop.fs.Path(stage,
+              s"replace-$id-$i.parquet")
+            if (!fs.rename(f.getPath, dest))
+              throw new java.io.IOException(
+                s"replace rename ${f.getPath} -> $dest failed")
+            dest.getName
+          }.toSeq
+        fs.delete(tmp, true): Unit
+        if (names.nonEmpty)
+          hitAfter += spark.read.parquet(
+            names.map(n => s"$stage/$n"): _*).count()
+        names.map(n => s"$tableDir/v=$id/$n")
+      }.getOrElse(Seq.empty)
+      VersionStore.writeManifest(spark, stage,
+        untouched ++ rewritten ++ appended)
       // partition-tuple upkeep: untouched pointers keep their entries;
       // a 1:1 rewrite inherits its source file's tuple MINUS any
       // column this DML may have changed (`tupleBreakers` — an UPDATE
@@ -717,6 +742,100 @@ object Scale {
     }
     RewriteStats(baseFiles.size.toLong, 0L, rowsBefore,
       rowsBefore + appended, 0L)
+  }
+
+  /** Cast `df` onto the chain's declared column set/types (the shared
+    * write-side alignment of [[appendTable]]/[[overwriteWhere]]/
+    * [[overwriteTable]]). */
+  private def castToTable(spark: SparkSession, tableDir: String,
+                          headV: Long, df: DataFrame): DataFrame = {
+    import graft.tables.VersionStore
+    val tableSchema = VersionStore.schemaOf(spark, tableDir, headV)
+      .getOrElse(alignedRead(spark, tableDir, headV).schema)
+    val missing = tableSchema.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"write is missing column(s): ${missing.mkString(", ")}")
+    df.select(tableSchema.fields.toIndexedSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** REPLACE WHERE — Delta's partition-replace idiom as ONE commit:
+    * delete every row matching `condSql` AND land `df` as the
+    * replacement, atomically (the DELETE-then-INSERT workaround is
+    * two commits, and a reader between them sees the slice missing).
+    * Contract (Delta's): every replacement row must itself satisfy
+    * the predicate — refused up front otherwise, nothing published.
+    * Cost shape: the predicate's hit files rewrite 1:1 (with the
+    * partition/stats candidate pre-filter, a partition-targeted
+    * replace scans its slice), replacement data appends, everything
+    * else rides by pointer. */
+  def overwriteWhere(spark: SparkSession, tableDir: String,
+                     df: DataFrame, condSql: String): RewriteStats = {
+    import graft.tables.VersionStore
+    val headV = VersionStore.head(spark, tableDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed versions under $tableDir"))
+    val out = castToTable(spark, tableDir, headV, df)
+    val cond = expr(condSql)
+    val escapees = out.where(!coalesce(cond, lit(false))).count()
+    require(escapees == 0L,
+      s"REPLACE WHERE: $escapees replacement row(s) do not satisfy " +
+        s"($condSql) — they would land outside the replaced slice")
+    val cons = VersionStore.constraintsOf(spark, tableDir, headV)
+    if (cons.nonEmpty) enforce(out, cons)
+    cowRewrite(spark, tableDir, tableDir, cond,
+      _.where(!coalesce(cond, lit(false))), "REPLACE_WHERE",
+      condSql = Some(condSql), appendDf = Some(out))
+  }
+
+  /** INSERT OVERWRITE (whole table) as ONE commit: the next version's
+    * manifest names ONLY the new data files — old files simply stop
+    * being referenced (still time-travelable until retention).
+    * Constraints validate the replacement; schema/metadata carry. */
+  def overwriteTable(spark: SparkSession, tableDir: String,
+                     df: DataFrame): RewriteStats = withCommitRetry() {
+    import graft.tables.VersionStore
+    val fs = VersionStore.fsOf(spark, tableDir)
+    val (headV, baseFiles, schema, cons, renames, _) =
+      resolveBase(spark, tableDir, tableDir)
+    require(headV.nonEmpty, s"no committed versions under $tableDir")
+    val out = castToTable(spark, tableDir, headV.get, df)
+    if (cons.nonEmpty) enforce(out, cons)
+    val rowsBefore =
+      if (baseFiles.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(baseFiles: _*).count()
+    var rowsAfter = 0L
+    val id = headV.get + 1
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      val tmp = new org.apache.hadoop.fs.Path(stage, "__overwrite")
+      out.write.mode("overwrite").parquet(tmp.toString)
+      val staged = fs.listStatus(tmp)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .zipWithIndex.map { case (f, i) =>
+          val dest = new org.apache.hadoop.fs.Path(stage,
+            s"overwrite-$id-$i.parquet")
+          if (!fs.rename(f.getPath, dest))
+            throw new java.io.IOException(
+              s"overwrite rename ${f.getPath} -> $dest failed")
+          dest.getName
+        }.toSeq
+      fs.delete(tmp, true): Unit
+      rowsAfter =
+        if (staged.isEmpty) 0L
+        else spark.read.parquet(
+          staged.map(n => s"$stage/$n"): _*).count()
+      VersionStore.writeManifest(spark, stage,
+        staged.map(n => s"$tableDir/v=$id/$n"))
+      carryMeta(spark, stage, schema, cons, renames, Map.empty)
+      stampOp(spark, tableDir, headV, stage, "OVERWRITE")
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id,
+        Seq.empty, schema, renames)
+    }
+    RewriteStats(baseFiles.size.toLong, baseFiles.size.toLong,
+      rowsBefore, rowsAfter, 0L)
   }
 
   /** CREATE an empty chain with a declared schema (the SQL

@@ -241,7 +241,7 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   /** The SQL scan consults the chain's maintained stats + partition
     * tuples with the query's OWN predicate (pushed down by Catalyst's
@@ -313,15 +313,24 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(travelVersion.isEmpty,
       "cannot write to a time-travel read")
-    new WriteBuilder {
+    // SupportsTruncate admits `INSERT OVERWRITE` (the whole-table
+    // overwrite plan). NOTE the V1 fallback exec always calls
+    // insert(overwrite = false) — the truncate() call on the BUILDER
+    // is what encodes overwrite semantics, so the flag must ride here.
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncated = false
+      override def truncate(): WriteBuilder = { truncated = true; this }
       override def build(): Write = new V1Write {
+        private val overwriteAll = truncated
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame,
                                 overwrite: Boolean): Unit = {
-              if (overwrite) throw new UnsupportedOperationException(
-                "INSERT OVERWRITE: DELETE then INSERT instead")
-              Scale.appendTable(data.sparkSession, dir, data): Unit
+              if (overwriteAll || overwrite)
+                Scale.overwriteTable(data.sparkSession, dir, data): Unit
+              else
+                Scale.appendTable(data.sparkSession, dir, data): Unit
             }
           }
       }

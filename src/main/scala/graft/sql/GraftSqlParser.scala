@@ -41,6 +41,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*ALTER\s+TABLE\s+graft\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val CloneT =
     """(?is)\s*CLONE\s+graft\.`([^`]+)`\s+TO\s+graft\.`([^`]+)`\s*;?\s*""".r
+  private val ReplaceWhere =
+    """(?is)\s*INSERT\s+INTO\s+graft\.`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*)""".r
   private val VacuumHours =
     """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""".r
 
@@ -59,6 +61,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case AddCons(dir, name, cond) =>
         GraftAddConstraintCommand(dir, name, cond.trim)
       case CloneT(src, dst) => GraftCloneCommand(src, dst)
+      case ReplaceWhere(dir, cond, query) =>
+        GraftReplaceWhereCommand(dir, cond.trim,
+          delegate.parseQuery(query))
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -189,6 +194,24 @@ case class GraftCloneCommand(srcDir: String, destDir: String)
   override def run(sparkSession: SparkSession)
       : Seq[org.apache.spark.sql.Row] = {
     graft.ops.Scale.cloneTable(sparkSession, srcDir, destDir)
+    Seq.empty
+  }
+}
+
+/** `INSERT INTO graft.\`p\` REPLACE WHERE <cond> SELECT …` — Delta's
+  * partition-replace statement: delete the predicate's rows and land
+  * the select's rows in ONE commit (replacement rows must satisfy the
+  * predicate; refused otherwise). The predicate text may not itself
+  * contain a subquery (the split is at the first SELECT). */
+case class GraftReplaceWhereCommand(
+    tableDir: String, condSql: String,
+    source: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    val df = org.apache.spark.sql.graftbridge.Bridge
+      .ofRows(sparkSession, source)
+    graft.ops.Scale.overwriteWhere(sparkSession, tableDir, df, condSql)
     Seq.empty
   }
 }

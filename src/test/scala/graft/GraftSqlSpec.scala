@@ -276,6 +276,44 @@ class GraftSqlSpec extends AnyFunSuite {
     rm(base.toFile)
   }
 
+  test("REPLACE WHERE is one commit; INSERT OVERWRITE replaces the table") {
+    import spark.implicits._
+    val (base, tbl) = freshChain("graft_sql_rw")
+    val ms = GraftSql.mergeSession(spark)
+    ms.range(1, 2000).selectExpr("id", "3L AS k", "-1.0 AS v")
+      .createOrReplaceTempView("rw_src")
+    // replace the k=3 slice (250 rows) with 1999 fresh k=3 rows — ONE
+    // commit, no in-between state on the op log
+    ms.sql(s"INSERT INTO graft.`$tbl` REPLACE WHERE k = 3 " +
+      "SELECT id, k, v FROM rw_src")
+    assert(VersionStore.head(spark, tbl).contains(1L),
+      "REPLACE WHERE must publish exactly one version")
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("ANALYZE", "REPLACE_WHERE"))
+    val t = Scale.readTable(spark, tbl)
+    assert(t.count() == 750 + 1999)
+    assert(t.where(col("k") === 3).count() == 1999)
+    assert(t.where(col("k") === 3 && col("v") =!= -1.0).count() == 0,
+      "every old k=3 row must be gone")
+    // replacement rows escaping the predicate refuse, head unmoved
+    intercept[Exception] {
+      ms.sql(s"INSERT INTO graft.`$tbl` REPLACE WHERE k = 2 " +
+        "SELECT id, 9L AS k, v FROM rw_src")
+    }
+    assert(VersionStore.head(spark, tbl).contains(1L))
+    // INSERT OVERWRITE: the whole table swaps in one commit; the old
+    // image stays time-travelable
+    ms.sql(s"INSERT OVERWRITE graft.`$tbl` " +
+      "SELECT id, 0L AS k, 2.5 AS v FROM rw_src WHERE id <= 10")
+    assert(VersionStore.head(spark, tbl).contains(2L))
+    assert(Scale.readTable(spark, tbl).count() == 10)
+    assert(Scale.readTableAt(spark, tbl, 1L).count() == 2749,
+      "the overwritten image must stay time-travelable")
+    assert(Scale.history(spark, tbl).collect().map(_.getString(1))
+      .toSeq == Seq("ANALYZE", "REPLACE_WHERE", "OVERWRITE"))
+    rm(base.toFile)
+  }
+
   test("SQL scan prunes COLUMNS: a two-column SELECT reads two columns") {
     val (base, tbl) = freshChain("graft_sql_cp")
     // the physical scan schema is what the V1 relation advertises —
