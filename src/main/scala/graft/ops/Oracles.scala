@@ -1030,6 +1030,39 @@ object Oracles {
 
     // streaming CDF: the spooled per-commit manifest diffs replayed
     // in SQL — click +100 (D/I pairs), signup delete (D), view +7
+    // SQL TABLE CHANGES statement: identical claim to q_table_changes
+    "q_sql_cdf" ->
+      s"""WITH c AS (SELECT value FROM events
+         |  WHERE event_type = 'click'
+         |    AND value IS NOT NULL AND value <> 0)
+         |SELECT op, n, sv FROM (
+         |  SELECT 'D' AS op, $CNT AS n, ${d4("value")} AS sv FROM c
+         |  UNION ALL
+         |  SELECT 'I' AS op, $CNT AS n,
+         |    cast(sum(cast(value * 2 AS DECIMAL(18,4))) AS double)
+         |    AS sv FROM c)
+         |ORDER BY op""".stripMargin,
+
+    // format("graft") streaming source: identical claim to the spool
+    // path — three per-commit deltas off the same 4-commit chain
+    "q_stream_format" ->
+      s"""WITH e AS (SELECT event_type, value FROM events
+         |  WHERE user_id % 4 = 0 AND event_type <> 'error'),
+         |d AS (
+         |  SELECT 1 AS version, 'D' AS op, event_type, value
+         |  FROM e WHERE event_type = 'click'
+         |  UNION ALL SELECT 1, 'I', event_type, value + 100
+         |  FROM e WHERE event_type = 'click'
+         |  UNION ALL SELECT 2, 'D', event_type, value
+         |  FROM e WHERE event_type = 'signup'
+         |  UNION ALL SELECT 3, 'D', event_type, value
+         |  FROM e WHERE event_type = 'view'
+         |  UNION ALL SELECT 3, 'I', event_type, value + 7
+         |  FROM e WHERE event_type = 'view')
+         |SELECT cast(version AS bigint) AS version, op, event_type,
+         |  $CNT AS n, ${d4("value")} AS sv
+         |FROM d GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q_stream_table_changes" ->
       s"""WITH e AS (SELECT event_type, value FROM events
          |  WHERE user_id % 4 = 0 AND event_type <> 'error'),

@@ -49,6 +49,12 @@ case class GraftMergeRule(session: SparkSession)
         GraftUpdateCommand(graftDir(u.table).get,
           u.condition.map(e => Bridge.column(unresolve(e))),
           set.map { case (n, e) => n -> Bridge.column(e) })
+      // TABLE CHANGES …: swap the parser's placeholder for the real
+      // manifest-diff plan (analyzed against THIS session) — the
+      // statement then plans and runs distributed like any SELECT.
+      case p: GraftTableChangesPlaceholder =>
+        graft.ops.Scale.tableChanges(session, p.tableDir, p.from, p.to)
+          .queryExecution.analyzed
       // DELETE …: the catalog's SupportsDelete hook serves
       // predicates it can BOTH translate to v1 Filters AND render
       // back to SQL text (GraftFilters — the hook's own

@@ -43,6 +43,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*CLONE\s+graft\.`([^`]+)`\s+TO\s+graft\.`([^`]+)`\s*;?\s*""".r
   private val ReplaceWhere =
     """(?is)\s*INSERT\s+INTO\s+graft\.`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*)""".r
+  private val TableChanges =
+    """(?is)\s*TABLE\s+CHANGES\s+graft\.`([^`]+)`\s+FROM\s+(\d+)\s+TO\s+(\d+)\s*;?\s*""".r
   private val VacuumHours =
     """(?is)\s*VACUUM\s+graft\.`([^`]+)`\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*""".r
 
@@ -61,6 +63,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case AddCons(dir, name, cond) =>
         GraftAddConstraintCommand(dir, name, cond.trim)
       case CloneT(src, dst) => GraftCloneCommand(src, dst)
+      case TableChanges(dir, f, t) =>
+        GraftTableChangesPlaceholder(dir, f.toLong, t.toLong)
       case ReplaceWhere(dir, cond, query) =>
         GraftReplaceWhereCommand(dir, cond.trim,
           delegate.parseQuery(query))
@@ -214,4 +218,18 @@ case class GraftReplaceWhereCommand(
     graft.ops.Scale.overwriteWhere(sparkSession, tableDir, df, condSql)
     Seq.empty
   }
+}
+
+/** `TABLE CHANGES graft.\`p\` FROM v1 TO v2` — parse-time placeholder
+  * with no session to build the plan against; the injected resolution
+  * rule ([[GraftMergeRule]]) swaps it for the analyzed manifest-diff
+  * plan, so the statement stays a fully DISTRIBUTED query (a
+  * RunnableCommand would collect the delta to the driver — wrong for
+  * a change feed whose whole point is changed-data-sized plans). */
+case class GraftTableChangesPlaceholder(tableDir: String, from: Long,
+                                        to: Long)
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output
+      : Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override lazy val resolved: Boolean = false
 }

@@ -31,6 +31,24 @@ object Bridge {
     org.apache.spark.sql.execution.datasources.DataSourceStrategy
       .translateFilter(e, supportNestedPredicatePushdown = true)
 
+  /** Re-tag a computed batch frame as STREAMING for a v1 streaming
+    * `Source.getBatch` return value (MicroBatchExecution asserts
+    * `isStreaming`; the file source marks its relation the same way).
+    * The plan stays fully distributed — `toRdd` is the lazily-
+    * executed physical plan, pinned into a streaming-tagged
+    * [[org.apache.spark.sql.execution.LogicalRDD]]. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = org.apache.spark.sql.execution.LogicalRDD.apply(
+      df.queryExecution.analyzed.output.asInstanceOf[
+        scala.collection.immutable.Seq[
+          org.apache.spark.sql.catalyst.expressions.Attribute]],
+      df.queryExecution.toRdd,
+      isStreaming = true)(spark)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
+
   /** Wrap a catalyst expression as a user-facing [[Column]] (the
     * UPDATE/DELETE commands re-resolve statement expressions against
     * the COW rewrite's own frame — attributes are unresolved-by-name

@@ -1219,4 +1219,57 @@ class StreamingSpec extends AnyFunSuite {
     }
     rm(base.toFile)
   }
+
+  test("format(graft) source: spool-free deltas, version-offset restart (#81f)") {
+    import spark.implicits._
+    import graft.ops.Scale
+    val base = java.nio.file.Files.createTempDirectory("graft_fmts")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    val chk = base.resolve("chk").toString
+    val outD = base.resolve("out").toString
+    (1 to 1000).map(i => (i.toLong, i.toLong % 4, i.toDouble))
+      .toDF("id", "k", "v")
+      .repartition(4, col("k")).write.parquet(src)
+    Scale.deleteWhere(spark, src, tbl, col("k") === 3)          // v=0
+    Scale.updateWhere(spark, tbl, tbl, col("k") === 0,
+      Seq("v" -> (col("v") + 0.5)))                             // v=1
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft").load(tbl)
+        .writeStream.format("parquet")
+        .option("path", outD).option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val first = spark.read.parquet(outD)
+    // v=0 is the base snapshot: only v=1's delta streams, no spool dir
+    assert(first.select("version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L))
+    assert(first.where(col("op") === "D").count() == 250 &&
+      first.where(col("op") === "I").count() == 250)
+    // chain advances while the stream is down; the version-id offset
+    // in the checkpoint means a restart emits EXACTLY the new commits
+    Scale.deleteWhere(spark, tbl, tbl, col("k") === 2)          // v=2
+    runOnce()
+    val second = spark.read.parquet(outD)
+    assert(second.count() == first.count() + 250,
+      "restart must emit only the v=2 delta, re-emitting nothing")
+    assert(second.select("version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    // streamed rows == union of batch manifest-diffs, bag semantics
+    val batch = (1L to 2L).map(v =>
+      Scale.tableChanges(spark, tbl, v - 1, v)
+        .withColumn("version", lit(v))).reduce(_.unionByName(_))
+    val aligned = second.select(batch.columns.map(col).toIndexedSeq: _*)
+    assert(aligned.exceptAll(batch).isEmpty &&
+      batch.exceptAll(aligned).isEmpty)
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(base.toFile)
+  }
 }
