@@ -983,6 +983,24 @@ object Oracles {
          |SELECT side, event_type, $CNT AS n, ${d4("value")} AS sv
          |FROM u GROUP BY 1, 2 ORDER BY side, event_type""".stripMargin,
 
+    // multi-clause SQL MERGE: conditional delete (s.bal<0), update
+    // (bal += s.bal), conditional insert (s.bal>0.5) replayed in SQL
+    "q_sql_merge_multi" ->
+      s"""WITH c AS (SELECT c_custkey, c_mktsegment,
+         |    cast(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer),
+         |m AS (
+         |  SELECT c_mktsegment,
+         |    cast(bal + cast(50.00 AS DECIMAL(12,2)) AS DECIMAL(12,2))
+         |      AS bal
+         |  FROM c WHERE c_custkey % 10 = 0 AND c_custkey % 20 <> 0
+         |  UNION ALL
+         |  SELECT c_mktsegment, bal FROM c WHERE c_custkey % 10 <> 0
+         |  UNION ALL
+         |  SELECT 'NEWSEG', cast(1.00 AS DECIMAL(12,2))
+         |  FROM c WHERE c_custkey % 14 = 0)
+         |SELECT c_mktsegment, $CNT AS n, ${d2("bal")} AS sb
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // SQL TIMESTAMP AS OF: as-of v0's own stamp serves the v0 image
     "q_sql_timestamp_travel" ->
       s"""WITH e AS (SELECT event_type, value FROM events

@@ -2560,6 +2560,55 @@ object Queries {
     cleanupAfter(out, base.toString).orderBy("c_mktsegment")
   }
 
+  /** #42v' MULTI-CLAUSE SQL MERGE ([[graft.sql.GraftMergeRule]]'s
+    * translateMulti + [[Scale.mergeIntoClauses]] — r11 verdict ask
+    * #4): conditional `WHEN MATCHED AND … THEN DELETE`, `WHEN MATCHED
+    * THEN UPDATE SET expr`, and conditional `WHEN NOT MATCHED AND …
+    * THEN INSERT (cols) VALUES (exprs)` in ONE statement, lowered
+    * onto the file-granular COW path (hit files rewrite 1:1 through
+    * the clause algebra, condition-filtered inserts append once,
+    * pointers for the rest). The graded statement deletes overdrawn
+    * matches, adds s.bal to the rest, and inserts only the
+    * qualifying new keys; the rollup hash-gates against the oracle
+    * replaying the clause semantics in SQL. */
+  def qSqlMergeMulti(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_sqlmm_")
+    val src = base.resolve("src").toString
+    val tbl = base.resolve("tbl").toString
+    T(s, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal").cast(P2).as("bal"))
+      .repartition(8, col("c_mktsegment"))
+      .write.parquet(src)
+    Scale.analyzeTable(s, src, tbl, Seq("c_custkey"))             // v=0
+    val ms = graft.sql.GraftSql.mergeSession(s)
+    val cust = Tables(ms, dir).customer
+    cust.where(pmod(col("c_custkey"), lit(10)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(pmod(col("c_custkey"), lit(20)) === 0,
+          lit("-1.00")).otherwise(lit("50.00")).cast(P2).as("bal"))
+      .unionByName(cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+        .select((col("c_custkey") + lit(10000000L)).as("c_custkey"),
+          col("c_mktsegment"),
+          when(pmod(col("c_custkey"), lit(14)) === 0,
+            lit("1.00")).otherwise(lit("0.25")).cast(P2).as("bal")))
+      .createOrReplaceTempView("graft_mm_src")
+    ms.sql(
+      s"""MERGE INTO graft.`$tbl` t USING graft_mm_src s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.bal < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal
+         |WHEN NOT MATCHED AND s.bal > 0.5 THEN
+         |  INSERT (c_custkey, c_mktsegment, bal)
+         |  VALUES (s.c_custkey, 'NEWSEG', s.bal)""".stripMargin)
+    val ops = Scale.history(s, tbl).collect().map(_.getString(1)).toSeq
+    require(ops == Seq("ANALYZE", "MERGE"),
+      s"multi-clause MERGE must commit through the chain, got $ops")
+    val out = Scale.readTable(s, tbl).groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum(col("bal"), D2).as("sb"))
+    cleanupAfter(out, base.toString).orderBy("c_mktsegment")
+  }
+
   /** #42x SQL UPDATE + expression-predicate DELETE through the
     * extension session ([[graft.sql.GraftMergeRule]]'s UPDATE/DELETE
     * arms — r11): core Spark reserves `UPDATE` entirely (and

@@ -683,6 +683,129 @@ object Scale {
       rowsBefore, rowsBefore - hitBefore + stagedAfter)
   }
 
+  /** MULTI-CLAUSE MERGE on the COW chain (r11 verdict ask #4's
+    * engine half): the full clause algebra [[Relational.mergeInto]]
+    * grades standalone — conditional `WHEN MATCHED [AND c] THEN
+    * DELETE`, conditional `WHEN MATCHED [AND c] THEN UPDATE SET
+    * expr…`, conditional `WHEN NOT MATCHED [AND c] THEN INSERT
+    * (cols) VALUES (exprs)` — lowered onto the file-granular
+    * copy-on-write path: hit files (those holding any source key — a
+    * sound superset of the rows any clause touches) rewrite 1:1
+    * through the clause algebra restricted to their own keys,
+    * condition-filtered inserts land as one appended file, everything
+    * else rides by pointer. Matched-clause conditions and SET values
+    * see the join under aliases `t`/`s` (the SQL rule hands
+    * expressions qualified that way); insert values see the bare
+    * source frame. DELETE-beats-UPDATE on a both-true row is the
+    * algebra's law — the SQL layer composes statement clause ORDER
+    * into the conditions before calling. Contract: `source` unique
+    * per `key` (the SQL rule refuses duplicates up front). */
+  def mergeIntoClauses(spark: SparkSession, srcDir: String,
+                       tableDir: String, source: DataFrame,
+                       key: Seq[String],
+                       matchedDelete: Option[Column],
+                       matchedUpdate: Option[(Column, Seq[(String, Column)])],
+                       notMatchedInsert: Option[(Column, Seq[(String, Column)])])
+      : RewriteStats = withCommitRetry() {
+    import graft.tables.VersionStore
+    val fs = VersionStore.fsOf(spark, tableDir)
+    val (headV, baseFiles, schema, cons, renames, parts) =
+      resolveBase(spark, srcDir, tableDir)
+    val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
+    def readBase(files: Seq[String]) = {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(files: _*)
+      schema.map(alignTo(raw, _, renames)).getOrElse(raw)
+    }
+    val df = readBase(baseFiles)
+    val rowsBefore = spark.read.option("mergeSchema", "true")
+      .parquet(baseFiles: _*).count()
+    val srcKeys = source.select(key.map(col): _*).distinct()
+    val hitFiles: Seq[String] = df
+      .withColumn("__f", input_file_name())
+      .join(broadcast(srcKeys), key, "left_semi")
+      .select("__f").distinct()
+      .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
+    val untouched = baseFiles.filterNot(hitFiles.toSet)
+    val id = headV.map(_ + 1).getOrElse(0L)
+    def rewriteOf(base: DataFrame): DataFrame = {
+      val changes = source.join(
+        base.select(key.map(col): _*).distinct(), key, "left_semi")
+      Relational.mergeInto(base, changes, key,
+        whenMatchedDelete = matchedDelete,
+        whenMatchedUpdate =
+          matchedUpdate.map { case (c, s) => (c, s.toMap) })
+        .drop("action")
+    }
+    val inserts: DataFrame = notMatchedInsert match {
+      case None => df.limit(0)
+      case Some((c, values)) =>
+        val vmap = values.toMap
+        source.join(df.select(key.map(col): _*), key, "left_anti")
+          .where(coalesce(c, lit(false)))
+          .select(df.schema.fields.toIndexedSeq.map(f =>
+            vmap.get(f.name).map(_.cast(f.dataType))
+              .getOrElse(lit(null).cast(f.dataType)).as(f.name)): _*)
+    }
+    if (cons.nonEmpty) {
+      val changedBase =
+        if (hitFiles.nonEmpty) rewriteOf(readBase(hitFiles))
+        else df.limit(0)
+      enforce(changedBase.unionByName(inserts), cons)
+    }
+    val hitBefore =
+      if (hitFiles.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(hitFiles: _*).count()
+    var stagedAfter = 0L
+    VersionStore.publishExclusive(spark, tableDir, id) { stage =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
+      if (hitFiles.nonEmpty) {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, hitFiles.size))
+        try {
+          val tasks = hitFiles.map { f =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              override def call(): Unit = {
+                val name = new org.apache.hadoop.fs.Path(f).getName
+                writeSingleFile(rewriteOf(readBase(Seq(f))), fs, stage,
+                  name)
+              }
+            })
+          }
+          tasks.foreach(_.get())
+        } finally pool.shutdown()
+      }
+      if (!inserts.isEmpty)
+        writeSingleFile(inserts, fs, stage, s"merge-insert-$id.parquet")
+      val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).toSeq
+      val written = staged.map(f =>
+        s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(f).getName)
+      stagedAfter = if (staged.isEmpty) 0L
+        else spark.read.option("mergeSchema", "true")
+          .parquet(staged: _*).count()
+      VersionStore.writeManifest(spark, stage, untouched ++ written)
+      val untouchedSet = untouched.toSet
+      val nextParts =
+        parts.filter { case (f, _) => untouchedSet(f) } ++
+          hitFiles.flatMap { f =>
+            parts.get(f).map(_.filter { case (k, _) => key.contains(k) })
+              .filter(_.nonEmpty)
+              .map(kv => (s"$tableDir/v=$id/" +
+                new org.apache.hadoop.fs.Path(f).getName) -> kv)
+          }
+      carryMeta(spark, stage, schema, cons, renames, nextParts)
+      stampOp(spark, tableDir, headV, stage, "MERGE", "multi-clause")
+      maintainStats(spark, tableDir,
+        headV.flatMap(statsOf(spark, tableDir, _)), stage, id, untouched,
+        schema, renames)
+    }
+    RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
+      rowsBefore, rowsBefore - hitBefore + stagedAfter)
+  }
+
   /** APPEND `df` as the next committed version: every base file rides
     * by POINTER, the new rows land as data files under the version
     * dir — `INSERT INTO` on the chain (the SQL surface's write path,

@@ -33,7 +33,7 @@ case class GraftMergeRule(session: SparkSession)
       case m: MergeIntoTable
           if m.resolved && !m.withSchemaEvolution &&
             graftDir(m.targetTable).isDefined =>
-        translate(m).getOrElse(m)
+        translate(m).orElse(translateMulti(m)).getOrElse(m)
       // UPDATE …: core Spark reserves it for row-level-operation
       // connectors entirely — route every graft UPDATE through the
       // COW updateWhere. Statement expressions re-resolve BY NAME
@@ -134,6 +134,126 @@ case class GraftMergeRule(session: SparkSession)
     else graftDir(m.targetTable).map(dir =>
       GraftMergeCommand(dir, m.sourceTable, keys.flatten))
   }
+
+  /** MULTI-CLAUSE MERGE (r11 verdict ask #4): conditional UPDATE /
+    * DELETE / INSERT clauses lowered onto the COW
+    * `Scale.mergeIntoClauses`. Accepted shape: at most one UPDATE
+    * and one DELETE among the matched clauses (any order — statement
+    * ORDER composes into the conditions below, preserving SQL's
+    * first-match-wins), at most one INSERT among the not-matched
+    * (whose condition and VALUES may reference only the source),
+    * no not-matched-BY-SOURCE clauses, no SET of an ON key (the
+    * file-granular hit contract needs keys stable). Anything else
+    * falls through and core Spark reports it unsupported. */
+  private def translateMulti(m: MergeIntoTable): Option[LogicalPlan] = {
+    val tgt = m.targetTable.outputSet
+    val src = m.sourceTable.outputSet
+    def keyOf(e: Expression): Option[String] = e match {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if tgt.contains(a) && src.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if tgt.contains(a) && src.contains(b) && a.name == b.name =>
+        Some(a.name)
+      case _ => None
+    }
+    val keys = splitConjunctivePredicates(m.mergeCondition).map(keyOf)
+    if (keys.isEmpty || keys.exists(_.isEmpty) ||
+      m.notMatchedBySourceActions.nonEmpty) return None
+    val keyNames = keys.flatten
+    // qualify matched-clause expressions for the t/s-aliased join the
+    // clause algebra evaluates them against
+    def qual(e: Expression): Option[Column] = {
+      var ok = true
+      val out = e.transform {
+        case a: AttributeReference if tgt.contains(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("t", a.name))
+        case a: AttributeReference if src.contains(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+            Seq("s", a.name))
+        case a: AttributeReference => ok = false; a
+      }
+      if (ok) Some(Bridge.column(out)) else None
+    }
+    // insert-side expressions may reference only the source (bare
+    // names — the append path evaluates them over the source frame)
+    def srcOnly(e: Expression): Option[Column] = {
+      var ok = true
+      val out = e.transform {
+        case a: AttributeReference if src.contains(a) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            .quoted(a.name)
+        case a: AttributeReference => ok = false; a
+      }
+      if (ok) Some(Bridge.column(out)) else None
+    }
+    def sets(as: Seq[Assignment]): Option[Seq[(String, Column)]] = {
+      val out = as.map { a =>
+        a.key match {
+          case k: AttributeReference
+              if tgt.contains(k) && !keyNames.contains(k.name) =>
+            qual(a.value).map(k.name -> _)
+          case _ => None
+        }
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.flatten)
+    }
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    def cond(c: Option[Expression]): Option[Column] = c match {
+      case None => Some(lit(true))
+      case Some(e) => qual(e)
+    }
+    val matched: Option[(Option[Column],
+                         Option[(Column, Seq[(String, Column)])])] =
+      m.matchedActions match {
+        case Seq() => Some((None, None))
+        case Seq(u: UpdateAction) =>
+          for { cu <- cond(u.condition); ss <- sets(u.assignments) }
+            yield (None, Some((cu, ss)))
+        case Seq(d: DeleteAction) =>
+          cond(d.condition).map(cd => (Some(cd), None))
+        case Seq(d: DeleteAction, u: UpdateAction) =>
+          // statement order: delete first — the algebra's native law
+          for { cd <- cond(d.condition); cu <- cond(u.condition)
+                ss <- sets(u.assignments) }
+            yield (Some(cd), Some((cu, ss)))
+        case Seq(u: UpdateAction, d: DeleteAction) =>
+          // update first: a row matching BOTH takes the update — the
+          // delete fires only where the update's condition is not TRUE
+          for { cu <- cond(u.condition); cd <- cond(d.condition)
+                ss <- sets(u.assignments) }
+            yield (Some(not(coalesce(cu, lit(false))) && cd),
+              Some((cu, ss)))
+        case _ => None
+      }
+    val insert: Option[Option[(Column, Seq[(String, Column)])]] =
+      m.notMatchedActions match {
+        case Seq() => Some(None)
+        case Seq(i: InsertAction) =>
+          val vals = i.assignments.map { a =>
+            a.key match {
+              case k: AttributeReference if tgt.contains(k) =>
+                srcOnly(a.value).map(k.name -> _)
+              case _ => None
+            }
+          }
+          if (vals.exists(_.isEmpty)) None
+          else (i.condition match {
+            case None => Some(Bridge.column(
+              org.apache.spark.sql.catalyst.expressions.Literal(true)))
+            case Some(e) => srcOnly(e)
+          }).map(ci => Some((ci, vals.flatten)))
+        case _ => None
+      }
+    for {
+      (del, upd) <- matched
+      ins <- insert
+      if del.isDefined || upd.isDefined || ins.isDefined
+      dir <- graftDir(m.targetTable)
+    } yield GraftMergeMultiCommand(dir, m.sourceTable, keyNames,
+      del, upd, ins)
+  }
 }
 
 /** The eagerly-executed MERGE: hands the analyzed source subtree back
@@ -159,6 +279,32 @@ case class GraftMergeCommand(tableDir: String, source: LogicalPlan,
         "deduplicate the source first")
     graft.ops.Scale.mergeInto(sparkSession, tableDir, tableDir,
       src, keys)
+    Seq.empty
+  }
+}
+
+/** The eagerly-executed MULTI-CLAUSE MERGE: duplicate-key refusal,
+  * then the file-granular COW `Scale.mergeIntoClauses` (conditions
+  * and SET values ride as [[Column]]s qualified `t.`/`s.` for the
+  * clause algebra's join; insert values as bare source columns). */
+case class GraftMergeMultiCommand(
+    tableDir: String, source: LogicalPlan, keys: Seq[String],
+    matchedDelete: Option[Column],
+    matchedUpdate: Option[(Column, Seq[(String, Column)])],
+    notMatchedInsert: Option[(Column, Seq[(String, Column)])])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession)
+      : Seq[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val src = Bridge.ofRows(sparkSession, source)
+    val dup = src.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1)
+      .limit(1).count()
+    if (dup > 0) throw new IllegalArgumentException(
+      "MERGE source has multiple rows for the same ON key; " +
+        "deduplicate the source first")
+    graft.ops.Scale.mergeIntoClauses(sparkSession, tableDir, tableDir,
+      src, keys, matchedDelete, matchedUpdate, notMatchedInsert)
     Seq.empty
   }
 }

@@ -111,13 +111,13 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(tb.count() == 1100)
     assert(tb.where(col("v") === -1.0).count() == 250)
     assert(tb.where(col("k") === 7).count() == 100)
-    // an unsupported MERGE shape (WHEN MATCHED DELETE) must NOT be
+    // an unsupported MERGE shape (NOT MATCHED BY SOURCE) must NOT be
     // silently half-applied: the rule leaves it and Spark errors
     intercept[Exception] {
       ms.sql(
         s"""MERGE INTO graft.`$tbl` t USING ms_src s
            |ON t.id = s.id
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
     }
     assert(VersionStore.head(spark, tbl).contains(1L),
       "a refused MERGE must not move the head")
@@ -273,6 +273,53 @@ class GraftSqlSpec extends AnyFunSuite {
       .head().getLong(0) == 2L)
     assert(Scale.readTable(spark, tbl).count() == 500,
       "the head must survive a zero-hour vacuum")
+    rm(base.toFile)
+  }
+
+  test("multi-clause MERGE: conditional update/delete/insert, clause order") {
+    import spark.implicits._
+    val (base, tbl) = freshChain("graft_sql_mm")
+    val ms = GraftSql.mergeSession(spark)
+    import ms.implicits.{localSeqToDatasetHolder => msSeq}
+    // matched keys 1..500 (flag v: negative → delete arm), new keys
+    // 100001..100100 (only even qualify for the conditional insert)
+    msSeq((1 to 500).map(i =>
+      (i.toLong, 0L, if (i % 5 == 0) -1.0 else 10.0)) ++
+      (1 to 100).map(i => (100000L + i, 7L, i.toDouble)))
+      .toDF("id", "k", "v").createOrReplaceTempView("mm_src")
+    ms.sql(
+      s"""MERGE INTO graft.`$tbl` t USING mm_src s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.v < 0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+         |WHEN NOT MATCHED AND s.id % 2 = 0 THEN
+         |  INSERT (id, k, v) VALUES (s.id, 9, s.v)""".stripMargin)
+    val t = Scale.readTable(spark, tbl)
+    // 1000 - 100 deleted (i%5==0 of 1..500) + 50 inserted (even ids)
+    assert(t.count() == 1000 - 100 + 50, s"got ${t.count()}")
+    assert(t.where(col("k") === 9).count() == 50)
+    // updated rows: matched, not deleted → v = id + 10
+    assert(t.where(col("id") === 7).head().getDouble(2) == 17.0)
+    assert(t.where(col("id") === 5).count() == 0, "delete arm fired")
+    // untouched rows keep their value
+    assert(t.where(col("id") === 501).head().getDouble(2) == 501.0)
+    // UPDATE-before-DELETE order: the update wins both-true rows
+    val tbl2 = base.resolve("tbl2").toString
+    msSeq((1 to 100).map(i => (i.toLong, i.toDouble))).toDF("id", "v")
+      .repartition(2).write.parquet(base.resolve("s2").toString)
+    Scale.analyzeTable(spark, base.resolve("s2").toString, tbl2,
+      Seq("id"))
+    msSeq((1 to 100).map(i => (i.toLong, -5.0))).toDF("id", "v")
+      .createOrReplaceTempView("mm_src2")
+    ms.sql(
+      s"""MERGE INTO graft.`$tbl2` t USING mm_src2 s
+         |ON t.id = s.id
+         |WHEN MATCHED AND t.id <= 40 THEN UPDATE SET v = 0.0
+         |WHEN MATCHED AND t.id <= 60 THEN DELETE""".stripMargin)
+    val t2 = Scale.readTable(spark, tbl2)
+    assert(t2.where(col("v") === 0.0).count() == 40,
+      "first-match-wins: ids 1..40 update, not delete")
+    assert(t2.count() == 80, "only ids 41..60 deleted")
     rm(base.toFile)
   }
 
