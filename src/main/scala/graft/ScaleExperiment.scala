@@ -165,7 +165,9 @@ object ScaleExperiment {
       "q_null_prune|q_partition_dml|q_stream_table_changes|" +
       "q_sql_time_travel|q_sql_dml|q_sql_merge|" +
       "q_sql_prune|q_sql_update|q_sql_ddl|q_sql_maintenance|" +
-      "q_sql_ctas").r
+      "q_sql_ctas|q_sql_timestamp_travel|q_sql_merge_multi|" +
+      "q_sql_lifecycle|q_sql_replace_where|q_sql_cdf|" +
+      "q_optimize_zorder|q_stream_format").r
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

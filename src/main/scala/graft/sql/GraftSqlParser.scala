@@ -8,21 +8,28 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType, TimestampType}
 
-/** Maintenance statements for graft chains, Delta-parser style: four
-  * statements core Spark has no grammar for, recognized up front and
-  * everything else delegated verbatim to Spark's own parser (injected
-  * via `GraftSql.mergeSession`'s `injectParser`):
+/** Maintenance/lifecycle statements for graft chains, Delta-parser
+  * style: statements core Spark has no grammar for, recognized up
+  * front and everything else delegated verbatim to Spark's own parser
+  * (injected via `GraftSql.mergeSession`'s `injectParser`):
   *
   * {{{
   *   DESCRIBE HISTORY graft.`/path`
-  *   OPTIMIZE graft.`/path` TARGET <n> MB
+  *   OPTIMIZE graft.`/path` TARGET <n> MB [ZORDER BY (x, y)]
   *   RESTORE TABLE graft.`/path` TO VERSION AS OF <v>
   *   VACUUM graft.`/path` RETAIN <k> VERSIONS
+  *   VACUUM graft.`/path` RETAIN <n> HOURS
+  *   ANALYZE graft.`/path` COLUMNS (a, b)
+  *   ALTER TABLE graft.`/path` ADD CONSTRAINT name CHECK (expr)
+  *   CLONE graft.`/src` TO graft.`/dst`
+  *   INSERT INTO graft.`/path` REPLACE WHERE <cond> SELECT …
+  *   TABLE CHANGES graft.`/path` FROM <v1> TO <v2>
   * }}}
   *
   * Each routes to the existing chain operation (history /
-  * optimizeTable / restoreTable / VersionStore.retain) — the SQL
-  * layer adds spelling, not semantics. */
+  * optimizeTable / restoreTable / retention / analyzeTable /
+  * addConstraint / cloneTable / overwriteWhere / tableChanges) — the
+  * SQL layer adds spelling, not semantics. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   private val History =
