@@ -879,7 +879,7 @@ object Oracles {
     "q_optimize_zorder" ->
       s"""SELECT cast(l_partkey % 10 AS bigint) AS pk, $CNT AS n,
          |  ${d2("l_quantity")} AS sum_qty,
-         |  cast(sum(l_suppkey) AS bigint) AS sum_supp
+         |  cast(sum(l_orderkey) AS bigint) AS sum_ok
          |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_optimize" ->

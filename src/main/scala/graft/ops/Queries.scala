@@ -2871,12 +2871,22 @@ object Queries {
     val src = base.resolve("src").toString
     val tbl = base.resolve("tbl").toString
     T(s, dir).lineitem
-      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+      .select("l_orderkey", "l_partkey", "l_quantity")
       .repartitionByRange(16, col("l_partkey"))
       .sortWithinPartitions("l_partkey")
       .write.parquet(src)
-    Scale.analyzeTable(s, src, tbl, Seq("l_partkey", "l_suppkey"))// v=0
-    val pred = "l_suppkey >= 10 AND l_suppkey <= 30"
+    Scale.analyzeTable(s, src, tbl, Seq("l_partkey", "l_orderkey"))// v=0
+    // the probe band is DERIVED from the data (an interior 15% slice
+    // of the orderkey range) so the law holds at EVERY scale factor —
+    // a fixed literal band degenerates when a small SF shrinks the
+    // probed column's domain to a point
+    val mm = Scale.readTable(s, tbl)
+      .agg(min(col("l_orderkey")).cast("long"),
+        max(col("l_orderkey")).cast("long")).head()
+    val (okLo, okHi) = (mm.getLong(0), mm.getLong(1))
+    val lo = okLo + ((okHi - okLo) * 0.30).toLong
+    val hi = okLo + ((okHi - okLo) * 0.45).toLong
+    val pred = s"l_orderkey >= $lo AND l_orderkey <= $hi"
     val pre = Scale.readTablePruned(s, tbl, pred)._2
     require(pre.filesRead == pre.filesTotal,
       s"pre-zorder layout must NOT prune the second dimension: $pre")
@@ -2884,10 +2894,10 @@ object Queries {
     val bytes = graft.tables.VersionStore.manifest(s, tbl, 0L).map(f =>
       graft.tables.VersionStore.fsOf(s, tbl)
         .getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-    val targetMB = math.max(0.02, bytes / 12.0 / 1048576.0)
+    val targetMB = math.max(0.005, bytes / 12.0 / 1048576.0)
     val ms = graft.sql.GraftSql.mergeSession(s)
     val st = ms.sql(f"OPTIMIZE graft.`$tbl` TARGET $targetMB%.4f MB " +
-      "ZORDER BY (l_partkey, l_suppkey)").head()             // v=1
+      "ZORDER BY (l_partkey, l_orderkey)").head()             // v=1
     require(st.getLong(1) >= 4, s"need a multi-file z-layout, got $st")
     val ops = Scale.history(s, tbl).collect().map(_.getString(1)).toSeq
     require(ops == Seq("ANALYZE", "OPTIMIZE_ZORDER"),
@@ -2899,7 +2909,7 @@ object Queries {
       .groupBy(pmod(col("l_partkey"), lit(10)).cast("long").as("pk"))
       .agg(count(lit(1)).as("n"),
         dsum(col("l_quantity"), D2).as("sum_qty"),
-        sum(col("l_suppkey")).cast("long").as("sum_supp"))
+        sum(col("l_orderkey")).cast("long").as("sum_ok"))
     cleanupAfter(out, base.toString).orderBy("pk")
   }
 

@@ -170,6 +170,29 @@ object Scale {
     fs.delete(tmp, true): Unit
   }
 
+  /** Write `df` into `stage` as sequenced `<name(i)>` parquet files
+    * via a tmp subdir + per-part renames — the shared MULTI-file
+    * staging of append / replace / overwrite / zorder (r12 review:
+    * four hand-rolled copies). Returns the staged file NAMES. */
+  private def stageParquet(df: DataFrame,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           stage: String, tmpName: String,
+                           name: Int => String): Seq[String] = {
+    val tmp = new org.apache.hadoop.fs.Path(stage, tmpName)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val staged = fs.listStatus(tmp)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .zipWithIndex.map { case (f, i) =>
+        val dest = new org.apache.hadoop.fs.Path(stage, name(i))
+        if (!fs.rename(f.getPath, dest))
+          throw new java.io.IOException(
+            s"stage rename ${f.getPath} -> $dest failed")
+        dest.getName
+      }.toSeq
+    fs.delete(tmp, true): Unit
+    staged
+  }
+
   /** The optimistic-concurrency commit loop: `body` reads the head,
     * stages its output and calls
     * [[graft.tables.VersionStore.publishExclusive]]; a conflict (a
@@ -185,6 +208,13 @@ object Scale {
         case e: graft.tables.VersionStore.VersionConflictException =>
           left -= 1
           if (left <= 0) throw e
+          // linear backoff: a conflict can also mean YOUNG crash
+          // debris at our target id (publishExclusive's age gate
+          // presumes a live racer) — the retries must outlast the
+          // debris grace (default 4 s; total sleep here ≈ 6 s at the
+          // default 5 attempts) or a crashed writer's leftover would
+          // hard-fail every DML until it ages out (r12 review).
+          Thread.sleep(600L * (attempts - left))
       }
     }
     throw new IllegalStateException("unreachable")
@@ -385,19 +415,8 @@ object Scale {
       // delete, so a reader never observes the in-between state the
       // two-commit DELETE+INSERT workaround exposed
       val appended = appendDf.map { adf =>
-        val tmp = new org.apache.hadoop.fs.Path(stage, "__replace")
-        adf.write.mode("overwrite").parquet(tmp.toString)
-        val names = fs.listStatus(tmp)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.map { case (f, i) =>
-            val dest = new org.apache.hadoop.fs.Path(stage,
-              s"replace-$id-$i.parquet")
-            if (!fs.rename(f.getPath, dest))
-              throw new java.io.IOException(
-                s"replace rename ${f.getPath} -> $dest failed")
-            dest.getName
-          }.toSeq
-        fs.delete(tmp, true): Unit
+        val names = stageParquet(adf, fs, stage, "__replace",
+          i => s"replace-$id-$i.parquet")
         if (names.nonEmpty)
           hitAfter += spark.read.parquet(
             names.map(n => s"$stage/$n"): _*).count()
@@ -588,15 +607,24 @@ object Scale {
         .parquet(files: _*)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
-    val df = readBase(baseFiles)
-    val rowsBefore = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).count()
+    // empty-manifest base (a just-CREATEd table): declared-schema
+    // empty frame, bootstrap MERGE = pure insert (r12 review)
+    val df =
+      if (baseFiles.isEmpty && headV.isDefined)
+        alignedRead(spark, tableDir, headV.get)
+      else readBase(baseFiles)
+    val rowsBefore =
+      if (baseFiles.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(baseFiles: _*).count()
     val srcKeys = source.select(key.map(col): _*).distinct()
-    val hitFiles: Seq[String] = df
-      .withColumn("__f", input_file_name())
-      .join(broadcast(srcKeys), key, "left_semi")
-      .select("__f").distinct()
-      .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
+    val hitFiles: Seq[String] =
+      if (baseFiles.isEmpty) Seq.empty
+      else df
+        .withColumn("__f", input_file_name())
+        .join(broadcast(srcKeys), key, "left_semi")
+        .select("__f").distinct()
+        .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     val id = headV.map(_ + 1).getOrElse(0L)
     val inserts = source.join(df.select(key.map(col): _*),
@@ -717,15 +745,26 @@ object Scale {
         .parquet(files: _*)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
-    val df = readBase(baseFiles)
-    val rowsBefore = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).count()
+    // an EMPTY base manifest (a just-CREATEd table) serves the
+    // declared schema's empty frame — the bootstrap MERGE is then a
+    // pure insert (r12 review: an unguarded zero-path parquet read
+    // throws before any clause runs)
+    val df =
+      if (baseFiles.isEmpty && headV.isDefined)
+        alignedRead(spark, tableDir, headV.get)
+      else readBase(baseFiles)
+    val rowsBefore =
+      if (baseFiles.isEmpty) 0L
+      else spark.read.option("mergeSchema", "true")
+        .parquet(baseFiles: _*).count()
     val srcKeys = source.select(key.map(col): _*).distinct()
-    val hitFiles: Seq[String] = df
-      .withColumn("__f", input_file_name())
-      .join(broadcast(srcKeys), key, "left_semi")
-      .select("__f").distinct()
-      .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
+    val hitFiles: Seq[String] =
+      if (baseFiles.isEmpty) Seq.empty
+      else df
+        .withColumn("__f", input_file_name())
+        .join(broadcast(srcKeys), key, "left_semi")
+        .select("__f").distinct()
+        .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     val id = headV.map(_ + 1).getOrElse(0L)
     def rewriteOf(base: DataFrame): DataFrame = {
@@ -822,13 +861,7 @@ object Scale {
     val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, tableDir, tableDir)
     require(headV.nonEmpty, s"no committed versions under $tableDir")
-    val tableSchema = schema.getOrElse(
-      alignedRead(spark, tableDir, headV.get).schema)
-    val missing = tableSchema.fieldNames.filterNot(df.columns.contains)
-    require(missing.isEmpty,
-      s"append is missing column(s): ${missing.mkString(", ")}")
-    val out = df.select(tableSchema.fields.toIndexedSeq.map(f =>
-      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val out = castToTable(spark, tableDir, headV.get, df)
     if (cons.nonEmpty) enforce(out, cons)
     val rowsBefore =
       if (baseFiles.isEmpty) 0L
@@ -838,19 +871,8 @@ object Scale {
     val id = headV.get + 1
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
-      val tmp = new org.apache.hadoop.fs.Path(stage, "__append")
-      out.write.mode("overwrite").parquet(tmp.toString)
-      val staged = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.map { case (f, i) =>
-          val dest = new org.apache.hadoop.fs.Path(stage,
-            s"append-$id-$i.parquet")
-          if (!fs.rename(f.getPath, dest))
-            throw new java.io.IOException(
-              s"append rename ${f.getPath} -> $dest failed")
-          dest.getName
-        }.toSeq
-      fs.delete(tmp, true): Unit
+      val staged = stageParquet(out, fs, stage, "__append",
+        i => s"append-$id-$i.parquet")
       appended =
         if (staged.isEmpty) 0L
         else spark.read.parquet(
@@ -932,19 +954,8 @@ object Scale {
     val id = headV.get + 1
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
-      val tmp = new org.apache.hadoop.fs.Path(stage, "__overwrite")
-      out.write.mode("overwrite").parquet(tmp.toString)
-      val staged = fs.listStatus(tmp)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .zipWithIndex.map { case (f, i) =>
-          val dest = new org.apache.hadoop.fs.Path(stage,
-            s"overwrite-$id-$i.parquet")
-          if (!fs.rename(f.getPath, dest))
-            throw new java.io.IOException(
-              s"overwrite rename ${f.getPath} -> $dest failed")
-          dest.getName
-        }.toSeq
-      fs.delete(tmp, true): Unit
+      val staged = stageParquet(out, fs, stage, "__overwrite",
+        i => s"overwrite-$id-$i.parquet")
       rowsAfter =
         if (staged.isEmpty) 0L
         else spark.read.parquet(
@@ -1154,19 +1165,8 @@ object Scale {
           .repartitionByRange(n, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")
-        val tmp = new org.apache.hadoop.fs.Path(stage, s"__z_$g")
-        clustered.write.mode("overwrite").parquet(tmp.toString)
-        val names = fs.listStatus(tmp)
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .zipWithIndex.map { case (f, i) =>
-            val name = s"zopt-$id-$g-$i.parquet"
-            val dest = new org.apache.hadoop.fs.Path(stage, name)
-            if (!fs.rename(f.getPath, dest))
-              throw new java.io.IOException(
-                s"zorder rename ${f.getPath} -> $dest failed")
-            name
-          }.toSeq
-        fs.delete(tmp, true): Unit
+        val names = stageParquet(clustered, fs, stage, s"__z_$g",
+          i => s"zopt-$id-$g-$i.parquet")
         val finals = names.map(nm => s"$tableDir/v=$id/$nm")
         tuple.foreach(kv => finals.foreach(f => outParts(f) = kv))
         finals
@@ -1598,9 +1598,17 @@ object Scale {
     require(vs.nonEmpty, s"no committed versions under $tableDir")
     val cutoff =
       System.currentTimeMillis() - (hours * 3600 * 1000).toLong
-    val keep = vs.count(v =>
-      VersionStore.commitTsOf(spark, tableDir, v).forall(_ > cutoff))
-    VersionStore.retain(spark, tableDir, math.max(1, keep))
+    // prune exactly the maximal OLDEST-first run of versions PROVABLY
+    // dated out of the window — retain's keepLast is a suffix, and
+    // counting undatable versions as "keep" would smuggle them into
+    // that suffix while pruning the very versions the pledge protects
+    // (r12 review: an unstamped v0 under stamped out-of-window
+    // successors must stop pruning at zero, not shift it upward)
+    val pruneable = vs.takeWhile(v =>
+      VersionStore.commitTsOf(spark, tableDir, v).exists(_ <= cutoff))
+      .size
+    VersionStore.retain(spark, tableDir,
+      math.max(1, vs.size - pruneable))
   }
 
   // ---- File-skipping: per-file stats index + pruned read ----------

@@ -52,7 +52,8 @@ class GraftSourceProvider extends StreamSourceProvider
                             schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): Source =
-    new GraftChangesSource(sqlContext.sparkSession, dirOf(parameters))
+    new GraftChangesSource(sqlContext.sparkSession, dirOf(parameters),
+      metadataPath)
 }
 
 object GraftChangesSource {
@@ -70,7 +71,8 @@ object GraftChangesSource {
 /** One chain's change feed as a v1 streaming [[Source]] (the API the
   * file source itself uses; `getBatch` returning a DataFrame lets the
   * delta stay a distributed plan). */
-class GraftChangesSource(spark: SparkSession, dir: String)
+class GraftChangesSource(spark: SparkSession, dir: String,
+                         metadataPath: String)
     extends Source {
 
   private val fixedSchema =
@@ -81,11 +83,31 @@ class GraftChangesSource(spark: SparkSession, dir: String)
   private def committedSorted: Seq[Long] =
     VersionStore.committed(spark, dir).sorted
 
-  /** Base snapshot = the chain's first committed version at stream
-    * start; deltas begin at its successor. */
-  private val baseVersion: Long = committedSorted.headOption
-    .getOrElse(throw new IllegalArgumentException(
-      s"no committed versions under $dir"))
+  /** Base snapshot = the chain's first committed version at the
+    * stream's FIRST start, PERSISTED under the checkpoint's metadata
+    * path: a restart must reuse the original base (r12 review —
+    * recomputing it after retention pruned early versions would make
+    * a replayed batch-0 silently skip deltas its offset range
+    * covered; the gap require below then fails loudly instead). */
+  private val baseVersion: Long = {
+    val fs = new org.apache.hadoop.fs.Path(metadataPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-base")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(org.apache.hadoop.io.IOUtils
+        .readFullyToByteArray(in), "UTF-8").trim.toLong
+      finally in.close()
+    } else {
+      val base = committedSorted.headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"no committed versions under $dir"))
+      fs.mkdirs(p.getParent): Unit
+      val out = fs.create(p, false) // single stream owns its checkpoint
+      try out.write(base.toString.getBytes("UTF-8")) finally out.close()
+      base
+    }
+  }
 
   override def getOffset: Option[Offset] = {
     val head = committedSorted.lastOption.getOrElse(baseVersion)
@@ -100,6 +122,14 @@ class GraftChangesSource(spark: SparkSession, dir: String)
     val to = ver(end)
     val vs = committedSorted
     val todo = vs.filter(v => v > from && v <= to)
+    // version ids are consecutive (every publish is head+1), so a
+    // shorter todo than the offset range means retention pruned
+    // versions this stream still owed its sink — fail LOUDLY, never
+    // silently skip committed changes (exactly-once at version level)
+    require(todo.size == to - from,
+      s"change stream over $dir lost versions in ($from, $to]: only " +
+        s"${todo.mkString(", ")} remain — retention pruned commits " +
+        "this checkpoint still needed; restart from a fresh checkpoint")
     // align every delta to the stream's FIXED schema (a later ADD
     // COLUMN null-fills backwards; a drop serves NULL forward)
     def aligned(df: DataFrame): DataFrame = {

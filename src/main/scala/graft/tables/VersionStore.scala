@@ -201,7 +201,7 @@ object VersionStore {
     // r11-advice TOCTOU: deleting the dir right as the racer's marker
     // lands erases a committed version. Two defenses close it:
     //  (a) AGE GATE — a dest younger than the debris grace (default
-    //      60 s, `spark.graft.commit.debrisGraceMs`; rename→marker
+    //      4 s, `spark.graft.commit.debrisGraceMs`; rename→marker
     //      are adjacent metadata ops, so a live racer is milliseconds
     //      wide) is presumed a racer mid-commit: this writer backs
     //      off with a conflict and retries — by then either the
@@ -221,7 +221,7 @@ object VersionStore {
     if (fs.exists(dest)) {
       if (committedNow) { fs.delete(stage, true): Unit; conflict() }
       val grace = spark.conf.getOption("spark.graft.commit.debrisGraceMs")
-        .map(_.toLong).getOrElse(60000L)
+        .map(_.toLong).getOrElse(4000L)
       val age = scala.util.Try(System.currentTimeMillis() -
         fs.getFileStatus(dest).getModificationTime).getOrElse(Long.MaxValue)
       if (age < grace) { fs.delete(stage, true): Unit; conflict() }
@@ -238,36 +238,43 @@ object VersionStore {
       if (committedNow) conflict()
       throw new java.io.IOException(s"publish of $dest failed")
     }
-    // ownership check: only mark a dir that still carries OUR token
-    def ownedNow: Boolean = scala.util.Try {
+    // ownership: whose complete staged output does dest hold NOW?
+    // Every complete output carries its writer's token (stamped into
+    // the stage BEFORE the rename), so: our token → our content;
+    // a foreign token → a racer's complete content; NO token → the
+    // dir was evicted/recreated mid-race and holds no complete output.
+    def tokenNow: Option[String] = scala.util.Try {
       val in = fs.open(new org.apache.hadoop.fs.Path(dest, WriterToken))
       try new String(
         org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
-    }.toOption.contains(token)
-    if (!ownedNow) conflict()
+    }.toOption
+    // the unified post-marker law (r10 advice + r12 review): a marker
+    // only COUNTS over a complete output. Our token under the marker =
+    // our publish succeeded (whoever's marker it is — a racer marking
+    // the dir our rename won committed OUR output; conflicting would
+    // double-apply). A foreign token = the racer's content committed;
+    // conflict and retry. NO token = the marker sits over an evicted/
+    // partial dir (Hadoop create() makes parents, so a stalled racer's
+    // marker can recreate a dest another writer just evicted — the r12
+    // review's empty-committed-version trap): UN-commit it by deleting
+    // the marker (safe — no writer can claim success without its token
+    // present) and conflict; the retry publishes real content.
+    def verifyCommit(): Unit = tokenNow match {
+      case Some(t) if t == token => ()
+      case Some(_) => conflict()
+      case None =>
+        fs.delete(new org.apache.hadoop.fs.Path(dest, CommitMarker),
+          false): Unit
+        conflict()
+    }
+    if (!tokenNow.contains(token)) conflict()
     try fs.create(new org.apache.hadoop.fs.Path(dest, CommitMarker), false)
       .close()
     catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        // a racer marked the dir first — but WHOSE content does it
-        // hold? If the token is OURS, our rename won the dir and the
-        // racer's marker committed OUR complete output: this publish
-        // SUCCEEDED (conflicting here would re-apply the identical
-        // operation at the next id — the double-commit the two-JVM
-        // spec forbids; the r11 review's racer arm). A foreign token
-        // means the racer's content committed: conflict and retry.
-        if (!ownedNow) conflict()
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
     }
-    // residual-race re-check (r10 advice): a racer could delete-and-
-    // replace dest between the ownership read above and our marker PUT
-    // — our marker then committed the RACER's content and our own
-    // staged output is gone. Re-reading the token after the marker
-    // closes the window: on mismatch this writer reports CONFLICT
-    // (and retries at the next id) instead of returning success stats
-    // for a version it did not populate. The chain stays consistent
-    // either way — exactly one complete output is marked.
-    if (!ownedNow) conflict()
+    verifyCommit()
     dest.toString
   }
 
