@@ -151,6 +151,32 @@ object Scale {
         "qualification mismatch between input_file_name() and the " +
         "manifest spelling"))
 
+  /** Read `files` exactly as the chain's `mergeSchema` union read
+    * does, but serve the union schema from driver-read FOOTERS when
+    * every file carries Spark's serialized schema key (every
+    * chain-written file does): the explicit-schema read skips the
+    * distributed footer-merge job `mergeSchema` launches per
+    * DataFrame creation — identical frame (Spark's own mergeSchema
+    * path prefers the same footer key and reduces with the same
+    * StructType.merge), one fewer job per read (guide §1.2). Files
+    * missing the key (non-Spark writers) fall back to the real
+    * `mergeSchema` read. */
+  private def readMerged(spark: SparkSession, files: Seq[String],
+                         footers: Map[String, graft.tables.Footers.Info])
+      : DataFrame = {
+    val schemas = files.map(f => footers.get(f).flatMap(_.schema))
+    if (files.nonEmpty && schemas.forall(_.nonEmpty))
+      spark.read.schema(org.apache.spark.sql.graftbridge.Bridge
+        .mergeSchemas(schemas.flatten)).parquet(files: _*)
+    else
+      spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** [[readMerged]] with its own one-shot footer read. */
+  private def readMerged(spark: SparkSession, files: Seq[String])
+      : DataFrame =
+    readMerged(spark, files, graft.tables.Footers.read(spark, files))
+
   /** Write `df` as exactly ONE parquet file named `name` inside
     * `stage` — the shared single-file-write used by every COW
     * rewrite. FAILS LOUDLY: a missing part file or a false rename
@@ -348,15 +374,15 @@ object Scale {
     val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
+    val footers = graft.tables.Footers.read(spark, baseFiles)
     def readBase(files: Seq[String]) = {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(files: _*)
+      val raw = readMerged(spark, files, footers)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
-    // count(*) over the RAW scan: no aligned projection in the way,
-    // so the vectorized reader serves it from row-group metadata
-    val rowsBefore = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).count()
+    // row accounting straight from the already-read footers (guide
+    // §1.2): the sums are exactly what count() over the same files
+    // returns, with zero Spark jobs per commit
+    val rowsBefore = baseFiles.iterator.map(footers(_).rows).sum
     // hit-detection PRE-FILTER (r10 verdict ask #5): when the caller
     // hands the predicate as SQL text, consult the chain's partition
     // map and maintained stats BEFORE opening any data file — a
@@ -381,8 +407,7 @@ object Scale {
     // rows-delta accounting is HIT-FILE-priced: counting the whole
     // post-DML table would defeat the hit-priced contract (the r10
     // review nit) — the untouched pointers contribute unchanged rows
-    val hitBefore =
-      if (hitFiles.isEmpty) 0L else readBase(hitFiles).count()
+    val hitBefore = hitFiles.iterator.map(footers(_).rows).sum
     var hitAfter = 0L
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
@@ -407,9 +432,9 @@ object Scale {
       val rewritten = hitFiles.map(f =>
         s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(f).getName)
       if (hitFiles.nonEmpty)
-        hitAfter = spark.read.option("mergeSchema", "true").parquet(
+        hitAfter = graft.tables.Footers.rowCount(spark,
           rewritten.map(r => s"$stage/" + new org.apache.hadoop.fs.Path(r)
-            .getName): _*).count()
+            .getName))
       // REPLACE-WHERE append arm (r11 verdict ask #7): the
       // replacement rows land in the SAME publish as the predicate's
       // delete, so a reader never observes the in-between state the
@@ -418,8 +443,8 @@ object Scale {
         val names = stageParquet(adf, fs, stage, "__replace",
           i => s"replace-$id-$i.parquet")
         if (names.nonEmpty)
-          hitAfter += spark.read.parquet(
-            names.map(n => s"$stage/$n"): _*).count()
+          hitAfter += graft.tables.Footers.rowCount(spark,
+            names.map(n => s"$stage/$n"))
         names.map(n => s"$tableDir/v=$id/$n")
       }.getOrElse(Seq.empty)
       VersionStore.writeManifest(spark, stage,
@@ -490,8 +515,7 @@ object Scale {
       return spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(files: _*)
+    val raw = readMerged(spark, files)
     val renames = VersionStore.renamesOf(spark, tableDir, v)
     VersionStore.schemaOf(spark, tableDir, v)
       .map(alignTo(raw, _, renames)).getOrElse(raw)
@@ -602,22 +626,26 @@ object Scale {
     val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
+    val footers = graft.tables.Footers.read(spark, baseFiles)
     def readBase(files: Seq[String]) = {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(files: _*)
+      val raw = readMerged(spark, files, footers)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
+    // MATERIALIZE the merge source once (changelog-sized by the
+    // stated contract — the same discipline Delta's MERGE applies):
+    // hit detection, the insert anti-join, the per-hit-file key
+    // semi-joins and the staged writes each re-executed the full
+    // source plan otherwise (guide §1.2: don't compute things twice)
+    val src = source.localCheckpoint()
     // empty-manifest base (a just-CREATEd table): declared-schema
     // empty frame, bootstrap MERGE = pure insert (r12 review)
     val df =
       if (baseFiles.isEmpty && headV.isDefined)
         alignedRead(spark, tableDir, headV.get)
       else readBase(baseFiles)
-    val rowsBefore =
-      if (baseFiles.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).count()
-    val srcKeys = source.select(key.map(col): _*).distinct()
+    // row accounting from footers (guide §1.2) — no count() jobs
+    val rowsBefore = baseFiles.iterator.map(footers(_).rows).sum
+    val srcKeys = src.select(key.map(col): _*).distinct()
     val hitFiles: Seq[String] =
       if (baseFiles.isEmpty) Seq.empty
       else df
@@ -627,7 +655,7 @@ object Scale {
         .collect().map(r => resolveHit(byNorm, r.getString(0))).toSeq
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     val id = headV.map(_ + 1).getOrElse(0L)
-    val inserts = source.join(df.select(key.map(col): _*),
+    val inserts = src.join(df.select(key.map(col): _*),
       key, "left_anti")
     if (cons.nonEmpty) {
       // validate what the MERGE makes visible: the post-upsert state
@@ -638,16 +666,13 @@ object Scale {
       val changedBase =
         if (hitFiles.nonEmpty)
           Relational.upsert(readBase(hitFiles),
-            source.join(readBase(hitFiles).select(key.map(col): _*)
+            src.join(readBase(hitFiles).select(key.map(col): _*)
               .distinct(), key, "left_semi"), key).drop("action")
         else df.limit(0)
       enforce(changedBase.unionByName(
         inserts.select(df.columns.map(col).toIndexedSeq: _*)), cons)
     }
-    val hitBefore =
-      if (hitFiles.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(hitFiles: _*).count()
+    val hitBefore = hitFiles.iterator.map(footers(_).rows).sum
     var stagedAfter = 0L
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
@@ -660,7 +685,7 @@ object Scale {
               override def call(): Unit = {
                 val name = new org.apache.hadoop.fs.Path(f).getName
                 val fileDf = readBase(Seq(f))
-                val changes = source.join(
+                val changes = src.join(
                   fileDf.select(key.map(col): _*).distinct(),
                   key, "left_semi")
                 writeSingleFile(
@@ -675,19 +700,24 @@ object Scale {
       // NOT MATCHED → INSERT: one appended file (changelog-sized
       // here; at scale repartition to the target file size), in the
       // base table's column order/shape; an update-only MERGE (the
-      // common streaming batch) appends nothing
-      if (!inserts.isEmpty)
-        writeSingleFile(
-          inserts.select(df.columns.map(col).toIndexedSeq: _*),
-          fs, stage, s"merge-insert-$id.parquet")
+      // common streaming batch) appends nothing. Written FIRST, then
+      // dropped if empty (footer count): one execution of the
+      // anti-join plan instead of two — the old isEmpty gate ran the
+      // whole join before the write re-ran it (guide §1.2)
+      writeSingleFile(
+        inserts.select(df.columns.map(col).toIndexedSeq: _*),
+        fs, stage, s"merge-insert-$id.parquet")
+      val insPath = new org.apache.hadoop.fs.Path(stage,
+        s"merge-insert-$id.parquet")
+      if (graft.tables.Footers.rowCount(spark,
+          Seq(insPath.toString)) == 0L)
+        fs.delete(insPath, false): Unit
       val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).toSeq
       val written = staged.map(f =>
         s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(f).getName)
-      stagedAfter = if (staged.isEmpty) 0L
-        else spark.read.option("mergeSchema", "true")
-          .parquet(staged: _*).count()
+      stagedAfter = graft.tables.Footers.rowCount(spark, staged)
       VersionStore.writeManifest(spark, stage, untouched ++ written)
       // tuple upkeep: a MERGE may overwrite any non-key column, so a
       // rewritten hit file keeps only the tuple keys that are JOIN
@@ -740,11 +770,13 @@ object Scale {
     val (headV, baseFiles, schema, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val byNorm = baseFiles.map(f => normalize(f) -> f).toMap
+    val footers = graft.tables.Footers.read(spark, baseFiles)
     def readBase(files: Seq[String]) = {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(files: _*)
+      val raw = readMerged(spark, files, footers)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
+    // MATERIALIZE the source once — same rationale as [[mergeInto]]
+    val src = source.localCheckpoint()
     // an EMPTY base manifest (a just-CREATEd table) serves the
     // declared schema's empty frame — the bootstrap MERGE is then a
     // pure insert (r12 review: an unguarded zero-path parquet read
@@ -753,11 +785,9 @@ object Scale {
       if (baseFiles.isEmpty && headV.isDefined)
         alignedRead(spark, tableDir, headV.get)
       else readBase(baseFiles)
-    val rowsBefore =
-      if (baseFiles.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).count()
-    val srcKeys = source.select(key.map(col): _*).distinct()
+    // row accounting from footers (guide §1.2) — no count() jobs
+    val rowsBefore = baseFiles.iterator.map(footers(_).rows).sum
+    val srcKeys = src.select(key.map(col): _*).distinct()
     val hitFiles: Seq[String] =
       if (baseFiles.isEmpty) Seq.empty
       else df
@@ -768,7 +798,7 @@ object Scale {
     val untouched = baseFiles.filterNot(hitFiles.toSet)
     val id = headV.map(_ + 1).getOrElse(0L)
     def rewriteOf(base: DataFrame): DataFrame = {
-      val changes = source.join(
+      val changes = src.join(
         base.select(key.map(col): _*).distinct(), key, "left_semi")
       Relational.mergeInto(base, changes, key,
         whenMatchedDelete = matchedDelete,
@@ -780,7 +810,7 @@ object Scale {
       case None => df.limit(0)
       case Some((c, values)) =>
         val vmap = values.toMap
-        source.join(df.select(key.map(col): _*), key, "left_anti")
+        src.join(df.select(key.map(col): _*), key, "left_anti")
           .where(coalesce(c, lit(false)))
           .select(df.schema.fields.toIndexedSeq.map(f =>
             vmap.get(f.name).map(_.cast(f.dataType))
@@ -792,10 +822,7 @@ object Scale {
         else df.limit(0)
       enforce(changedBase.unionByName(inserts), cons)
     }
-    val hitBefore =
-      if (hitFiles.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(hitFiles: _*).count()
+    val hitBefore = hitFiles.iterator.map(footers(_).rows).sum
     var stagedAfter = 0L
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
@@ -815,16 +842,20 @@ object Scale {
           tasks.foreach(_.get())
         } finally pool.shutdown()
       }
-      if (!inserts.isEmpty)
-        writeSingleFile(inserts, fs, stage, s"merge-insert-$id.parquet")
+      // write-then-drop-if-empty: one execution of the insert plan
+      // instead of isEmpty + write (guide §1.2)
+      writeSingleFile(inserts, fs, stage, s"merge-insert-$id.parquet")
+      val insPath = new org.apache.hadoop.fs.Path(stage,
+        s"merge-insert-$id.parquet")
+      if (graft.tables.Footers.rowCount(spark,
+          Seq(insPath.toString)) == 0L)
+        fs.delete(insPath, false): Unit
       val staged = fs.listStatus(new org.apache.hadoop.fs.Path(stage))
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).toSeq
       val written = staged.map(f =>
         s"$tableDir/v=$id/" + new org.apache.hadoop.fs.Path(f).getName)
-      stagedAfter = if (staged.isEmpty) 0L
-        else spark.read.option("mergeSchema", "true")
-          .parquet(staged: _*).count()
+      stagedAfter = graft.tables.Footers.rowCount(spark, staged)
       VersionStore.writeManifest(spark, stage, untouched ++ written)
       val untouchedSet = untouched.toSet
       val nextParts =
@@ -863,20 +894,15 @@ object Scale {
     require(headV.nonEmpty, s"no committed versions under $tableDir")
     val out = castToTable(spark, tableDir, headV.get, df)
     if (cons.nonEmpty) enforce(out, cons)
-    val rowsBefore =
-      if (baseFiles.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).count()
+    val rowsBefore = graft.tables.Footers.rowCount(spark, baseFiles)
     var appended = 0L
     val id = headV.get + 1
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       val staged = stageParquet(out, fs, stage, "__append",
         i => s"append-$id-$i.parquet")
-      appended =
-        if (staged.isEmpty) 0L
-        else spark.read.parquet(
-          staged.map(n => s"$stage/$n"): _*).count()
+      appended = graft.tables.Footers.rowCount(spark,
+        staged.map(n => s"$stage/$n"))
       VersionStore.writeManifest(spark, stage,
         baseFiles ++ staged.map(n => s"$tableDir/v=$id/$n"))
       carryMeta(spark, stage, schema, cons, renames, parts)
@@ -920,7 +946,10 @@ object Scale {
     val headV = VersionStore.head(spark, tableDir)
       .getOrElse(throw new IllegalArgumentException(
         s"no committed versions under $tableDir"))
-    val out = castToTable(spark, tableDir, headV, df)
+    // replacement data materialized once (replacement-sized): the
+    // escapee validation and the staged append otherwise both
+    // executed the full replacement plan (guide §1.2)
+    val out = castToTable(spark, tableDir, headV, df).localCheckpoint()
     val cond = expr(condSql)
     val escapees = out.where(!coalesce(cond, lit(false))).count()
     require(escapees == 0L,
@@ -946,20 +975,15 @@ object Scale {
     require(headV.nonEmpty, s"no committed versions under $tableDir")
     val out = castToTable(spark, tableDir, headV.get, df)
     if (cons.nonEmpty) enforce(out, cons)
-    val rowsBefore =
-      if (baseFiles.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).count()
+    val rowsBefore = graft.tables.Footers.rowCount(spark, baseFiles)
     var rowsAfter = 0L
     val id = headV.get + 1
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
       val staged = stageParquet(out, fs, stage, "__overwrite",
         i => s"overwrite-$id-$i.parquet")
-      rowsAfter =
-        if (staged.isEmpty) 0L
-        else spark.read.parquet(
-          staged.map(n => s"$stage/$n"): _*).count()
+      rowsAfter = graft.tables.Footers.rowCount(spark,
+        staged.map(n => s"$stage/$n"))
       VersionStore.writeManifest(spark, stage,
         staged.map(n => s"$tableDir/v=$id/$n"))
       carryMeta(spark, stage, schema, cons, renames, Map.empty)
@@ -1010,8 +1034,7 @@ object Scale {
     import graft.tables.VersionStore
     val (headV, baseFiles, declared, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
-    val physical = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).schema
+    val physical = readMerged(spark, baseFiles).schema
     val current = declared.getOrElse(physical)
     require(!current.fieldNames.contains(name),
       s"column $name already exists")
@@ -1036,7 +1059,7 @@ object Scale {
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
         Some(next), renames)
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, baseFiles)
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
   }
 
@@ -1054,8 +1077,7 @@ object Scale {
       resolveBase(spark, srcDir, tableDir)
     require(!cons.exists(_._1 == name),
       s"constraint $name already exists")
-    val raw = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*)
+    val raw = readMerged(spark, baseFiles)
     enforce(schema.map(alignTo(raw, _, renames)).getOrElse(raw),
       Seq(name -> condSql))
     val id = headV.map(_ + 1).getOrElse(0L)
@@ -1070,7 +1092,7 @@ object Scale {
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
         schema, renames)
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, baseFiles)
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
   }
 
@@ -1137,8 +1159,7 @@ object Scale {
       written = grouped.zipWithIndex.flatMap { case ((tuple, fl), g) =>
         val n = math.max(1, math.ceil(
           fl.map(_._2).sum.toDouble / targetBytes).toInt)
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(fl.map(_._1): _*)
+        val raw = readMerged(spark, fl.map(_._1))
         val df = schema.map(alignTo(raw, _, renames)).getOrElse(raw)
         // NORMALIZE each dimension onto the full 16-bit range before
         // interleaving (Delta z-orders on range-IDs for the same
@@ -1232,8 +1253,7 @@ object Scale {
       VersionStore.publishExclusive(spark, tableDir, id) { stage =>
         fs.mkdirs(new org.apache.hadoop.fs.Path(stage)): Unit
         bins.zipWithIndex.foreach { case ((group, _, _), g) =>
-          val raw = spark.read.option("mergeSchema", "true")
-            .parquet(group.toSeq: _*)
+          val raw = readMerged(spark, group.toSeq)
           // the chain's full metadata applies: without the rename
           // mapping a compacted pre-rename file would NULL the
           // renamed column's values (r10 review fix)
@@ -1276,8 +1296,7 @@ object Scale {
     import graft.tables.VersionStore
     val (headV, baseFiles, declared, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
-    val physical = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).schema
+    val physical = readMerged(spark, baseFiles).schema
     val current = declared.getOrElse(physical)
     require(current.fieldNames.contains(from), s"no column $from")
     require(!current.fieldNames.contains(to),
@@ -1313,7 +1332,7 @@ object Scale {
       maintainStats(spark, tableDir, renamedStats, stage, id, baseFiles,
         Some(next), nextRenames)
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, baseFiles)
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
   }
 
@@ -1329,8 +1348,7 @@ object Scale {
     val (headV, baseFiles, declared, cons, renames, parts) =
       resolveBase(spark, srcDir, tableDir)
     val current = declared.getOrElse(
-      spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).schema)
+      readMerged(spark, baseFiles).schema)
     require(current.fieldNames.contains(name), s"no column $name")
     require(current.fields.length > 1, "cannot drop the last column")
     require(!cons.exists(_._2.contains(name)),
@@ -1353,7 +1371,7 @@ object Scale {
       maintainStats(spark, tableDir, shed, stage, id, baseFiles,
         Some(next), renames - name)
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, baseFiles)
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
   }
 
@@ -1386,7 +1404,7 @@ object Scale {
           VersionStore.schemaOf(spark, tableDir, v),
           VersionStore.renamesOf(spark, tableDir, v))
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, files)
     RewriteStats(files.size.toLong, 0L, n, n)
   }
 
@@ -1440,7 +1458,7 @@ object Scale {
         statsOf(spark, srcTableDir, headV.get), stage, 0L, files,
         schema, renames)
     }
-    val n = readTable(spark, destTableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, files)
     RewriteStats(files.size.toLong, 0L, n, n)
   }
 
@@ -1479,8 +1497,7 @@ object Scale {
     def readOr(files: Seq[String]) =
       if (files.isEmpty) empty
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(files: _*)
+        val raw = readMerged(spark, files)
         toSchema.map(alignTo(raw, _, toRenames)).getOrElse(raw)
       }
     val rem = readOr(removed)
@@ -1875,7 +1892,7 @@ object Scale {
     val remap = udf((f: String) => byNorm.getOrElse(normalize(f),
       throw new IllegalStateException(
         s"stats remap: scanned file $f matches no manifest entry")))
-    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    val raw = readMerged(spark, files)
       .withColumn("__f", remap(input_file_name()))
     val aligned = schema
       .map(alignTo(raw, _, renames, keep = Seq("__f"))).getOrElse(raw)
@@ -1903,8 +1920,7 @@ object Scale {
     // dropped column fails HERE with a named error, not as NULL stats
     // that would prune every file as provably-empty (r10 advice)
     val servable = schema.map(_.fieldNames.toSet).getOrElse(
-      spark.read.option("mergeSchema", "true")
-        .parquet(baseFiles: _*).schema.fieldNames.toSet)
+      readMerged(spark, baseFiles).schema.fieldNames.toSet)
     val unknown = cols.filterNot(servable)
     require(unknown.isEmpty,
       s"ANALYZE of column(s) ${unknown.mkString(", ")} the table does " +
@@ -1921,7 +1937,7 @@ object Scale {
         cols.mkString(","))
       writeStats(spark, stage, stats)
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, baseFiles)
     RewriteStats(baseFiles.size.toLong, 0L, n, n)
   }
 
@@ -1957,8 +1973,7 @@ object Scale {
           val cols = ps.columns.filter(_.startsWith("min_"))
             .map(_.stripPrefix("min_")).toSeq
           val servable = schema.map(_.fieldNames.toSet).getOrElse(
-            spark.read.option("mergeSchema", "true")
-              .parquet(staged: _*).schema.fieldNames.toSet)
+            readMerged(spark, staged).schema.fieldNames.toSet)
           val usable = cols.filter(servable)
           if (usable.isEmpty) None
           else {
@@ -1994,8 +2009,7 @@ object Scale {
       else {
         val types = VersionStore.schemaOf(spark, tableDir, v)
           .map(_.fields.map(f => f.name -> f.dataType).toMap)
-          .getOrElse(spark.read.option("mergeSchema", "true")
-            .parquet(files: _*).schema.fields
+          .getOrElse(readMerged(spark, files).schema.fields
             .map(f => f.name -> f.dataType).toMap)
         Some(partitionSurvivors(spark, files, parts, types,
           condSql).toSet)
@@ -2017,8 +2031,7 @@ object Scale {
     val out =
       if (keep.isEmpty) alignedRead(spark, tableDir, v).limit(0)
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(keep: _*)
+        val raw = readMerged(spark, keep)
         // align to the FULL version's schema even when none is
         // declared: a pruned SUBSET of heterogeneous files can carry
         // fewer columns than the whole manifest, and a caller that
@@ -2050,8 +2063,7 @@ object Scale {
       if (keep.isEmpty)
         alignedRead(spark, tableDir, v).limit(0).where(expr(condSql))
       else {
-        val raw = spark.read.option("mergeSchema", "true")
-          .parquet(keep: _*)
+        val raw = readMerged(spark, keep)
         val target = VersionStore.schemaOf(spark, tableDir, v)
           .getOrElse(alignedRead(spark, tableDir, v).schema)
         alignTo(raw, target,
@@ -2119,7 +2131,7 @@ object Scale {
         headV.flatMap(statsOf(spark, tableDir, _)), stage, id, baseFiles,
         schema, renames)
     }
-    val n = readTable(spark, tableDir).count()
+    val n = graft.tables.Footers.rowCount(spark, baseFiles)
     RewriteStats(baseFiles.size.toLong, 0L, n, n,
       baseFiles.size.toLong)
   }
@@ -2151,12 +2163,10 @@ object Scale {
         "again or use deleteWhere")
     val (dropped, kept) = baseFiles.partition(f =>
       parts(f)(partCol) == value)
-    val rowsBefore = spark.read.option("mergeSchema", "true")
-      .parquet(baseFiles: _*).count()
-    val rowsDropped =
-      if (dropped.isEmpty) 0L
-      else spark.read.option("mergeSchema", "true")
-        .parquet(dropped: _*).count() // footer metadata, not data I/O
+    // footer-sum accounting — metadata only, zero Spark jobs
+    val footers = graft.tables.Footers.read(spark, baseFiles)
+    val rowsBefore = baseFiles.iterator.map(footers(_).rows).sum
+    val rowsDropped = dropped.iterator.map(footers(_).rows).sum
     val id = headV.get + 1
     VersionStore.publishExclusive(spark, tableDir, id) { stage =>
       VersionStore.fsOf(spark, tableDir)

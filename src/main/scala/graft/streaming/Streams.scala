@@ -239,8 +239,11 @@ object Streams {
     if (!applied.exists(id <= _)) {
       val w = Window.partitionBy(key.map(col): _*)
         .orderBy(order.map(col(_).desc): _*)
+      // pin the deduped batch once (batch-sized): the emptiness gate
+      // and the merge's own source materialization otherwise both
+      // re-ran the window dedup over the raw batch
       val latest = batch.withColumn("__rn", row_number().over(w))
-        .where(col("__rn") === 1).drop("__rn")
+        .where(col("__rn") === 1).drop("__rn").localCheckpoint()
       if (!latest.isEmpty)
         graft.ops.Scale.mergeInto(s, srcDir, tableDir, latest, key): Unit
       graft.tables.VersionStore.recordAppliedId(s, tableDir, id)

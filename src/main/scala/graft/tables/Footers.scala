@@ -1,0 +1,65 @@
+package graft.tables
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Driver-side parquet FOOTER reads — the metadata a lakehouse format
+  * keeps in its manifests, recovered straight from the files. Bounded
+  * by FILE COUNT (the same bound as the manifest/name-list collects
+  * this layer already documents), never by rows. Two uses, both
+  * replacing whole Spark jobs in the commit path (guide §1.2 — remove
+  * work, §5 — keep the driver out of data, but metadata is fine):
+  *
+  *  - exact per-file ROW COUNTS: a footer's row-group counts are the
+  *    very numbers `count()` aggregates, so DML accounting
+  *    (rowsBefore / hitBefore / rowsAfter) needs no job at all;
+  *  - the file's SPARK SCHEMA (the `org.apache.spark.sql.parquet.row.
+  *    metadata` footer key every Spark-written file carries — the same
+  *    key Spark's own `mergeSchema` path prefers), so chain reads can
+  *    pass an explicit merged schema instead of launching a
+  *    distributed footer-merge job per DataFrame creation.
+  *
+  * Files without the key (non-Spark writers) report no schema and
+  * callers fall back to the real `mergeSchema` read — behavior
+  * identical, just without the saving. */
+object Footers {
+  final case class Info(rows: Long, schema: Option[StructType])
+
+  private val SparkSchemaKey =
+    "org.apache.spark.sql.parquet.row.metadata"
+
+  /** Footer info for each file, read driver-side in a small bounded
+    * pool — one open + footer parse per file, no Spark job. */
+  def read(spark: SparkSession, files: Seq[String])
+      : Map[String, Info] = {
+    if (files.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, files.size))
+    try {
+      val tasks = files.map { f =>
+        pool.submit(new java.util.concurrent.Callable[(String, Info)] {
+          override def call(): (String, Info) = {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(f), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val schema = Option(r.getFileMetaData
+                .getKeyValueMetaData.get(SparkSchemaKey))
+                .flatMap(j => scala.util.Try(DataType.fromJson(j)
+                  .asInstanceOf[StructType]).toOption)
+              f -> Info(r.getRecordCount, schema)
+            } finally r.close()
+          }
+        })
+      }
+      tasks.map(_.get()).toMap
+    } finally pool.shutdown()
+  }
+
+  /** Exact row total of `files` from footers alone — the number
+    * `spark.read.parquet(files).count()` returns, without the job. */
+  def rowCount(spark: SparkSession, files: Seq[String]): Long =
+    read(spark, files).valuesIterator.map(_.rows).sum
+}

@@ -49,6 +49,14 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
   }
 
+  /** `StructType.merge` is `private[sql]`; chain reads merge per-file
+    * footer schemas with it — the same reduction Spark's own
+    * `mergeSchema` path performs — so an explicit-schema read can
+    * replace the distributed footer-merge job (guide §1.2). */
+  def mergeSchemas(ss: Seq[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.types.StructType =
+    ss.reduceLeft(_ merge _)
+
   /** Wrap a catalyst expression as a user-facing [[Column]] (the
     * UPDATE/DELETE commands re-resolve statement expressions against
     * the COW rewrite's own frame — attributes are unresolved-by-name
