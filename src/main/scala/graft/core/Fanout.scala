@@ -1,0 +1,17 @@
+package graft.core
+
+/** Explicit partition count for COMPUTE fan-outs. A bare
+  * `repartition(col(...))` before per-row CPU work (shingling, codec
+  * decode, per-token hashing) is AQE-coalescible: AQE sizes the
+  * exchange by shuffle BYTES, so a small-but-expensive corpus (the
+  * single-file, single-row-group scan shape) collapses back to ONE
+  * task and the whole pass serializes — measured as 1-task jobs of
+  * seconds each under `local[32]` (guide §2.5: unsplittable input →
+  * repartition after the read; the byte heuristic is wrong when cost
+  * is CPU, not bytes). An EXPLICIT count is exempt from AQE
+  * coalescing, and deriving it from the session's default parallelism
+  * scales it with the machine instead of pinning a local constant. */
+object Fanout {
+  def n: Int = org.apache.spark.sql.SparkSession.active
+    .sparkContext.defaultParallelism
+}

@@ -58,7 +58,7 @@ object Dedup {
     * splits, and everything downstream is CPU-heavy per-row work that
     * must spread across all cores (at cluster scale: all executors). */
   def shingled(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+    docs.repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"$toksExpr AS toks")
       .where(size(col("toks")) >= 3)
       .selectExpr("doc_id", s"$shinglesExpr AS sh")
@@ -270,7 +270,7 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // train spread before the per-row shingle work (single-partition
     // pitfall) and Eager'd: it feeds banding AND the verify re-join
-    val t = graft.core.Eager(prep(train.repartition(col("doc_id"))))
+    val t = graft.core.Eager(prep(train.repartition(graft.core.Fanout.n, col("doc_id"))))
     val e = graft.core.Eager(prep(eval))
     val cands = banded(t)
       .join(broadcast(banded(e)
@@ -317,7 +317,7 @@ object Dedup {
     // (An inverted-index co-occurrence join was measured and REJECTED:
     // shared-vocabulary corpora make common shingles high-fanout, and
     // the posting self-join explodes past the blocked all-pairs cost.)
-    val s = docs.repartition(col("doc_id"))
+    val s = docs.repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", block, s"$toksExpr AS toks")
       .where(size(col("toks")) >= 3)
       .selectExpr("doc_id", block,
@@ -581,7 +581,7 @@ object Dedup {
     * above, which remains the oracle-documented definition. */
   def simhashed(docs: DataFrame): DataFrame = {
     graft.functions.SimHash60.register(docs.sparkSession)
-    docs.repartition(col("doc_id"))
+    docs.repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"$toksExpr AS toks")
       // ≥1 token: a zero-token doc has no defined simhash (the oracle's
       // per-token unnest drops such docs; simhash=0 here would pair any

@@ -918,7 +918,7 @@ object Queries {
   def qImageDhash(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.dhashImage(
       graft.mm.Multimodal.packImage(
-        T(s, dir).documents.repartition(col("doc_id"))))
+        T(s, dir).documents.repartition(graft.core.Fanout.n, col("doc_id"))))
       .orderBy("doc_id")
 
   /** #67g perceptual IMAGE near-dup pairs — the LAION-style image
@@ -936,7 +936,7 @@ object Queries {
     graft.dedup.Dedup.hammingPairs(
         graft.mm.Multimodal.dhashImage(
           graft.mm.Multimodal.packImage(
-            T(s, dir).documents.repartition(col("doc_id"))))
+            T(s, dir).documents.repartition(graft.core.Fanout.n, col("doc_id"))))
           .select(col("doc_id"), col("dhash").as("h")),
         maxDist = 3, bits = 64)
       .orderBy("doc_a", "doc_b")
@@ -4827,7 +4827,7 @@ object Queries {
   def qDistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
     val tf = T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"explode(${d.toksExpr}) AS term")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // df as an unbounded count over the term partition: one keyed
@@ -4880,7 +4880,7 @@ object Queries {
   def qNovelty(s: SparkSession, dir: String): DataFrame = {
     val d = graft.dedup.Dedup
     val grams = graft.core.Eager(T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"${d.toksExpr} AS toks")
       .selectExpr("doc_id",
         s"explode(array_distinct(${d.bigramsExpr})) AS g"))
@@ -5529,7 +5529,7 @@ object Queries {
       """transform(sequence(0, (size(toks) + 9) div 10 - 1),
         |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)
     val segs = T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"${d.toksExpr} AS toks")
       .where(size(col("toks")) >= 1)
       .select(col("doc_id"), posexplode(segArr).as(Seq("i", "seg")))
@@ -5556,7 +5556,7 @@ object Queries {
         |  i -> array_join(slice(toks, i * 10 + 1, 10), ' '))""".stripMargin)
     val segs = graft.core.Eager(
       docs
-        .repartition(col("doc_id"))
+        .repartition(graft.core.Fanout.n, col("doc_id"))
         .selectExpr("doc_id", s"${d.toksExpr} AS toks")
         .where(size(col("toks")) >= 1)
         .select(col("doc_id"), posexplode(segArr).as(Seq("i", "seg"))))
@@ -5596,7 +5596,7 @@ object Queries {
   def chunkTokens(docs: DataFrame): DataFrame = {
     val d = graft.dedup.Dedup
     docs
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"${d.toksExpr} AS toks")
       .where(size(col("toks")) >= 1)
       .withColumn("nst",
@@ -5666,7 +5666,7 @@ object Queries {
     * absorb the ×n_tokens row inflation map-side). */
   def qRepetition(s: SparkSession, dir: String): DataFrame = {
     val base = graft.core.Eager(T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"${graft.dedup.Dedup.toksExpr} AS toks")
       .where(size(col("toks")) >= 2)
       .selectExpr("doc_id", "toks",
@@ -6040,7 +6040,7 @@ object Queries {
   def qWinnow(s: SparkSession, dir: String): DataFrame = {
     val w = 4
     val hs = graft.core.Eager(T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", s"${graft.dedup.Dedup.toksExpr} AS toks")
       .where(size(col("toks")) >= w)
       .selectExpr("doc_id",
@@ -6096,7 +6096,7 @@ object Queries {
     // expression once per (train, eval) pair (measured 15 s vs 1.3 s)
     val train = graft.core.Eager(withSh(docs
       .where(col("source") =!= "src0")
-      .repartition(col("doc_id"))).select("doc_id", "lang", "sh"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))).select("doc_id", "lang", "sh"))
     val scored = train.where(col("sh").isNotNull).select("doc_id", "sh")
       .crossJoin(broadcast(evalSh))
       .withColumn("inter", expr("sorted_intersect_count(sh, esh)"))
@@ -6163,7 +6163,7 @@ object Queries {
     // there at ~10×); repartition first so gram construction spreads
     // across all cores/executors
     val g = graft.core.Eager(T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", "lang", "source", s"${d.toksExpr} AS toks")
       .selectExpr("doc_id", "lang", "source", s"$gramsExpr AS gs"))
     val evalGrams = g.where(col("source") === "src0")
@@ -6396,7 +6396,7 @@ object Queries {
     val d = graft.dedup.Dedup
     val B = 64
     val keyed = graft.core.Eager(T(s, dir).documents
-      .repartition(col("doc_id"))
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .selectExpr("doc_id", "lang", "source", s"${d.toksExpr} AS toks")
       .selectExpr("doc_id", "lang", "source",
         s"explode(${d.bigramsExpr}) AS g")
@@ -7237,7 +7237,7 @@ object Queries {
   def qMultimodal(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.decodeImage(
       graft.mm.Multimodal.packImage(
-        T(s, dir).documents.repartition(col("doc_id"))))
+        T(s, dir).documents.repartition(graft.core.Fanout.n, col("doc_id"))))
       .orderBy("doc_id")
 
   /** #67b the composed multimodal pipeline: pack real PNG payloads →
@@ -7251,7 +7251,7 @@ object Queries {
     // arrive in one split, and the whole point of the batched extractor
     // is to run wide (the repo's single-partition pitfall)
     val packed = graft.mm.Multimodal.packImage(
-      T(s, dir).documents.repartition(col("doc_id")))
+      T(s, dir).documents.repartition(graft.core.Fanout.n, col("doc_id")))
     val feats = graft.mm.Multimodal.imageFeatures(packed, dim = 16)
       .withColumnRenamed("doc_id", "vec_id")
     graft.sim.Similarity.knnBrute(feats, col("vec_id") < 5, 3)
@@ -7266,6 +7266,9 @@ object Queries {
   def qAudio(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.decodeAudio(
       graft.mm.Multimodal.packAudio(
+        // NO explicit fan-out: javax.sound's provider registry
+        // serializes concurrent stream opens, so 32-way decode ran
+        // 2.5x SLOWER than the coalesced shape (measured r12)
         T(s, dir).documents.repartition(col("doc_id"))))
       .orderBy("doc_id")
 
@@ -7274,6 +7277,7 @@ object Queries {
     * (ANN layer has no SQL oracle); determinism asserted in MiscSpec. */
   def qAudioPipeline(s: SparkSession, dir: String): DataFrame = {
     val packed = graft.mm.Multimodal.packAudio(
+      // bare repartition — see qAudio's javax.sound contention note
       T(s, dir).documents.repartition(col("doc_id")))
     val feats = graft.mm.Multimodal.audioFeatures(packed, dim = 16)
       .withColumnRenamed("doc_id", "vec_id")
@@ -7295,7 +7299,7 @@ object Queries {
   def qVideo(s: SparkSession, dir: String): DataFrame =
     graft.mm.Multimodal.decodeVideo(
       graft.mm.Multimodal.packVideo(
-        T(s, dir).documents.repartition(col("doc_id"))), stride = 2)
+        T(s, dir).documents.repartition(graft.core.Fanout.n, col("doc_id"))), stride = 2)
       .orderBy("doc_id")
 
   /** #64e TRAINED document classifier (fastText shape — trained
