@@ -918,14 +918,18 @@ object Dedup {
     // the Fixpoint/Bpe loop discipline.
     var rank = deg.select(col("src").as("doc_id"), lit(scale).as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      rank = withDeg
+    // lineage truncation every SECOND round: one checkpoint job per
+    // two iterations instead of one per iteration (the jobs are
+    // scheduling-overhead-dominated at any scale — guide §1.2), while
+    // the un-truncated plan never exceeds two join+agg layers
+    for (i <- 1 to iters) {
+      val next = withDeg
         .join(rank.withColumnRenamed("doc_id", "src"), Seq("src"))
         .select(col("dst"), expr("pr div deg").as("share"))
         .groupBy("dst").agg(sum("share").as("inflow"))
         .select(col("dst").as("doc_id"),
           (lit(base) + expr("(85 * inflow) div 100")).as("pr"))
-        .localCheckpoint()
+      rank = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     val out = rank
       .join(deg.select(col("src").as("doc_id"), col("deg")), "doc_id")

@@ -3255,14 +3255,18 @@ object Queries {
         .cast(DecimalType(20, 0)).as("c2"))
     val k1 = Relational.cumsumExact(t, Seq("p"), "c1")
       .withColumnRenamed("cum", "k1")
-    val g0 = Relational.cumsumExact(k1, Seq("p"), "c2")
+    // cache the double-cumsum ONCE: the n1/n2 head() and the gap scan
+    // each re-ran the whole two-pass cumulative chain otherwise
+    // (guide §1.2 — don't compute things twice); `gap` itself is a
+    // cheap projection over the cached frame, not worth re-caching
+    val g0 = graft.core.Eager(Relational.cumsumExact(k1, Seq("p"), "c2")
       .withColumnRenamed("cum", "k2")
       .select(col("p"), col("k1").cast("long").as("k1"),
-        col("k2").cast("long").as("k2"))
+        col("k2").cast("long").as("k2")))
     val nr = g0.agg(max("k1"), max("k2")).head()
     val (n1, n2) = (nr.getLong(0), nr.getLong(1))
-    val g = graft.core.Eager(g0.withColumn("gap",
-      abs(col("k1") * n2 - col("k2") * n1)))
+    val g = g0.withColumn("gap",
+      abs(col("k1") * n2 - col("k2") * n1))
     val ksNum = g.agg(max("gap")).head().getLong(0)
     g.where(col("gap") === ksNum)
       .agg(min("p").as("at_p"))
@@ -7776,6 +7780,10 @@ object Queries {
     d.edgeTable(docs, 0.8, path)
     val edges = graft.core.Eager(
       d.readEdgeTable(s, path).edges.select("doc_a", "doc_b"))
+    // NOTE (r12): building the four consumers from a thread pool
+    // (guide §2.6) was tried and REVERTED — on a saturated local[32]
+    // the overlapped tiny jobs only contended (per-job times doubled,
+    // wall unchanged to worse); the sequential build measures best.
     val comps = d.components(edges)
     val keep = d.keepBestFrom(comps, docs)
     val pr = d.pageRank(edges)

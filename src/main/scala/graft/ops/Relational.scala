@@ -25,7 +25,7 @@ object Relational {
     * gated; double values would reorder additions and drift). `order`
     * must be a TOTAL order. Returns the input plus a `cum` column. */
   def cumsumExact(df: DataFrame, order: Seq[String], value: String,
-                  partitions: Int = 32): DataFrame =
+                  partitions: Int = 0): DataFrame =
     cumsumExactWithTotal(df, order, value, partitions)._1
 
   /** [[cumsumExact]] plus the GRAND TOTAL for free: the per-partition
@@ -37,15 +37,19 @@ object Relational {
     * aggregate, and scanning it twice doubles the job (the r10 bench
     * flagged exactly that on q_abc). */
   def cumsumExactWithTotal(df: DataFrame, order: Seq[String],
-                           value: String, partitions: Int = 32)
+                           value: String, partitions: Int = 0)
       : (DataFrame, java.math.BigDecimal) = {
     require(df.schema(value).dataType
       .isInstanceOf[org.apache.spark.sql.types.DecimalType],
       s"cumsumExact needs a DECIMAL value column, got " +
         s"${df.schema(value).dataType.simpleString}")
+    // partitions = 0 (the default) derives the width from the session
+    // instead of pinning a local constant — identical result at any
+    // width (the offsets make the prefix sums partition-independent)
+    val np = if (partitions > 0) partitions else graft.core.Fanout.n
     val oc = order.map(col)
     val sorted = graft.core.Eager(
-      df.repartitionByRange(partitions, oc: _*)
+      df.repartitionByRange(np, oc: _*)
         .withColumn("__pid", spark_partition_id()))
     val parts = sorted.groupBy("__pid")
       .agg(sum(col(value)).as("__s"))
@@ -86,11 +90,14 @@ object Relational {
     * built-in ntile engine-dependent). Returns the input plus a
     * `bucket` column. */
   def ntileExact(df: DataFrame, order: Seq[String], k: Int,
-                 partitions: Int = 32): DataFrame = {
-    require(k > 0 && partitions > 0)
+                 partitions: Int = 0): DataFrame = {
+    require(k > 0 && partitions >= 0)
+    // 0 = session-derived width; bucket ids are rank-based and the
+    // ranks come from the driver offsets, so any width is bit-equal
+    val np = if (partitions > 0) partitions else graft.core.Fanout.n
     val oc = order.map(col)
     val sorted = graft.core.Eager(
-      df.repartitionByRange(partitions, oc: _*)
+      df.repartitionByRange(np, oc: _*)
         .withColumn("__pid", spark_partition_id()))
     val cnts = sorted.groupBy("__pid").count()
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -258,7 +265,15 @@ object Relational {
     val i = intervals.where(col(lo) <= col(hi)).withColumn("__bkt",
       explode(sequence(floor(col(lo).cast("long") / lit(bin)),
         floor(col(hi).cast("long") / lit(bin)))))
-    p.join(i, Seq("__bkt"))
+    // pin the probe side's partitioning EXPLICITLY: the join's input
+    // shuffle is byte-small but its OUTPUT multiplies (every point ×
+    // every co-bucket interval survives until the residual BETWEEN),
+    // and AQE coalesces by input bytes — measured as one 4.7 s 3-task
+    // stage doing ~18M residual checks. An explicit count is exempt
+    // from coalescing and the join reuses the partitioning (guide
+    // §2.5: AQE cannot see a join's multiplication).
+    p.repartition(graft.core.Fanout.n, col("__bkt"))
+      .join(i, Seq("__bkt"))
       .where(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__bkt")
   }
@@ -854,6 +869,10 @@ object Relational {
         greatest(col(src), col(dst)).as("b"))
       .where(col("a") =!= col("b")).distinct()
       .localCheckpoint()
+    // NOTE checkpoint stays per-round here (unlike pageRank's
+    // stride-2): each round references `e` three times (degree union
+    // + both semi-joins), so leaving a round lazy would re-evaluate
+    // its whole subtree three times in the next job
     for (_ <- 1 to rounds) {
       val keep = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
