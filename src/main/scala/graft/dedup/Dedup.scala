@@ -973,6 +973,8 @@ object Dedup {
         element_at(col("__codes"), (i - lit(j)).cast("int")) * lit(pows(j)))
         .reduce(_ + _)
     docs
+      // fan out before the per-char polynomial (1-task scan otherwise)
+      .repartition(graft.core.Fanout.n, col("doc_id"))
       .withColumn("__codes", codes)
       .withColumn("__n", size(col("__codes")))
       // sequence is clamped to start at `window` so every probed

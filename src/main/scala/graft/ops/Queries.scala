@@ -4683,6 +4683,9 @@ object Queries {
       lit(","), (col("user_id") % 3).cast("string"),
       lit("],\"p\":"), col("props"), lit("}"))
     T(s, dir).events
+      // fan the single-file scan out BEFORE the per-row variant
+      // parse: the whole query was one 1-task 3-4 s job otherwise
+      .repartition(graft.core.Fanout.n, col("event_id"))
       .withColumn("j", j)
       .withColumn("v", expr("parse_json(j)"))
       .select(

@@ -594,7 +594,11 @@ object Relational {
     require(key.nonEmpty && order.nonEmpty, "scd2 needs key and order")
     val w = Window.partitionBy(key.map(col): _*)
       .orderBy(order.map(col(_).asc): _*)
+    // explicit width for the keyed windows (AQE would coalesce the
+    // byte-small exchange under CPU-heavy scans — see asofJoin note);
+    // both window passes reuse this one exchange
     val changed = changes
+      .repartition(graft.core.Fanout.n, key.map(col): _*)
       .withColumn("__prev", lag(col(value), 1).over(w))
       .withColumn("__first", row_number().over(w) === 1)
       .where(col("__first") || !(col(value) <=> col("__prev")))
@@ -643,6 +647,7 @@ object Relational {
     // its value differs (null-safe) from the open version's; later
     // rows collapse against their immediate predecessor as in scd2
     val survivors = changes.join(broadcast(cur), key, "left")
+      .repartition(graft.core.Fanout.n, key.map(col): _*)
       .withColumn("__prev", lag(col(value), 1).over(w))
       .withColumn("__rn", row_number().over(w))
       .where(
@@ -982,7 +987,13 @@ object Relational {
         Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pick = if (forward) min(col("__asof")) else max(col("__asof"))
+    // pin the window's partition count: the union is byte-small but
+    // the running-struct scan is CPU-heavy, and AQE coalesces the
+    // keyed exchange by bytes (measured: a 3-task 2 s window stage on
+    // a probe grid that spreads to the full session width here).
+    // The window reuses the explicit partitioning — no extra shuffle.
     val matched = lSide.unionByName(rSide)
+      .repartition(graft.core.Fanout.n, key.map(col): _*)
       .withColumn("__m", pick.over(w))
       .where(col("__side") === 1)
     val bounded = tolerance match {
