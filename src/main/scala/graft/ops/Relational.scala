@@ -646,8 +646,11 @@ object Relational {
     // chunk row of a NEW key always survives; of a KNOWN key only if
     // its value differs (null-safe) from the open version's; later
     // rows collapse against their immediate predecessor as in scd2
+    // NO width pin here (unlike scd2/asofJoin): `changes` is
+    // CHUNK-sized by this operator's contract, so the window is byte-
+    // AND cpu-small per call — the pin only added per-batch task
+    // overhead (q_stream_scd2 regressed with it, measured r12)
     val survivors = changes.join(broadcast(cur), key, "left")
-      .repartition(graft.core.Fanout.n, key.map(col): _*)
       .withColumn("__prev", lag(col(value), 1).over(w))
       .withColumn("__rn", row_number().over(w))
       .where(
