@@ -24,17 +24,21 @@ import org.apache.spark.sql.SparkSession
   * iteration, e.g. SPARK_GRAFT_QUERIES='q_dedup_.*' — the driver never
   * sets it, so graded runs always cover the full surface.
   *
-  * Record contract (r5 verdict: every BENCH_r*.json had `parsed: null`):
-  * the driver keeps only the last ~2000 chars of stdout and sbt appends
-  * a `[success] …` trailer, so a single >2000-char JSON line is always
-  * front-truncated and unparseable. Two lines are therefore emitted:
+  * Record contract (r5 verdict: every BENCH_r*.json had `parsed: null`;
+  * r12 verdict: the compact line itself outgrew the tail at 301
+  * queries): the driver keeps only the last ~2000 chars of stdout and
+  * sbt appends a `[success] …` trailer, so any >2000-char JSON line is
+  * front-truncated and unparseable. Three lines are therefore emitted:
   * 1. the FULL record, with the per-query `queries` (name→min) map LAST
   *    so the tail keeps as many named mins as fit;
-  * 2. a COMPACT final line — totals, error count, and `mins`: ALL
-  *    per-query minimums as a positional array in the same alphabetical
-  *    query order as `queries` (the order of CORRECTNESS_r*.json keys).
-  *    ~900 chars at 115 queries, so the tail always contains it whole
-  *    and the official record's `parsed` field is self-contained. */
+  * 2. a COMPACT line — totals, error count, and `mins`: ALL per-query
+  *    minimums as a positional array in the same alphabetical query
+  *    order as `queries` (the order of CORRECTNESS_r*.json keys) —
+  *    grader reconstruction material when it fits;
+  * 3. a TOTALS-ONLY truly-final line (~250 chars, no per-query data,
+  *    size independent of the query count) so the tail ALWAYS ends
+  *    with one complete parseable record at any surface size. The full
+  *    per-query record persists to the BENCH.local.json sidecar. */
 object Bench {
   private def jstr(s: String): String = Jsons.quote(s.take(120))
 
@@ -52,18 +56,22 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     // quiet-box discipline (r10 verdict ask #8): the last two rounds'
     // shared-surface drift tracked BOX LOAD, not code. Wait (bounded,
-    // 2 min) for the 1-min loadavg to fall below SPARK_GRAFT_MAX_LOAD
+    // 10 min) for the 1-min loadavg to fall below SPARK_GRAFT_MAX_LOAD
     // before measuring, then RECORD the loadavg in the JSON so the
     // grader can see whether this record is comparable round-over-
-    // round. Never aborts — a noisy record beats no record.
+    // round. Never aborts — a noisy record beats no record. The r12
+    // default of 8.0 with a 2-min bound never engaged when the driver
+    // benched right after its 12-min test run (loadavg ~5) and ~225
+    // untouched small queries read ~11% slow; 3.0 over 10 min actually
+    // holds the run until the box drains (r12 verdict ask #2).
     def loadavg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val maxLoad =
-      sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "8.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "3.0").toDouble
     val gateT0 = System.currentTimeMillis()
-    val quietBy = gateT0 + 120000
+    val quietBy = gateT0 + 600000
     while (loadavg() > maxLoad && System.currentTimeMillis() < quietBy) {
       System.err.println(f"[bench] loadavg ${loadavg()}%.1f > $maxLoad%.1f — waiting")
       Thread.sleep(5000)
@@ -132,6 +140,11 @@ object Bench {
     val minsArr = byQuery.map { case (_, mn, _, _) => f"$mn%.3f" }
       .mkString("[", ",", "]")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"errors":$nErr,"loadavg":$loadAtStart%.2f,"maxload":$maxLoad%.1f,"gatewait":$gateWait%.1f,"ts":"$stamp","n":${byQuery.size},"order":"alpha","mins":$minsArr,"sf":"$sfDir"}""")
+    // truly-final totals-only line (r12 verdict ask #2): constant-size,
+    // so the driver's ~2000-char stdout tail always ends with one
+    // complete record no matter how many queries the surface grows to.
+    // Per-query data lives in line 1/2 and the BENCH.local.json sidecar.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","runs":$runs,"errors":$nErr,"loadavg":$loadAtStart%.2f,"maxload":$maxLoad%.1f,"gatewait":$gateWait%.1f,"ts":"$stamp","n":${byQuery.size},"record":"BENCH.local.json","sf":"$sfDir"}""")
     // r6 verdict nit: the stdout tail alone still forced the grader to
     // zip the compact `mins` array against the alphabetical key order.
     // Persist the FULL record as a committed sidecar so the round's

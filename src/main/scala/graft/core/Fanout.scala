@@ -12,6 +12,14 @@ package graft.core
   * coalescing, and deriving it from the session's default parallelism
   * scales it with the machine instead of pinning a local constant. */
 object Fanout {
+  /** Width from the active session — convenience form; prefer the
+    * frame-anchored overload at call sites that hold a DataFrame
+    * (r12 advice: `SparkSession.active` can pick the wrong session
+    * in multi-session processes or throw on bare threads). */
   def n: Int = org.apache.spark.sql.SparkSession.active
     .sparkContext.defaultParallelism
+
+  /** Width from the session that OWNS the frame being repartitioned. */
+  def n(df: org.apache.spark.sql.Dataset[_]): Int =
+    df.sparkSession.sparkContext.defaultParallelism
 }

@@ -58,7 +58,7 @@ object Dedup {
     * splits, and everything downstream is CPU-heavy per-row work that
     * must spread across all cores (at cluster scale: all executors). */
   def shingled(docs: DataFrame): DataFrame =
-    docs.repartition(graft.core.Fanout.n, col("doc_id"))
+    docs.repartition(graft.core.Fanout.n(docs), col("doc_id"))
       .selectExpr("doc_id", s"$toksExpr AS toks")
       .where(size(col("toks")) >= 3)
       .selectExpr("doc_id", s"$shinglesExpr AS sh")
@@ -270,7 +270,7 @@ object Dedup {
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     // train spread before the per-row shingle work (single-partition
     // pitfall) and Eager'd: it feeds banding AND the verify re-join
-    val t = graft.core.Eager(prep(train.repartition(graft.core.Fanout.n, col("doc_id"))))
+    val t = graft.core.Eager(prep(train.repartition(graft.core.Fanout.n(train), col("doc_id"))))
     val e = graft.core.Eager(prep(eval))
     val cands = banded(t)
       .join(broadcast(banded(e)
@@ -317,7 +317,7 @@ object Dedup {
     // (An inverted-index co-occurrence join was measured and REJECTED:
     // shared-vocabulary corpora make common shingles high-fanout, and
     // the posting self-join explodes past the blocked all-pairs cost.)
-    val s = docs.repartition(graft.core.Fanout.n, col("doc_id"))
+    val s = docs.repartition(graft.core.Fanout.n(docs), col("doc_id"))
       .selectExpr("doc_id", block, s"$toksExpr AS toks")
       .where(size(col("toks")) >= 3)
       .selectExpr("doc_id", block,
@@ -502,7 +502,14 @@ object Dedup {
   def substringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
     require(k >= 2, s"window must span >= 2 tokens, got $k")
     import org.apache.spark.sql.expressions.Window
-    val t = graft.core.Eager(docs.selectExpr("doc_id", s"$toksExpr AS toks"))
+    // fan out BEFORE tokenizing (guide §2.5, the shingled() pattern):
+    // the Eager'd token frame inherits the single-file scan's one
+    // partition, which serializes the k-gram explode AND the
+    // reassembly posexplode that both read this cache — AQE can't
+    // widen either (byte-small, CPU-heavy)
+    val t = graft.core.Eager(docs
+      .repartition(graft.core.Fanout.n(docs), col("doc_id"))
+      .selectExpr("doc_id", s"$toksExpr AS toks"))
     val grams = t.where(size(col("toks")) >= k)
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(toks) - ${k - 1}),
@@ -581,7 +588,7 @@ object Dedup {
     * above, which remains the oracle-documented definition. */
   def simhashed(docs: DataFrame): DataFrame = {
     graft.functions.SimHash60.register(docs.sparkSession)
-    docs.repartition(graft.core.Fanout.n, col("doc_id"))
+    docs.repartition(graft.core.Fanout.n(docs), col("doc_id"))
       .selectExpr("doc_id", s"$toksExpr AS toks")
       // ≥1 token: a zero-token doc has no defined simhash (the oracle's
       // per-token unnest drops such docs; simhash=0 here would pair any
@@ -665,7 +672,12 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
     val seed = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
-    val out = graft.core.Fixpoint.iterate(seed, maxIter) { labels =>
+    // decimal-exact sum measure: label values may be 60-bit hash ids
+    // whose long sum overflows (ANSI mode raises) — the measure just
+    // needs exact equality across iterations, not a machine word
+    val out = graft.core.Fixpoint.iterate(seed, maxIter,
+      sum(col("comp").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0)))) { labels =>
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
@@ -674,12 +686,6 @@ object Dedup {
         .select(col("doc_id"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
-    } { df =>
-      // decimal-exact sum: label values may be 60-bit hash ids whose
-      // long sum overflows (ANSI mode raises) — the measure just needs
-      // exact equality across iterations, not a machine word
-      df.agg(sum(col("comp").cast(
-        org.apache.spark.sql.types.DecimalType(38, 0)))).head.getDecimal(0)
     }
     edges.unpersist()
     out
@@ -709,18 +715,30 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
-    var visited = seeds.select(col("doc_id")).distinct()
-      .withColumn("hop", lit(0L)).localCheckpoint()
+    // per-hop job economy (r12 verdict ask #3 discipline): the frontier
+    // row count rides the checkpoint job via observe (no separate
+    // isEmpty action), and `visited` stays a LAZY union of
+    // already-checkpointed frontiers — nothing recomputes (every input
+    // is a LogicalRDD) and the union-of-≤maxHops plan stays shallow,
+    // so the per-hop cost is ONE job instead of three
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (visited, fn) = ckptCounted(seeds.select(col("doc_id")).distinct()
+      .withColumn("hop", lit(0L)))
     var frontier = visited
     var hop = 1L
-    while (hop <= maxHops && !frontier.isEmpty) {
-      val next = frontier
+    while (hop <= maxHops && fn > 0) {
+      val (next, n) = ckptCounted(frontier
         .join(edges, frontier("doc_id") === edges("src"))
         .select(col("dst").as("doc_id")).distinct()
         .join(visited.select("doc_id"), Seq("doc_id"), "left_anti")
-        .withColumn("hop", lit(hop)).localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+        .withColumn("hop", lit(hop)))
+      visited = visited.unionByName(next)
       frontier = next
+      fn = n
       hop += 1
     }
     edges.unpersist()
@@ -974,7 +992,7 @@ object Dedup {
         .reduce(_ + _)
     docs
       // fan out before the per-char polynomial (1-task scan otherwise)
-      .repartition(graft.core.Fanout.n, col("doc_id"))
+      .repartition(graft.core.Fanout.n(docs), col("doc_id"))
       .withColumn("__codes", codes)
       .withColumn("__n", size(col("__codes")))
       // sequence is clamped to start at `window` so every probed

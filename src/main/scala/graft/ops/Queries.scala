@@ -5990,6 +5990,8 @@ object Queries {
     val pq = Similarity.knnIvfPqIndexed(s, path, col("vec_id") < 5, 3)
     val occ = Similarity.readAnnIndex(s, path).assigned
       .groupBy("cid").agg(count(lit(1)).as("n"))
+    // cells + max_cell in ONE action (same values, half the jobs)
+    val occRow = occ.agg(count(lit(1)), max(col("n"))).head()
     val fresh = emb.limit(50).select(
       (col("vec_id") + 10000000L).as("vec_id"), col("embedding"), col("label"))
     Similarity.annIndexAppend(path, fresh)
@@ -5997,8 +5999,8 @@ object Queries {
     val out = Seq(
       ("ivf_knn_rows", knn.count()),
       ("pq_knn_rows", pq.count()),
-      ("cells", occ.count()),
-      ("max_cell", occ.agg(max(col("n"))).head().getLong(0)),
+      ("cells", occRow.getLong(0)),
+      ("max_cell", occRow.getLong(1)),
       ("assigned_after_append", after.assigned.count()),
       ("codes_after_append", after.codes.get.count()))
     val sp = s

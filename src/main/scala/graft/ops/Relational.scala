@@ -46,7 +46,7 @@ object Relational {
     // partitions = 0 (the default) derives the width from the session
     // instead of pinning a local constant — identical result at any
     // width (the offsets make the prefix sums partition-independent)
-    val np = if (partitions > 0) partitions else graft.core.Fanout.n
+    val np = if (partitions > 0) partitions else graft.core.Fanout.n(df)
     val oc = order.map(col)
     val sorted = graft.core.Eager(
       df.repartitionByRange(np, oc: _*)
@@ -94,7 +94,7 @@ object Relational {
     require(k > 0 && partitions >= 0)
     // 0 = session-derived width; bucket ids are rank-based and the
     // ranks come from the driver offsets, so any width is bit-equal
-    val np = if (partitions > 0) partitions else graft.core.Fanout.n
+    val np = if (partitions > 0) partitions else graft.core.Fanout.n(df)
     val oc = order.map(col)
     val sorted = graft.core.Eager(
       df.repartitionByRange(np, oc: _*)
@@ -272,7 +272,7 @@ object Relational {
     // stage doing ~18M residual checks. An explicit count is exempt
     // from coalescing and the join reuses the partitioning (guide
     // §2.5: AQE cannot see a join's multiplication).
-    p.repartition(graft.core.Fanout.n, col("__bkt"))
+    p.repartition(graft.core.Fanout.n(p), col("__bkt"))
       .join(i, Seq("__bkt"))
       .where(col(point) >= col(lo) && col(point) <= col(hi))
       .drop("__bkt")
@@ -598,7 +598,7 @@ object Relational {
     // byte-small exchange under CPU-heavy scans — see asofJoin note);
     // both window passes reuse this one exchange
     val changed = changes
-      .repartition(graft.core.Fanout.n, key.map(col): _*)
+      .repartition(graft.core.Fanout.n(changes), key.map(col): _*)
       .withColumn("__prev", lag(col(value), 1).over(w))
       .withColumn("__first", row_number().over(w) === 1)
       .where(col("__first") || !(col(value) <=> col("__prev")))
@@ -990,13 +990,27 @@ object Relational {
         Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pick = if (forward) min(col("__asof")) else max(col("__asof"))
-    // pin the window's partition count: the union is byte-small but
-    // the running-struct scan is CPU-heavy, and AQE coalesces the
-    // keyed exchange by bytes (measured: a 3-task 2 s window stage on
-    // a probe grid that spreads to the full session width here).
-    // The window reuses the explicit partitioning — no extra shuffle.
-    val matched = lSide.unionByName(rSide)
-      .repartition(graft.core.Fanout.n, key.map(col): _*)
+    // pin the window's partition count WHEN THE INPUT IS BIG ENOUGH TO
+    // CARE: the union can be byte-light relative to its running-struct
+    // scan (a generated probe grid multiplies rows, not input bytes)
+    // and AQE coalesces the keyed exchange by bytes — measured r12 as
+    // a 3-task 2 s window stage that the explicit width pin took to
+    // 2.66× (q_pit_join). But on a genuinely SMALL union the pin only
+    // buys full-width task overhead (r12 verdict: q_asof 0.44→0.56 s
+    // at sf0.1), so it is GATED on the optimizer's size estimate —
+    // ≥1 MiB per session core (scale-adaptive: any real history at
+    // cluster scale clears it; a byte-small frame stays on the
+    // AQE-coalesced path, which is optimal for it). The pinned
+    // window reuses the explicit partitioning — no extra shuffle.
+    val unioned = lSide.unionByName(rSide)
+    val estBytes = unioned.queryExecution.optimizedPlan.stats.sizeInBytes
+    val wide = estBytes >=
+      BigInt(graft.core.Fanout.n(unioned).toLong * (1L << 20))
+    val spread =
+      if (wide) unioned.repartition(graft.core.Fanout.n(unioned),
+        key.map(col): _*)
+      else unioned
+    val matched = spread
       .withColumn("__m", pick.over(w))
       .where(col("__side") === 1)
     val bounded = tolerance match {

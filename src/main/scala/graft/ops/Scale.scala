@@ -635,8 +635,15 @@ object Scale {
     // stated contract — the same discipline Delta's MERGE applies):
     // hit detection, the insert anti-join, the per-hit-file key
     // semi-joins and the staged writes each re-executed the full
-    // source plan otherwise (guide §1.2: don't compute things twice)
-    val src = source.localCheckpoint()
+    // source plan otherwise (guide §1.2: don't compute things twice).
+    // A source that IS already a checkpoint (streaming batches arrive
+    // pinned) is used as-is — re-checkpointing would materialize the
+    // batch a second time (r12 advice); checkpoint blocks we created
+    // are released once the publish completes (finally below).
+    val preCkpt = source.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val src = if (preCkpt) source else source.localCheckpoint()
+    try {
     // empty-manifest base (a just-CREATEd table): declared-schema
     // empty frame, bootstrap MERGE = pure insert (r12 review)
     val df =
@@ -739,6 +746,7 @@ object Scale {
     }
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
       rowsBefore, rowsBefore - hitBefore + stagedAfter)
+    } finally if (!preCkpt) src.unpersist()
   }
 
   /** MULTI-CLAUSE MERGE on the COW chain (r11 verdict ask #4's
@@ -775,8 +783,12 @@ object Scale {
       val raw = readMerged(spark, files, footers)
       schema.map(alignTo(raw, _, renames)).getOrElse(raw)
     }
-    // MATERIALIZE the source once — same rationale as [[mergeInto]]
-    val src = source.localCheckpoint()
+    // MATERIALIZE the source once — same rationale (and the same
+    // pre-checkpointed-source + release discipline) as [[mergeInto]]
+    val preCkpt = source.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val src = if (preCkpt) source else source.localCheckpoint()
+    try {
     // an EMPTY base manifest (a just-CREATEd table) serves the
     // declared schema's empty frame — the bootstrap MERGE is then a
     // pure insert (r12 review: an unguarded zero-path parquet read
@@ -874,6 +886,7 @@ object Scale {
     }
     RewriteStats(baseFiles.size.toLong, hitFiles.size.toLong,
       rowsBefore, rowsBefore - hitBefore + stagedAfter)
+    } finally if (!preCkpt) src.unpersist()
   }
 
   /** APPEND `df` as the next committed version: every base file rides
@@ -957,9 +970,12 @@ object Scale {
         s"($condSql) — they would land outside the replaced slice")
     val cons = VersionStore.constraintsOf(spark, tableDir, headV)
     if (cons.nonEmpty) enforce(out, cons)
-    cowRewrite(spark, tableDir, tableDir, cond,
+    // release the replacement checkpoint once the publish completes
+    // (r12 advice: checkpoint blocks accumulated across commits)
+    try cowRewrite(spark, tableDir, tableDir, cond,
       _.where(!coalesce(cond, lit(false))), "REPLACE_WHERE",
       condSql = Some(condSql), appendDf = Some(out))
+    finally out.unpersist()
   }
 
   /** INSERT OVERWRITE (whole table) as ONE commit: the next version's
@@ -1150,6 +1166,24 @@ object Scale {
     val grouped = sized.groupBy { case (f, _) => parts.get(f) }
       .toSeq.sortBy(_._1.map(_.toSeq.sorted.mkString(";"))
         .getOrElse(""))
+    // serve the normalization bounds from the MAINTAINED stats when
+    // the chain is ANALYZEd on both z-dimensions (r12 verdict ask #4):
+    // per-file min/max aggregate driver-cheaply to the group bounds —
+    // min over file-mins IS the column min — replacing one full data
+    // pass per group with a lookup over the file-count-sized stats
+    // frame. Falls back to the data agg when the dims are expressions,
+    // stats are absent, or any group file is missing from them.
+    // a PLAIN attribute renders as its bare name (anything computed
+    // renders with parens/operators and falls back to the data agg)
+    def attrName(c: Column): Option[String] =
+      Some(c.toString).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    val statsMM: Option[(DataFrame, String, String)] = for {
+      nx <- attrName(zx); ny <- attrName(zy)
+      v <- headV
+      st <- statsOf(spark, tableDir, v)
+      names = st.columns.toSet
+      if Seq(nx, ny).forall(n => names(s"min_$n") && names(s"max_$n"))
+    } yield (st, nx, ny)
     val id = headV.map(_ + 1).getOrElse(0L)
     val outParts =
       scala.collection.mutable.Map.empty[String, Map[String, String]]
@@ -1165,12 +1199,28 @@ object Scale {
         // interleaving (Delta z-orders on range-IDs for the same
         // reason): raw values of unequal width hand the curve's high
         // bits entirely to the wider column — slicing then splits
-        // only that dimension and the other never prunes. One tiny
-        // min/max agg per group; NULLs sort into one slice (zval of
-        // NULL is NULL — ordered first, still a tight file).
-        val mm = df.agg(
+        // only that dimension and the other never prunes. Bounds come
+        // from the maintained stats when available (`statsMM` above),
+        // else one min/max agg per group; NULLs sort into one slice
+        // (zval of NULL is NULL — ordered first, still a tight file).
+        val groupFiles = fl.map(_._1)
+        val mm: org.apache.spark.sql.Row = statsMM.flatMap {
+          case (st, nx, ny) =>
+            import spark.implicits._
+            val r = st.join(groupFiles.toDF("__f"), Seq("__f"),
+                "left_semi")
+              .agg(count(lit(1)),
+                min(col(s"min_$nx")).cast("double"),
+                max(col(s"max_$nx")).cast("double"),
+                min(col(s"min_$ny")).cast("double"),
+                max(col(s"max_$ny")).cast("double")).head()
+            if (r.getLong(0) == groupFiles.size.toLong)
+              Some(org.apache.spark.sql.Row(
+                r.get(1), r.get(2), r.get(3), r.get(4)))
+            else None // a group file the stats don't cover: data agg
+        }.getOrElse(df.agg(
           min(zx).cast("double"), max(zx).cast("double"),
-          min(zy).cast("double"), max(zy).cast("double")).head()
+          min(zy).cast("double"), max(zy).cast("double")).head())
         def bound(i: Int): Double =
           if (mm.isNullAt(i)) 0.0 else mm.getDouble(i)
         def norm(c: Column, i: Int): Column = {

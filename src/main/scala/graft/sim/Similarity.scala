@@ -227,7 +227,20 @@ object Similarity {
     * their previous centroid; means are re-normalized to the unit
     * sphere (mean direction = spherical k-means update). */
   private def kmeansOnPv(pv: DataFrame, k: Int, iters: Int,
-                         sampleN: Int): DataFrame = {
+                         sampleN: Int): DataFrame =
+    centsDf(pv.sparkSession, kmeansArr(pv, k, iters, sampleN))
+
+  /** Driver-held (cid, centroid) rows as a local-relation DataFrame —
+    * no job to materialize, broadcastable as-is. */
+  private def centsDf(spark: org.apache.spark.sql.SparkSession,
+                      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.toIndexedSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("cid", "ce")
+  }
+
+  private def kmeansArr(pv: DataFrame, k: Int, iters: Int,
+                        sampleN: Int): Array[(Long, Array[Double])] = {
     // Lloyd iterations run DRIVER-SIDE over the collected sample — the
     // same shape Spark MLlib's KMeans uses (centers are driver state
     // between iterations, broadcast out for assignment). The sample is
@@ -268,11 +281,7 @@ object Similarity {
         while (i < dim) { cents(c)(i) = sums(c)(i) * inv; i += 1 }
       } // empty clusters keep their previous centroid
     }
-    val spark = pv.sparkSession
-    import spark.implicits._
-    cents.toIndexedSeq.zip(ids.take(kk))
-      .map { case (v, id) => (id, v.toSeq) }
-      .toDF("cid", "ce")
+    ids.take(kk).zip(cents)
   }
 
   /** Trained IVF centroids for `emb` (public entry; see [[kmeansOnPv]]). */
@@ -289,36 +298,67 @@ object Similarity {
     * sampled spherical k-means ([[kmeansOnPv]]); `trainIters = 0`
     * falls back to the untrained deterministic seed (first `k` by
     * vec_id, unit-normalized). The assignment shape is identical
-    * either way: broadcast k centroids, one linear scan, argmax by
-    * window over the per-vector candidate scores, no shuffle of the
-    * corpus beyond its vec_id partitioning. Returns
-    * (assigned(vec_id, ne, cid), centroids(cid, ce)), both cached. */
+    * either way: one linear scan with a per-row argmax over the
+    * driver-held centroids ([[assignTo]]) — zero shuffles of the
+    * corpus. Returns (assigned(vec_id, ne, cid) — cached — and
+    * centroids(cid, ce) as a local relation). */
   def ivfAssign(emb: DataFrame, k: Int,
                 trainIters: Int = 2): (DataFrame, DataFrame) = {
     graft.functions.VectorDot.register(emb.sparkSession)
     val pv = graft.core.Eager(normalized(emb).select(col("vec_id"), col("ne")))
-    val cents = graft.core.Eager(
-      if (trainIters > 0) kmeansOnPv(pv, k, trainIters, 2048)
+    val centArr =
+      if (trainIters > 0) kmeansArr(pv, k, trainIters, 2048)
       else pv.orderBy("vec_id").limit(k)
-        .select(col("vec_id").as("cid"), col("ne").as("ce")))
-    (graft.core.Eager(assignTo(pv, cents)), cents)
+        .select(col("vec_id"), col("ne")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    // the centroid frame is a LOCAL RELATION (driver data): no cache
+    // job needed, and broadcast consumers ship it directly
+    (graft.core.Eager(assignTo(pv, centArr)),
+      centsDf(pv.sparkSession, centArr))
   }
 
   /** Nearest-centroid assignment of unit vectors `pv` (vec_id, ne) to
-    * `cents` (cid, ce): broadcast centroids, one scan, argmax by keyed
-    * window (ties → lowest cid). Shared by the per-run trainer
-    * ([[ivfAssign]]) and the stored-index append path
-    * ([[annIndexAppend]] — faiss add()), so both produce bit-identical
-    * assignments for the same centroids. */
-  private def assignTo(pv: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
-    pv.crossJoin(broadcast(cents))
-      .withColumn("csim", expr("vec_dot(ne, ce)"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("ne"), col("cid"))
+    * driver-held centroids: ONE narrow per-row argmax — for each row a
+    * fold over the ≤k literal centroid vectors (the same ascending
+    * native `vec_dot` per candidate as the broadcast form), max `csim`
+    * with ties to the lowest cid. Replaces the r12 crossJoin+window
+    * shape, which exploded the corpus ×k and shuffled the copies (ne
+    * payload included) just to pick a per-row argmax (guide §1.2 /
+    * §2.4: the decision needs no shuffle at all — centroids are
+    * driver state in every IVF trainer). Tie order is encoded
+    * positionally: centroids sorted by cid ascending, `array_max` on
+    * (csim, -idx) structs picks max csim then LOWEST index = lowest
+    * cid — bit-identical to the window's (csim desc, cid asc) rank 1.
+    * Shared by the per-run trainer ([[ivfAssign]]) and the
+    * stored-index append path ([[annIndexAppend]] — faiss add()), so
+    * both produce bit-identical assignments for the same centroids. */
+  private def assignTo(pv: DataFrame,
+                       cents: Array[(Long, Array[Double])]): DataFrame = {
+    graft.functions.VectorDot.register(pv.sparkSession)
+    val sorted = cents.sortBy(_._1)
+    val k = sorted.length
+    require(k > 0, "assignTo needs at least one centroid")
+    val ceArr = array(sorted.map(c =>
+      array(c._2.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    val cidArr = array(sorted.map(c => lit(c._1)).toIndexedSeq: _*)
+    pv.withColumn("__ces", ceArr)
+      .withColumn("__cids", cidArr)
+      .withColumn("__best", expr(
+        s"""array_max(transform(sequence(0, ${k - 1}), i ->
+           |  named_struct(
+           |    'csim', vec_dot(ne, element_at(__ces, i + 1)),
+           |    'ni', -i)))""".stripMargin))
+      .select(col("vec_id"), col("ne"),
+        expr("element_at(__cids, (-__best.ni) + 1)").as("cid"))
   }
+
+  /** [[assignTo]] over a centroid FRAME (the stored-index read-back
+    * path): the ≤k rows are collected driver-side — index-build-sized
+    * metadata, the exact state faiss holds in memory — and assignment
+    * proceeds per-row with zero shuffles. */
+  private def assignTo(pv: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(pv, cents.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)))
 
   /** IVF ANN top-k: each query probes its `probes` nearest centroid
     * cells; candidates are the vectors assigned there, reranked by
@@ -428,29 +468,69 @@ object Similarity {
 
   /** PQ encode: each vector stored as (vec_id, cid, code[m]) — code[mi]
     * is the codebook entry nearest (L2) to the mi-th residual
-    * subvector. One broadcast join against the m·ksub codebook rows,
-    * argmin by keyed window, codes re-packed ordered by subvector —
-    * at scale this is the whole index: m small ints per vector instead
-    * of the raw embedding. */
+    * subvector. ONE narrow per-row projection: the m·ksub codebook
+    * rows and the ≤k centroids are collected driver-side (both are
+    * index-build metadata — exactly what faiss holds in RAM) and
+    * embedded as literals, so encoding is a per-row fold — residual
+    * via a centroid-map lookup, then per subvector an argmin over the
+    * literal codebook entries. Replaces the r12
+    * explode(×m)+broadcast-join(×ksub)+window shape, which multiplied
+    * the corpus ×m·ksub and shuffled it twice (argmin window +
+    * re-pack groupBy) to make per-row decisions (guide §1.2/§2.4).
+    * Exactness: d2 = ‖c‖² − 2·r·c with ‖c‖² precomputed by the same
+    * ascending sequential fold `vec_dot` runs, the r·c dot the same
+    * native `vec_dot`, and `array_min` on (d2, j) structs equal to
+    * the window's (d2 asc, j asc) rank 1 — codes are bit-identical.
+    * At scale this is the whole index: m small ints per vector
+    * instead of the raw embedding. */
   def pqEncode(assigned: DataFrame, cents: DataFrame,
                codebook: DataFrame, m: Int): DataFrame = {
     graft.functions.VectorDot.register(assigned.sparkSession)
-    val resid = assigned.join(broadcast(cents), "cid")
-      .withColumn("resid", zip_with(col("ne"), col("ce"), (a, b) => a - b))
+    val centArr = cents.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cb = codebook.select(col("mi"), col("j"), col("cbv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (mi, rows) => mi -> rows.sortBy(_._2) }
+    require(cb.map(_._1).toSeq == (0 until m).toSeq,
+      s"codebook must cover subvectors 0..${m - 1}, got ${cb.map(_._1)}")
+    cb.foreach { case (mi, rows) =>
+      require(rows.map(_._2).toSeq == rows.indices.toSeq,
+        s"codebook entries for subvector $mi must be contiguous j=0..n-1")
+    }
+    // ‖c‖² driver-side with vec_dot's exact ascending fold
+    def n2(v: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < v.length) { acc += v(i) * v(i); i += 1 }
+      acc
+    }
+    val cbArr = array(cb.map { case (_, rows) =>
+      array(rows.map(r =>
+        array(r._3.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    val cbN2 = array(cb.map { case (_, rows) =>
+      array(rows.map(r => lit(n2(r._3))).toIndexedSeq: _*)
+    }.toIndexedSeq: _*)
+    val ceMap = map_from_arrays(
+      array(centArr.map(c => lit(c._1)).toIndexedSeq: _*),
+      array(centArr.map(c =>
+        array(c._2.map(lit(_)).toIndexedSeq: _*)).toIndexedSeq: _*))
+    assigned
+      .withColumn("__cb", cbArr)
+      .withColumn("__cbn", cbN2)
+      .withColumn("resid",
+        zip_with(col("ne"), element_at(ceMap, col("cid")), (a, b) => a - b))
       .withColumn("sub", (size(col("resid")) / m).cast("int"))
-      .select(col("vec_id"), col("cid"), col("resid"), col("sub"),
-        explode(sequence(lit(0), lit(m - 1))).as("mi"))
-      .withColumn("rm", slice(col("resid"), col("mi") * col("sub") + 1,
-        col("sub")))
-    // ‖r−c‖² argmin ≡ argmin(‖c‖² − 2·r·c): two native dots, no sqrt
-    val scored = resid.join(broadcast(codebook), "mi")
-      .withColumn("d2", expr("vec_dot(cbv, cbv) - 2 * vec_dot(rm, cbv)"))
-    val w = Window.partitionBy("vec_id", "mi")
-      .orderBy(col("d2").asc, col("j"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .groupBy("vec_id", "cid")
-      .agg(transform(sort_array(collect_list(struct(col("mi"), col("j")))),
-        s => s.getField("j")).as("code"))
+      .select(col("vec_id"), col("cid"), expr(
+        s"""transform(sequence(0, ${m - 1}), mi ->
+           |  array_min(transform(
+           |    sequence(0, size(element_at(__cb, mi + 1)) - 1), j ->
+           |    named_struct(
+           |      'd2', element_at(element_at(__cbn, mi + 1), j + 1)
+           |            - 2 * vec_dot(slice(resid, mi * sub + 1, sub),
+           |                          element_at(element_at(__cb, mi + 1),
+           |                                     j + 1)),
+           |      'j', j))).j)""".stripMargin).as("code"))
   }
 
   /** IVF-PQ ANN top-k: probe the nearest centroid cells like [[knnIvf]],
@@ -615,7 +695,9 @@ object Similarity {
     val spark = fresh.sparkSession
     graft.functions.VectorDot.register(spark)
     val idx = readAnnIndex(spark, path)
-    val cents = graft.core.Eager(idx.centroids)
+    // no Eager: assignTo collects the ≤k centroid rows itself, and the
+    // re-publish below re-reads the (tiny) centroid parquet directly
+    val cents = idx.centroids
     val pv = normalized(fresh).select(col("vec_id"), col("ne"))
     val freshAssigned = graft.core.Eager(assignTo(pv, cents))
     val merged = idx.assigned.unionByName(freshAssigned)

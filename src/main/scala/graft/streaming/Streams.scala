@@ -244,8 +244,13 @@ object Streams {
       // re-ran the window dedup over the raw batch
       val latest = batch.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn").localCheckpoint()
-      if (!latest.isEmpty)
-        graft.ops.Scale.mergeInto(s, srcDir, tableDir, latest, key): Unit
+      // mergeInto detects the pre-checkpointed source and does NOT
+      // re-pin it (r12 advice: the batch used to materialize twice);
+      // release the one checkpoint when the batch commit is done
+      try {
+        if (!latest.isEmpty)
+          graft.ops.Scale.mergeInto(s, srcDir, tableDir, latest, key): Unit
+      } finally latest.unpersist()
       graft.tables.VersionStore.recordAppliedId(s, tableDir, id)
     }
   }

@@ -39,7 +39,7 @@ object Footers {
       math.min(8, files.size))
     try {
       val tasks = files.map { f =>
-        pool.submit(new java.util.concurrent.Callable[(String, Info)] {
+        f -> pool.submit(new java.util.concurrent.Callable[(String, Info)] {
           override def call(): (String, Info) = {
             val in = org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(new Path(f), conf)
@@ -54,12 +54,29 @@ object Footers {
           }
         })
       }
-      tasks.map(_.get()).toMap
+      tasks.map { case (f, t) =>
+        try t.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          // cancel the remaining queued reads and surface a
+          // DESCRIPTIVE failure naming the offending file (r12
+          // advice: the bare ExecutionException hid both)
+          pool.shutdownNow(): Unit
+          throw new java.io.IOException(
+            s"parquet footer read failed for $f: " +
+              s"${Option(e.getCause).getOrElse(e).getMessage}",
+            Option(e.getCause).getOrElse(e))
+        }
+      }.toMap
     } finally pool.shutdown()
   }
 
   /** Exact row total of `files` from footers alone — the number
-    * `spark.read.parquet(files).count()` returns, without the job. */
-  def rowCount(spark: SparkSession, files: Seq[String]): Long =
-    read(spark, files).valuesIterator.map(_.rows).sum
+    * `spark.read.parquet(files).count()` returns, without the job.
+    * Summed per OCCURRENCE in `files` (r12 advice: a Map-values sum
+    * silently deduplicated repeated paths, unlike the count() this
+    * replaces). */
+  def rowCount(spark: SparkSession, files: Seq[String]): Long = {
+    val m = read(spark, files)
+    files.iterator.map(m(_).rows).sum
+  }
 }

@@ -339,9 +339,9 @@ class DedupSpec extends AnyFunSuite {
     // a step that never stabilizes the measure within the bound
     val seed = Seq(0L).toDF("x")
     val e = intercept[IllegalStateException] {
-      graft.core.Fixpoint.iterate(seed, maxIter = 3)(df =>
-        df.select((col("x") + 1).as("x")))(df =>
-        df.agg(org.apache.spark.sql.functions.sum("x")).head.getLong(0))
+      graft.core.Fixpoint.iterate(seed, maxIter = 3,
+        org.apache.spark.sql.functions.sum("x"))(df =>
+        df.select((col("x") + 1).as("x")))
     }
     assert(e.getMessage.contains("no convergence"))
   }
