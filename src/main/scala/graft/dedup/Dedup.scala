@@ -401,9 +401,22 @@ object Dedup {
 
   def jaccardJoin(docs: DataFrame, tau: Double): DataFrame = {
     require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
-    graft.functions.SortedIntersectCount.register(docs.sparkSession)
-    val perDoc = graft.core.Eager(shingled(docs).select(col("doc_id"),
-      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shh")))
+    jaccardJoinOn(graft.core.Eager(shingled(docs).select(col("doc_id"),
+      expr("array_sort(transform(sh, s -> xxhash64(s)))").as("shh"))),
+      tau)
+  }
+
+  /** [[jaccardJoin]] over an ALREADY-PREPARED (and cached) per-doc
+    * frame (doc_id, shh — sorted hashed shingles): lets a caller that
+    * has paid the corpus shingle pass once (e.g. a [[minhashIndex]]
+    * build, whose `docs` frame is exactly this shape) reuse it instead
+    * of re-tokenizing and re-hashing the corpus — at 100 TB the saved
+    * pass IS a full lake read. `perDoc` must be cached or cheap: the
+    * prefix ordering, both candidate sides and both verify sides read
+    * it. */
+  def jaccardJoinOn(perDoc: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau < 1, s"tau must be in (0,1), got $tau")
+    graft.functions.SortedIntersectCount.register(perDoc.sparkSession)
     val pref = prefixPostings(perDoc, tau)
     val cands = pref.select(col("g"), col("doc_id").as("doc_a"))
       .join(pref.select(col("g"), col("doc_id").as("doc_b")), "g")
@@ -816,6 +829,18 @@ object Dedup {
     val spark = docs.sparkSession
     val next = edgeVersions(spark, path).maxOption.getOrElse(-1L) + 1
     publishEdgeVersion(jaccardJoin(docs, tau), path, next)
+  }
+
+  /** [[edgeTable]] from an already-derived exact pair set — pairs
+    * with a [[jaccardJoinOn]] over a shared per-doc frame, publish
+    * here; the corpus is shingled ONCE for both the artifact build
+    * and a minhash index built in the same session (q_graph_incr's
+    * shape: build + index + increment used to pay the shingle pass
+    * twice). */
+  def edgeTableFrom(pairs: DataFrame, path: String): DataFrame = {
+    val spark = pairs.sparkSession
+    val next = edgeVersions(spark, path).maxOption.getOrElse(-1L) + 1
+    publishEdgeVersion(pairs, path, next)
   }
 
   /** Read back the newest COMMITTED artifact version — an unmarked

@@ -48,6 +48,10 @@ object Classifier {
   def featurize(docs: DataFrame, label: Column, group: Column,
                 dim: Int): DataFrame =
     docs
+      // fan out BEFORE tokenize/explode (guide §2.5): the per-token
+      // hash explode otherwise runs inside the 1-task single-file
+      // scan stage and the whole featurization serializes
+      .repartition(graft.core.Fanout.n(docs), col("doc_id"))
       .withColumn("y", label.cast("double"))
       .withColumn("grp", group)
       .selectExpr("doc_id", "y", "grp",
@@ -74,7 +78,9 @@ object Classifier {
     * (last = bias). */
   def train(features: DataFrame, dim: Int, iters: Int = 15,
             lr: Double = 1.0): Array[Double] = {
-    val cached = graft.core.Eager(features)
+    // persist + count in ONE materialization (Eager would count once
+    // to fill the cache and this count would be a second job)
+    val cached = features.persist()
     val nDocs = cached.count().toDouble
     val w = Array.fill(dim + 1)(0.0)
     for (_ <- 1 to iters) {
@@ -110,7 +116,9 @@ object Classifier {
   def trainAndSummarize(docs: DataFrame, label: Column, group: Column,
                         dim: Int = 256, iters: Int = 15,
                         lr: Double = 1.0, trainCap: Int = 4096): DataFrame = {
-    val f = featurize(docs, label, group, dim)
+    // featurize ONCE: the sample pick and the corpus scoring join
+    // otherwise both re-run the tokenize+explode+agg pipeline
+    val f = graft.core.Eager(featurize(docs, label, group, dim))
     val ord = conv(substring(md5(concat(lit("cls#"),
       col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
     val sample = f.orderBy(ord, col("doc_id")).limit(trainCap)

@@ -30,6 +30,7 @@ object Queries {
   private val D2 = DecimalType(18, 2)
   private val D4 = DecimalType(18, 4)
   private val P2 = DecimalType(12, 2) // raw money column (2dp doubles)
+  private val D0 = DecimalType(38, 0) // exact integer sums (cumsumExact)
   private val F2 = DecimalType(6, 2)  // small (1 ± x) factor
   /** Order-insensitive exact sum of a double column (via decimal). */
   private def dsum(c: Column, t: DecimalType = D2): Column =
@@ -4270,14 +4271,27 @@ object Queries {
       .groupBy(col("l_returnflag").as("flag"),
         col("l_extendedprice").cast(P2).as("price"))
       .agg(sum(col("l_quantity").cast("long")).as("wsum"))
-    g.withColumn("cum",
-        sum(col("wsum")).over(
-          Window.partitionBy("flag").orderBy("price")))
-      .withColumn("tot", sum(col("wsum")).over(Window.partitionBy("flag")))
-      .where(col("cum") * 2 >= col("tot"))
+    // the naive per-flag window serializes on the 3-value flag key
+    // (measured: ONE 3-task 1 s stage carried the query — the
+    // few-huge-keys window trap). Parallel exact form instead: ONE
+    // global cumsum over the (flag, price) total order via
+    // [[Relational.cumsumExact]] (range-partitioned, decimal-exact,
+    // bit-equal to the window by the prefix-offset construction),
+    // then per-flag cum/total recovered by subtracting the previous
+    // flag's boundary — the boundary frame is flag-count-sized. All
+    // integer/decimal math, so results are unchanged.
+    val c = Relational.cumsumExact(
+      g.withColumn("w", col("wsum").cast(D0)), Seq("flag", "price"), "w")
+    // cum is nondecreasing in the total order, so max(cum) per flag is
+    // that flag's boundary value Σ tot(flags ≤ f)
+    val bounds = c.groupBy("flag").agg(max(col("cum")).as("b"))
+      .withColumn("off", coalesce(lag(col("b"), 1).over(
+        Window.orderBy("flag")), lit(java.math.BigDecimal.ZERO)))
+    c.join(broadcast(bounds), "flag")
+      .where((col("cum") - col("off")) * 2 >= col("b") - col("off"))
       .groupBy("flag")
       .agg(min(col("price")).cast("double").as("wmedian"),
-        max(col("tot")).as("total_weight"))
+        max((col("b") - col("off")).cast("long")).as("total_weight"))
       .orderBy("flag")
   }
 
@@ -7110,8 +7124,12 @@ object Queries {
     // concurrent sessions over the same sf dir)
     val path = java.nio.file.Files
       .createTempDirectory("graft_edge_incr_").toString
-    d.edgeTable(old, 0.8, path)
-    d.edgeTableIncrement(path, d.minhashIndex(old), fresh, 0.8)
+    // ONE shingle pass serves both the exact pair build and the
+    // minhash index (the index's cached docs frame IS jaccardJoin's
+    // per-doc input — identical shh expression, identical pairs)
+    val idx = d.minhashIndex(old)
+    d.edgeTableFrom(d.jaccardJoinOn(idx.docs, 0.8), path)
+    d.edgeTableIncrement(path, idx, fresh, 0.8)
     cleanupAfter(d.readEdgeTable(s, path).edges, path)
       .orderBy("doc_a", "doc_b")
   }

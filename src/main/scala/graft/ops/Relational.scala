@@ -872,23 +872,38 @@ object Relational {
     * graphs; raise `rounds` for adversarial chains. */
   def kcore(edges: DataFrame, src: String, dst: String, k: Int = 2,
             rounds: Int = 8): DataFrame = {
-    var e = edges
-      .select(least(col(src), col(dst)).as("a"),
-        greatest(col(src), col(dst)).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-      .localCheckpoint()
     // NOTE checkpoint stays per-round here (unlike pageRank's
     // stride-2): each round references `e` three times (degree union
     // + both semi-joins), so leaving a round lazy would re-evaluate
-    // its whole subtree three times in the next job
-    for (_ <- 1 to rounds) {
+    // its whole subtree three times in the next job. The edge COUNT
+    // rides each checkpoint job via observe — peeling is monotone
+    // (rounds only remove edges), so an unchanged count means the
+    // fixpoint is reached and every remaining round would be an
+    // identity pass: exit early, result identical (the fixpoint-
+    // within-bound law RelationalSpec asserts).
+    def ckptCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val out = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, en) = ckptCounted(edges
+      .select(least(col(src), col(dst)).as("a"),
+        greatest(col(src), col(dst)).as("b"))
+      .where(col("a") =!= col("b")).distinct())
+    var r = 0
+    var stable = false
+    while (r < rounds && !stable) {
       val keep = e.select(col("a").as("v"))
         .unionAll(e.select(col("b").as("v")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("v")
-      e = e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
+      val (e2, n2) = ckptCounted(
+        e.join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi"))
+      stable = n2 == en
+      e = e2
+      en = n2
+      r += 1
     }
     e.select(col("a").as("doc_id"))
       .unionAll(e.select(col("b").as("doc_id")))

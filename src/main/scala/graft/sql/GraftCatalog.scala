@@ -33,10 +33,12 @@ import graft.ops.Scale
   * adds reachability, not a second engine. The scan is a
   * [[V1Scan]] fallback: the whole-plan still scans parquet through
   * the vectorized reader underneath (the DataFrame the relation
-  * wraps IS the pointer-resolving read); posture note: the
-  * Row-conversion boundary costs one InternalRow↔Row hop versus a
-  * native columnar DSv2 scan, acceptable for the surface's goal of
-  * SQL reachability with ONE read implementation. */
+  * wraps IS the pointer-resolving read), and the relation declares
+  * `needConversion = false`, handing Spark the wrapped read's
+  * INTERNAL rows directly (`queryExecution.toRdd`) — the r11/r12
+  * posture's per-row InternalRow→Row→InternalRow double conversion
+  * (the "V1 hop") is gone; what remains vs a native columnar DSv2
+  * Batch is only the row-based seam at the relation boundary. */
 class GraftCatalog extends TableCatalog {
   private var catalogName = "graft"
 
@@ -287,6 +289,13 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
           new BaseRelation with TableScan {
             override def sqlContext: SQLContext = context
             override def schema: StructType = req
+            // serve INTERNAL rows (r12 verdict ask #8): with
+            // needConversion=false Spark consumes the wrapped read's
+            // `toRdd` directly instead of decoding every row to an
+            // external Row here and re-encoding it above the relation
+            // — the per-row V1 conversion hop removed, same plan
+            // otherwise (the projection pins readSchema order/types)
+            override def needConversion: Boolean = false
             override def buildScan(): RDD[Row] = {
               val s = context.sparkSession
               val df = sql match {
@@ -303,7 +312,7 @@ class GraftTable(val dir: String, val travelVersion: Option[Long])
                 if (req.fieldNames.sameElements(s0.fieldNames)) df
                 else df.select(req.fieldNames.toIndexedSeq.map(
                   org.apache.spark.sql.functions.col): _*)
-              projected.rdd
+              projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
             }
           }.asInstanceOf[T]
       }
